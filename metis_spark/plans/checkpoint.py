@@ -1,0 +1,150 @@
+"""Per-iteration checkpoint + per-partition lineage + metrics (north_rule).
+
+The Spark re-expression of the reference's resume-safety layer: where
+Metis gates re-import on a stored sha256 and keeps a byte-exact raw backup
+(/root/reference/Metis/tools/HDF5Helper.py:14-25,53-69), this engine
+checkpoints each algorithm iteration's vertex state to a parquet (Iceberg
+at scale) directory with
+
+  {base}/{algo}/iter=K/data/      vertex-state parquet  (the checkpoint)
+  {base}/{algo}/iter=K/meta.json  commit marker, written LAST, carrying the
+                                  per-partition lineage rows
+                                  (partition_id, rows, checksum) — a
+                                  checkpoint without meta.json is invisible
+                                  to resume (write-then-commit: the
+                                  "no partial gold output" rule, SURVEY §2.8)
+  {base}/{algo}/metrics.jsonl     one line per iteration (iter, delta,
+                                  seconds, rows, ...)
+
+``checksum`` is an order-insensitive per-partition sum of row crc32 over
+the canonical column rendering, so the whole-state checksum (sum over
+partitions) stays verifiable after any repartitioning — the analog of the
+reference's byte-identity invariant, but partition-parallel.
+
+Cost discipline: one parquet write + ONE aggregation job per commit. The
+lineage scan doubles as the caller's reduction — ``extra_aggs`` lets the
+algorithm fold its own per-iteration scalars (Σ rank, L1 delta, change
+counts) into the same pass instead of launching separate jobs.
+
+Checkpointing doubles as iterative-plan truncation: the returned frame is
+re-read from storage, so lineage does not grow across iterations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, base_dir: str, algo: str):
+        self.dir = os.path.join(base_dir, algo)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _iter_dir(self, k: int) -> str:
+        return os.path.join(self.dir, f"iter={k}")
+
+    def commit(
+        self,
+        k: int,
+        df: DataFrame,
+        meta: dict | None = None,
+        extra_aggs: dict[str, Column] | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Write iteration-K state + lineage, then the commit marker.
+
+        Returns (state re-read from storage, totals) where totals holds the
+        driver-side sums of rows/checksum plus each ``extra_aggs`` column
+        summed across partitions.
+        """
+        it_dir = self._iter_dir(k)
+        if os.path.isdir(it_dir):  # torn previous attempt (no meta.json) — redo
+            shutil.rmtree(it_dir)
+        data_dir = os.path.join(it_dir, "data")
+        df.write.mode("overwrite").parquet(data_dir)
+        spark = df.sparkSession
+        reloaded = spark.read.parquet(data_dir)
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.crc32(F.to_json(F.struct(*reloaded.columns))).cast("decimal(38,0)")).alias("checksum"),
+        ]
+        extra_names = list((extra_aggs or {}).keys())
+        for name in extra_names:
+            aggs.append((extra_aggs or {})[name].alias(name))
+        lineage_rows = (
+            reloaded.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(*aggs)
+            .collect()
+        )
+        lineage = [
+            {"partition_id": int(r["partition_id"]), "rows": int(r["rows"]), "checksum": int(r["checksum"] or 0)}
+            for r in lineage_rows
+        ]
+        totals: dict = {
+            "rows": sum(x["rows"] for x in lineage),
+            "checksum": sum(x["checksum"] for x in lineage),
+        }
+        for name in extra_names:
+            vals = [r[name] for r in lineage_rows if r[name] is not None]
+            # keep native numeric type (Decimal sums must stay exact)
+            totals[name] = sum(vals) if vals else 0
+        full_meta = dict(meta or {}, iter=k, rows=totals["rows"], checksum=totals["checksum"], lineage=lineage)
+        tmp = os.path.join(it_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(full_meta, f)
+        os.replace(tmp, os.path.join(it_dir, "meta.json"))
+        return reloaded, totals
+
+    def update_meta(self, k: int, patch: dict) -> None:
+        """Merge fields into an already-committed iteration's meta.json."""
+        path = os.path.join(self._iter_dir(k), "meta.json")
+        with open(path) as f:
+            meta = json.load(f)
+        meta.update(patch)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
+    def latest(self) -> int | None:
+        """Max committed iteration (meta.json present), or None."""
+        best = None
+        if not os.path.isdir(self.dir):
+            return None
+        for name in os.listdir(self.dir):
+            if name.startswith("iter=") and os.path.isfile(os.path.join(self.dir, name, "meta.json")):
+                k = int(name.split("=", 1)[1])
+                best = k if best is None or k > best else best
+        return best
+
+    def load(self, spark: SparkSession, k: int) -> tuple[DataFrame, dict]:
+        it_dir = self._iter_dir(k)
+        with open(os.path.join(it_dir, "meta.json")) as f:
+            meta = json.load(f)
+        df = spark.read.parquet(os.path.join(it_dir, "data"))
+        return df, meta
+
+    def verify(self, spark: SparkSession, k: int) -> bool:
+        """Recompute the whole-state checksum of iteration K against lineage."""
+        df, meta = self.load(spark, k)
+        got = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.crc32(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")).alias("checksum"),
+        ).collect()[0]
+        return int(got["rows"]) == meta["rows"] and int(got["checksum"] or 0) == meta["checksum"]
+
+    def append_metrics(self, row: dict) -> None:
+        """One metrics line per iteration (driver-side JSONL append — no job)."""
+        with open(os.path.join(self.dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        path = os.path.join(self.dir, "metrics.jsonl")
+        if not os.path.isfile(path):
+            return None
+        return spark.read.json(path)

@@ -1,0 +1,135 @@
+"""Connected components via alternating large-star / small-star hash-min.
+
+DataFrame re-expression of the two-phase algorithm from "Connected
+Components in MapReduce and Beyond" (Kiveris et al., SoCC 2014) — the
+algorithm BASELINE.json's north_rule names explicitly:
+
+  large-star(E): for each u over the undirected neighborhood Γ(u),
+      m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u) with v > u
+  small-star(E): orient edges large→small (u > v); for each u,
+      m = min(Γ⁻(u) ∪ {u}); emit (v, m) for v ∈ Γ⁻(u) ∪ {u}, v ≠ m
+
+Both steps are groupBy-min + join — pure shuffles with map-side partial
+min, so hub vertices cost O(1) combiner state per mapper. Convergence in
+O(log² n) rounds; each round's edge set is checkpointed (plan truncation
++ resume), and the fixpoint test is (count, order-insensitive checksum)
+equality between consecutive rounds.
+
+Output: labels(id, component) where component = min vertex id reachable —
+exact, deterministic.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metis_spark.plans.checkpoint import CheckpointManager
+
+
+def _min_star(edges: DataFrame, large: bool) -> DataFrame:
+    """One star operation over canonical directed edges (src > dst kept)."""
+    if large:
+        # undirected neighborhoods
+        nbrs = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    else:
+        nbrs = edges  # already oriented large → small by the caller
+    m = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("_mn", F.col("src")).alias("m"))
+    )
+    joined = nbrs.join(m, "src")
+    if large:
+        out = joined.where(F.col("dst") > F.col("src")).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    else:
+        out = (
+            joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) [+ vertices(id)] → (labels(id, component), info)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_cc_")
+    cm = CheckpointManager(checkpoint_dir, "cc")
+
+    # canonical: undirected, large → small, no self-loops
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").cast("long").alias("src"),
+            F.least("src", "dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    start_iter = 0
+    if resume:
+        k = cm.latest()
+        if k is not None:
+            state, meta = cm.load(spark, k)
+            cur = state
+            start_iter = k
+
+    def _edge_hash() -> dict:
+        return {"h": F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))}
+
+    t0 = time.monotonic()
+    sig_row = cur.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    sig = (int(sig_row["n"]), int(sig_row["h"] or 0))
+    converged = False
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        after_large = _min_star(cur, large=True)
+        after_small = _min_star(after_large, large=False)
+        # canonicalize orientation for the next round / fixpoint test
+        nxt = (
+            after_small.select(
+                F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        cur, totals = cm.commit(k, nxt, {"phase": "round"}, extra_aggs=_edge_hash())
+        new_sig = (int(totals["rows"]), int(totals["h"] or 0))
+        converged = new_sig == sig
+        cm.update_meta(k, {"converged": converged})
+        cm.append_metrics(
+            {"iter": k, "delta": float(abs(new_sig[0] - sig[0])),
+             "seconds": time.monotonic() - it_t0, "rows": new_sig[0]}
+        )
+        sig = new_sig
+        if converged:
+            break
+
+    # at fixpoint every edge is (member, root); labels = root per member + roots
+    labels = (
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        .unionByName(cur.select(F.col("dst").alias("id"), F.col("dst").alias("component")))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col("id").cast("long"))
+            .join(labels, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
+    return labels, {"iterations": k, "converged": converged, "seconds": time.monotonic() - t0}

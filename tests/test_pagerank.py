@@ -1,0 +1,67 @@
+"""PageRank golden graphs G1/G2/G6 + seeded random oracle (FIXTURES.md §3)."""
+
+import numpy as np
+import pytest
+
+from conftest import edges_df, vertices_df
+from metis_spark.plans.pagerank import pagerank
+from oracles import pagerank_oracle, random_graph
+
+
+def _ranks_dict(ranks):
+    return {r["id"]: r["rank"] for r in ranks.collect()}
+
+
+def test_g1_cycle_uniform(spark, tmp_path):
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ranks, info = pagerank(edges, checkpoint_dir=str(tmp_path))
+    got = _ranks_dict(ranks)
+    assert info["converged"]
+    for v in range(4):
+        assert got[v] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_g2_dangling_star(spark, tmp_path):
+    edges = edges_df(spark, [(2, 1), (3, 1), (4, 1)])
+    ranks, info = pagerank(edges, checkpoint_dir=str(tmp_path))
+    got = _ranks_dict(ranks)
+    assert info["converged"]
+    assert got[1] == pytest.approx(71 / 131, abs=1e-6)
+    for v in (2, 3, 4):
+        assert got[v] == pytest.approx(20 / 131, abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_g6_dangling_and_isolated(spark, tmp_path):
+    edges = edges_df(spark, [(0, 1)])
+    vertices = vertices_df(spark, [0, 1, 2])
+    ranks, info = pagerank(edges, vertices=vertices, checkpoint_dir=str(tmp_path))
+    got = _ranks_dict(ranks)
+    assert info["converged"]
+    oracle = pagerank_oracle(3, [(0, 1)])
+    for v in range(3):
+        assert got[v] == pytest.approx(oracle[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_grand_vs_numpy_oracle(spark, tmp_path):
+    edges = random_graph(n=100, p=0.05, seed=42)
+    n = 100
+    df = edges_df(spark, edges)
+    vertices = vertices_df(spark, range(n))
+    ranks, info = pagerank(df, vertices=vertices, checkpoint_dir=str(tmp_path))
+    got = _ranks_dict(ranks)
+    oracle = pagerank_oracle(n, edges)
+    assert info["converged"]
+    assert np.abs(np.array([got[i] for i in range(n)]) - oracle).max() < 1e-6
+
+
+def test_salted_equals_unsalted(spark, tmp_path):
+    edges = random_graph(n=60, p=0.08, seed=7)
+    df = edges_df(spark, edges)
+    r1, _ = pagerank(df, checkpoint_dir=str(tmp_path / "a"), max_iter=20, tol=1e-12)
+    r2, _ = pagerank(df, checkpoint_dir=str(tmp_path / "b"), max_iter=20, tol=1e-12, salt=4)
+    d1, d2 = _ranks_dict(r1), _ranks_dict(r2)
+    assert set(d1) == set(d2)
+    for k in d1:
+        assert d1[k] == pytest.approx(d2[k], abs=1e-9)
