@@ -1,38 +1,625 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PageRank over a dependency-style edge table
+derived from sf0.001. ``queries()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline pack; each has a DuckDB
+``oracle_sql()`` twin unless genuinely non-SQL-expressible.
+
+Determinism discipline for oracle hash-equality:
+- every float column is ROUND()ed identically on both sides, and any
+  ranking over floats happens AFTER rounding with an id tie-break;
+- aggregates/computed columns carry identical aliases on both sides;
+- window orders always include a unique id tie-break column.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import triangle_count  # noqa: E402
+
+GRAPH_MOD = 301  # vertex-space size of the testdata-derived graph
+PR_ITERS = 5
+CC_ROUNDS = 8  # graph diameter at every sf is ≤ 4; min-propagation needs ≤ diameter+1
+LPA_ROUNDS = 2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dependency-style edge table from lineitem (both the
+    Spark queries and the DuckDB oracles derive the identical graph)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % GRAPH_MOD).alias("src"),
+            (F.col("l_partkey") % GRAPH_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  ) WHERE src <> dst
+)
+"""
+
+
+# ---------------------------------------------------------------- entry ---
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank top-20 over the sf0.001-derived edge table."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = derived_edges(spark, sf_dir)
+    ranks, _ = pagerank(
+        edges, checkpoint_dir=tempfile.mkdtemp(prefix="metis_entry_"), tol=1e-9, max_iter=100
+    )
+    w = Window.orderBy(F.desc("r6"), F.asc("id"))
+    return (
+        ranks.select("id", F.round("rank", 6).alias("r6"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 20)
+        .select("id", F.col("r6").alias("rank"), "rn")
+    )
+
+
+# ------------------------------------------------------- spark queries ---
+
+def _q_count_by_kind(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_global_count(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_distinct_kinds(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, ["user_id"], ["ts", "event_id"], F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "part_index")
+
+
+def _q_forward_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return forward_fill(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.when(F.col("event_type") == "signup", F.col("value")),
+        "last_signup_value",
+    ).select("event_id", "user_id", F.round("last_signup_value", 4).alias("last_signup_value"))
+
+
+def _q_asof_fallback(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    filled = last_event_fallback(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.when(F.col("event_type") == "signup", F.col("event_id")),
+        "anchor_event_id",
+    )
+    return filled.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "anchor_event_id"
+    )
+
+
+def _q_lookup_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+        "left",
+    ).select("o_orderkey", "c_mktsegment")
+
+
+def _q_bit_test(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    flg = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 256
+    bit6 = flg.bitwiseAND(F.lit(64))
+    bit7 = flg.bitwiseAND(F.lit(128))
+    result = (
+        F.when((bit6 == 0) & (bit7 == 0), 1)
+        .when((bit6 != 0) & (bit7 == 0), 0)
+        .when((bit7 != 0) & (bit6 == 0), 2)
+        .otherwise(-1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flg.cast("long").alias("flg"),
+        result.cast("long").alias("result"),
+    )
+
+
+def _q_impute(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    joined = li.join(
+        p.select("p_partkey", "p_brand", "p_retailprice"),
+        li["l_partkey"] == p["p_partkey"],
+        "left",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("p_brand", F.lit("UNKNOWN")).alias("brand_filled"),
+        F.round(F.coalesce("p_retailprice", F.lit(0.0)), 2).alias("price_filled"),
+    )
+
+
+def _q_dedup_sha(spark, sf_dir):
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti").select("o_orderkey")
+
+
+def _q_running_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+# graph queries -------------------------------------------------------------
+
+def _q_graph_edges(spark, sf_dir):
+    return derived_edges(spark, sf_dir)
+
+
+def _q_graph_degrees(spark, sf_dir):
+    return (
+        derived_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+
+
+def _q_pagerank(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    ranks, _ = pagerank(
+        edges,
+        checkpoint_dir=tempfile.mkdtemp(prefix="metis_qpr_"),
+        tol=0.0,  # run exactly PR_ITERS iterations to mirror the unrolled SQL
+        max_iter=PR_ITERS,
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_connected_components(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = connected_components(
+        edges, checkpoint_dir=tempfile.mkdtemp(prefix="metis_qcc_")
+    )
+    return labels
+
+
+def _q_lpa(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(
+        edges,
+        checkpoint_dir=tempfile.mkdtemp(prefix="metis_qlpa_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return labels
+
+
+def _q_triangles(spark, sf_dir):
+    n = triangle_count(derived_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+# training-data pack --------------------------------------------------------
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, min_jaccard=0.8)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.simhash60(TX.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count(t).alias("n_ws"),
+        TX.bpe_ish_token_count(t).alias("n_bpe"),
+        TX.stopword_count(t).alias("n_stop"),
+        TX.punct_count(t).alias("n_punct"),
+    )
+
+
+def _q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score"))
+
+
+_LANG_MARKERS = {
+    "de": r"\b(der|die|das|und|ist)\b",
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|y|los|es)\b",
+    "fr": r"\b(le|la|et|les|est)\b",
+}
+
+
+def _q_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = {lg: TX.lang_score(t, pat) for lg, pat in _LANG_MARKERS.items()}
+    m = F.greatest(*scores.values())
+    pred = F.when(m == 0, "und")
+    for lg in sorted(scores):  # alphabetical tie-break
+        pred = pred.when(scores[lg] == m, lg)
+    sel = [F.col("doc_id"), pred.alias("predicted")]
+    sel += [F.round(scores[lg], 6).alias(f"s_{lg}") for lg in sorted(scores)]
+    return docs.select(*sel)
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference-semantics operator pack (SURVEY.md §2)
+        "count_by_kind": _q_count_by_kind,          # A1
+        "global_count": _q_global_count,            # A2
+        "distinct_kinds": _q_distinct_kinds,        # A3
+        "sessionize_part_index": _q_sessionize,     # W1
+        "forward_fill": _q_forward_fill,            # W2
+        "asof_fallback_join": _q_asof_fallback,     # J2/W3
+        "lookup_join": _q_lookup_join,              # J1
+        "bit_test_result": _q_bit_test,             # F2
+        "impute_defaults": _q_impute,               # F5
+        "dedup_by_hash": _q_dedup_sha,              # S7/F6
+        "topk_per_group": _q_topk_per_group,        # W4
+        "tpch_q1_agg": _q_tpch_q1,                  # A1-class agg
+        "anti_join_missing": _q_anti_join,          # §2.6 set ops
+        "running_total": _q_running_total,          # W1-class frame
+        # link-graph core (§2.10)
+        "graph_edges": _q_graph_edges,
+        "graph_degrees": _q_graph_degrees,
+        "pagerank_5iter": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "label_propagation_2iter": _q_lpa,
+        "triangle_count": _q_triangles,
+        # training-data pipeline pack
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "minhash_lsh_candidates": _q_minhash_lsh,
+        "simhash_fingerprint": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_langid,
+        "doc_fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles ---
+
+def _pagerank_sql() -> str:
+    d, n_iters = 0.85, PR_ITERS
+    ctes = [_EDGES_SQL.strip().rstrip(),
+            "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+            "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+            "r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"FROM edges e JOIN r{p} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{p} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.id, (1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
+            f"+ (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+
+
+def _cc_sql() -> str:
+    ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM l{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM und u "
+            f"JOIN l{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label AS component FROM l{CC_ROUNDS}"
+    )
+
+
+def _lpa_sql() -> str:
+    ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, LPA_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"cand{i} AS (SELECT u.dst AS id, l.label FROM und u JOIN l{p} l ON u.src = l.id "
+            f"UNION ALL SELECT id, label FROM l{p})"
+        )
+        ctes.append(
+            f"cnt{i} AS (SELECT id, label, COUNT(*) AS c FROM cand{i} GROUP BY id, label)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT id, label FROM (SELECT id, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{i}) "
+            f"WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{LPA_ROUNDS}"
+
+
+_TOKS_SQL = (
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS t FROM documents)"
+)
+_SHINGLES_SQL = (
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE []::VARCHAR[] END AS s FROM toks)"
+)
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w_uf = ("PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    langid_scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))::DOUBLE / "
+        f"greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0) AS s_{lg}"
+        for lg, pat in _LANG_MARKERS.items()
+    )
+    lang_pred = ("CASE WHEN m = 0 THEN 'und' "
+                 + " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in sorted(_LANG_MARKERS))
+                 + " END")
+    return {
+        "count_by_kind": "SELECT event_type, COUNT(*)::BIGINT AS n FROM events GROUP BY event_type",
+        "global_count": "SELECT COUNT(*)::BIGINT AS n FROM lineitem",
+        "distinct_kinds": "SELECT DISTINCT event_type FROM events",
+        "sessionize_part_index": (
+            "SELECT event_id, user_id, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS part_index FROM events"
+        ),
+        "forward_fill": (
+            "SELECT event_id, user_id, ROUND(LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END "
+            f"IGNORE NULLS) OVER ({w_uf}), 4) AS last_signup_value FROM events"
+        ),
+        "asof_fallback_join": (
+            "SELECT event_id, user_id, anchor_event_id FROM ("
+            "SELECT event_id, user_id, event_type, COALESCE("
+            f"LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER ({w_uf}), "
+            "LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER ("
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ") AS anchor_event_id FROM events) WHERE event_type = 'purchase'"
+        ),
+        "lookup_join": (
+            "SELECT o_orderkey, c_mktsegment FROM orders o "
+            "LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "bit_test_result": (
+            "SELECT l_orderkey, l_linenumber, flg::BIGINT AS flg, "
+            "(CASE WHEN (flg & 64) = 0 AND (flg & 128) = 0 THEN 1 "
+            "WHEN (flg & 64) <> 0 AND (flg & 128) = 0 THEN 0 "
+            "WHEN (flg & 128) <> 0 AND (flg & 64) = 0 THEN 2 ELSE -1 END)::BIGINT AS result "
+            "FROM (SELECT l_orderkey, l_linenumber, (l_orderkey * 7 + l_linenumber) % 256 AS flg FROM lineitem)"
+        ),
+        "impute_defaults": (
+            "SELECT l_orderkey, l_linenumber, COALESCE(p_brand, 'UNKNOWN') AS brand_filled, "
+            "ROUND(COALESCE(p_retailprice, 0.0), 2) AS price_filled FROM lineitem l "
+            "LEFT JOIN (SELECT * FROM part WHERE p_size <= 25) p ON l.l_partkey = p.p_partkey"
+        ),
+        "dedup_by_hash": (
+            "SELECT md5(text) AS content_hash, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS keep_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "topk_per_group": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders"
+            ") WHERE rn <= 3"
+        ),
+        "tpch_q1_agg": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "ROUND(AVG(l_quantity), 6) AS avg_qty, ROUND(AVG(l_extendedprice), 6) AS avg_price, "
+            "ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*)::BIGINT AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "anti_join_missing": (
+            "SELECT o_orderkey FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)"
+        ),
+        "running_total": (
+            f"SELECT event_id, user_id, ROUND(SUM(value) OVER ({w_uf}), 4) AS running_value FROM events"
+        ),
+        "graph_edges": f"WITH {_EDGES_SQL.strip()} SELECT src, dst FROM edges",
+        "graph_degrees": (
+            f"WITH {_EDGES_SQL.strip()} SELECT src, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src"
+        ),
+        "pagerank_5iter": _pagerank_sql(),
+        "connected_components": _cc_sql(),
+        "label_propagation_2iter": _lpa_sql(),
+        "triangle_count": (
+            f"WITH {_EDGES_SQL.strip()}, "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges) "
+            "SELECT COUNT(*)::BIGINT AS triangles FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "ngram_jaccard_dedup": (
+            f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
+            "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+            "sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0), "
+            "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared "
+            "FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, ROUND(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard "
+            "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8"
+        ),
+        "minhash_lsh_candidates": (
+            f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
+            "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+            "mh AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash "
+            "FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed), "
+            "bands AS (SELECT doc_id, (seed // 2)::INT AS band, "
+            "string_agg(minhash, '#' ORDER BY minhash) AS band_key FROM mh GROUP BY doc_id, (seed // 2)::INT) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+            "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "simhash_fingerprint": (
+            f"WITH {_TOKS_SQL}, "
+            "tok_ex AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+            "votes AS (SELECT doc_id, j, SUM(((('0x' || substr(md5(tok), 1, 15))::BIGINT >> j) & 1) * 2 - 1) AS v "
+            "FROM tok_ex CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j) "
+            "SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash FROM documents d LEFT JOIN "
+            "(SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash "
+            "FROM votes GROUP BY doc_id) s ON d.doc_id = s.doc_id"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id, "
+            f"ROUND({_COS_SQL}, 6) AS sim FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.qid) "
+            "SELECT query_id, neighbor_id, sim, rn FROM (SELECT query_id, neighbor_id, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn "
+            "FROM scored) WHERE rn <= 5"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe, "
+            "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::BIGINT AS n_stop, "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, ROUND("
+            "0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / greatest(n_chars2, 1.0)) "
+            "+ 0.2 * least((n_stop / greatest(n_tok, 1.0)) * 5.0, 1.0) + 0.1 * least(n_chars2 / 500.0, 1.0)"
+            ", 6) AS score FROM (SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok, "
+            "length(text)::DOUBLE AS n_chars2, "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct, "
+            "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
+            "FROM documents)"
+        ),
+        "lang_id": (
+            f"SELECT doc_id, {lang_pred} AS predicted, "
+            + ", ".join(f"ROUND(s_{lg}, 6) AS s_{lg}" for lg in sorted(_LANG_MARKERS))
+            + f" FROM (SELECT doc_id, {langid_scores}, "
+            + "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(_LANG_MARKERS)) + ") AS m "
+            "FROM documents)"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
+        ),
+    }

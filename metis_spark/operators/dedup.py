@@ -1,0 +1,132 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a distinct recall/cost point, all shuffle-lean:
+
+- exact_dedup: hash-groupBy on a content fingerprint (md5/sha). One
+  shuffle on the hash — the canonical 100 TB exact-dedup plan, and the
+  direct analog of the reference's checksum-gated idempotent import
+  (/root/reference/Metis/tools/HDF5Helper.py:53-69).
+- ngram_jaccard_pairs: exact Jaccard over distinct k-gram shingle sets,
+  computed relationally: explode shingles → self-join on shingle →
+  count shared / (|A|+|B|−shared). The shingle join is the scale risk
+  (hot shingles fan out quadratically); min_jaccard prunes late, so at
+  100 TB you run minhash_candidates first and feed only candidates here.
+- minhash_candidates: MinHash+LSH — H md5-derived hash functions → per-doc
+  signature → B bands → band-bucket join. Only docs sharing a band bucket
+  pair up, so cost tracks true-duplicate density, not n².
+- simhash_pairs: 60-bit simhash (functions.text.simhash60) with exact
+  bucket-equality candidates (hamming-0); near-duplicate hamming-k search
+  would band the 60 bits — hamming-0 keeps the oracle exact.
+
+Everything is built-in expressions (md5, explode, groupBy) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metis_spark.functions.text import shingles, simhash60, tokens
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (content_hash, n_docs, keep_id): one row per distinct content."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc").alias("keep_id"))
+    )
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        shingles(tokens(F.col(text_col)), k).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.8
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold (a < b)."""
+    sh = with_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    a = exploded.select(F.col("doc").alias("doc_a"), "shingle")
+    b = exploded.select(F.col("doc").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """→ (doc, seed, minhash): md5-derived minhash signature rows.
+
+    h_i(shingle) = md5(i ∥ '|' ∥ shingle); signature = lexicographic min
+    per seed. String-min of md5 hex is portable across engines (the DuckDB
+    oracle reproduces it byte-for-byte).
+    """
+    sh = with_shingles(df, id_col, text_col, k)
+    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        exploded.select("doc", "shingle", seeds)
+        .groupBy("doc", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding → distinct candidate pairs (doc_a < doc_b)."""
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.concat_ws("#", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (doc_a, doc_b, simhash) pairs whose 60-bit simhash is identical."""
+    h = df.select(
+        F.col(id_col).alias("doc"), simhash60(tokens(F.col(text_col))).alias("simhash")
+    )
+    a = h.select(F.col("doc").alias("doc_a"), "simhash")
+    b = h.select(F.col("doc").alias("doc_b"), "simhash")
+    return a.join(b, "simhash").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "simhash"
+    )

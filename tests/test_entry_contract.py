@@ -1,0 +1,63 @@
+"""Driver-contract guard: entry() runs, queries()/oracle_sql() agree on a
+fast subset vs DuckDB at sf0.001 (the full sweep lives in
+tools/check_oracles.py and is run against sf0.01 out of band)."""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from tools.check_oracles import TABLES, canon
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# cheap, high-signal subset — one per operator family
+FAST_QUERIES = [
+    "count_by_kind",
+    "sessionize_part_index",
+    "forward_fill",
+    "asof_fallback_join",
+    "bit_test_result",
+    "dedup_by_hash",
+    "tpch_q1_agg",
+    "graph_edges",
+    "graph_degrees",
+    "token_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [f.name for f in df.schema.fields] == ["id", "rank", "rn"]
+
+
+def test_every_query_has_oracle_or_is_declared(spark):
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles).issubset(set(qs))
+    # all current queries are SQL-expressible — keep it that way or document
+    assert set(qs) == set(oracles)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    got = canon(E.queries()[name](spark, SF_DIR).toPandas())
+    exp = canon(duck.sql(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    assert got.equals(exp)
