@@ -1,0 +1,125 @@
+"""Two-parallelism-level scaling evidence (BASELINE.md protocol).
+
+A real N vs 4N executor cluster is unavailable in this sandbox, so the
+north rule's ≥0.8 throughput scaling efficiency is evidenced by running
+the IDENTICAL PageRank job on the IDENTICAL input at local[8] (N) and
+local[32] (4N) — each level in its own fresh JVM (subprocess), warm-up
+run discarded, median of 3 timed runs.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python BENCH/scaling.py [--iters 10] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from metis_spark.session import get_spark
+from metis_spark.plans.pagerank import pagerank
+from pyspark.sql import functions as F
+
+cores, shuffle, iters, runs, edges_path = {cores}, {shuffle}, {iters}, {runs}, {edges_path!r}
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=shuffle)
+edges = spark.read.parquet(edges_path).persist()
+n_edges = edges.count()
+times = []
+for i in range(runs + 1):  # first run is warm-up
+    t0 = time.monotonic()
+    ranks, info = pagerank(edges, tol=0.0, max_iter=iters,
+                           checkpoint_dir=tempfile.mkdtemp(prefix="scal_"),
+                           num_partitions=shuffle)
+    ranks.agg(F.sum("rank")).collect()
+    times.append(time.monotonic() - t0)
+print(json.dumps({{"cores": cores, "edges": n_edges, "iters": iters,
+                   "warmup": times[0], "times": times[1:]}}))
+"""
+
+
+def run_level(cores: int, shuffle: int, iters: int, runs: int, edges_path: str) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, shuffle=shuffle, iters=iters,
+                         runs=runs, edges_path=edges_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--edges", default=None)
+    args = ap.parse_args()
+    edges_path = args.edges or os.path.join(REPO, ".bench_cache", "edges_nf250000")
+    if not os.path.isdir(edges_path):
+        # fall back to the sf0.01 bench graph
+        edges_path = os.path.join(REPO, ".bench_cache", "edges_nf40000")
+
+    levels = {}
+    for cores, shuffle in ((8, 32), (32, 128)):
+        levels[cores] = run_level(cores, shuffle, args.iters, args.runs, edges_path)
+
+    res = {}
+    for cores, lv in levels.items():
+        med = statistics.median(lv["times"])
+        res[cores] = {
+            "median_sec": round(med, 3),
+            "times": [round(t, 3) for t in lv["times"]],
+            "warmup_sec": round(lv["warmup"], 3),
+            "edges_per_sec_per_iter": round(lv["edges"] * lv["iters"] / med, 1),
+        }
+    n_edges = levels[8]["edges"]
+    eff = res[32]["edges_per_sec_per_iter"] / (4 * res[8]["edges_per_sec_per_iter"])
+    summary = {
+        "edges": n_edges,
+        "iterations_per_run": args.iters,
+        "local8": res[8],
+        "local32": res[32],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "meets_0.8_target": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+Protocol (BASELINE.md): identical PageRank job (d=0.85, fixed
+{args.iters} iterations, full per-iteration checkpoint + lineage) on the
+identical cached edge table at two local parallelism levels, fresh JVM
+per level, warm-up discarded, median of {args.runs} timed runs.
+
+| | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| shuffle partitions | 32 | 128 |
+| median wall (s) | {res[8]['median_sec']} | {res[32]['median_sec']} |
+| all runs (s) | {res[8]['times']} | {res[32]['times']} |
+| edges/sec/iteration | {res[8]['edges_per_sec_per_iter']:,} | {res[32]['edges_per_sec_per_iter']:,} |
+
+- input: {edges_path} — {n_edges:,} edges
+- Spark 4.1.2, 32-core host, AQE on (coalesce by size, skew join on)
+- **scaling efficiency** = throughput(local[32]) / (4 x throughput(local[8]))
+  = **{eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+
+Caveat: local[8] -> local[32] on one host shares one memory bus and one
+driver; on a real 1000-executor cluster the same job structure shards
+the rank<->edge shuffle across machines (edge table pre-partitioned by
+src, AQE-coalesced aggregates), which is the configuration the plan
+shapes were chosen for.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -304,7 +304,7 @@ def _q_minhash_lsh(spark, sf_dir):
 
 def _q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", TX.simhash60(TX.tokens(F.col("text"))).alias("simhash")
     )
 

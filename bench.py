@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+The flagship metric is PageRank on the G-BENCH corpus-derived edge
+table (FIXTURES.md): the corpus is generated distributed + extracted
+once and cached under .bench_cache/, then PageRank runs to convergence
+with full per-iteration checkpoint/lineage (the honest configuration —
+resume machinery on). Extras report edges/sec-per-iteration, the
+north-rule throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from metis_spark.operators.csr import build_csr  # noqa: E402
+from metis_spark.operators.edges import resolve_edges  # noqa: E402
+from metis_spark.operators.encode import encode_edges, encode_vertices  # noqa: E402
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.session import get_spark  # noqa: E402
+from metis_spark.sources.corpus import generate_corpus  # noqa: E402
+
+CACHE = os.path.join(REPO, ".bench_cache")
+
+# G-BENCH corpus size per sf dir (FIXTURES.md: bench ⇒ ~1-5M raw imports)
+N_FILES = {"sf0.001": 5_000, "sf0.01": 40_000, "sf0.1": 250_000}
+N_REPOS = {"sf0.001": 20, "sf0.01": 80, "sf0.1": 200}
+EXTRACT_FILES = 20_000  # per-run extraction timing slice (always cold)
+
+
+def bench_edges(spark, sf_name: str):
+    """Cached corpus-derived encoded edge table for the flagship runs."""
+    nf = N_FILES.get(sf_name, 40_000)
+    nr = N_REPOS.get(sf_name, 80)
+    path = os.path.join(CACHE, f"edges_nf{nf}")
+    if not os.path.isdir(path):
+        sources = generate_corpus(spark, nf, nr)
+        raw = resolve_edges(sources)
+        vertices = encode_vertices(raw)
+        edges = encode_edges(raw, vertices)
+        edges.repartition(spark.sparkContext.defaultParallelism, "src").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+    spark = get_spark("metis_bench")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # flagship: corpus pipeline (extraction slice, always cold)
+    def _extract():
+        src = generate_corpus(spark, EXTRACT_FILES, 50)
+        raw = resolve_edges(src)
+        v = encode_vertices(raw)
+        return encode_edges(raw, v).count()
+
+    extras["extract_edges_rows"] = timed("extract_encode_20k_files", _extract)
+
+    # flagship: PageRank to 1e-9 on the G-BENCH edge table (checkpointing on)
+    edges = bench_edges(spark, sf_name).persist()
+    n_edges = edges.count()
+    extras["bench_edges"] = n_edges
+
+    def _pr():
+        ranks, info = pagerank(
+            edges, tol=1e-9, max_iter=100, checkpoint_dir=tempfile.mkdtemp(prefix="bench_pr_")
+        )
+        ranks.select(F.sum("rank")).collect()
+        return info
+
+    info = timed("pagerank_converge", _pr)
+    extras["pagerank_iterations"] = info["iterations"]
+    extras["pagerank_converged"] = info["converged"]
+    extras["pagerank_edges_per_sec_per_iter"] = round(
+        n_edges * info["iterations"] / timings["pagerank_converge"], 1
+    )
+
+    def _cc():
+        labels, cinfo = connected_components(
+            edges, max_iter=30, checkpoint_dir=tempfile.mkdtemp(prefix="bench_cc_")
+        )
+        n = labels.select(F.countDistinct("component")).collect()[0][0]
+        return cinfo["iterations"], n
+
+    extras["cc_rounds"], extras["cc_components"] = timed("connected_components", _cc)
+
+    def _csr():
+        return build_csr(edges, num_buckets=64).agg(F.sum("deg")).collect()[0][0]
+
+    timed("build_csr", _csr)
+
+    # operator-pack headliners on the driver testdata
+    qs = E.queries()
+    for name in (
+        "tpch_q1_agg",
+        "sessionize_part_index",
+        "minhash_lsh_candidates",
+        "ann_cosine_topk",
+        "triangle_count",
+        "pagerank_5iter",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,14 +96,17 @@ def simhash60(toks: Column) -> Column:
     ints in the DataFrame API); the whole thing stays inside codegen.
     """
 
-    def tok_bits(t: Column) -> Column:
-        h = token_hash60(t)
-        return F.array(*[(F.shiftright(h, j) % 2) * 2 - 1 for j in range(60)])
-
+    # hash each token exactly once (md5+conv are the expensive part); the
+    # fold below only does shifts on the bound lambda variable
+    hashes = F.transform(toks, token_hash60)
     bit_votes = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 60),
-        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.shiftright(h, j) % 2) * 2 - 1 for j in range(60)]),
+            lambda a, b: a + b,
+        ),
     )
     weights = F.array(*[F.lit(1 << j).cast("long") for j in range(60)])
     masked = F.zip_with(

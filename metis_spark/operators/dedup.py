@@ -38,20 +38,33 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        shingles(tokens(F.col(text_col)), k).alias("sh"),
-    ).where(F.size("sh") > 0)
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """→ (doc, shingle): one row per distinct k-gram per document.
+
+    Three deliberate plan choices (each measured, each ~10-50x):
+    - spread rows before the CPU-heavy narrow expressions — a single
+      input file would otherwise pin the whole map side to one core;
+    - filter on token count BEFORE building shingles — a predicate on
+      the built array gets pushed below the projection and duplicates
+      the higher-order expression into a non-codegen filter condition;
+    - explode FUSED onto the shingle expression — `explode(col)` over a
+      collapsed projection re-evaluates the defining expression per
+      OUTPUT row (~|shingles| times); `explode(expr)` evaluates it once
+      per input row inside Generate.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toked = spread.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= k)
+    return toked.select("doc", F.explode(shingles(F.col("tk"), k)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.8
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold (a < b)."""
-    sh = with_shingles(df, id_col, text_col, k).persist()
-    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    exploded = exploded_shingles(df, id_col, text_col, k).persist()
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.select(F.col("doc").alias("doc_a"), "shingle")
     b = exploded.select(F.col("doc").alias("doc_b"), "shingle")
     shared = (
@@ -85,8 +98,7 @@ def minhash_signatures(
     per seed. String-min of md5 hex is portable across engines (the DuckDB
     oracle reproduces it byte-for-byte).
     """
-    sh = with_shingles(df, id_col, text_col, k)
-    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    exploded = exploded_shingles(df, id_col, text_col, k)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
         exploded.select("doc", "shingle", seeds)
@@ -122,7 +134,7 @@ def minhash_candidates(
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (doc_a, doc_b, simhash) pairs whose 60-bit simhash is identical."""
-    h = df.select(
+    h = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc"), simhash60(tokens(F.col(text_col))).alias("simhash")
     )
     a = h.select(F.col("doc").alias("doc_a"), "simhash")

@@ -93,7 +93,11 @@ class CheckpointManager:
             vals = [r[name] for r in lineage_rows if r[name] is not None]
             # keep native numeric type (Decimal sums must stay exact)
             totals[name] = sum(vals) if vals else 0
-        full_meta = dict(meta or {}, iter=k, rows=totals["rows"], checksum=totals["checksum"], lineage=lineage)
+        json_totals = {k2: (v if isinstance(v, int) else float(v)) for k2, v in totals.items()}
+        full_meta = dict(
+            meta or {}, iter=k, rows=totals["rows"], checksum=totals["checksum"],
+            lineage=lineage, totals=json_totals,
+        )
         tmp = os.path.join(it_dir, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(full_meta, f)

@@ -4,28 +4,33 @@ Per iteration (damping d, N vertices, dangling mass dm):
 
     rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u) + d * dm / N
 
-Implementation notes (scale-first):
+Implementation notes (scale-first — two Spark jobs per iteration):
 
-- the edge side is pre-joined once with outdegree weights and
-  hash-partitioned by ``src`` + persisted, so every iteration's
-  rank⋈edge join reuses one side's partitioning;
-- dangling mass needs no anti-join per iteration: with Σrank = 1,
-  Σ over the raw update (1-d)/N + d·contrib is exactly 1 - d·dm, so the
-  uniform dangling term is the deficit (1 - Σraw)/N added as a constant —
-  one scalar agg over the (already checkpointed) state instead of a
-  second join;
+- the edge side is pre-joined once with outdegree weights
+  (w = 1/outdeg), hash-partitioned by ``src`` and persisted, so every
+  iteration's rank⋈edge join reuses one side's partitioning; when the
+  rank state is small AQE upgrades the join to broadcast automatically;
+- dangling mass is tracked incrementally, not recomputed with a per-
+  iteration anti-join: the state carries a static ``dangling`` flag and
+  the checkpoint's single lineage scan also folds Σ rank over dangling
+  vertices, so iteration k's uniform term c_k = d·dm_{k-1}/N is a
+  driver-side constant known BEFORE the state build — the checkpoint
+  therefore stores final ranks directly;
+- the L1 convergence delta folds into the same scan (state carries
+  old_rank), so each iteration is exactly: job A = join+agg+checkpoint
+  write, job B = one pass over the written state computing per-partition
+  lineage + delta + dangling mass + Σrank;
 - in-degree hubs are absorbed by partial (map-side) aggregation in the
   groupBy(dst) sum; out-degree hubs skew the src join — handled by AQE
   skew-join by default, or explicitly with ``salt=S`` which splits each
-  hot src's edges across S sub-keys (salt = hash(dst) % S) and replicates
-  the rank row S ways (explode) — the north_rule's "explicit salting of
-  hub vertices";
-- every iteration commits (state, per-partition lineage, metrics) through
-  CheckpointManager and is resumable mid-algorithm: state schema is
-  (id, rank_raw, old_rank) with the deficit constant in meta.json, so a
-  resumed run reconstructs rank = rank_raw + c exactly.
+  hot src's edges across S sub-keys (salt = hash(dst) % S) and
+  replicates the rank row S ways — the north_rule's "explicit salting
+  of hub vertices";
+- every iteration commits (state, per-partition lineage, metrics)
+  through CheckpointManager and resumes mid-algorithm from the last
+  committed iteration.
 
-Convergence: L1 delta = Σ|rank'(v) - rank(v)| < tol (default 1e-9).
+Convergence: L1 delta = Σ|rank'(v) − rank(v)| < tol (default 1e-9).
 """
 
 from __future__ import annotations
@@ -91,31 +96,44 @@ def pagerank(
         ew = ew.repartition(num_partitions, "src").persist()
     ew.count()  # materialize once; reused every iteration
 
+    # state: (id, dangling, rank, old_rank); dangling is static per vertex
+    state0 = (
+        vertices.join(outdeg.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+        .select("id", F.lit(True).alias("dangling"))
+        .unionByName(
+            vertices.join(outdeg.select(F.col("src").alias("id")).distinct(), "id", "left_semi")
+            .select("id", F.lit(False).alias("dangling"))
+        )
+        .select("id", "dangling", F.lit(1.0 / n).alias("rank"))
+    )
+
     start_iter = 0
-    c_prev = 0.0
     t0 = time.monotonic()
-    ranks = vertices.select("id", (F.lit(1.0) / n).alias("rank"))
+    ranks = state0
+    dm_prev: float | None = None  # Σ rank over dangling vertices, from last commit
     if resume:
-        k = cm.latest()
-        if k is not None:
-            state, meta = cm.load(spark, k)
-            # derive the dangling constant from the data itself — meta's copy
-            # may predate update_meta if the previous run died mid-iteration
-            total_raw = state.agg(F.sum("rank_raw")).collect()[0][0]
-            c_prev = (1.0 - total_raw) / n
-            ranks = state.select("id", (F.col("rank_raw") + F.lit(c_prev)).alias("rank"))
-            start_iter = k
+        k0 = cm.latest()
+        if k0 is not None:
+            state, meta = cm.load(spark, k0)
+            ranks = state.select("id", "dangling", "rank")
+            dm_prev = meta.get("totals", {}).get("dm")
+            start_iter = k0
             if meta.get("converged"):
-                return ranks, {
-                    "iterations": k, "delta": meta["delta"], "seconds": 0.0,
+                return ranks.select("id", "rank"), {
+                    "iterations": k0, "delta": meta.get("delta"), "seconds": 0.0,
                     "converged": True, "n": n, "resumed": True,
                 }
+    if dm_prev is None:
+        dm_prev = float(
+            ranks.where(F.col("dangling")).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        )
 
     delta = float("inf")
     k = start_iter
     converged = False
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
+        c_k = d * dm_prev / n
         if salt and salt > 1:
             r = ranks.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
             joined = ew.join(r, (ew["src"] == r["id"]) & (ew["_salt"] == r["_salt"]))
@@ -126,38 +144,45 @@ def pagerank(
             ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
             .select(
                 "id",
-                (F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank_raw"),
+                "dangling",
+                (
+                    F.lit((1.0 - d) / n + c_k)
+                    + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
                 F.col("rank").alias("old_rank"),
             )
         )
-        # one write + one agg job: lineage scan also folds Σ rank_raw
         state, totals = cm.commit(
-            k, new_state, {"converged": False}, extra_aggs={"sum_raw": F.sum("rank_raw")}
+            k,
+            new_state,
+            {"converged": False, "c": c_k},
+            extra_aggs={
+                "delta": F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+                "dm": F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))),
+                "mass": F.sum("rank"),
+            },
         )
-        c = (1.0 - float(totals["sum_raw"])) / n  # uniform dangling redistribution
-        delta = state.agg(
-            F.sum(F.abs(F.col("rank_raw") + F.lit(c) - F.col("old_rank")))
-        ).collect()[0][0]
+        delta = float(totals["delta"])
+        dm_prev = float(totals["dm"])
         converged = delta < tol
-        # patch the commit marker with the real constant/delta (data is on disk)
-        cm.update_meta(k, {"extra_c": c, "delta": delta, "converged": converged})
+        cm.update_meta(k, {"converged": converged, "delta": delta})
         cm.append_metrics(
             {
                 "iter": k,
-                "delta": float(delta),
+                "delta": delta,
                 "seconds": time.monotonic() - it_t0,
                 "rows": n,
-                "c": c,
+                "mass": float(totals["mass"]),
+                "dm": dm_prev,
             }
         )
-        ranks = state.select("id", (F.col("rank_raw") + F.lit(c)).alias("rank"))
-        c_prev = c
+        ranks = state.select("id", "dangling", "rank")
         if converged:
             break
 
     ew.unpersist()
     vertices.unpersist()
-    return ranks, {
+    return ranks.select("id", "rank"), {
         "iterations": k,
         "delta": float(delta),
         "seconds": time.monotonic() - t0,

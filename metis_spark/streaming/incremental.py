@@ -1,0 +1,109 @@
+"""Incremental / streaming ingest — the live-tail analog (SURVEY.md §2.8).
+
+The reference tails a file while a tester writes it, demuxes records,
+and finalizes on the MRR end-of-stream record
+(/root/reference/Metis/python/metis_source.py:173-233, metis_sink.py:163-166).
+The Spark analog at corpus scale is an append-only table consumed in
+micro-batches:
+
+- ``IncrementalIngest``: batch-incremental. Each ``poll()`` ingests only
+  files not yet seen (offset = set of committed input files, the analog
+  of the reference's consumed byte offset), dedups by sha against bronze,
+  and appends. ``finalize()`` runs the downstream edge build exactly once
+  over the accumulated bronze — the MRR-triggered batch finalization.
+- ``streaming_edge_counts``: the Structured Streaming shape — a
+  readStream over the drop directory with per-micro-batch
+  count-by-kind audit (A1) through ``foreachBatch``. Used by tests with
+  the file source + ``processAllAvailable`` (synchronous drain).
+
+At 100 TB the drop directory is an Iceberg table and ``poll`` becomes
+snapshot-based incremental reads; the offset bookkeeping below is the
+same idea with file names instead of snapshot ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metis_spark.sources.ingest import bronze_ingest
+
+SOURCES_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+class IncrementalIngest:
+    def __init__(self, spark: SparkSession, drop_dir: str, bronze_path: str):
+        self.spark = spark
+        self.drop_dir = drop_dir
+        self.bronze_path = bronze_path
+        self._offset_file = os.path.join(bronze_path + "_offsets.json")
+
+    def _seen(self) -> set[str]:
+        if os.path.isfile(self._offset_file):
+            with open(self._offset_file) as f:
+                return set(json.load(f))
+        return set()
+
+    def poll(self) -> int:
+        """Ingest any new files in the drop dir; returns rows appended."""
+        seen = self._seen()
+        new_files = sorted(
+            os.path.join(self.drop_dir, n)
+            for n in os.listdir(self.drop_dir)
+            if n.endswith(".parquet") and os.path.join(self.drop_dir, n) not in seen
+        )
+        if not new_files:
+            return 0
+        batch = self.spark.read.schema(SOURCES_DDL).parquet(*new_files)
+        before = self._bronze_count()
+        bronze_ingest(self.spark, batch, self.bronze_path)
+        appended = self._bronze_count() - before
+        with open(self._offset_file, "w") as f:
+            json.dump(sorted(seen | set(new_files)), f)
+        return appended
+
+    def _bronze_count(self) -> int:
+        if not os.path.isdir(self.bronze_path):
+            return 0
+        return self.spark.read.parquet(self.bronze_path).count()
+
+    def bronze(self) -> DataFrame:
+        return self.spark.read.parquet(self.bronze_path)
+
+    def finalize(self) -> DataFrame:
+        """End-of-stream: build the edge table over everything ingested."""
+        from metis_spark.operators.edges import resolve_edges
+
+        return resolve_edges(self.bronze().select("repo", "path", "commit", "lang", "content"))
+
+
+def streaming_edge_counts(
+    spark: SparkSession, drop_dir: str, out_table: str = "stream_counts"
+) -> "object":
+    """Structured Streaming count-by-lang audit over a drop directory.
+
+    Returns the StreamingQuery; results land in the in-memory table
+    ``out_table``. Callers drive with processAllAvailable() + stop().
+    """
+    stream = (
+        spark.readStream.schema(SOURCES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    # exact distinct is unsupported on streams — approx_count_distinct is the
+    # streaming-native audit (exact counts are re-derived batch-side on finalize)
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("repo").alias("approx_repos"),
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

@@ -1,0 +1,92 @@
+"""Incremental ingest (live-tail analog), streaming audit, CLI e2e."""
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from metis_spark.sources.corpus import corpus_ledger, generate_corpus
+from metis_spark.streaming.incremental import IncrementalIngest, streaming_edge_counts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _drop_batches(spark, tmp_path, n_files=60, n_repos=3, batches=3):
+    """Split one deterministic corpus into drop-dir parquet batches."""
+    src = generate_corpus(spark, n_files, n_repos).orderBy("repo", "path").collect()
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    per = len(src) // batches
+    for b in range(batches):
+        rows = src[b * per : (b + 1) * per if b < batches - 1 else len(src)]
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(drop / f"batch{b}.parquet"))
+    return str(drop)
+
+
+def test_incremental_ingest_is_offset_tracked_and_idempotent(spark, tmp_path):
+    drop = _drop_batches(spark, tmp_path)
+    ing = IncrementalIngest(spark, drop, str(tmp_path / "bronze"))
+    a = ing.poll()
+    assert a == 60
+    assert ing.poll() == 0  # nothing new → no-op (offset bookkeeping)
+    # finalize builds the same edge set as the batch pipeline would
+    edges = ing.finalize()
+    led = corpus_ledger(60, 3)
+    assert edges.count() == len(led)
+
+
+def test_incremental_ingest_mid_stream_resume(spark, tmp_path):
+    drop = _drop_batches(spark, tmp_path)
+    ing = IncrementalIngest(spark, drop, str(tmp_path / "bronze"))
+    # consume only the first batch, then "crash" and resume with a new instance
+    first = sorted(os.listdir(drop))[0]
+    hidden = [f for f in sorted(os.listdir(drop)) if f != first]
+    for f in hidden:
+        os.rename(os.path.join(drop, f), os.path.join(drop, f + ".hold"))
+    assert ing.poll() == 20
+    for f in hidden:
+        os.rename(os.path.join(drop, f + ".hold"), os.path.join(drop, f))
+    ing2 = IncrementalIngest(spark, drop, str(tmp_path / "bronze"))
+    assert ing2.poll() == 40
+    assert ing2.bronze().count() == 60
+    # per-row sha invariant holds across the incremental path
+    bad = ing2.bronze().where(F.sha2(F.col("content"), 256) != F.col("sha")).count()
+    assert bad == 0
+
+
+def test_streaming_count_audit(spark, tmp_path):
+    drop = _drop_batches(spark, tmp_path)
+    # batches land as parquet directories — glob one level down for the file source
+    q = streaming_edge_counts(spark, drop + "/*", out_table="t_stream_counts")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["lang"]: r["n"] for r in spark.sql("SELECT * FROM t_stream_counts").collect()}
+    exp = {
+        r["lang"]: r["n"]
+        for r in generate_corpus(spark, 60, 3).groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
+
+
+def test_cli_end_to_end(tmp_path):
+    """spark-submit-shaped invocation: generate → extract → all algorithms."""
+    workdir = str(tmp_path / "wh")
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "metis_spark.cli",
+            "--algo", "all", "--generate", "120", "--repos", "4",
+            "--workdir", workdir, "--master", "local[4]",
+            "--shuffle-partitions", "4", "--max-iter", "30",
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["edges"] == len(corpus_ledger(120, 4))
+    assert res["pagerank"]["converged"]
+    for artifact in ("bronze", "vertices", "edges", "csr", "ranks", "components", "labels", "triangles"):
+        assert os.path.isdir(os.path.join(workdir, artifact)), artifact
