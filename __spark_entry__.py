@@ -315,6 +315,28 @@ def _q_ann_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.40, a < b).
+
+    Threshold sits at the ~99.95th percentile of the synthetic embedding
+    similarity distribution (max ≈ 0.51) so the pair set is non-trivial.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(SIM.cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("vec_a", "vec_b", sim.alias("sim")).where(F.col("sim") >= 0.40)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """Approximate ANN via hyperplane-LSH buckets (scale path; rows-only check
+    — the hyperplanes are md5-derived driver-side constants, not SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_bucket_topk(emb, queries_df, "vec_id", "embedding", k=5, dim=64)
+
+
 def _q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -387,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash_fingerprint": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_bucketed": _q_ann_lsh,
+        "embedding_neardup": _q_embedding_neardup,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "lang_id": _q_langid,
@@ -585,6 +609,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash FROM documents d LEFT JOIN "
             "(SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash "
             "FROM votes GROUP BY doc_id) s ON d.doc_id = s.doc_id"
+        ),
+        "embedding_neardup": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings), "
+            "scored AS (SELECT q.qid AS vec_a, c.vec_id AS vec_b, "
+            f"ROUND({_COS_SQL}, 6) AS sim FROM embeddings c JOIN q ON q.qid < c.vec_id) "
+            "SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.40"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5), "

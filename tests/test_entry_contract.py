@@ -47,11 +47,16 @@ def test_entry_smoke(spark):
     assert [f.name for f in df.schema.fields] == ["id", "rank", "rn"]
 
 
+# queries intentionally without a SQL oracle (driver applies rows-only check):
+# the LSH hyperplanes are md5-derived driver-side constants, not expressible
+# as portable SQL without inlining ~1500 literals
+ROWS_ONLY = {"ann_lsh_bucketed"}
+
+
 def test_every_query_has_oracle_or_is_declared(spark):
     qs, oracles = E.queries(), E.oracle_sql()
     assert set(oracles).issubset(set(qs))
-    # all current queries are SQL-expressible — keep it that way or document
-    assert set(qs) == set(oracles)
+    assert set(qs) - set(oracles) == ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", FAST_QUERIES)
