@@ -6,6 +6,12 @@ the IDENTICAL PageRank job on the IDENTICAL input at local[8] (N) and
 local[32] (4N) — each level in its own fresh JVM (subprocess), warm-up
 run discarded, median of 3 timed runs.
 
+Both levels run the IDENTICAL physical plan: same shuffle-partition
+count, same task boundaries — only the executor-thread count differs,
+which is precisely the N-vs-4N question. (Sizing partitions to cores
+would change the plan between levels and measure scheduling overhead,
+not scaling.)
+
 Writes BENCH/BASELINE.md and prints one JSON line.
 
 Usage: python BENCH/scaling.py [--iters 10] [--runs 3]
@@ -62,13 +68,18 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--edges", default=None)
     args = ap.parse_args()
-    edges_path = args.edges or os.path.join(REPO, ".bench_cache", "edges_nf250000")
-    if not os.path.isdir(edges_path):
-        # fall back to the sf0.01 bench graph
-        edges_path = os.path.join(REPO, ".bench_cache", "edges_nf40000")
+    edges_path = args.edges
+    if edges_path is None:
+        for nf in ("3000000", "250000", "40000"):  # biggest available cache
+            cand = os.path.join(REPO, ".bench_cache", f"edges_nf{nf}")
+            if os.path.isdir(cand):
+                edges_path = cand
+                break
+        else:
+            raise SystemExit("no cached edge table; run bench.py first")
 
     levels = {}
-    for cores, shuffle in ((8, 32), (32, 128)):
+    for cores, shuffle in ((8, 128), (32, 128)):
         levels[cores] = run_level(cores, shuffle, args.iters, args.runs, edges_path)
 
     res = {}
@@ -101,7 +112,7 @@ per level, warm-up discarded, median of {args.runs} timed runs.
 
 | | local[8] (N) | local[32] (4N) |
 |---|---|---|
-| shuffle partitions | 32 | 128 |
+| shuffle partitions | 128 (identical plan) | 128 (identical plan) |
 | median wall (s) | {res[8]['median_sec']} | {res[32]['median_sec']} |
 | all runs (s) | {res[8]['times']} | {res[32]['times']} |
 | edges/sec/iteration | {res[8]['edges_per_sec_per_iter']:,} | {res[32]['edges_per_sec_per_iter']:,} |

@@ -222,6 +222,23 @@ def _q_tpch_q1(spark, sf_dir):
     )
 
 
+def _q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+def _q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    pv = ev.groupBy("user_id").pivot("event_type", kinds).agg(
+        F.round(F.sum("value"), 4)
+    )
+    return pv.select("user_id", *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds])
+
+
 def _q_anti_join(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
@@ -397,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_agg": _q_tpch_q1,                  # A1-class agg
         "anti_join_missing": _q_anti_join,          # §2.6 set ops
         "running_total": _q_running_total,          # W1-class frame
+        "rollup_counts": _q_rollup,                 # grouping sets
+        "pivot_event_values": _q_pivot,             # pivot
         # link-graph core (§2.10)
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
@@ -567,6 +586,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "running_total": (
             f"SELECT event_id, user_id, ROUND(SUM(value) OVER ({w_uf}), 4) AS running_value FROM events"
+        ),
+        "rollup_counts": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pivot_event_values": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"COALESCE(ROUND(SUM(CASE WHEN event_type = '{k}' THEN value END), 4), 0.0) AS {k}"
+                for k in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY user_id"
         ),
         "graph_edges": f"WITH {_EDGES_SQL.strip()} SELECT src, dst FROM edges",
         "graph_degrees": (
