@@ -16,10 +16,12 @@ at scale) directory with
   {base}/{algo}/metrics.jsonl     one line per iteration (iter, delta,
                                   seconds, rows, ...)
 
-``checksum`` is an order-insensitive per-partition sum of row crc32 over
-the canonical column rendering, so the whole-state checksum (sum over
-partitions) stays verifiable after any repartitioning — the analog of the
-reference's byte-identity invariant, but partition-parallel.
+``checksum`` is an order-insensitive per-partition sum of row xxhash64
+over all columns (cast unsigned into decimal), so the whole-state
+checksum (sum over partitions) stays verifiable after any
+repartitioning — the analog of the reference's byte-identity invariant,
+but partition-parallel. xxhash64 is codegen'd JVM-side; the earlier
+to_json+crc32 rendering cost ~10x more per row for the same guarantee.
 
 Cost discipline: one parquet write + ONE aggregation job per commit. The
 lineage scan doubles as the caller's reduction — ``extra_aggs`` lets the
@@ -38,6 +40,19 @@ import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _row_checksum(cols: list[str]) -> Column:
+    """Order-insensitive state checksum: Σ unsigned(xxhash64(row)).
+
+    xxhash64 returns a signed long; shifting by 2^63 into decimal keeps
+    the per-partition sums exact (no overflow, no sign cancellation) so
+    partition sums compose into the whole-state checksum.
+    """
+    h = F.xxhash64(*cols).cast("decimal(38,0)") + F.expr(
+        "CAST(9223372036854775808 AS DECIMAL(38,0))"  # 2^63
+    )
+    return F.sum(h)
 
 
 class CheckpointManager:
@@ -61,16 +76,21 @@ class CheckpointManager:
         driver-side sums of rows/checksum plus each ``extra_aggs`` column
         summed across partitions.
         """
+        import time as _time
+
+        _dbg = os.environ.get("METIS_CHECKPOINT_DEBUG")
+        _t0 = _time.monotonic()
         it_dir = self._iter_dir(k)
         if os.path.isdir(it_dir):  # torn previous attempt (no meta.json) — redo
             shutil.rmtree(it_dir)
         data_dir = os.path.join(it_dir, "data")
         df.write.mode("overwrite").parquet(data_dir)
+        _t1 = _time.monotonic()
         spark = df.sparkSession
         reloaded = spark.read.parquet(data_dir)
         aggs = [
             F.count(F.lit(1)).alias("rows"),
-            F.sum(F.crc32(F.to_json(F.struct(*reloaded.columns))).cast("decimal(38,0)")).alias("checksum"),
+            _row_checksum(reloaded.columns).alias("checksum"),
         ]
         extra_names = list((extra_aggs or {}).keys())
         for name in extra_names:
@@ -81,6 +101,13 @@ class CheckpointManager:
             .agg(*aggs)
             .collect()
         )
+        if _dbg:
+            import sys as _sys
+
+            print(
+                f"[ckpt] iter={k} write={_t1 - _t0:.2f}s lineage={_time.monotonic() - _t1:.2f}s",
+                file=_sys.stderr,
+            )
         lineage = [
             {"partition_id": int(r["partition_id"]), "rows": int(r["rows"]), "checksum": int(r["checksum"] or 0)}
             for r in lineage_rows
@@ -138,7 +165,7 @@ class CheckpointManager:
         df, meta = self.load(spark, k)
         got = df.agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum(F.crc32(F.to_json(F.struct(*df.columns))).cast("decimal(38,0)")).alias("checksum"),
+            _row_checksum(df.columns).alias("checksum"),
         ).collect()[0]
         return int(got["rows"]) == meta["rows"] and int(got["checksum"] or 0) == meta["checksum"]
 

@@ -69,43 +69,57 @@ def pagerank(
     endpoints. Ranks sum to 1 over all vertices.
     """
     spark = edges.sparkSession
-    if vertices is None:
-        vertices = _vertices_of(edges)
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_pr_")
     cm = CheckpointManager(checkpoint_dir, "pagerank")
 
-    vertices = vertices.select(F.col("id").cast("long")).persist()
-    n = vertices.count()
-    if n == 0:
-        return spark.createDataFrame([], "id long, rank double"), {
-            "iterations": 0, "delta": 0.0, "seconds": 0.0, "converged": True, "n": 0,
-        }
-
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # ONE edge shuffle for the whole setup: everything downstream (outdeg,
+    # weighted edges, src vertex set) reuses hashpartitioning(src, P), so
+    # setup is 2 full-width shuffles total (this one + the dst distinct)
+    # instead of 5 — and every iteration's rank⋈edge join reuses it too.
+    e2 = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).repartition(num_partitions, "src").persist()
+    outdeg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))  # no exchange
+    # shuffle-hash, not sort-merge: the edge side must never be re-sorted
+    # (50M+ rows per iteration); the per-partition rank build side is small
+    # by construction (V/num_partitions rows)
     ew = (
-        edges.join(outdeg, "src")
+        e2.join(outdeg.hint("shuffle_hash"), "src")  # co-partitioned: no exchange
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
     )
     if salt and salt > 1:
         ew = ew.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt)).cast("int"))
-        ew = ew.repartition(num_partitions, "src", "_salt").persist()
-    else:
-        ew = ew.repartition(num_partitions, "src").persist()
+        ew = ew.repartition(num_partitions, "src", "_salt")
+    ew = ew.persist()
     ew.count()  # materialize once; reused every iteration
 
-    # state: (id, dangling, rank, old_rank); dangling is static per vertex
-    state0 = (
-        vertices.join(outdeg.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
-        .select("id", F.lit(True).alias("dangling"))
-        .unionByName(
-            vertices.join(outdeg.select(F.col("src").alias("id")).distinct(), "id", "left_semi")
-            .select("id", F.lit(False).alias("dangling"))
+    # state: (id, dangling, rank); dangling (static per vertex) = appears as
+    # dst but never as src. Default vertex set = edge endpoints via one
+    # full-outer join of the two distinct endpoint sets (each |V|-sized).
+    srcs = outdeg.select(F.col("src").alias("id"), F.lit(False).alias("nd"))
+    if vertices is None:
+        dsts = e2.select(F.col("dst").alias("id")).distinct()
+        state0 = dsts.join(srcs, "id", "full").select(
+            "id", F.coalesce(F.col("nd"), F.lit(True)).alias("dangling")
         )
-        .select("id", "dangling", F.lit(1.0 / n).alias("rank"))
-    )
+    else:
+        state0 = (
+            vertices.select(F.col("id").cast("long"))
+            .join(srcs.hint("shuffle_hash"), "id", "left")
+            .select("id", F.coalesce(F.col("nd"), F.lit(True)).alias("dangling"))
+        )
+    state0 = state0.persist()
+    n = state0.count()
+    if n == 0:
+        e2.unpersist()
+        ew.unpersist()
+        return spark.createDataFrame([], "id long, rank double"), {
+            "iterations": 0, "delta": 0.0, "seconds": 0.0, "converged": True, "n": 0,
+        }
+    state0 = state0.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
 
     start_iter = 0
     t0 = time.monotonic()
@@ -136,12 +150,12 @@ def pagerank(
         c_k = d * dm_prev / n
         if salt and salt > 1:
             r = ranks.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-            joined = ew.join(r, (ew["src"] == r["id"]) & (ew["_salt"] == r["_salt"]))
+            joined = ew.join(r.hint("shuffle_hash"), (ew["src"] == r["id"]) & (ew["_salt"] == r["_salt"]))
         else:
-            joined = ew.join(ranks, ew["src"] == ranks["id"])
+            joined = ew.join(ranks.hint("shuffle_hash"), ew["src"] == ranks["id"])
         contribs = joined.groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         new_state = (
-            ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
+            ranks.join(contribs.hint("shuffle_hash"), ranks["id"] == contribs["dst"], "left")
             .select(
                 "id",
                 "dangling",
@@ -180,8 +194,8 @@ def pagerank(
         if converged:
             break
 
+    e2.unpersist()
     ew.unpersist()
-    vertices.unpersist()
     return ranks.select("id", "rank"), {
         "iterations": k,
         "delta": float(delta),
