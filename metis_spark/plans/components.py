@@ -42,7 +42,8 @@ def _min_star(edges: DataFrame, large: bool) -> DataFrame:
         .agg(F.min("dst").alias("_mn"))
         .select("src", F.least("_mn", F.col("src")).alias("m"))
     )
-    joined = nbrs.join(m, "src")
+    # SHJ: m is one row per src (|V|-bounded) — never re-sort the edge side
+    joined = nbrs.join(m.hint("shuffle_hash"), "src")
     if large:
         out = joined.where(F.col("dst") > F.col("src")).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     else:

@@ -41,6 +41,10 @@ def label_propagation(
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_lpa_")
     cm = CheckpointManager(checkpoint_dir, "lpa")
 
+    num_partitions = spark.sparkContext.defaultParallelism
+    # hash-partition the (static) undirected edge list by src once; every
+    # round's gather join then reuses it exchange-free, and the SHJ hint
+    # keeps the big edge side from being re-sorted each round
     und = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .unionByName(
@@ -48,6 +52,7 @@ def label_propagation(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .repartition(num_partitions, "src")
         .persist()
     )
     if vertices is None:
@@ -71,7 +76,7 @@ def label_propagation(
     k = start_iter
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
-        incoming = und.join(labels, und["src"] == labels["id"]).select(
+        incoming = und.join(labels.hint("shuffle_hash"), und["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )
         candidates = incoming.unionByName(labels.select("id", "label"))
@@ -83,7 +88,7 @@ def label_propagation(
         # carry the previous label through the shuffle so the change count
         # folds into the commit's single lineage/agg pass (no extra join)
         with_old = new_labels.join(
-            labels.withColumnRenamed("label", "old_label"), "id"
+            labels.withColumnRenamed("label", "old_label").hint("shuffle_hash"), "id"
         )
         state_full, totals = cm.commit(
             k,

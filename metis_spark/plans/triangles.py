@@ -35,7 +35,7 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    withdeg = und.join(da, "a").join(db, "b")
+    withdeg = und.join(da.hint("shuffle_hash"), "a").join(db.hint("shuffle_hash"), "b")
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -62,8 +62,8 @@ def _per_edge_commons(edges: DataFrame) -> DataFrame:
     a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     return (
-        oriented.join(a_u, oriented["src"] == a_u["u"])
-        .join(a_v, oriented["dst"] == a_v["v"])
+        oriented.join(a_u.hint("shuffle_hash"), oriented["src"] == a_u["u"])
+        .join(a_v.hint("shuffle_hash"), oriented["dst"] == a_v["v"])
         .select(
             "src",
             "dst",
