@@ -37,7 +37,10 @@ from metis_spark.operators.windows import (  # noqa: E402
 from metis_spark.plans.components import connected_components  # noqa: E402
 from metis_spark.plans.lpa import label_propagation  # noqa: E402
 from metis_spark.plans.pagerank import pagerank  # noqa: E402
-from metis_spark.plans.triangles import triangle_count  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
 
 GRAPH_MOD = 301  # vertex-space size of the testdata-derived graph
 PR_ITERS = 5
@@ -306,6 +309,39 @@ def _q_triangles(spark, sf_dir):
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def _q_triangles_per_vertex(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return triangle_count_per_vertex(edges, vertices=verts)
+
+
+def _q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+def _q_set_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+def _q_json_hour(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
 # training-data pack --------------------------------------------------------
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -415,7 +451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_missing": _q_anti_join,          # §2.6 set ops
         "running_total": _q_running_total,          # W1-class frame
         "rollup_counts": _q_rollup,                 # grouping sets
+        "cube_counts": _q_cube,                     # grouping sets (cube)
         "pivot_event_values": _q_pivot,             # pivot
+        "set_intersect_users": _q_set_intersect,    # §2.6 set ops
+        "json_hour_extract": _q_json_hour,          # F7 timestamps + JSON
         # link-graph core (§2.10)
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
@@ -423,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "label_propagation_2iter": _q_lpa,
         "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         # training-data pipeline pack
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh,
@@ -612,6 +652,29 @@ def oracle_sql() -> dict[str, str]:
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges) "
             "SELECT COUNT(*)::BIGINT AS triangles FROM u e1 "
             "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "triangles_per_vertex": (
+            f"WITH {_EDGES_SQL.strip()}, "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "members AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "cnt AS (SELECT id, COUNT(*)::BIGINT AS n FROM members GROUP BY id) "
+            "SELECT v.id, COALESCE(c.n, 0)::BIGINT AS triangles "
+            "FROM verts v LEFT JOIN cnt c ON v.id = c.id"
+        ),
+        "cube_counts": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "set_intersect_users": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "json_hour_extract": (
+            "SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, "
+            "json_extract_string(props, '$.k')::BIGINT AS k FROM events"
         ),
         "ngram_jaccard_dedup": (
             f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
