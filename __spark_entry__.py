@@ -433,6 +433,27 @@ def _q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation: exact-dedup (keep lowest doc_id)
+    → quality gate (score ≥ 0.5) → per-doc BPE-ish token counts.
+
+    The composition a 100 TB pre-training pipeline runs nightly: one
+    hash shuffle for the dedup, then narrow scoring expressions — no
+    joins wider than the corpus itself.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", "text", F.md5("text").alias("h"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(keep, ["h", "doc_id"]).select("doc_id", "text")
+    t = F.col("text")
+    scored = kept.select(
+        "doc_id",
+        F.round(TX.quality_score(t), 6).alias("score"),
+        TX.bpe_ish_token_count(t).alias("n_tokens"),
+    )
+    return scored.where(F.col("score") >= 0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-semantics operator pack (SURVEY.md §2)
@@ -474,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_langid,
         "doc_fingerprint": _q_fingerprint,
+        "corpus_curation": _q_corpus_curation,
     }
 
 
@@ -746,5 +768,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
+        ),
+        "corpus_curation": (
+            "WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+            "kept AS (SELECT d.doc_id, d.text FROM documents d JOIN keep k ON d.doc_id = k.doc_id), "
+            "feats AS (SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok, "
+            "length(text)::DOUBLE AS n_chars2, "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct, "
+            "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens FROM kept) "
+            "SELECT doc_id, score, n_tokens FROM (SELECT doc_id, ROUND("
+            "0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / greatest(n_chars2, 1.0)) "
+            "+ 0.2 * least((n_stop / greatest(n_tok, 1.0)) * 5.0, 1.0) + 0.1 * least(n_chars2 / 500.0, 1.0)"
+            ", 6) AS score, n_tokens FROM feats) WHERE score >= 0.5"
         ),
     }

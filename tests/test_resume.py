@@ -40,6 +40,51 @@ def test_checkpoint_lineage_verifies(spark, tmp_path):
     assert metrics is not None and metrics.count() >= 4
 
 
+def test_torn_commit_is_invisible_and_redone(spark, tmp_path):
+    """A data dir without meta.json (kill mid-write) must be invisible to
+    resume and cleanly redone — the write-then-commit rule (SURVEY §2.8)."""
+    import os
+    import shutil
+
+    edges = edges_df(spark, random_graph(n=40, p=0.08, seed=21))
+    d = str(tmp_path)
+    _, _ = pagerank(edges, checkpoint_dir=d, max_iter=3)
+    cm = CheckpointManager(d, "pagerank")
+    assert cm.latest() == 3
+    # tear iteration 3: keep data, remove the commit marker
+    it3 = os.path.join(d, "pagerank", "iter=3")
+    os.remove(os.path.join(it3, "meta.json"))
+    assert cm.latest() == 2  # torn commit invisible
+    # resume redoes iteration 3 and continues to convergence
+    ranks, info = pagerank(edges, checkpoint_dir=d, tol=1e-10)
+    assert info["converged"]
+    assert cm.verify(spark, cm.latest())
+    # a fully converged fresh run agrees exactly
+    fresh, _ = pagerank(edges, checkpoint_dir=str(tmp_path / "fresh"), tol=1e-10)
+    a = {r["id"]: r["rank"] for r in ranks.collect()}
+    b = {r["id"]: r["rank"] for r in fresh.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lpa_resume(spark, tmp_path):
+    from metis_spark.plans.lpa import label_propagation
+
+    edges = edges_df(spark, random_graph(n=50, p=0.05, seed=31))
+    full, _ = label_propagation(edges, checkpoint_dir=str(tmp_path / "f"), max_iter=6,
+                                stop_when_stable=False)
+    label_propagation(edges, checkpoint_dir=str(tmp_path / "p"), max_iter=2,
+                      stop_when_stable=False)
+    resumed, info = label_propagation(edges, checkpoint_dir=str(tmp_path / "p"), max_iter=6,
+                                      stop_when_stable=False)
+    assert info["iterations"] == 6
+    a = {r["id"]: r["label"] for r in full.collect()}
+    b = {r["id"]: r["label"] for r in resumed.collect()}
+    assert a == b
+
+
 def test_cc_resume(spark, tmp_path):
     edges = edges_df(spark, random_graph(n=60, p=0.03, seed=13, zipf_extra=10))
     full, _ = connected_components(edges, checkpoint_dir=str(tmp_path / "f"))
