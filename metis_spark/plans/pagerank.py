@@ -165,6 +165,10 @@ def pagerank(
                 ).alias("rank"),
                 F.col("rank").alias("old_rank"),
             )
+            # condense the vertex state into few, large checkpoint files: the
+            # driver-serial commit protocol (file renames) and the lineage
+            # scan's task scheduling are per-FILE costs paid every iteration
+            .repartition(max(8, num_partitions // 8))
         )
         state, totals = cm.commit(
             k,
