@@ -342,6 +342,37 @@ def _q_json_hour(spark, sf_dir):
     )
 
 
+def _q_csr(spark, sf_dir):
+    """Bucketed sorted CSR adjacency (north_rule), rendered comparable:
+    neighbor arrays as comma-joined strings so DuckDB string_agg matches."""
+    from metis_spark.operators.csr import build_csr
+
+    csr = build_csr(derived_edges(spark, sf_dir), num_buckets=8)
+    return csr.select(
+        "src",
+        F.col("deg").cast("long").alias("deg"),
+        F.concat_ws(",", F.transform(F.col("nbrs"), lambda x: x.cast("string"))).alias("nbrs"),
+    )
+
+
+def _q_media_decode(spark, sf_dir):
+    """Multimodal: binary payload decode stats via Arrow-batched mapInPandas
+    (rows-only check: the decode kernel is a deterministic stub, no SQL twin)."""
+    from metis_spark.operators.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(spark, 200)
+    return decode_media(media).select("media_id", "kind", "ok", "n_bytes", "digest")
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal: fixed-dim feature vectors from binary payloads (rows-only)."""
+    from metis_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 200)
+    feats = extract_features(media)
+    return feats.select("media_id", F.size("feature").alias("dim"))
+
+
 # training-data pack --------------------------------------------------------
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -484,6 +515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_2iter": _q_lpa,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "csr_adjacency": _q_csr,
+        # multimodal plumbing (rows-only: stubbed decode kernel, no SQL twin)
+        "media_decode_stats": _q_media_decode,
+        "media_feature_dims": _q_media_features,
         # training-data pipeline pack
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh,
@@ -674,6 +709,12 @@ def oracle_sql() -> dict[str, str]:
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges) "
             "SELECT COUNT(*)::BIGINT AS triangles FROM u e1 "
             "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "csr_adjacency": (
+            f"WITH {_EDGES_SQL.strip()} "
+            "SELECT src, COUNT(*)::BIGINT AS deg, "
+            "string_agg(dst::VARCHAR, ',' ORDER BY dst) AS nbrs "
+            "FROM edges GROUP BY src"
         ),
         "triangles_per_vertex": (
             f"WITH {_EDGES_SQL.strip()}, "
