@@ -15,8 +15,10 @@ north-rule throughput metric.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -36,6 +38,12 @@ from metis_spark.session import get_spark  # noqa: E402
 from metis_spark.sources.corpus import generate_corpus  # noqa: E402
 
 CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _tmpdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 # G-BENCH corpus size per sf dir (FIXTURES.md: bench ⇒ ~1-5M raw imports)
 N_FILES = {"sf0.001": 5_000, "sf0.01": 40_000, "sf0.1": 250_000}
@@ -90,7 +98,7 @@ def main() -> None:
 
     def _pr():
         ranks, info = pagerank(
-            edges, tol=1e-9, max_iter=100, checkpoint_dir=tempfile.mkdtemp(prefix="bench_pr_")
+            edges, tol=1e-9, max_iter=100, checkpoint_dir=_tmpdir("bench_pr_")
         )
         ranks.select(F.sum("rank")).collect()
         return info
@@ -104,7 +112,7 @@ def main() -> None:
 
     def _cc():
         labels, cinfo = connected_components(
-            edges, max_iter=30, checkpoint_dir=tempfile.mkdtemp(prefix="bench_cc_")
+            edges, max_iter=30, checkpoint_dir=_tmpdir("bench_cc_")
         )
         n = labels.select(F.countDistinct("component")).collect()[0][0]
         return cinfo["iterations"], n

@@ -40,6 +40,31 @@ def test_checkpoint_lineage_verifies(spark, tmp_path):
     assert metrics is not None and metrics.count() >= 4
 
 
+def test_checksum_is_partition_independent(spark, tmp_path):
+    """Two properties of the lineage checksum:
+    1. rerunning the identical config is bit-identical (determinism);
+    2. the whole-state checksum of a FIXED state is invariant under any
+       repartitioning (order-insensitive sum), so lineage can verify a
+       state wherever it lands after a shuffle."""
+    from pyspark.sql import functions as F
+
+    from metis_spark.plans.checkpoint import _row_checksum
+
+    edges = edges_df(spark, random_graph(n=40, p=0.08, seed=17))
+    _, _ = pagerank(edges, checkpoint_dir=str(tmp_path / "a"), max_iter=2, num_partitions=4)
+    _, _ = pagerank(edges, checkpoint_dir=str(tmp_path / "b"), max_iter=2, num_partitions=4)
+    ca = CheckpointManager(str(tmp_path / "a"), "pagerank")
+    cb = CheckpointManager(str(tmp_path / "b"), "pagerank")
+    state_a, ma = ca.load(spark, 2)
+    _, mb = cb.load(spark, 2)
+    assert ma["rows"] == mb["rows"]
+    assert ma["checksum"] == mb["checksum"]  # rerun determinism, bit-exact
+    # fixed state, arbitrary repartition: whole-state checksum unchanged
+    re = state_a.repartition(13)
+    got = re.agg(_row_checksum(state_a.columns).alias("cs")).collect()[0]
+    assert int(got["cs"]) == ma["checksum"]
+
+
 def test_torn_commit_is_invisible_and_redone(spark, tmp_path):
     """A data dir without meta.json (kill mid-write) must be invisible to
     resume and cleanly redone — the write-then-commit rule (SURVEY §2.8)."""
