@@ -30,8 +30,13 @@ from pyspark.sql import functions as F
 from metis_spark.plans.checkpoint import CheckpointManager
 
 
-def _min_star(edges: DataFrame, large: bool) -> DataFrame:
-    """One star operation over canonical directed edges (src > dst kept)."""
+def _min_star(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
+    """One star operation over canonical directed edges (src > dst kept).
+
+    ``dedup=False`` skips the trailing distinct when the caller's next step
+    dedups anyway (the canonicalize+distinct after small-star) — one full
+    shuffle saved per round.
+    """
     if large:
         # undirected neighborhoods
         nbrs = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -51,7 +56,8 @@ def _min_star(edges: DataFrame, large: bool) -> DataFrame:
             joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
         )
-    return out.where(F.col("src") != F.col("dst")).distinct()
+    out = out.where(F.col("src") != F.col("dst"))
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -99,7 +105,7 @@ def connected_components(
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
         after_large = _min_star(cur, large=True)
-        after_small = _min_star(after_large, large=False)
+        after_small = _min_star(after_large, large=False, dedup=False)
         # canonicalize orientation for the next round / fixpoint test
         nxt = (
             after_small.select(
