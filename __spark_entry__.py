@@ -342,6 +342,22 @@ def _q_json_hour(spark, sf_dir):
     )
 
 
+SSSP_ROUNDS = 6  # ≥ graph diameter (≤4 at every sf) so BFS has converged
+
+
+def _q_sssp(spark, sf_dir):
+    from metis_spark.plans.sssp import shortest_hops
+
+    edges = derived_edges(spark, sf_dir)
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    dists, _ = shortest_hops(
+        edges, sources=[int(src)],
+        checkpoint_dir=tempfile.mkdtemp(prefix="metis_qsssp_"),
+        max_iter=SSSP_ROUNDS,
+    )
+    return dists
+
+
 def _q_csr(spark, sf_dir):
     """Bucketed sorted CSR adjacency (north_rule), rendered comparable:
     neighbor arrays as comma-joined strings so DuckDB string_agg matches."""
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "csr_adjacency": _q_csr,
+        "sssp_hops": _q_sssp,
         # multimodal plumbing (rows-only: stubbed decode kernel, no SQL twin)
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
@@ -573,6 +590,21 @@ def _cc_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, label AS component FROM l{CC_ROUNDS}"
     )
+
+
+def _sssp_sql() -> str:
+    ctes = [_EDGES_SQL.strip(),
+            "srcv AS (SELECT LEAST(MIN(src), MIN(dst)) AS s FROM edges)",
+            "d0 AS (SELECT (SELECT s FROM srcv) AS id, 0::BIGINT AS dist)"]
+    for i in range(1, SSSP_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM d{p} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + 1 AS dist FROM edges e JOIN d{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{SSSP_ROUNDS}"
 
 
 def _lpa_sql() -> str:
@@ -710,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS triangles FROM u e1 "
             "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"
         ),
+        "sssp_hops": _sssp_sql(),
         "csr_adjacency": (
             f"WITH {_EDGES_SQL.strip()} "
             "SELECT src, COUNT(*)::BIGINT AS deg, "
