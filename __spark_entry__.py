@@ -333,6 +333,29 @@ def _q_set_intersect(spark, sf_dir):
     return clickers.intersect(buyers)
 
 
+def _q_order_stats(spark, sf_dir):
+    """Ordered-set + statistical aggregates: exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`), stddev, correlation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+def _q_lag_delta(spark, sf_dir):
+    """LAG analytic: per-user value delta between consecutive events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
 def _q_json_hour(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -523,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_values": _q_pivot,             # pivot
         "set_intersect_users": _q_set_intersect,    # §2.6 set ops
         "json_hour_extract": _q_json_hour,          # F7 timestamps + JSON
+        "order_stats": _q_order_stats,              # percentiles/stddev/corr
+        "lag_value_delta": _q_lag_delta,            # LAG analytic
         # link-graph core (§2.10)
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
@@ -771,6 +796,18 @@ def oracle_sql() -> dict[str, str]:
         "json_hour_extract": (
             "SELECT event_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, "
             "json_extract_string(props, '$.k')::BIGINT AS k FROM events"
+        ),
+        "order_stats": (
+            "SELECT l_returnflag, "
+            "ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, "
+            "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, "
+            "ROUND(stddev_samp(l_extendedprice), 4) AS sd_price, "
+            "ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "lag_value_delta": (
+            "SELECT event_id, user_id, ROUND(value - LAG(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta FROM events"
         ),
         "ngram_jaccard_dedup": (
             f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
