@@ -14,7 +14,9 @@ Determinism discipline for oracle hash-equality:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 from collections.abc import Callable
@@ -52,6 +54,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tmpdir(prefix: str) -> str:
+    """Checkpoint scratch dir removed at interpreter exit (the driver gate
+    runs 40+ queries in one process — unbounded /tmp growth otherwise)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dependency-style edge table from lineitem (both the
     Spark queries and the DuckDB oracles derive the identical graph)."""
@@ -87,7 +97,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     edges = derived_edges(spark, sf_dir)
     ranks, _ = pagerank(
-        edges, checkpoint_dir=tempfile.mkdtemp(prefix="metis_entry_"), tol=1e-9, max_iter=100
+        edges, checkpoint_dir=_tmpdir("metis_entry_"), tol=1e-9, max_iter=100
     )
     w = Window.orderBy(F.desc("r6"), F.asc("id"))
     return (
@@ -278,7 +288,7 @@ def _q_pagerank(spark, sf_dir):
     edges = derived_edges(spark, sf_dir)
     ranks, _ = pagerank(
         edges,
-        checkpoint_dir=tempfile.mkdtemp(prefix="metis_qpr_"),
+        checkpoint_dir=_tmpdir("metis_qpr_"),
         tol=0.0,  # run exactly PR_ITERS iterations to mirror the unrolled SQL
         max_iter=PR_ITERS,
     )
@@ -288,7 +298,7 @@ def _q_pagerank(spark, sf_dir):
 def _q_connected_components(spark, sf_dir):
     edges = derived_edges(spark, sf_dir)
     labels, _ = connected_components(
-        edges, checkpoint_dir=tempfile.mkdtemp(prefix="metis_qcc_")
+        edges, checkpoint_dir=_tmpdir("metis_qcc_")
     )
     return labels
 
@@ -297,7 +307,7 @@ def _q_lpa(spark, sf_dir):
     edges = derived_edges(spark, sf_dir)
     labels, _ = label_propagation(
         edges,
-        checkpoint_dir=tempfile.mkdtemp(prefix="metis_qlpa_"),
+        checkpoint_dir=_tmpdir("metis_qlpa_"),
         max_iter=LPA_ROUNDS,
         stop_when_stable=False,
     )
@@ -375,7 +385,7 @@ def _q_sssp(spark, sf_dir):
     src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
     dists, _ = shortest_hops(
         edges, sources=[int(src)],
-        checkpoint_dir=tempfile.mkdtemp(prefix="metis_qsssp_"),
+        checkpoint_dir=_tmpdir("metis_qsssp_"),
         max_iter=SSSP_ROUNDS,
     )
     return dists

@@ -41,6 +41,12 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Version tag for the lineage-checksum formula. Stored in every meta.json so
+# verify() can tell "data corrupt" apart from "checkpoint written by an older
+# formula" (e.g. the round-1 crc32(to_json) scheme) — recomputing a new-formula
+# checksum against an old-formula meta would report intact data as corrupt.
+CHECKSUM_ALGO = "xxhash64-sum-v2"
+
 
 def _row_checksum(cols: list[str]) -> Column:
     """Order-insensitive state checksum: Σ unsigned(xxhash64(row)).
@@ -123,7 +129,7 @@ class CheckpointManager:
         json_totals = {k2: (v if isinstance(v, int) else float(v)) for k2, v in totals.items()}
         full_meta = dict(
             meta or {}, iter=k, rows=totals["rows"], checksum=totals["checksum"],
-            lineage=lineage, totals=json_totals,
+            checksum_algo=CHECKSUM_ALGO, lineage=lineage, totals=json_totals,
         )
         tmp = os.path.join(it_dir, "meta.json.tmp")
         with open(tmp, "w") as f:
@@ -161,8 +167,20 @@ class CheckpointManager:
         return df, meta
 
     def verify(self, spark: SparkSession, k: int) -> bool:
-        """Recompute the whole-state checksum of iteration K against lineage."""
+        """Recompute the whole-state checksum of iteration K against lineage.
+
+        Raises ValueError for checkpoints committed under a different
+        checksum formula (they must be discarded or loaded unverified) —
+        silently recomputing would report intact data as corrupt.
+        """
         df, meta = self.load(spark, k)
+        algo = meta.get("checksum_algo")
+        if algo != CHECKSUM_ALGO:
+            raise ValueError(
+                f"checkpoint iter={k} was committed with checksum_algo={algo!r}; "
+                f"this build verifies {CHECKSUM_ALGO!r} — discard the checkpoint "
+                "dir or load() without verify()"
+            )
         got = df.agg(
             F.count(F.lit(1)).alias("rows"),
             _row_checksum(df.columns).alias("checksum"),

@@ -111,9 +111,11 @@ def pagerank(
             .join(srcs.hint("shuffle_hash"), "id", "left")
             .select("id", F.coalesce(F.col("nd"), F.lit(True)).alias("dangling"))
         )
-    state0 = state0.persist()
+    base0 = state0.persist()  # keep the cached handle: rebinding below would orphan it
+    state0 = base0
     n = state0.count()
     if n == 0:
+        base0.unpersist()
         e2.unpersist()
         ew.unpersist()
         return spark.createDataFrame([], "id long, rank double"), {
@@ -133,6 +135,9 @@ def pagerank(
             dm_prev = meta.get("totals", {}).get("dm")
             start_iter = k0
             if meta.get("converged"):
+                base0.unpersist()
+                e2.unpersist()
+                ew.unpersist()
                 return ranks.select("id", "rank"), {
                     "iterations": k0, "delta": meta.get("delta"), "seconds": 0.0,
                     "converged": True, "n": n, "resumed": True,
@@ -195,9 +200,13 @@ def pagerank(
             }
         )
         ranks = state.select("id", "dangling", "rank")
+        if k == start_iter + 1:
+            # iteration-1 state is on disk now; the cached initial state is dead
+            base0.unpersist()
         if converged:
             break
 
+    base0.unpersist()  # no-op if already released in the loop
     e2.unpersist()
     ew.unpersist()
     return ranks.select("id", "rank"), {

@@ -61,9 +61,13 @@ def _per_edge_commons(edges: DataFrame) -> DataFrame:
     adj = _oriented_adj(oriented)
     a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    # no shuffle_hash hint here: the adjacency sides carry O(sqrt(m)) neighbor
+    # arrays per row, and an SHJ build map cannot spill — on a skewed graph a
+    # partition of fat adjacency rows would OOM where sort-merge spills. The
+    # scalar-row joins (deg in _oriented) keep the hint; these let AQE choose.
     return (
-        oriented.join(a_u.hint("shuffle_hash"), oriented["src"] == a_u["u"])
-        .join(a_v.hint("shuffle_hash"), oriented["dst"] == a_v["v"])
+        oriented.join(a_u, oriented["src"] == a_u["u"])
+        .join(a_v, oriented["dst"] == a_v["v"])
         .select(
             "src",
             "dst",

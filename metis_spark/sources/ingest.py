@@ -50,6 +50,25 @@ def bronze_ingest(spark: SparkSession, df: DataFrame, bronze_path: str, repo_buc
     Dedup key is (repo, path, commit, sha): re-running the same ingest is a
     no-op (the reference's "skip if dataset exists" semantics), while a new
     commit of the same path lands as a new row.
+
+    Concurrency guard: plain-parquet left_anti + append is correct for a
+    SINGLE writer only (two concurrent ingests could both pass the anti-join
+    and append the same rows). At scale the bronze table is Iceberg and this
+    becomes a MERGE INTO keyed on (repo, path, commit, sha), whose snapshot
+    commit protocol serializes concurrent writers.
+    """
+    bronze, _ = bronze_ingest_counted(spark, df, bronze_path, repo_buckets)
+    return bronze
+
+
+def bronze_ingest_counted(
+    spark: SparkSession, df: DataFrame, bronze_path: str, repo_buckets: int = 64
+) -> tuple[DataFrame, int]:
+    """bronze_ingest returning (bronze, rows_appended).
+
+    The appended count comes from the incoming-side anti-join (micro-batch
+    sized), NOT from recounting the bronze table — poll cost must stay
+    independent of accumulated lake size.
     """
     incoming = with_sha(validate_sources(df)).withColumn(
         "repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(repo_buckets)).cast("int")
@@ -63,8 +82,13 @@ def bronze_ingest(spark: SparkSession, df: DataFrame, bronze_path: str, repo_buc
         )
     else:
         new_rows = incoming
-    new_rows.write.mode("append").partitionBy("repo_bucket").parquet(bronze_path)
-    return spark.read.parquet(bronze_path)
+    new_rows = new_rows.persist()
+    n_appended = new_rows.count()
+    if n_appended > 0 or not _exists(bronze_path):
+        # the empty write still runs on first touch so the table exists
+        new_rows.write.mode("append").partitionBy("repo_bucket").parquet(bronze_path)
+    new_rows.unpersist()
+    return spark.read.parquet(bronze_path), n_appended
 
 
 def _exists(path: str) -> bool:

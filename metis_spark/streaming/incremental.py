@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metis_spark.sources.ingest import bronze_ingest
+from metis_spark.sources.ingest import bronze_ingest_counted
 
 SOURCES_DDL = (
     "repo string, path string, commit string, lang string, content string"
@@ -60,17 +60,12 @@ class IncrementalIngest:
         if not new_files:
             return 0
         batch = self.spark.read.schema(SOURCES_DDL).parquet(*new_files)
-        before = self._bronze_count()
-        bronze_ingest(self.spark, batch, self.bronze_path)
-        appended = self._bronze_count() - before
+        # appended count comes from the micro-batch-sized anti-join, not a
+        # before/after recount of bronze — poll cost must not grow with the lake
+        _, appended = bronze_ingest_counted(self.spark, batch, self.bronze_path)
         with open(self._offset_file, "w") as f:
             json.dump(sorted(seen | set(new_files)), f)
         return appended
-
-    def _bronze_count(self) -> int:
-        if not os.path.isdir(self.bronze_path):
-            return 0
-        return self.spark.read.parquet(self.bronze_path).count()
 
     def bronze(self) -> DataFrame:
         return self.spark.read.parquet(self.bronze_path)
