@@ -404,22 +404,37 @@ def _q_csr(spark, sf_dir):
     )
 
 
+N_MEDIA = 200
+
+
 def _q_media_decode(spark, sf_dir):
-    """Multimodal: binary payload decode stats via Arrow-batched mapInPandas
-    (rows-only check: the decode kernel is a deterministic stub, no SQL twin)."""
+    """Multimodal: REAL binary decode (PNG IHDR+IDAT inflate, WAV fmt/data,
+    MP4 ftyp/mvhd) via Arrow-batched mapInPandas. The oracle recomputes every
+    decoded field from the synthesis recipe's closed form — a full round-trip
+    check of the byte parser. (digest is sha256 of the payload — pinned by
+    pytest against a JVM-side sha2, not SQL-expressible, so excluded here.)"""
     from metis_spark.operators.multimodal import decode_media, synthesize_media
 
-    media = synthesize_media(spark, 200)
-    return decode_media(media).select("media_id", "kind", "ok", "n_bytes", "digest")
+    media = synthesize_media(spark, N_MEDIA)
+    dec = decode_media(media)
+    # inapplicable fields (e.g. width of a WAV) are null in the API; the gate
+    # compares them as -1 so both engines hash identical non-null longs
+    n1 = lambda c: F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)  # noqa: E731
+    return dec.select(
+        "media_id", "kind", "ok", "format", n1("n_bytes"),
+        n1("width"), n1("height"), n1("bit_depth"), n1("pixel_sum"),
+        n1("channels"), n1("sample_rate"), n1("n_samples"), n1("sample_sum"),
+        n1("duration_ms"),
+    )
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal: fixed-dim feature vectors from binary payloads (rows-only)."""
+    """Multimodal: fixed-dim feature vectors from binary payloads."""
     from metis_spark.operators.multimodal import extract_features, synthesize_media
 
-    media = synthesize_media(spark, 200)
+    media = synthesize_media(spark, N_MEDIA)
     feats = extract_features(media)
-    return feats.select("media_id", F.size("feature").alias("dim"))
+    return feats.select("media_id", "kind", F.size("feature").cast("long").alias("dim"))
 
 
 # training-data pack --------------------------------------------------------
@@ -568,7 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "csr_adjacency": _q_csr,
         "sssp_hops": _q_sssp,
-        # multimodal plumbing (rows-only: stubbed decode kernel, no SQL twin)
+        # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
         # training-data pipeline pack
@@ -659,6 +674,37 @@ def _lpa_sql() -> str:
             f"WHERE rn = 1)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{LPA_ROUNDS}"
+
+
+def _media_decode_sql() -> str:
+    """Closed-form ground truth of the media synthesis recipe (multimodal.py):
+    the Spark side parses actual PNG/WAV/MP4 bytes; this recomputes what the
+    parse must return per media_id — a full round-trip decode oracle."""
+    return f"""
+WITH m AS (SELECT unnest(range(0, {N_MEDIA})) AS mid),
+img AS (SELECT mid, 8 + mid % 24 AS w, 8 + (7*mid) % 24 AS h FROM m WHERE mid % 3 = 0),
+aud AS (SELECT mid, 1 + mid % 2 AS ch, 8000*(1 + mid % 4) AS rate, 50 + mid % 200 AS frames
+        FROM m WHERE mid % 3 = 1)
+SELECT mid::BIGINT AS media_id, 'image' AS kind, TRUE AS ok, 'png' AS format,
+  (68 + h*(3*w+1))::BIGINT AS n_bytes, w::BIGINT AS width, h::BIGINT AS height,
+  8::BIGINT AS bit_depth,
+  list_sum(list_transform(range(0, w*h*3), i -> (mid + i) % 256))::BIGINT AS pixel_sum,
+  -1::BIGINT AS channels, -1::BIGINT AS sample_rate, -1::BIGINT AS n_samples,
+  -1::BIGINT AS sample_sum, -1::BIGINT AS duration_ms
+FROM img
+UNION ALL
+SELECT mid::BIGINT, 'audio', TRUE, 'wav', (44 + 2*frames*ch)::BIGINT,
+  -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT,
+  ch::BIGINT, rate::BIGINT, (frames*ch)::BIGINT,
+  list_sum(list_transform(range(0, frames*ch), i -> (31*mid + 17*i) % 4096 - 2048))::BIGINT,
+  (frames*1000 // rate)::BIGINT
+FROM aud
+UNION ALL
+SELECT mid::BIGINT, 'video', TRUE, 'mp4', (208 + mid % 256)::BIGINT,
+  -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT,
+  -1::BIGINT, -1::BIGINT, (1000 + (13*mid) % 5000)::BIGINT
+FROM m WHERE mid % 3 = 2
+"""
 
 
 _TOKS_SQL = (
@@ -818,6 +864,12 @@ def oracle_sql() -> dict[str, str]:
         "lag_value_delta": (
             "SELECT event_id, user_id, ROUND(value - LAG(value) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta FROM events"
+        ),
+        "media_decode_stats": _media_decode_sql(),
+        "media_feature_dims": (
+            f"SELECT mid::BIGINT AS media_id, CASE mid % 3 WHEN 0 THEN 'image' "
+            f"WHEN 1 THEN 'audio' ELSE 'video' END AS kind, 16::BIGINT AS dim "
+            f"FROM (SELECT unnest(range(0, {N_MEDIA})) AS mid)"
         ),
         "ngram_jaccard_dedup": (
             f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
