@@ -457,32 +457,64 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    """Hamming≤3 simhash near-dup via 4×15-bit banding (exact recall by
+    pigeonhole — no all-pairs scan; verify is one JVM-side bit_count(xor))."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+ANN_TABLES, ANN_PLANES = 16, 3       # lsh_bucket_topk / recall-gate params
+NEARDUP_TABLES, NEARDUP_PLANES = 24, 3  # sized so every ≥0.4 pair collides
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.40, a < b).
 
-    Threshold sits at the ~99.95th percentile of the synthetic embedding
-    similarity distribution (max ≈ 0.51) so the pair set is non-trivial.
+    Shipped plan is LSH-bucketed candidates + exact verification — NO
+    CartesianProduct (pinned by test_plan_shape). The DuckDB oracle is the
+    all-pairs scan, so candidate coverage of every true pair is part of
+    the correctness gate. Threshold sits at the ~99.95th percentile of the
+    synthetic similarity distribution (max ≈ 0.51) so the set is non-trivial.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-    sim = F.round(SIM.cosine(F.col("va"), F.col("vb")), 6)
-    return pairs.select("vec_a", "vec_b", sim.alias("sim")).where(F.col("sim") >= 0.40)
+    return SIM.lsh_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.40,
+        dim=64, num_tables=NEARDUP_TABLES, num_planes=NEARDUP_PLANES,
+    )
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """Approximate ANN via hyperplane-LSH buckets (scale path; rows-only check
-    — the hyperplanes are md5-derived driver-side constants, not SQL)."""
+    """Approximate ANN via hyperplane-LSH buckets (the scale path). Fully
+    oracle-checked: the md5-derived hyperplanes are reproduced bit-exactly
+    in DuckDB (60-bit construction, similarity.py:_hyperplane), so the
+    bucket assignment, candidate set, and ranking all hash-match."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    return SIM.lsh_bucket_topk(emb, queries_df, "vec_id", "embedding", k=5, dim=64)
+    return SIM.lsh_bucket_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, dim=64,
+        num_tables=ANN_TABLES, num_planes=ANN_PLANES,
+    )
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """ANN quality gate: per-query recall of the LSH path vs exact top-k.
+    A bucketing regression (wrong planes, dropped tables) shows up here as
+    recall < 1 even though ann_lsh_bucketed alone would still 'run'."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    approx = SIM.lsh_bucket_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, dim=64,
+        num_tables=ANN_TABLES, num_planes=ANN_PLANES,
+    )
+    return SIM.topk_recall(exact, approx)
 
 
 def _q_token_stats(spark, sf_dir):
@@ -590,8 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash_fingerprint": _q_simhash,
+        "simhash_neardup_h3": _q_simhash_neardup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_bucketed": _q_ann_lsh,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "embedding_neardup": _q_embedding_neardup,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -716,11 +750,67 @@ _SHINGLES_SQL = (
     "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
     "ELSE []::VARCHAR[] END AS s FROM toks)"
 )
+_SIMHASH_CTE = (
+    _TOKS_SQL + ", "
+    "tok_ex AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+    "votes AS (SELECT doc_id, j, SUM(((('0x' || substr(md5(tok), 1, 15))::BIGINT >> j) & 1) * 2 - 1) AS v "
+    "FROM tok_ex CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j), "
+    "sh60 AS (SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash FROM documents d LEFT JOIN "
+    "(SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash "
+    "FROM votes GROUP BY doc_id) s ON d.doc_id = s.doc_id)"
+)
 _COS_SQL = (
     "list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) "
     "/ (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) "
     "* sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))"
 )
+
+
+def _lsh_bucket_expr(t: int, emb: str, num_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_signature for hash table ``t``: the
+    sign-bit string of ``emb`` against md5-derived hyperplanes. Coefficients
+    are bit-exact vs the Spark side (60-bit int scaled by 2^-60: exact in
+    IEEE754 on both engines)."""
+    bits = []
+    for p in range(num_planes):
+        coef = (
+            f"(('0x' || substr(md5('{t}:{p}:' || d::VARCHAR), 1, 15))::BIGINT"
+            " / 1152921504606846976.0 * 2.0 - 1.0)"
+        )
+        dot = f"list_sum(list_transform(range(0, {dim}), d -> {emb}[d + 1]::DOUBLE * {coef}))"
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+_PAIR_COS_SQL = (
+    "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+def _ann_lsh_ctes(num_tables: int = ANN_TABLES, num_planes: int = ANN_PLANES) -> str:
+    """CTE chain ending in ``lsh_topk`` = the DuckDB twin of lsh_bucket_topk."""
+    sig_cols = ", ".join(
+        f"{_lsh_bucket_expr(t, 'embedding', num_planes)} AS b{t}" for t in range(num_tables)
+    )
+    any_band = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+    return f"""
+sigs AS (SELECT vec_id, embedding, {sig_cols} FROM embeddings),
+sq AS (SELECT * FROM sigs WHERE vec_id < 5),
+cands AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qv, c.embedding AS cv
+  FROM sq q JOIN sigs c ON ({any_band})
+  WHERE c.vec_id <> q.vec_id
+),
+lsh_scored AS (SELECT query_id, neighbor_id, ROUND({_PAIR_COS_SQL}, 6) AS sim FROM cands),
+lsh_topk AS (
+  SELECT query_id, neighbor_id, sim, rn FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM lsh_scored) WHERE rn <= 5
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -892,13 +982,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
         ),
         "simhash_fingerprint": (
-            f"WITH {_TOKS_SQL}, "
-            "tok_ex AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
-            "votes AS (SELECT doc_id, j, SUM(((('0x' || substr(md5(tok), 1, 15))::BIGINT >> j) & 1) * 2 - 1) AS v "
-            "FROM tok_ex CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j) "
-            "SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash FROM documents d LEFT JOIN "
-            "(SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash "
-            "FROM votes GROUP BY doc_id) s ON d.doc_id = s.doc_id"
+            f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh60"
+        ),
+        "simhash_neardup_h3": (
+            f"WITH {_SIMHASH_CTE}, "
+            "bands AS (SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 AS bval "
+            "FROM sh60 CROSS JOIN (SELECT unnest(range(0, 4)) AS b)) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming "
+            "FROM bands a JOIN bands b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "embedding_neardup": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings), "
@@ -913,6 +1006,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rn FROM (SELECT query_id, neighbor_id, sim, "
             "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn "
             "FROM scored) WHERE rn <= 5"
+        ),
+        "ann_lsh_bucketed": (
+            f"WITH {_ann_lsh_ctes()} "
+            "SELECT query_id, neighbor_id, sim, rn FROM lsh_topk"
+        ),
+        "ann_lsh_recall": (
+            f"WITH {_ann_lsh_ctes()}, "
+            "q5 AS (SELECT vec_id AS qid, embedding AS qv2 FROM embeddings WHERE vec_id < 5), "
+            "exact_scored AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id, "
+            "ROUND(list_sum(list_transform(range(1, len(q.qv2) + 1), i -> q.qv2[i]::DOUBLE * c.embedding[i]::DOUBLE)) "
+            "/ (sqrt(list_sum(list_transform(q.qv2, x -> x::DOUBLE * x::DOUBLE))) "
+            "* sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim "
+            "FROM embeddings c CROSS JOIN q5 q WHERE c.vec_id <> q.qid), "
+            "exact_topk AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn "
+            "FROM exact_scored) WHERE rn <= 5), "
+            "ne AS (SELECT query_id, COUNT(*)::BIGINT AS n_exact FROM exact_topk GROUP BY query_id), "
+            "hits AS (SELECT e.query_id, COUNT(*)::BIGINT AS n_overlap FROM exact_topk e "
+            "JOIN lsh_topk a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id "
+            "GROUP BY e.query_id) "
+            "SELECT ne.query_id, ne.n_exact, COALESCE(hits.n_overlap, 0)::BIGINT AS n_overlap, "
+            "ROUND(COALESCE(hits.n_overlap, 0) / ne.n_exact::DOUBLE, 6) AS recall "
+            "FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
         ),
         "token_stats": (
             "SELECT doc_id, "

@@ -15,8 +15,11 @@ Four families, each a distinct recall/cost point, all shuffle-lean:
   signature → B bands → band-bucket join. Only docs sharing a band bucket
   pair up, so cost tracks true-duplicate density, not n².
 - simhash_pairs: 60-bit simhash (functions.text.simhash60) with exact
-  bucket-equality candidates (hamming-0); near-duplicate hamming-k search
-  would band the 60 bits — hamming-0 keeps the oracle exact.
+  bucket-equality candidates (hamming-0).
+- simhash_neardup_pairs: hamming<=k search via bit-banding — split the 60
+  bits into B > k bands; any pair within hamming k differs in at most k
+  bands, so by pigeonhole it collides on at least one band (EXACT recall,
+  no all-pairs scan); candidates verify with bit_count(xor) JVM-side.
 
 Everything is built-in expressions (md5, explode, groupBy) — no Python.
 """
@@ -129,6 +132,52 @@ def minhash_candidates(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """→ (doc_a, doc_b, hamming): pairs with simhash hamming distance ≤ k.
+
+    Banding gives guaranteed-complete candidates: with ``bands`` > k, two
+    fingerprints within hamming k agree on ≥1 whole band, so the band-key
+    equi-join (one shuffle on (band, bval)) finds every true pair —
+    O(n·B) candidate rows instead of O(n²). Verification is a single
+    JVM-side ``bit_count(xor)``. The 100 TB plan shape is identical to
+    MinHash-LSH banding above.
+    """
+    if bands <= max_hamming:
+        raise ValueError(f"need bands > max_hamming for exact recall, got {bands} <= {max_hamming}")
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    h = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("doc"), simhash60(tokens(F.col(text_col))).alias("simhash")
+    )
+    bvals = F.array(
+        *[F.shiftright("simhash", width * b).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+    banded = h.select("doc", "simhash", F.posexplode(bvals).alias("band", "bval"))
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bval")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
