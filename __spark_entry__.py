@@ -99,11 +99,14 @@ def entry(spark: SparkSession) -> DataFrame:
     ranks, _ = pagerank(
         edges, checkpoint_dir=_tmpdir("metis_entry_"), tol=1e-9, max_iter=100
     )
+    # distributed sort + limit FIRST; the unpartitioned ranking window only
+    # ever sees the surviving 20 rows (scale-safe global top-k shape)
+    top = ranks.select("id", F.round("rank", 6).alias("r6")).orderBy(
+        F.desc("r6"), F.asc("id")
+    ).limit(20)
     w = Window.orderBy(F.desc("r6"), F.asc("id"))
     return (
-        ranks.select("id", F.round("rank", 6).alias("r6"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= 20)
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
         .select("id", F.col("r6").alias("rank"), "rn")
     )
 
@@ -145,13 +148,20 @@ def _q_forward_fill(spark, sf_dir):
 
 
 def _q_asof_fallback(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    """Keyed forward-fill with a SCOPED fallback: a purchase with no prior
+    signup for its user anchors to the latest signup in the user's shard
+    (user_id % 16 — the engine's analog of the reference's per-file scope).
+    No unpartitioned window anywhere in the plan."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("user_id") % 16).cast("long")
+    )
     filled = last_event_fallback(
         ev,
         ["user_id"],
         ["ts", "event_id"],
         F.when(F.col("event_type") == "signup", F.col("event_id")),
         "anchor_event_id",
+        fallback_scope_cols=["shard"],
     )
     return filled.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "anchor_event_id"
@@ -842,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, COALESCE("
             f"LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER ({w_uf}), "
             "LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER ("
+            "PARTITION BY user_id % 16 "
             "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             ") AS anchor_event_id FROM events) WHERE event_type = 'purchase'"
         ),

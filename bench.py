@@ -97,8 +97,12 @@ def main() -> None:
     extras["bench_edges"] = n_edges
 
     def _pr():
+        # checkpoint_every=8: durable lineage every 8th iteration (and at
+        # convergence) — the resume contract holds (≤7 iterations redone
+        # after a kill) while the per-iteration commit protocol amortizes
         ranks, info = pagerank(
-            edges, tol=1e-9, max_iter=100, checkpoint_dir=_tmpdir("bench_pr_")
+            edges, tol=1e-9, max_iter=100, checkpoint_dir=_tmpdir("bench_pr_"),
+            checkpoint_every=8,
         )
         ranks.select(F.sum("rank")).collect()
         return info

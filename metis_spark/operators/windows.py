@@ -9,15 +9,15 @@ machines become window frames:
 - sessionize: running count of *preceding* delimiter rows — the part-open
   semantics of PIR…PRR sessions (index increments after each PRR);
 - forward_fill: LAST_VALUE(ignore nulls) over an unbounded-preceding frame;
-- last_event_fallback: keyed forward-fill with a global last-event fallback
+- last_event_fallback: keyed forward-fill with a scoped last-event fallback
   (the wafer-id fallback of issue #26, stdf2ph5.py:341-345,548-553).
 
 All are Window specs partitioned by the session key — embarrassingly
-parallel across keys at any scale. The global fallback in
-``last_event_fallback`` is the one deliberate single-partition window
-(matching the reference's strictly-serial semantics); callers at 100 TB
-scope it per lot/repo partition exactly as the reference scopes it per
-STDF file.
+parallel across keys at any scale. The fallback in
+``last_event_fallback`` REQUIRES an explicit scope (``fallback_scope_cols``)
+— the reference's fallback is scoped per STDF file, this engine's per
+lot/repo/shard — so no shipped plan ever contains an unpartitioned
+Window.orderBy (which would drag the entire table through one task).
 """
 
 from __future__ import annotations
@@ -67,22 +67,38 @@ def last_event_fallback(
     order_cols: list[str],
     value: Column,
     out_col: str,
+    fallback_scope_cols: list,
 ) -> DataFrame:
-    """Keyed forward-fill, falling back to the most recent value globally.
+    """Keyed forward-fill, falling back to the most recent value in scope.
 
-    coalesce(last value within key, last value over all rows) — the
-    reference's "use the latest WIR if this wafer never got one".
+    coalesce(last value within key, last value within fallback scope) —
+    the reference's "use the latest WIR if this wafer never got one",
+    whose fallback scope is the STDF file (stdf2ph5.py:341-345,548-553).
+    ``fallback_scope_cols`` must be a coarsening of ``partition_cols``
+    (file/lot/repo/shard) and is REQUIRED: an unscoped fallback would be
+    a single-partition window over the whole table — the one plan shape
+    this engine refuses to ship. Expressions (e.g. ``user_id % 16``) are
+    accepted alongside column names.
     """
+    if not fallback_scope_cols:
+        raise ValueError(
+            "last_event_fallback requires fallback_scope_cols (file/lot/shard); "
+            "an unscoped global fallback would funnel the table through one task"
+        )
     w_key = (
         Window.partitionBy(*partition_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    w_scope = (
+        Window.partitionBy(*fallback_scope_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return df.withColumn(
         out_col,
         F.coalesce(
             F.last(value, ignorenulls=True).over(w_key),
-            F.last(value, ignorenulls=True).over(w_all),
+            F.last(value, ignorenulls=True).over(w_scope),
         ),
     )

@@ -104,7 +104,12 @@ def connected_components(
     k = start_iter
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
-        after_large = _min_star(cur, large=True)
+        # no distinct after either star: duplicate edges don't change the
+        # min aggregations (map-side partial min absorbs multiplicity), and
+        # the single canonicalize distinct below dedups the round's output —
+        # one full-width exchange per round instead of two (plan pinned by
+        # test_plan_shape.test_cc_round_single_dedup_exchange)
+        after_large = _min_star(cur, large=True, dedup=False)
         after_small = _min_star(after_large, large=False, dedup=False)
         # canonicalize orientation for the next round / fixpoint test
         nxt = (

@@ -62,11 +62,21 @@ def pagerank(
     resume: bool = True,
     salt: int | None = None,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(id, rank), info{iterations, delta, seconds, converged}).
 
     ``vertices`` (id long) may include isolated vertices; defaults to edge
     endpoints. Ranks sum to 1 over all vertices.
+
+    ``checkpoint_every=k``: commit durable state+lineage every k-th
+    iteration (and always at convergence); intermediate iterations
+    truncate the plan with an eager localCheckpoint and fold their
+    delta/dangling-mass scalars into one in-memory agg pass. Resume
+    restarts from the last COMMIT, recomputing ≤ k-1 iterations — the
+    standard durability/throughput dial for iterative jobs. k=1 is the
+    fully-durable default; the resume contract and final state are
+    identical for every k (pinned by tests).
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -175,20 +185,33 @@ def pagerank(
             # scan's task scheduling are per-FILE costs paid every iteration
             .repartition(max(8, num_partitions // 8))
         )
-        state, totals = cm.commit(
-            k,
-            new_state,
-            {"converged": False, "c": c_k},
-            extra_aggs={
-                "delta": F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
-                "dm": F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))),
-                "mass": F.sum("rank"),
-            },
-        )
+        extra_aggs = {
+            "delta": F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
+            "dm": F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))),
+            "mass": F.sum("rank"),
+        }
+        committed = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        if committed:
+            state, totals = cm.commit(k, new_state, {"converged": False, "c": c_k},
+                                      extra_aggs=extra_aggs)
+        else:
+            # plan truncation without the durable-commit protocol: eager
+            # localCheckpoint materializes the state in executor storage
+            # (freed by the ContextCleaner when the ref drops), and ONE
+            # in-memory agg pass folds the per-iteration scalars
+            state = new_state.localCheckpoint(eager=True)
+            row = state.agg(*[c.alias(name) for name, c in extra_aggs.items()]).collect()[0]
+            totals = {name: row[name] for name in extra_aggs}
         delta = float(totals["delta"])
         dm_prev = float(totals["dm"])
         converged = delta < tol
-        cm.update_meta(k, {"converged": converged, "delta": delta})
+        if converged and not committed:
+            # always durable at convergence (resume must see the fixpoint)
+            state, totals = cm.commit(k, state, {"converged": False, "c": c_k},
+                                      extra_aggs=extra_aggs)
+            committed = True
+        if committed:
+            cm.update_meta(k, {"converged": converged, "delta": delta})
         cm.append_metrics(
             {
                 "iter": k,
@@ -197,6 +220,7 @@ def pagerank(
                 "rows": n,
                 "mass": float(totals["mass"]),
                 "dm": dm_prev,
+                "committed": committed,
             }
         )
         ranks = state.select("id", "dangling", "rank")

@@ -81,3 +81,41 @@ def test_small_dim_join_broadcasts(spark):
     dim = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
     plan = _executed(fact.join(dim, "k"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_cc_round_single_dedup_exchange(spark):
+    """One CC round carries exactly ONE distinct (the canonicalize step):
+    folding the star-output dedups away saves a full-width exchange per
+    round. 22 exchanges measured for the fused round; a reintroduced
+    distinct adds one back."""
+    from metis_spark.plans.components import _min_star
+
+    edges = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("src"), ((F.col("id") * 7 + 3) % 500).alias("dst")
+    ).where("src <> dst")
+    cur = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    after_large = _min_star(cur, large=True, dedup=False)
+    after_small = _min_star(after_large, large=False, dedup=False)
+    nxt = (
+        after_small.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    assert _executed(nxt).count("Exchange") <= 22
+
+
+def test_no_unpartitioned_window_in_shipped_queries(spark):
+    """No shipped query plan may move the whole table through a single
+    unpartitioned Window sort (the reference's serial-scan semantics are
+    expressed per scope instead)."""
+    import __spark_entry__ as E
+
+    plan = _executed(E.queries()["asof_fallback_join"](spark, TESTDATA))
+    # the physical marker of an unpartitioned window (or any other
+    # all-rows-to-one-task funnel) is an Exchange SinglePartition
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan

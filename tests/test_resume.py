@@ -119,3 +119,41 @@ def test_cc_resume(spark, tmp_path):
     a = {r["id"]: r["component"] for r in full.collect()}
     b = {r["id"]: r["component"] for r in resumed.collect()}
     assert a == b
+
+
+def test_pagerank_checkpoint_every_equivalent_and_resumable(spark, tmp_path):
+    """checkpoint_every=k must not change the math: identical converged
+    ranks, commits only on the k-schedule (+ convergence), and resume from
+    the last commit reproduces the k=1 fixpoint exactly."""
+    import os
+
+    import pytest as _pytest
+
+    edges = edges_df(spark, random_graph(n=50, p=0.06, seed=5))
+    d1, d3 = str(tmp_path / "e1"), str(tmp_path / "e3")
+    r1, i1 = pagerank(edges, checkpoint_dir=d1, tol=1e-10)
+    r3, i3 = pagerank(edges, checkpoint_dir=d3, tol=1e-10, checkpoint_every=3)
+    assert i1["iterations"] == i3["iterations"] and i3["converged"]
+    a = {r["id"]: r["rank"] for r in r1.collect()}
+    b = {r["id"]: r["rank"] for r in r3.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == _pytest.approx(b[k], abs=1e-12)
+    # only scheduled/convergence iterations are durable
+    committed = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(os.path.join(d3, "pagerank"))
+        if n.startswith("iter=")
+    )
+    assert committed == [k for k in committed if k % 3 == 0 or k == i3["iterations"]]
+    assert len(committed) < i3["iterations"]
+    # kill mid-schedule, resume, same fixpoint
+    dk = str(tmp_path / "kill")
+    pagerank(edges, checkpoint_dir=dk, tol=1e-10, max_iter=5, checkpoint_every=3)
+    cm = CheckpointManager(dk, "pagerank")
+    assert cm.latest() in (3, 5)  # 5 == max_iter forces a durable final state
+    resumed, ir = pagerank(edges, checkpoint_dir=dk, tol=1e-10, checkpoint_every=3)
+    assert ir["converged"]
+    c = {r["id"]: r["rank"] for r in resumed.collect()}
+    for k in a:
+        assert a[k] == _pytest.approx(c[k], abs=1e-12)
