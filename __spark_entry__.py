@@ -386,6 +386,9 @@ def _q_json_hour(spark, sf_dir):
 
 
 SSSP_ROUNDS = 6  # ≥ graph diameter (≤4 at every sf) so BFS has converged
+SSSP_W_ROUNDS = 8  # weighted relaxation converges in ≤6 rounds at every sf
+# deterministic per-edge weight, reproducible on both engines
+_W_EXPR = "(src * 7 + dst * 13) % 10 + 1"
 
 
 def _q_sssp(spark, sf_dir):
@@ -397,6 +400,23 @@ def _q_sssp(spark, sf_dir):
         edges, sources=[int(src)],
         checkpoint_dir=_tmpdir("metis_qsssp_"),
         max_iter=SSSP_ROUNDS,
+    )
+    return dists
+
+
+def _q_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford relaxation on
+    the shared checkpoint spine); weights derived deterministically so the
+    unrolled-CTE DuckDB twin reproduces them."""
+    from metis_spark.plans.sssp import shortest_paths
+
+    edges = derived_edges(spark, sf_dir).withColumn("w", F.expr(_W_EXPR))
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    dists, _ = shortest_paths(
+        edges, sources=[int(src)],
+        checkpoint_dir=_tmpdir("metis_qssspw_"),
+        max_iter=SSSP_W_ROUNDS,
+        weight_col="w",
     )
     return dists
 
@@ -625,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "csr_adjacency": _q_csr,
         "sssp_hops": _q_sssp,
+        "sssp_weighted": _q_sssp_weighted,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
@@ -686,19 +707,21 @@ def _cc_sql() -> str:
     )
 
 
-def _sssp_sql() -> str:
+def _sssp_sql(weighted: bool = False) -> str:
+    rounds = SSSP_W_ROUNDS if weighted else SSSP_ROUNDS
+    relax_w = _W_EXPR.replace("src", "e.src").replace("dst", "e.dst") if weighted else "1"
     ctes = [_EDGES_SQL.strip(),
             "srcv AS (SELECT LEAST(MIN(src), MIN(dst)) AS s FROM edges)",
             "d0 AS (SELECT (SELECT s FROM srcv) AS id, 0::BIGINT AS dist)"]
-    for i in range(1, SSSP_ROUNDS + 1):
+    for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(
             f"d{i} AS (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
             f"SELECT id, dist FROM d{p} UNION ALL "
-            f"SELECT e.dst AS id, d.dist + 1 AS dist FROM edges e JOIN d{p} d ON e.src = d.id"
+            f"SELECT e.dst AS id, d.dist + ({relax_w}) AS dist FROM edges e JOIN d{p} d ON e.src = d.id"
             f") GROUP BY id)"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{SSSP_ROUNDS}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{rounds}"
 
 
 def _lpa_sql() -> str:
@@ -925,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b"
         ),
         "sssp_hops": _sssp_sql(),
+        "sssp_weighted": _sssp_sql(weighted=True),
         "csr_adjacency": (
             f"WITH {_EDGES_SQL.strip()} "
             "SELECT src, COUNT(*)::BIGINT AS deg, "

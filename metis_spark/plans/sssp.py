@@ -1,21 +1,26 @@
-"""Single-source shortest hops (BFS) — bonus algorithm on the same spine.
+"""Single-source shortest paths (hop-count BFS and weighted Bellman-Ford)
+— bonus algorithms on the same spine.
 
-Not mandated by the north rule, but a link-graph engine user expects it;
-it reuses the exact machinery the mandated algorithms pin down: iterative
-DataFrame join+agg with the edge side hash-partitioned once, shuffle-hash
-joins (never re-sort the edge side), per-iteration checkpoint +
-per-partition lineage through CheckpointManager, and mid-algorithm
-resume.
+Not mandated by the north rule, but a link-graph engine user expects
+them; they reuse the exact machinery the mandated algorithms pin down:
+iterative DataFrame join+agg with the edge side hash-partitioned once,
+shuffle-hash joins (never re-sort the edge side), per-iteration
+checkpoint + per-partition lineage through CheckpointManager, and
+mid-algorithm resume.
 
-State: (id, dist) with dist = hop count from the source set (long,
+State: (id, dist) with dist = distance from the source set (long,
 unreachable vertices absent until reached). Per round:
 
-    relax = edges ⋈ frontier → (dst, dist+1)
+    relax = edges ⋈ state → (dst, dist + w)     (w ≡ 1 for hop BFS)
     next  = min(old dist, relaxed dist) per vertex
     stop when no vertex improved (changed == 0)
 
-Rounds are bounded by the graph diameter; each round is two Spark jobs
-(commit write + lineage scan), exactly like PageRank.
+Relaxing the FULL state each round (not just the frontier) is the
+Bellman-Ford shape: with weights, a vertex can improve again after it
+was first reached, so hop-frontier pruning would be wrong. Rounds are
+bounded by the longest shortest path's hop count (graph diameter for
+w≡1); each round is two Spark jobs (commit write + lineage scan),
+exactly like PageRank.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ from pyspark.sql import functions as F
 from metis_spark.plans.checkpoint import CheckpointManager
 
 
-def shortest_hops(
+def shortest_paths(
     edges: DataFrame,
     sources: list[int],
     max_iter: int = 50,
@@ -37,8 +42,14 @@ def shortest_hops(
     resume: bool = True,
     num_partitions: int | None = None,
     directed: bool = True,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
-    """edges(src,dst) + source ids → (dists(id, dist), info). BFS hop counts."""
+    """edges(src,dst[,weight]) + source ids → (dists(id, dist), info).
+
+    ``weight_col=None`` → hop counts (BFS); a long-typed column name →
+    weighted shortest distances (Bellman-Ford relaxation; weights must be
+    non-negative for the min-fold to converge to true distances).
+    """
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -46,9 +57,12 @@ def shortest_hops(
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_sssp_")
     cm = CheckpointManager(checkpoint_dir, "sssp")
 
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"), w.alias("w"))
     if not directed:
-        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))
+        )
     e = e.repartition(num_partitions, "src").persist()
     e.count()
 
@@ -71,7 +85,7 @@ def shortest_hops(
         it_t0 = time.monotonic()
         relaxed = (
             e.join(dists.hint("shuffle_hash"), e["src"] == dists["id"])
-            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         nxt = (
             dists.unionByName(relaxed)
@@ -108,3 +122,21 @@ def shortest_hops(
 
     e.unpersist()
     return dists, {"iterations": k, "converged": converged, "seconds": time.monotonic() - t0}
+
+
+def shortest_hops(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    directed: bool = True,
+) -> tuple[DataFrame, dict]:
+    """BFS hop counts — shortest_paths with unit weights (kept as the
+    stable name the round-1 API shipped)."""
+    return shortest_paths(
+        edges, sources, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+        resume=resume, num_partitions=num_partitions, directed=directed,
+        weight_col=None,
+    )

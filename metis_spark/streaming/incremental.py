@@ -11,10 +11,16 @@ micro-batches:
   of the reference's consumed byte offset), dedups by sha against bronze,
   and appends. ``finalize()`` runs the downstream edge build exactly once
   over the accumulated bronze — the MRR-triggered batch finalization.
-- ``streaming_edge_counts``: the Structured Streaming shape — a
-  readStream over the drop directory with per-micro-batch
-  count-by-kind audit (A1) through ``foreachBatch``. Used by tests with
-  the file source + ``processAllAvailable`` (synchronous drain).
+- ``streaming_bronze_ingest``: the FULL pipeline as Structured
+  Streaming — readStream over the drop directory, each micro-batch
+  sha-deduped and appended to bronze through ``foreachBatch``
+  (mirroring the reference's live path that runs the whole demux and
+  finalizes on EOS, metis_sink.py:163-166). Exactly-once effect comes
+  from the idempotent sink (the (repo,path,commit,sha) anti-join makes
+  micro-batch replays no-ops), not from output-commit magic.
+- ``streaming_edge_counts``: per-micro-batch count-by-kind audit (A1).
+  Used by tests with the file source + ``processAllAvailable``
+  (synchronous drain).
 
 At 100 TB the drop directory is an Iceberg table and ``poll`` becomes
 snapshot-based incremental reads; the offset bookkeeping below is the
@@ -75,6 +81,33 @@ class IncrementalIngest:
         from metis_spark.operators.edges import resolve_edges
 
         return resolve_edges(self.bronze().select("repo", "path", "commit", "lang", "content"))
+
+
+def streaming_bronze_ingest(
+    spark: SparkSession, drop_dir: str, bronze_path: str, checkpoint_dir: str
+) -> "object":
+    """Structured-Streaming bronze ingest: every micro-batch is validated,
+    sha-pinned, deduped against bronze and appended (the same
+    ``bronze_ingest`` kernel as the batch path, so streamed and batch
+    bronze are byte-identical — pinned by tests). Returns the
+    StreamingQuery; drive with processAllAvailable() + stop(), then run
+    the downstream edge build over ``bronze`` — the EOS-triggered
+    finalization of the reference's live path.
+    """
+    stream = (
+        spark.readStream.schema(SOURCES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        bronze_ingest_counted(batch_df.sparkSession, batch_df, bronze_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def streaming_edge_counts(

@@ -55,3 +55,59 @@ def test_sssp_resume(spark, tmp_path):
     a = {r["id"]: r["dist"] for r in full.collect()}
     b = {r["id"]: r["dist"] for r in resumed.collect()}
     assert a == b
+
+
+def _dijkstra_oracle(wedges, sources):
+    import heapq
+
+    adj = collections.defaultdict(list)
+    for s, d, w in wedges:
+        adj[s].append((d, w))
+    dist = {s: 0 for s in sources}
+    pq = [(0, s) for s in sources]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_weighted_matches_dijkstra_oracle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from metis_spark.plans.sssp import shortest_paths
+
+    g = random_graph(n=60, p=0.05, seed=81)
+    wedges = [(s, d, (s * 7 + d * 13) % 10 + 1) for s, d in g]
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    dists, info = shortest_paths(
+        e, sources=[0], checkpoint_dir=str(tmp_path / "w"), weight_col="w"
+    )
+    assert info["converged"]
+    got = {r["id"]: r["dist"] for r in dists.collect()}
+    assert got == _dijkstra_oracle(wedges, [0])
+    # a weighted geodesic that beats the hop-count geodesic must exist in a
+    # graph with weight spread, otherwise this test proves nothing
+    hops, _ = shortest_paths(e, sources=[0], checkpoint_dir=str(tmp_path / "h"))
+    hop_d = {r["id"]: r["dist"] for r in hops.collect()}
+    assert any(got[v] != hop_d[v] for v in got)
+
+
+def test_weighted_resume(spark, tmp_path):
+    from metis_spark.plans.sssp import shortest_paths
+
+    g = random_graph(n=60, p=0.05, seed=82)
+    wedges = [(s, d, (s * 5 + d * 3) % 7 + 1) for s, d in g]
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    full, _ = shortest_paths(e, sources=[0], checkpoint_dir=str(tmp_path / "f"), weight_col="w")
+    shortest_paths(e, sources=[0], checkpoint_dir=str(tmp_path / "p"), weight_col="w", max_iter=2)
+    resumed, info = shortest_paths(e, sources=[0], checkpoint_dir=str(tmp_path / "p"), weight_col="w")
+    assert info["converged"]
+    a = {r["id"]: r["dist"] for r in full.collect()}
+    b = {r["id"]: r["dist"] for r in resumed.collect()}
+    assert a == b

@@ -90,3 +90,45 @@ def test_cli_end_to_end(tmp_path):
     assert res["pagerank"]["converged"]
     for artifact in ("bronze", "vertices", "edges", "csr", "ranks", "components", "labels", "triangles"):
         assert os.path.isdir(os.path.join(workdir, artifact)), artifact
+
+
+def test_streaming_bronze_matches_batch_bronze(spark, tmp_path):
+    """foreachBatch bronze ingest reconciles exactly with the batch path:
+    same row count, same sha multiset, and a second stream over the same
+    drop dir appends nothing (idempotent sink = exactly-once effect).
+    Analog of the reference's live-vs-batch byte-identity check
+    (/root/reference/tests/test_gst_ok.py:114-156)."""
+    from metis_spark.sources.ingest import bronze_ingest
+    from metis_spark.streaming.incremental import streaming_bronze_ingest
+
+    drop = _drop_batches(spark, tmp_path)
+    stream_bronze = str(tmp_path / "bronze_stream")
+    q = streaming_bronze_ingest(spark, drop + "/*", stream_bronze, str(tmp_path / "ck1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_bronze = str(tmp_path / "bronze_batch")
+    batch = bronze_ingest(spark, generate_corpus(spark, 60, 3), batch_bronze)
+
+    streamed = spark.read.parquet(stream_bronze)
+    assert streamed.count() == batch.count() == 60
+    shas_s = sorted(r["sha"] for r in streamed.select("sha").collect())
+    shas_b = sorted(r["sha"] for r in batch.select("sha").collect())
+    assert shas_s == shas_b
+
+    # replay the whole drop dir through a FRESH stream (new checkpoint):
+    # the idempotent sink must append nothing
+    q2 = streaming_bronze_ingest(spark, drop + "/*", stream_bronze, str(tmp_path / "ck2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(stream_bronze).count() == 60
+
+    # EOS finalization: edge build over streamed bronze == ledger
+    from metis_spark.operators.edges import resolve_edges
+
+    edges = resolve_edges(streamed.select("repo", "path", "commit", "lang", "content"))
+    assert edges.count() == len(corpus_ledger(60, 3))
