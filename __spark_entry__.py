@@ -480,6 +480,17 @@ def _q_minhash_lsh(spark, sf_dir):
     return DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
 
 
+def _q_minhash_jaccard(spark, sf_dir):
+    """The enforced at-scale dedup composition: MinHash-LSH candidates →
+    exact Jaccard verification via array_intersect (no shingle self-join).
+    This is the query a 100 TB pipeline ships; ngram_jaccard_dedup is the
+    all-pairs baseline it is checked against."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    verified = DD.jaccard_verify_pairs(docs, cands, "doc_id", "text", k=3, min_jaccard=0.8)
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.repartition(spark.sparkContext.defaultParallelism).select(
@@ -652,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline pack
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "minhash_jaccard_dedup": _q_minhash_jaccard,
         "simhash_fingerprint": _q_simhash,
         "simhash_neardup_h3": _q_simhash_neardup,
         "ann_cosine_topk": _q_ann_topk,
@@ -782,6 +794,16 @@ _SHINGLES_SQL = (
     "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_distinct(list_transform("
     "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
     "ELSE []::VARCHAR[] END AS s FROM toks)"
+)
+_MINHASH_CTES = (
+    _TOKS_SQL + ", " + _SHINGLES_SQL + ", "
+    "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+    "mh AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash "
+    "FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed), "
+    "bands AS (SELECT doc_id, (seed // 2)::INT AS band, "
+    "string_agg(minhash, '#' ORDER BY minhash) AS band_key FROM mh GROUP BY doc_id, (seed // 2)::INT), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
 )
 _SIMHASH_CTE = (
     _TOKS_SQL + ", "
@@ -1007,14 +1029,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8"
         ),
         "minhash_lsh_candidates": (
-            f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
-            "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
-            "mh AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash "
-            "FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) GROUP BY doc_id, seed), "
-            "bands AS (SELECT doc_id, (seed // 2)::INT AS band, "
-            "string_agg(minhash, '#' ORDER BY minhash) AS band_key FROM mh GROUP BY doc_id, (seed // 2)::INT) "
-            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
-            "JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+            f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM cand"
+        ),
+        "minhash_jaccard_dedup": (
+            f"WITH {_MINHASH_CTES}, "
+            "sets AS (SELECT doc_id, s FROM sh WHERE len(s) > 0) "
+            "SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM ("
+            "SELECT c.doc_a, c.doc_b, "
+            "len(list_intersect(sa.s, sb.s))::DOUBLE "
+            "/ (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE AS j "
+            "FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a JOIN sets sb ON sb.doc_id = c.doc_b"
+            ") WHERE j >= 0.8"
         ),
         "simhash_fingerprint": (
             f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh60"

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("metis_spark")
     p.add_argument("--algo", required=True,
-                   choices=["ingest", "extract", "pagerank", "cc", "lpa", "triangles", "all"])
+                   choices=["ingest", "extract", "pagerank", "cc", "lpa", "triangles",
+                            "sssp", "all"])
     p.add_argument("--sources", help="path of the sources table (parquet dir)")
     p.add_argument("--generate", type=int, default=0,
                    help="generate a synthetic corpus of N files instead of reading --sources")
@@ -36,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt", type=int, default=0)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="durable commit every k-th PageRank iteration (1 = every)")
+    p.add_argument("--sssp-source", type=int, default=None,
+                   help="source vertex id for --algo sssp (default: min vertex id)")
+    p.add_argument("--sssp-weighted", action="store_true",
+                   help="use per-edge weight (src*7+dst*13)%%10+1 instead of hop counts")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
@@ -95,7 +102,7 @@ def main(argv: list[str] | None = None) -> None:
         ranks, info = pagerank(
             edges, d=args.damping, tol=args.tol, max_iter=args.max_iter,
             checkpoint_dir=chk, resume=not args.no_resume,
-            salt=args.salt or None,
+            salt=args.salt or None, checkpoint_every=args.checkpoint_every,
         )
         ranks.write.mode("overwrite").parquet(os.path.join(args.workdir, "ranks"))
         out["pagerank"] = info
@@ -112,6 +119,23 @@ def main(argv: list[str] | None = None) -> None:
         triangle_count_per_vertex(edges).write.mode("overwrite").parquet(
             os.path.join(args.workdir, "triangles")
         )
+    if args.algo in ("sssp", "all"):
+        from metis_spark.plans.sssp import shortest_paths
+
+        src = args.sssp_source
+        if src is None:
+            src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+        e = edges
+        wcol = None
+        if args.sssp_weighted:
+            e = edges.withColumn("w", (F.col("src") * 7 + F.col("dst") * 13) % 10 + 1)
+            wcol = "w"
+        dists, info = shortest_paths(
+            e, sources=[int(src)], checkpoint_dir=chk,
+            resume=not args.no_resume, max_iter=args.max_iter, weight_col=wcol,
+        )
+        dists.write.mode("overwrite").parquet(os.path.join(args.workdir, "dists"))
+        out["sssp"] = dict(info, source=int(src), weighted=bool(wcol))
 
     print(json.dumps(out, default=str))
 

@@ -110,6 +110,45 @@ def minhash_signatures(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over CANDIDATE pairs only → (doc_a, doc_b, jaccard).
+
+    The enforced at-scale composition (candidates from
+    ``minhash_candidates``): per-doc distinct shingle ARRAYS are joined to
+    the candidate pairs and |A∩B| is a JVM-side ``array_intersect`` — no
+    shingle self-join, so cost is O(|candidates| · shingles-per-doc)
+    instead of quadratic in hot-shingle frequency. ``ngram_jaccard_pairs``
+    below remains the all-pairs baseline/oracle.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
+        F.col(id_col).alias("doc"),
+        shingles(tokens(F.col(text_col)), k).alias("s"),
+    ).where(F.size("s") > 0)
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("sb"))
+    shared = F.size(F.array_intersect("sa", "sb"))
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            shared.cast("double")
+            / (F.size("sa") + F.size("sb") - shared).cast("double"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,

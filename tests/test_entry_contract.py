@@ -47,10 +47,10 @@ def test_entry_smoke(spark):
     assert [f.name for f in df.schema.fields] == ["id", "rank", "rn"]
 
 
-# queries intentionally without a SQL oracle (driver applies rows-only check):
-# the LSH hyperplanes are md5-derived driver-side constants, not expressible
-# as portable SQL without inlining ~1500 literals
-ROWS_ONLY = {"ann_lsh_bucketed", "media_decode_stats", "media_feature_dims"}
+# round 2 closed the rows-only set: the LSH hyperplanes are reproduced in
+# SQL from the same md5 derivation, and the media decode recipe has a
+# closed-form ground truth — every query now has a full oracle twin
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_declared(spark):
