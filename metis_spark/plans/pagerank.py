@@ -103,8 +103,9 @@ def pagerank(
     if salt and salt > 1:
         ew = ew.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt)).cast("int"))
         ew = ew.repartition(num_partitions, "src", "_salt")
+    # persist is lazy: iteration 1's job materializes the cache (no extra
+    # eager count job — same total work, one fewer driver round-trip)
     ew = ew.persist()
-    ew.count()  # materialize once; reused every iteration
 
     # state: (id, dangling, rank); dangling (static per vertex) = appears as
     # dst but never as src. Default vertex set = edge endpoints via one
@@ -121,7 +122,14 @@ def pagerank(
             .join(srcs.hint("shuffle_hash"), "id", "left")
             .select("id", F.coalesce(F.col("nd"), F.lit(True)).alias("dangling"))
         )
-    base0 = state0.persist()  # keep the cached handle: rebinding below would orphan it
+    from pyspark.sql import Observation
+
+    # the dangling-vertex count folds into the same job that counts and
+    # caches the initial state (dm_0 = |dangling| / n under uniform ranks)
+    obs0 = Observation("pr_init")
+    base0 = state0.observe(
+        obs0, F.sum(F.col("dangling").cast("long")).alias("nd")
+    ).persist()  # keep the cached handle: rebinding below would orphan it
     state0 = base0
     n = state0.count()
     if n == 0:
@@ -153,9 +161,14 @@ def pagerank(
                     "converged": True, "n": n, "resumed": True,
                 }
     if dm_prev is None:
-        dm_prev = float(
-            ranks.where(F.col("dangling")).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
-        )
+        if start_iter == 0:
+            # fresh start: ranks are uniform 1/n, so Σ rank over dangling
+            # vertices is |dangling|/n — already observed, no extra job
+            dm_prev = float(obs0.get["nd"] or 0) / n
+        else:  # resumed from a checkpoint whose meta predates the dm total
+            dm_prev = float(
+                ranks.where(F.col("dangling")).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+            )
 
     delta = float("inf")
     k = start_iter
@@ -180,10 +193,6 @@ def pagerank(
                 ).alias("rank"),
                 F.col("rank").alias("old_rank"),
             )
-            # condense the vertex state into few, large checkpoint files: the
-            # driver-serial commit protocol (file renames) and the lineage
-            # scan's task scheduling are per-FILE costs paid every iteration
-            .repartition(max(8, num_partitions // 8))
         )
         extra_aggs = {
             "delta": F.sum(F.abs(F.col("rank") - F.col("old_rank"))),
@@ -192,16 +201,28 @@ def pagerank(
         }
         committed = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
         if committed:
-            state, totals = cm.commit(k, new_state, {"converged": False, "c": c_k},
+            # condense the vertex state into few, large checkpoint files: the
+            # driver-serial commit protocol (file renames) and the lineage
+            # scan's task scheduling are per-FILE costs; non-commit
+            # iterations skip this exchange entirely (no files to condense)
+            condensed = new_state.repartition(max(8, num_partitions // 8))
+            state, totals = cm.commit(k, condensed, {"converged": False, "c": c_k},
                                       extra_aggs=extra_aggs)
         else:
-            # plan truncation without the durable-commit protocol: eager
-            # localCheckpoint materializes the state in executor storage
-            # (freed by the ContextCleaner when the ref drops), and ONE
-            # in-memory agg pass folds the per-iteration scalars
-            state = new_state.localCheckpoint(eager=True)
-            row = state.agg(*[c.alias(name) for name, c in extra_aggs.items()]).collect()[0]
-            totals = {name: row[name] for name in extra_aggs}
+            # plan truncation without the durable-commit protocol: an eager
+            # localCheckpoint materializes into executor storage (freed by
+            # the ContextCleaner when the ref drops), and an Observation
+            # node folds the per-iteration scalars into that SAME job —
+            # non-commit iterations cost ONE Spark job, no re-scan. (A lazy
+            # localCheckpoint measured 2x slower here: AQE re-executes the
+            # un-materialized plan across the follow-up actions.)
+            from pyspark.sql import Observation
+
+            obs = Observation(f"pr_iter_{k}")
+            state = new_state.observe(
+                obs, *[c.alias(name) for name, c in extra_aggs.items()]
+            ).localCheckpoint(eager=True)
+            totals = obs.get
         delta = float(totals["delta"])
         dm_prev = float(totals["dm"])
         converged = delta < tol
