@@ -38,6 +38,12 @@ from metis_spark.operators.windows import (  # noqa: E402
 )
 from metis_spark.plans.components import connected_components  # noqa: E402
 from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
 from metis_spark.plans.pagerank import pagerank  # noqa: E402
 from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count,
@@ -82,6 +88,35 @@ edges AS MATERIALIZED (
   FROM lineitem WHERE l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
 ),
 verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  ) WHERE src <> dst
+)
+"""
+
+SPARSE_MOD = 4096  # metrics-pack graph: avg degree ~15 at sf0.01, so the
+# wedge/clustering metrics see realistic sparse-graph structure (mod-301 is
+# near-complete at sf≥0.01 — every pair adjacent, link prediction vacuous)
+
+
+def derived_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % SPARSE_MOD).alias("src"),
+            (F.col("l_partkey") % SPARSE_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGES_SPARSE_SQL = f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {SPARSE_MOD} AS src, l_partkey % {SPARSE_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {SPARSE_MOD} <> l_partkey % {SPARSE_MOD}
+),
 und AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
@@ -622,6 +657,30 @@ def _q_corpus_curation(spark, sf_dir):
     return scored.where(F.col("score") >= 0.5)
 
 
+LINKPRED_K = 50
+HUB_CAP = 128  # wedge-center degree bound for the link predictors
+
+
+def _q_local_clustering(spark, sf_dir):
+    return local_clustering(derived_edges_sparse(spark, sf_dir))
+
+
+def _q_assortativity(spark, sf_dir):
+    return degree_assortativity(derived_edges_sparse(spark, sf_dir))
+
+
+def _q_adamic_adar(spark, sf_dir):
+    return adamic_adar_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+
+def _q_vertex_jaccard(spark, sf_dir):
+    return vertex_jaccard_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-semantics operator pack (SURVEY.md §2)
@@ -657,6 +716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_adjacency": _q_csr,
         "sssp_hops": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
+        # link-graph analytics metrics
+        "local_clustering": _q_local_clustering,
+        "degree_assortativity": _q_assortativity,
+        "adamic_adar_topk": _q_adamic_adar,
+        "vertex_jaccard_topk": _q_vertex_jaccard,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
@@ -679,6 +743,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------- oracles ---
+
+_DEG_SQL = "deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)"
+# capped wedge join: the DuckDB twin of plans/metrics._wedges — centers with
+# deg(w) > HUB_CAP dropped before the self-join, identical to the Spark plan
+_WEDGE_SQL = (
+    "wedge AS (SELECT h1.dst AS u, h2.dst AS v, h1.src AS w, d.deg AS deg_w "
+    "FROM und h1 JOIN und h2 ON h1.src = h2.src AND h1.dst < h2.dst "
+    "JOIN deg d ON d.id = h1.src WHERE d.deg <= {cap})"
+).format(cap=128)
+
 
 def _pagerank_sql() -> str:
     d, n_iters = 0.85, PR_ITERS
@@ -971,6 +1045,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp_hops": _sssp_sql(),
         "sssp_weighted": _sssp_sql(weighted=True),
+        "local_clustering": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "members AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "cnt AS (SELECT id, COUNT(*)::BIGINT AS n FROM members GROUP BY id) "
+            "SELECT d.id, d.deg, COALESCE(c.n, 0)::BIGINT AS triangles, "
+            "CASE WHEN d.deg >= 2 THEN ROUND(2.0 * COALESCE(c.n, 0) / (d.deg * (d.deg - 1)), 6) "
+            "ELSE 0.0::DOUBLE END AS lcc "
+            "FROM deg d LEFT JOIN cnt c ON d.id = c.id"
+        ),
+        "degree_assortativity": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL} "
+            "SELECT (COUNT(*) / 2)::BIGINT AS n_edges, "
+            "ROUND(corr(ds.deg, dd.deg), 6) AS assortativity "
+            "FROM und JOIN deg ds ON und.src = ds.id JOIN deg dd ON und.dst = dd.id"
+        ),
+        "adamic_adar_topk": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "
+            "sc AS (SELECT u, v, ROUND(SUM(1.0 / ln(deg_w)), 6) AS score "
+            "FROM wedge GROUP BY u, v), "
+            "na AS (SELECT s.u, s.v, s.score FROM sc s "
+            "WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = s.u AND e.dst = s.v)) "
+            "SELECT u, v, score, rn FROM (SELECT u, v, score, "
+            "ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC)::BIGINT AS rn FROM na) "
+            f"WHERE rn <= {LINKPRED_K}"
+        ),
+        "vertex_jaccard_topk": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "
+            "wc AS (SELECT u, v, COUNT(*)::BIGINT AS n_common FROM wedge GROUP BY u, v), "
+            "sc AS (SELECT w.u, w.v, w.n_common, "
+            "ROUND(w.n_common / (du.deg + dv.deg - w.n_common)::DOUBLE, 6) AS jaccard "
+            "FROM wc w JOIN deg du ON w.u = du.id JOIN deg dv ON w.v = dv.id "
+            "WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v)) "
+            "SELECT u, v, n_common, jaccard, rn FROM (SELECT u, v, n_common, jaccard, "
+            "ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC)::BIGINT AS rn FROM sc) "
+            f"WHERE rn <= {LINKPRED_K}"
+        ),
         "csr_adjacency": (
             f"WITH {_EDGES_SQL.strip()} "
             "SELECT src, COUNT(*)::BIGINT AS deg, "

@@ -1,0 +1,182 @@
+"""Link-graph analytics metrics: clustering coefficient, assortativity,
+and neighborhood-overlap link prediction (Adamic-Adar, vertex Jaccard).
+
+These are the next queries a link-graph user runs after the core four
+(pagerank / components / labels / triangles) — "how clustered is the
+dependency graph", "which files are likely to co-import next". The
+reference's analytics layer exposes the analogous per-group descriptive
+statistics over its result tables (Metis/metis/PandasHelpers.py:21-40);
+here each metric is a first-class distributed plan.
+
+Scale design (the part that matters at 10^12 files):
+- Every metric is built from the undirected degree table and at most one
+  *wedge join* (adjacency ⋈ adjacency on the wedge center w). The wedge
+  join fans out deg(w)^2 pairs per center — on a power-law graph the
+  hubs dominate, so both prediction operators take a ``hub_cap`` and
+  drop wedge centers with deg(w) > hub_cap. This is the standard
+  web-scale bound (hubs contribute ~1/log(deg) ≈ 0 to Adamic-Adar and
+  connect everything to everything in Jaccard, so capping loses almost
+  no signal while turning O(Σ deg²) into O(Σ min(deg, cap)²)).
+  The cap is part of the operator's declared semantics — the DuckDB
+  oracles apply the identical cap, so correctness is pinned WITH the
+  bound, not on an uncapped toy variant.
+- No crossJoin / CartesianProduct anywhere; candidate pairs only ever
+  materialize through the band-limited wedge equi-join.
+- Clustering coefficient reuses the degree-oriented triangle counts
+  (plans/triangles.py) — O(m^1.5) bound, adjacency rows ≤ O(√m).
+- Assortativity is two scalar shuffles (degree groupBy + one corr agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metis_spark.plans.triangles import triangle_count_per_vertex
+
+
+def _und(edges: DataFrame) -> DataFrame:
+    """Symmetric (src, dst) view of the undirected simple graph."""
+    fwd = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    rev = edges.select(
+        F.col("dst").cast("long").alias("src"), F.col("src").cast("long").alias("dst")
+    )
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient → (id, deg, triangles, lcc).
+
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2. T(v) comes from
+    the degree-oriented exact triangle counter, deg from the undirected
+    simple graph — both single-shuffle aggregates over the same edge set.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    tri = triangle_count_per_vertex(edges, vertices=deg.select("id"))
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - F.lit(1))), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "id")
+        .select("id", "deg", "triangles", lcc.alias("lcc"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity → one row (n_edges, assortativity).
+
+    Pearson correlation of (deg(u), deg(v)) over the directed symmetric
+    edge list — Newman's r. Negative on dependency graphs (hubs link to
+    leaves). Two shuffles total: the degree groupBy and the corr agg; the
+    degree re-attachment joins are broadcast-able (|V| scalars).
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst"))
+    return (
+        und.join(ds.hint("shuffle_hash"), "src")
+        .join(dd.hint("shuffle_hash"), "dst")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("deg_src", "deg_dst"), 6).alias("assortativity"),
+        )
+    )
+
+
+def _wedges(und: DataFrame, hub_cap: int) -> DataFrame:
+    """Candidate pairs (u < v) through shared neighbor w, with deg(w) and
+    the adjacency flag needed by both predictors.
+
+    One equi-join on the wedge center; hub centers (deg > hub_cap) are
+    dropped BEFORE the join so the fan-out bound holds in the plan, not
+    just in the result.
+    """
+    deg = _und_degrees(und)
+    centers = deg.where(F.col("deg") <= hub_cap)
+    half = und.select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    capped = half.join(
+        centers.select(F.col("id").alias("w"), "deg").hint("shuffle_hash"), "w"
+    )
+    left = capped.select("w", F.col("n").alias("u"), F.col("deg").alias("deg_w"))
+    right = capped.select("w", F.col("n").alias("v"))
+    return (
+        left.join(right, "w")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", "w", "deg_w")
+    )
+
+
+def adamic_adar_topk(edges: DataFrame, k: int = 50, hub_cap: int = 128) -> DataFrame:
+    """Adamic-Adar link prediction → top-k (u, v, score, rn) NON-adjacent
+    pairs, score = Σ_w 1/ln(deg(w)) over shared neighbors w, deg(w) ≤ hub_cap.
+
+    Wedge centers with deg ≤ 1 can't occur (a wedge needs two neighbors)
+    but deg(w) = 1 rows are filtered anyway so ln() is never ≤ 0. The
+    global top-k is a distributed sort-limit over the (already small)
+    scored-pair aggregate — the ranking window only sees k rows.
+    """
+    und = _und(edges)
+    scores = (
+        _wedges(und, hub_cap)
+        .where(F.col("deg_w") >= 2)
+        .groupBy("u", "v")
+        .agg(F.sum(1.0 / F.log(F.col("deg_w").cast("double"))).alias("raw"))
+    )
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    nonadj = scores.join(adj, ["u", "v"], "left_anti").select(
+        "u", "v", F.round("raw", 6).alias("score")
+    )
+    top = nonadj.orderBy(F.desc("score"), F.asc("u"), F.asc("v")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def vertex_jaccard_topk(edges: DataFrame, k: int = 50, hub_cap: int = 128) -> DataFrame:
+    """Neighborhood Jaccard similarity → top-k (u, v, n_common, jaccard, rn)
+    non-adjacent pairs: |N(u)∩N(v)| / |N(u)∪N(v)|, wedge centers capped.
+
+    The intersection count is the capped wedge count per pair; the union
+    uses FULL degrees (the cap bounds candidate generation, not the
+    denominator), so scores stay comparable across runs with different caps.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    common = (
+        _wedges(und, hub_cap)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    scored = (
+        common.join(adj, ["u", "v"], "left_anti")
+        .join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("jaccard"), F.asc("u"), F.asc("v")
+    ).limit(k)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

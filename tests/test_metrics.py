@@ -1,0 +1,125 @@
+"""Graph-metrics pack: clustering coefficient, assortativity, link
+prediction — goldens plus brute-force python oracles on random graphs."""
+
+import math
+
+import pytest
+from conftest import edges_df
+from oracles import random_graph
+
+from metis_spark.plans.metrics import (
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+
+
+def _adj(edges):
+    nbrs = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return nbrs
+
+
+def test_lcc_k4_is_all_ones(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r["id"]: (r["deg"], r["triangles"], r["lcc"])
+           for r in local_clustering(edges_df(spark, k4)).collect()}
+    assert got == {v: (3, 3, 1.0) for v in range(4)}
+
+
+def test_lcc_path_is_zero(spark):
+    got = {r["id"]: r["lcc"] for r in
+           local_clustering(edges_df(spark, [(0, 1), (1, 2)])).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}
+
+
+def test_lcc_random_vs_bruteforce(spark):
+    edges = random_graph(n=60, p=0.08, seed=23, zipf_extra=40)
+    nbrs = _adj(edges)
+    got = {r["id"]: (r["deg"], r["lcc"])
+           for r in local_clustering(edges_df(spark, edges)).collect()}
+    for v, nv in nbrs.items():
+        deg = len(nv)
+        tri = sum(1 for a in nv for b in nv if a < b and b in nbrs[a])
+        want = round(2.0 * tri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+        assert got[v] == (deg, pytest.approx(want, abs=1e-9)), v
+
+
+def test_assortativity_star_is_minus_one(spark):
+    star = [(0, i) for i in range(1, 6)]
+    row = degree_assortativity(edges_df(spark, star)).collect()[0]
+    assert row["n_edges"] == 5
+    assert row["assortativity"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_assortativity_random_vs_numpy(spark):
+    import numpy as np
+
+    edges = random_graph(n=50, p=0.1, seed=7, zipf_extra=30)
+    nbrs = _adj(edges)
+    xs, ys = [], []
+    for a, nv in nbrs.items():
+        for b in nv:  # both directions, matching the symmetric edge list
+            xs.append(len(nbrs[a]))
+            ys.append(len(nbrs[b]))
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    row = degree_assortativity(edges_df(spark, edges)).collect()[0]
+    assert row["n_edges"] == len(xs) // 2
+    assert row["assortativity"] == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def _linkpred_oracle(edges, cap):
+    """All non-adjacent pairs with ≥1 capped-center wedge →
+    {(u, v): (aa_score, n_common, jaccard)} with FULL-degree denominators."""
+    nbrs = _adj(edges)
+    out = {}
+    for w, nw in nbrs.items():
+        if len(nw) > cap:
+            continue
+        for u in nw:
+            for v in nw:
+                if u < v and v not in nbrs[u]:
+                    aa, nc, _ = out.get((u, v), (0.0, 0, 0.0))
+                    out[(u, v)] = (aa + 1.0 / math.log(len(nw)), nc + 1, 0.0)
+    return {
+        k: (aa, nc, nc / (len(nbrs[k[0]]) + len(nbrs[k[1]]) - nc))
+        for k, (aa, nc, _) in out.items()
+    }
+
+
+def test_adamic_adar_vs_bruteforce(spark):
+    edges = random_graph(n=70, p=0.04, seed=31, zipf_extra=50)
+    cap = 16
+    want = _linkpred_oracle(edges, cap)
+    got = adamic_adar_topk(edges_df(spark, edges), k=10**6, hub_cap=cap).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["score"] == pytest.approx(round(want[(r["u"], r["v"])][0], 6), abs=1e-9)
+
+
+def test_vertex_jaccard_vs_bruteforce(spark):
+    edges = random_graph(n=70, p=0.04, seed=31, zipf_extra=50)
+    cap = 16
+    want = _linkpred_oracle(edges, cap)
+    got = vertex_jaccard_topk(edges_df(spark, edges), k=10**6, hub_cap=cap).collect()
+    assert len(got) == len(want)
+    for r in got:
+        aa, nc, jac = want[(r["u"], r["v"])]
+        assert r["n_common"] == nc
+        assert r["jaccard"] == pytest.approx(round(jac, 6), abs=1e-9)
+
+
+def test_hub_cap_bounds_candidates(spark):
+    """A hub above the cap generates no wedges: star + one chord."""
+    star = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    got = adamic_adar_topk(edges_df(spark, star), k=100, hub_cap=4).collect()
+    # center 0 has deg 7 > 4 → dropped; centers 1,2 have deg ≤ 3 but all
+    # their wedge pairs are adjacent (0 is a neighbor of both) → empty
+    assert got == []
+    uncapped = adamic_adar_topk(edges_df(spark, star), k=100, hub_cap=100).collect()
+    assert len(uncapped) == 20  # C(7,2)=21 leaf pairs minus the adjacent chord (1,2)
