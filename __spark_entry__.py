@@ -44,6 +44,7 @@ from metis_spark.plans.metrics import (  # noqa: E402
     local_clustering,
     vertex_jaccard_topk,
 )
+from metis_spark.plans.kcore import k_core  # noqa: E402
 from metis_spark.plans.pagerank import pagerank  # noqa: E402
 from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count,
@@ -681,6 +682,22 @@ def _q_vertex_jaccard(spark, sf_dir):
     )
 
 
+KCORE_K = 3
+KCORE_ORACLE_ROUNDS = 12  # oracle unroll depth; fixpoint is idempotent so
+# any depth ≥ the measured peel depth matches — the pytest suite pins the
+# measured depth at test scale well under this
+
+
+def _q_kcore(spark, sf_dir):
+    core, info = k_core(
+        derived_edges_sparse(spark, sf_dir),
+        k=KCORE_K,
+        checkpoint_dir=_tmpdir("metis_qkcore_"),
+    )
+    assert info["iterations"] <= KCORE_ORACLE_ROUNDS, info
+    return core
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-semantics operator pack (SURVEY.md §2)
@@ -721,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "adamic_adar_topk": _q_adamic_adar,
         "vertex_jaccard_topk": _q_vertex_jaccard,
+        "kcore_3": _q_kcore,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
@@ -752,6 +770,22 @@ _WEDGE_SQL = (
     "FROM und h1 JOIN und h2 ON h1.src = h2.src AND h1.dst < h2.dst "
     "JOIN deg d ON d.id = h1.src WHERE d.deg <= {cap})"
 ).format(cap=128)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        f"a0 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und "
+        f"GROUP BY src HAVING COUNT(*) >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS (SELECT e.src AS id, COUNT(*)::BIGINT AS deg FROM und e "
+            f"JOIN a{p} x ON e.src = x.id JOIN a{p} y ON e.dst = y.id "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, deg FROM a{rounds}"
 
 
 def _pagerank_sql() -> str:
@@ -1045,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp_hops": _sssp_sql(),
         "sssp_weighted": _sssp_sql(weighted=True),
+        "kcore_3": _kcore_sql(),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "

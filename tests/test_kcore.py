@@ -1,0 +1,71 @@
+"""k-core peeling: goldens, python-oracle equivalence, resume contract."""
+
+from conftest import edges_df
+from oracles import random_graph
+
+from metis_spark.plans.kcore import k_core
+
+
+def _peel_oracle(edges, k):
+    """Reference peeling: {id: core_degree} of the k-core subgraph."""
+    nbrs = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if sum(1 for n in nbrs[v] if n in alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: sum(1 for n in nbrs[v] if n in alive) for v in alive}
+
+
+def _got(df):
+    return {r["id"]: r["deg"] for r in df.collect()}
+
+
+def test_k4_is_its_own_3core(spark, tmp_path):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    core, info = k_core(edges_df(spark, k4), k=3, checkpoint_dir=str(tmp_path))
+    assert _got(core) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert info["converged"]
+
+
+def test_tree_has_no_2core(spark, tmp_path):
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)]
+    core, info = k_core(edges_df(spark, tree), k=2, checkpoint_dir=str(tmp_path))
+    assert _got(core) == {}
+    assert info["converged"]
+
+
+def test_cascade_peels_tail(spark, tmp_path):
+    # triangle + a pendant chain: chain peels over multiple rounds
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    core, info = k_core(edges_df(spark, edges), k=2, checkpoint_dir=str(tmp_path))
+    assert _got(core) == {0: 2, 1: 2, 2: 2}
+
+
+def test_random_vs_python_oracle(spark, tmp_path):
+    edges = random_graph(n=80, p=0.05, seed=41, zipf_extra=60)
+    core, info = k_core(edges_df(spark, edges), k=3, checkpoint_dir=str(tmp_path))
+    assert _got(core) == _peel_oracle(edges, 3)
+    assert info["converged"]
+
+
+def test_resume_mid_peel_identical(spark, tmp_path):
+    edges = random_graph(n=80, p=0.05, seed=43, zipf_extra=60)
+    full, info_full = k_core(
+        edges_df(spark, edges), k=3, checkpoint_dir=str(tmp_path / "full")
+    )
+    # run 1: stop after 1 round; run 2: resume from its checkpoint
+    partial, _ = k_core(
+        edges_df(spark, edges), k=3, max_iter=1, checkpoint_dir=str(tmp_path / "r")
+    )
+    resumed, info_r = k_core(
+        edges_df(spark, edges), k=3, checkpoint_dir=str(tmp_path / "r")
+    )
+    assert _got(resumed) == _got(full)
+    assert info_r["iterations"] >= 2
