@@ -682,6 +682,28 @@ def _q_vertex_jaccard(spark, sf_dir):
     )
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank from the deterministic seed set id % 10 == 0.
+
+    Seeds are passed as a DataFrame — the distributed path: the seed set
+    never touches the driver, so "rank relative to MY packages" works
+    even when MY packages is a 10M-row predicate at 100 TB scale."""
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks, _ = pagerank(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qppr_"),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        seeds=verts.where(F.col("id") % 10 == 0),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 KCORE_K = 3
 KCORE_ORACLE_ROUNDS = 12  # oracle unroll depth; fixpoint is idempotent so
 # any depth ≥ the measured peel depth matches — the pytest suite pins the
@@ -726,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
         "pagerank_5iter": _q_pagerank,
+        "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "label_propagation_2iter": _q_lpa,
         "triangle_count": _q_triangles,
@@ -808,6 +831,35 @@ def _pagerank_sql() -> str:
             f"r{i} AS (SELECT v.id, (1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
             f"+ (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank "
             f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized PageRank twin of plans/pagerank.py seeded mode:
+    rank'(v) = p(v)·((1−d) + d·dm) + d·Σ contribs, p = uniform over seeds."""
+    d, n_iters = 0.85, PR_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "ns AS (SELECT COUNT(*)::DOUBLE AS s FROM verts WHERE id % 10 = 0)",
+        "p AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1.0/(SELECT s FROM ns) "
+        "ELSE 0.0 END AS pm FROM verts)",
+        "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, pm AS rank FROM p)",
+    ]
+    for i in range(1, n_iters + 1):
+        pv = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"FROM edges e JOIN r{pv} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{pv} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT p.id, p.pm*((1-{d}) + {d}*(SELECT dm FROM dm{i})) "
+            f"+ {d}*COALESCE(c.contrib,0) AS rank FROM p LEFT JOIN c{i} c ON p.id = c.id)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
 
@@ -1069,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EDGES_SQL.strip()} SELECT src, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src"
         ),
         "pagerank_5iter": _pagerank_sql(),
+        "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
         "label_propagation_2iter": _lpa_sql(),
         "triangle_count": (

@@ -63,11 +63,28 @@ def pagerank(
     salt: int | None = None,
     num_partitions: int | None = None,
     checkpoint_every: int = 1,
+    seeds: "list[int] | DataFrame | None" = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(id, rank), info{iterations, delta, seconds, converged}).
 
     ``vertices`` (id long) may include isolated vertices; defaults to edge
     endpoints. Ranks sum to 1 over all vertices.
+
+    ``seeds``: personalized PageRank — teleport (and dangling mass) go to
+    the seed set uniformly instead of all vertices:
+
+        rank'(v) = p(v)·((1−d) + d·dm) + d·Σ contribs,  p(v) = 1/|S|·[v∈S]
+
+    Accepts a small driver-side list OR a DataFrame with column ``id``
+    (the distributed path: the seed set never touches the driver — for
+    "rank relative to this 10M-vertex subgraph" at 100 TB scale the seed
+    join shuffles like any other equi-join and AQE broadcasts it when
+    small).
+
+    Same iteration/checkpoint/salting machinery; the state additionally
+    carries the static per-vertex teleport mass ``pmass``. With
+    ``seeds=None`` the plan and arithmetic are bit-identical to plain
+    PageRank (p ≡ 1/N folds back into the driver-side constant).
 
     ``checkpoint_every=k``: commit durable state+lineage every k-th
     iteration (and always at convergence); intermediate iterations
@@ -139,7 +156,46 @@ def pagerank(
         return spark.createDataFrame([], "id long, rank double"), {
             "iterations": 0, "delta": 0.0, "seconds": 0.0, "converged": True, "n": 0,
         }
-    state0 = state0.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
+    personalized = seeds is not None
+    seed_df = None  # persisted only on the DataFrame-seeds path
+    if personalized:
+        if isinstance(seeds, DataFrame):
+            # distributed seed set: dedup once, count once; AQE picks
+            # broadcast vs shuffle for the membership join by actual size
+            seed_df = (
+                seeds.select(F.col("id").cast("long"))
+                .distinct()
+                .withColumn("_s", F.lit(True))
+                .persist()
+            )
+            n_seeds = seed_df.count()
+            seed_join = seed_df
+        else:
+            seed_ids = sorted({int(s) for s in seeds})
+            n_seeds = len(seed_ids)
+            if n_seeds:
+                seed_join = F.broadcast(
+                    spark.createDataFrame(
+                        [(s, True) for s in seed_ids], "id long, _s boolean"
+                    )
+                )
+        if not n_seeds:
+            raise ValueError("seeds must be non-empty for personalized PageRank")
+        state0 = (
+            state0.join(seed_join, "id", "left")
+            .select(
+                "id",
+                "dangling",
+                F.when(F.col("_s"), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("pmass"),
+            )
+            .withColumn("rank", F.col("pmass"))
+        )
+        state_cols = ["id", "dangling", "pmass"]
+    else:
+        state0 = state0.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
+        state_cols = ["id", "dangling"]
 
     start_iter = 0
     t0 = time.monotonic()
@@ -149,23 +205,25 @@ def pagerank(
         k0 = cm.latest()
         if k0 is not None:
             state, meta = cm.load(spark, k0)
-            ranks = state.select("id", "dangling", "rank")
+            ranks = state.select(*state_cols, "rank")
             dm_prev = meta.get("totals", {}).get("dm")
             start_iter = k0
             if meta.get("converged"):
                 base0.unpersist()
                 e2.unpersist()
                 ew.unpersist()
+                if seed_df is not None:
+                    seed_df.unpersist()
                 return ranks.select("id", "rank"), {
                     "iterations": k0, "delta": meta.get("delta"), "seconds": 0.0,
                     "converged": True, "n": n, "resumed": True,
                 }
     if dm_prev is None:
-        if start_iter == 0:
+        if start_iter == 0 and not personalized:
             # fresh start: ranks are uniform 1/n, so Σ rank over dangling
             # vertices is |dangling|/n — already observed, no extra job
             dm_prev = float(obs0.get["nd"] or 0) / n
-        else:  # resumed from a checkpoint whose meta predates the dm total
+        else:  # seeded start, or a checkpoint whose meta predates the dm total
             dm_prev = float(
                 ranks.where(F.col("dangling")).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
             )
@@ -176,6 +234,13 @@ def pagerank(
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
         c_k = d * dm_prev / n
+        # seeded teleport: per-row pmass·((1−d)+d·dm) replaces the uniform
+        # driver-side constant; contribs term is identical in both modes
+        base = (
+            F.col("pmass") * F.lit((1.0 - d) + d * dm_prev)
+            if personalized
+            else F.lit((1.0 - d) / n + c_k)
+        )
         if salt and salt > 1:
             r = ranks.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
             joined = ew.join(r.hint("shuffle_hash"), (ew["src"] == r["id"]) & (ew["_salt"] == r["_salt"]))
@@ -185,12 +250,10 @@ def pagerank(
         new_state = (
             ranks.join(contribs.hint("shuffle_hash"), ranks["id"] == contribs["dst"], "left")
             .select(
-                "id",
-                "dangling",
-                (
-                    F.lit((1.0 - d) / n + c_k)
-                    + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
+                *state_cols,
+                (base + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "rank"
+                ),
                 F.col("rank").alias("old_rank"),
             )
         )
@@ -244,16 +307,21 @@ def pagerank(
                 "committed": committed,
             }
         )
-        ranks = state.select("id", "dangling", "rank")
+        ranks = state.select(*state_cols, "rank")
         if k == start_iter + 1:
             # iteration-1 state is on disk now; the cached initial state is dead
             base0.unpersist()
+            if seed_df is not None:
+                seed_df.unpersist()
+                seed_df = None
         if converged:
             break
 
     base0.unpersist()  # no-op if already released in the loop
     e2.unpersist()
     ew.unpersist()
+    if seed_df is not None:
+        seed_df.unpersist()
     return ranks.select("id", "rank"), {
         "iterations": k,
         "delta": float(delta),

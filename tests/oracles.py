@@ -98,3 +98,26 @@ def random_graph(n: int = 100, p: float = 0.05, seed: int = 42, zipf_extra: int 
         if s != t:
             edges.append((int(s), int(t)))
     return sorted(set(edges))
+
+
+def ppr_oracle(
+    n: int,
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    d: float = 0.85,
+    iters: int = 5,
+) -> np.ndarray:
+    """Personalized PageRank: teleport + dangling mass to the seed set."""
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[s] += 1
+    p = np.zeros(n)
+    p[list(seeds)] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[t] += r[s] / out[s]
+        dm = r[out == 0].sum()
+        r = p * ((1 - d) + d * dm) + d * contrib
+    return r

@@ -65,3 +65,63 @@ def test_salted_equals_unsalted(spark, tmp_path):
     assert set(d1) == set(d2)
     for k in d1:
         assert d1[k] == pytest.approx(d2[k], abs=1e-9)
+
+
+def test_personalized_pagerank_vs_oracle(spark, tmp_path):
+    from oracles import ppr_oracle, random_graph
+
+    edges = random_graph(n=50, p=0.06, seed=19, zipf_extra=30)
+    seeds = [0, 7, 21]
+    want = ppr_oracle(50, edges, seeds, iters=5)
+    ranks, info = pagerank(
+        edges_df(spark, edges), vertices=vertices_df(spark, range(50)),
+        checkpoint_dir=str(tmp_path), tol=0.0, max_iter=5, seeds=seeds,
+    )
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert len(got) == 50
+    for v in range(50):
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    # mass conservation: teleport + dangling redistribution keep sum == 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_seeds_df_equals_list(spark, tmp_path):
+    """The distributed seeds-DataFrame path must match driver-list seeds."""
+    from oracles import random_graph
+
+    edges = random_graph(n=60, p=0.05, seed=31, zipf_extra=25)
+    seeds = [0, 5, 10, 15]
+    by_list, _ = pagerank(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "l"),
+        tol=0.0, max_iter=4, seeds=seeds,
+    )
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    by_df, _ = pagerank(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "d"),
+        tol=0.0, max_iter=4, seeds=seeds_df,
+    )
+    a = {r["id"]: r["rank"] for r in by_list.collect()}
+    b = {r["id"]: r["rank"] for r in by_df.collect()}
+    assert a == b
+
+
+def test_personalized_resume_identical(spark, tmp_path):
+    from oracles import random_graph
+
+    edges = random_graph(n=40, p=0.08, seed=29, zipf_extra=20)
+    seeds = [1, 2, 3]
+    full, _ = pagerank(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "a"),
+        tol=0.0, max_iter=6, seeds=seeds,
+    )
+    pagerank(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "b"),
+        tol=0.0, max_iter=3, seeds=seeds,
+    )
+    resumed, info = pagerank(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "b"),
+        tol=0.0, max_iter=6, seeds=seeds,
+    )
+    a = {r["id"]: r["rank"] for r in full.collect()}
+    b = {r["id"]: r["rank"] for r in resumed.collect()}
+    assert a == b
