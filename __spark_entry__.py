@@ -594,6 +594,40 @@ def _q_ann_lsh_recall(spark, sf_dir):
     return SIM.topk_recall(exact, approx)
 
 
+IVF_STRIDE, IVF_NPROBE = 25, 4  # 20 lists at sf≤0.01 (80 at sf0.1), probe 4
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k (the second ANN scale path, next to LSH).
+
+    Coarse quantizer = deterministic stride sample (vec_id % 25), so the
+    DuckDB oracle reproduces the centroid set, the argmax-cosine list
+    assignment, the nprobe probe set, and the ranking bit-exactly. The
+    Lloyd-trained quantizer (ivf_fit) is pinned by pytest on a clustered
+    fixture instead — training in unrolled SQL would be unreadable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    return SIM.ivf_topk(
+        emb, queries_df, cent, "vec_id", "embedding", k=5, nprobe=IVF_NPROBE
+    )
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Quality gate for the IVF path: per-query recall vs exact top-k.
+    On the near-gaussian fixture recall reflects nprobe/L (no cluster
+    structure to exploit — see similarity.py fixture-honesty note); the
+    gate's job is to keep the number measured and oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    approx = SIM.ivf_topk(
+        emb, queries_df, cent, "vec_id", "embedding", k=5, nprobe=IVF_NPROBE
+    )
+    return SIM.topk_recall(exact, approx)
+
+
 def _q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -774,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_bucketed": _q_ann_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_neardup": _q_embedding_neardup,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -1002,6 +1038,43 @@ _PAIR_COS_SQL = (
     "/ (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) "
     "* sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))"
 )
+
+
+def _cos_expr(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) for arbitrary list-typed SQL expressions."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+        f"/ (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) "
+        f"* sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+
+
+def _ann_ivf_ctes(stride: int = IVF_STRIDE, nprobe: int = IVF_NPROBE) -> str:
+    """CTE chain ending in ``ivf_topk`` = the DuckDB twin of similarity.ivf_topk
+    with the stride-sampled coarse quantizer: centroid set, argmax-cosine
+    list assignment (ties → min cid), nprobe probe set, final ranking."""
+    return f"""
+cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {stride} = 0),
+casg AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv2, cid FROM (
+    SELECT e.vec_id, e.embedding, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_expr('e.embedding', 'ct.cv')}, 6) DESC, ct.cid ASC) AS arn
+    FROM embeddings e CROSS JOIN cent ct) WHERE arn = 1),
+qprobe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_cos_expr('q.embedding', 'ct.cv')}, 6) DESC, ct.cid ASC) AS prn
+    FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 5) WHERE prn <= {nprobe}),
+ivf_scored AS (
+  SELECT p.query_id, a.neighbor_id, ROUND({_cos_expr('p.qv', 'a.cv2')}, 6) AS sim
+  FROM qprobe p JOIN casg a ON a.cid = p.cid WHERE a.neighbor_id <> p.query_id),
+ivf_topk AS (
+  SELECT query_id, neighbor_id, sim, rn FROM (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM ivf_scored) WHERE rn <= 5)"""
 
 
 def _ann_lsh_ctes(num_tables: int = ANN_TABLES, num_planes: int = ANN_PLANES) -> str:
@@ -1286,6 +1359,27 @@ def oracle_sql() -> dict[str, str]:
             "ne AS (SELECT query_id, COUNT(*)::BIGINT AS n_exact FROM exact_topk GROUP BY query_id), "
             "hits AS (SELECT e.query_id, COUNT(*)::BIGINT AS n_overlap FROM exact_topk e "
             "JOIN lsh_topk a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id "
+            "GROUP BY e.query_id) "
+            "SELECT ne.query_id, ne.n_exact, COALESCE(hits.n_overlap, 0)::BIGINT AS n_overlap, "
+            "ROUND(COALESCE(hits.n_overlap, 0) / ne.n_exact::DOUBLE, 6) AS recall "
+            "FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
+        ),
+        "ann_ivf_topk": (
+            f"WITH {_ann_ivf_ctes()} "
+            "SELECT query_id, neighbor_id, sim, rn FROM ivf_topk"
+        ),
+        "ann_ivf_recall": (
+            f"WITH {_ann_ivf_ctes()}, "
+            "q5 AS (SELECT vec_id AS qid, embedding AS qv2 FROM embeddings WHERE vec_id < 5), "
+            "exact_scored AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id, "
+            f"ROUND({_cos_expr('q.qv2', 'c.embedding')}, 6) AS sim "
+            "FROM embeddings c CROSS JOIN q5 q WHERE c.vec_id <> q.qid), "
+            "exact_topk AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn "
+            "FROM exact_scored) WHERE rn <= 5), "
+            "ne AS (SELECT query_id, COUNT(*)::BIGINT AS n_exact FROM exact_topk GROUP BY query_id), "
+            "hits AS (SELECT e.query_id, COUNT(*)::BIGINT AS n_overlap FROM exact_topk e "
+            "JOIN ivf_topk a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id "
             "GROUP BY e.query_id) "
             "SELECT ne.query_id, ne.n_exact, COALESCE(hits.n_overlap, 0)::BIGINT AS n_overlap, "
             "ROUND(COALESCE(hits.n_overlap, 0) / ne.n_exact::DOUBLE, 6) AS recall "

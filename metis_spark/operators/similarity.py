@@ -11,6 +11,14 @@
   signatures generates candidates; exact cosine verifies them.
 - topk_recall: the quality gate tying the approximate paths to the exact
   baseline (pinned ≥ 0.9 in tests).
+- ivf_*: the second scale path — IVF-flat. A small coarse-quantizer
+  centroid table partitions candidates into inverted lists
+  (nearest-centroid assignment, one broadcast join); a query probes only
+  its ``nprobe`` nearest lists. Work per query drops from O(n) to
+  O(n·nprobe/L + L). Centroids come from a deterministic stride sample
+  (oracle-reproducible) optionally refined by ``ivf_fit`` Lloyd
+  iterations (distributed posexplode/groupBy mean — no driver-side
+  vectors, so L and dim can both be large).
 
 Hyperplanes are derived deterministically from md5 of (table, plane, dim)
 — reproducible across runs with no RNG state (determinism discipline per
@@ -186,6 +194,149 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def ivf_centroids_stride(
+    df: DataFrame,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (cid, cv): untrained coarse quantizer — every ``stride``-th vector
+    by id. Deterministic and bit-reproducible in a SQL oracle; at scale
+    use ``pmod(xxhash64(id), stride) == 0`` semantics by passing
+    pre-hashed ids, or refine with ivf_fit."""
+    return df.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, vec, cid): inverted-list assignment = argmax-cosine centroid.
+
+    One broadcast nested-loop against the small (cid, cv) table, then a
+    map-side-combining groupBy argmin — each id's L scored rows collapse
+    to one before any shuffle. Ties (round(sim,6) equal) break to the
+    smallest cid, matching the SQL oracle's ROW_NUMBER ordering.
+    """
+    c = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    ct = centroids.select("cid", "cv")
+    scored = c.crossJoin(F.broadcast(ct)).select(
+        "_id",
+        "_vec",
+        "cid",
+        F.round(cosine(F.col("_vec"), F.col("cv")), 6).alias("sim"),
+    )
+    best = scored.groupBy("_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("sim")).alias("ns"),
+                F.col("cid").alias("cid"),
+                F.col("_vec").alias("vec"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("b.vec").alias(vec_col),
+        F.col("b.cid").alias("cid"),
+    )
+
+
+def ivf_fit(
+    df: DataFrame,
+    centroids0: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of a coarse quantizer → (cid, cv).
+
+    Each iteration: assign (broadcast argmax-cosine), then recompute each
+    centroid as the per-dimension mean of its members — posexplode to
+    (cid, pos, val), groupBy mean, re-assemble with a sorted collect of
+    dim structs. Fully distributed: no vector ever crosses the driver;
+    the only driver round-trip is the iteration loop itself. Lists that
+    lose all members drop out (standard k-means dead-cluster behavior).
+    """
+    cent = centroids0.select("cid", "cv")
+    for _ in range(iters):
+        asg = ivf_assign(df, cent, id_col, vec_col)
+        dims = asg.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = dims.groupBy("cid", "pos").agg(
+            F.avg(F.col("val").cast("double")).alias("m")
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k → (query_id, neighbor_id, sim, rn).
+
+    Candidates are scored only if their inverted list is among the
+    query's ``nprobe`` nearest centroids. With nprobe = |centroids| this
+    is exactly cosine_topk (pinned by tests — the full-probe equivalence
+    is the correctness anchor; recall at nprobe ≪ L is the quality dial,
+    pinned ≥ 0.9 on a clustered fixture where IVF's locality assumption
+    holds; see module docstring on fixture honesty).
+    """
+    ct = centroids.select("cid", "cv")
+    asg = ivf_assign(candidates, ct, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cid"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qs = q.crossJoin(F.broadcast(ct)).select(
+        "query_id",
+        "q_vec",
+        "cid",
+        F.round(cosine(F.col("q_vec"), F.col("cv")), 6).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qs.withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "q_vec", "cid")
+    )
+    # probes is |Q|·nprobe rows — broadcast it so the big candidate side
+    # never shuffles (a shuffle on cid would also skew: only L distinct keys)
+    scored = (
+        asg.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
 
 
 def lsh_bucket_topk(

@@ -89,3 +89,68 @@ def test_lsh_neardup_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _clustered_emb(spark, n_clusters=8, per_cluster=25, dim=16, noise=0.25):
+    """Embeddings WITH cluster structure — the regime IVF is built for.
+
+    Deterministic numpy: unit-norm cluster centers, members = center +
+    noise·gaussian. vec_id encodes the cluster (id // per_cluster) so
+    tests can reason about ground truth."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_fullprobe_equals_exact(spark):
+    """nprobe = |centroids| must reproduce the exact top-k bit-for-bit —
+    the correctness anchor for the whole IVF path (assignment, probing,
+    and ranking cancel out only if each is right)."""
+    emb = _clustered_emb(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    cent = SIM.ivf_centroids_stride(emb, 20)  # 10 lists
+    n_lists = cent.count()
+    exact = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    full = SIM.ivf_topk(
+        emb, queries, cent, "vec_id", "embedding", k=5, nprobe=n_lists
+    )
+    a = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["sim"]) for r in exact.collect()}
+    b = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["sim"]) for r in full.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_ivf_trained_recall_gate(spark):
+    """Lloyd-trained quantizer, nprobe=2 of ~10 lists: recall@5 ≥ 0.9 on
+    the clustered fixture (where IVF's locality assumption holds — see
+    similarity.py's fixture-honesty note for why the gaussian driver
+    fixture is not used here)."""
+    emb = _clustered_emb(spark)
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    cent0 = SIM.ivf_centroids_stride(emb, 20)
+    cent = SIM.ivf_fit(emb, cent0, iters=2)
+    exact = SIM.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = SIM.ivf_topk(emb, queries, cent, "vec_id", "embedding", k=5, nprobe=2)
+    rows = SIM.topk_recall(exact, approx).collect()
+    assert len(rows) == 5
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.9, [(r["query_id"], r["recall"]) for r in rows]
+
+
+def test_ivf_fit_deterministic(spark):
+    """Two fits from the same seeds produce identical centroids (the
+    posexplode/mean/re-assemble round trip has no ordering hazard)."""
+    emb = _clustered_emb(spark)
+    cent0 = SIM.ivf_centroids_stride(emb, 20)
+    c1 = {r["cid"]: r["cv"] for r in SIM.ivf_fit(emb, cent0, iters=2).collect()}
+    c2 = {r["cid"]: r["cv"] for r in SIM.ivf_fit(emb, cent0, iters=2).collect()}
+    assert c1 == c2 and len(c1) > 0
