@@ -738,6 +738,60 @@ def _q_ppr(spark, sf_dir):
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+HITS_ITERS = 3
+
+
+def _q_hits(spark, sf_dir):
+    """HITS hubs & authorities, fixed 3 iterations, L2-normalized each
+    round (plans/hits.py — unrolled-CTE DuckDB twin)."""
+    from metis_spark.plans.hits import hits
+
+    edges = derived_edges(spark, sf_dir)
+    scores, _ = hits(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qhits_"),
+        tol=0.0,
+        max_iter=HITS_ITERS,
+    )
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS twin: a_raw = Aᵀh_prev ; h_raw = A·a_raw ; L2-normalize."""
+    n_iters = HITS_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "h0 AS (SELECT id, 1.0 AS h FROM verts)",
+    ]
+    for i in range(1, n_iters + 1):
+        pv = i - 1
+        ctes.append(
+            f"ar{i} AS (SELECT v.id, COALESCE(s.ar, 0) AS ar FROM verts v LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(h.h) AS ar FROM edges e JOIN h{pv} h ON e.src = h.id "
+            f"GROUP BY e.dst) s ON v.id = s.id)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT v.id, COALESCE(s.hr, 0) AS hr FROM verts v LEFT JOIN "
+            f"(SELECT e.src AS id, SUM(a.ar) AS hr FROM edges e JOIN ar{i} a ON e.dst = a.id "
+            f"GROUP BY e.src) s ON v.id = s.id)"
+        )
+        ctes.append(f"na{i} AS (SELECT sqrt(SUM(ar*ar)) AS s FROM ar{i})")
+        ctes.append(f"nh{i} AS (SELECT sqrt(SUM(hr*hr)) AS s FROM hr{i})")
+        ctes.append(
+            f"a{i} AS (SELECT id, ar / (SELECT s FROM na{i}) AS a FROM ar{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT id, hr / (SELECT s FROM nh{i}) AS h FROM hr{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.id, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS auth "
+        f"FROM h{n_iters} h JOIN a{n_iters} a ON h.id = a.id"
+    )
+
+
 KCORE_K = 3
 KCORE_ORACLE_ROUNDS = 12  # oracle unroll depth; fixpoint is idempotent so
 # any depth ≥ the measured peel depth matches — the pytest suite pins the
@@ -782,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
         "pagerank_5iter": _q_pagerank,
+        "hits_3iter": _q_hits,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "label_propagation_2iter": _q_lpa,
@@ -1194,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EDGES_SQL.strip()} SELECT src, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src"
         ),
         "pagerank_5iter": _pagerank_sql(),
+        "hits_3iter": _hits_sql(),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
         "label_propagation_2iter": _lpa_sql(),
