@@ -738,6 +738,21 @@ def _q_ppr(spark, sf_dir):
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank: rank distributes over out-edges proportionally
+    to the deterministic per-edge weight (_W_EXPR, shared with
+    sssp_weighted so both engines reproduce it)."""
+    edges = derived_edges(spark, sf_dir).withColumn("w", F.expr(_W_EXPR))
+    ranks, _ = pagerank(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qprw_"),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        weight_col="w",
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 HITS_ITERS = 3
 
 
@@ -836,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
         "pagerank_5iter": _q_pagerank,
+        "pagerank_weighted": _q_pagerank_weighted,
         "hits_3iter": _q_hits,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
@@ -902,16 +918,21 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, deg FROM a{rounds}"
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(weighted: bool = False) -> str:
     d, n_iters = 0.85, PR_ITERS
+    w_expr = "((e.src * 7 + e.dst * 13) % 10 + 1)"  # _W_EXPR on aliased edges
+    deg_expr = (
+        "SUM((src * 7 + dst * 13) % 10 + 1)::DOUBLE" if weighted else "COUNT(*)::DOUBLE"
+    )
+    contrib_expr = f"SUM(r.rank * {w_expr} / o.deg)" if weighted else "SUM(r.rank/o.deg)"
     ctes = [_EDGES_SQL.strip().rstrip(),
             "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
-            "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+            f"outdeg AS (SELECT src, {deg_expr} AS deg FROM edges GROUP BY src)",
             "r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
     for i in range(1, n_iters + 1):
         p = i - 1
         ctes.append(
-            f"c{i} AS (SELECT e.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"c{i} AS (SELECT e.dst AS id, {contrib_expr} AS contrib "
             f"FROM edges e JOIN r{p} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
         )
         ctes.append(
@@ -1249,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_EDGES_SQL.strip()} SELECT src, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src"
         ),
         "pagerank_5iter": _pagerank_sql(),
+        "pagerank_weighted": _pagerank_sql(weighted=True),
         "hits_3iter": _hits_sql(),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),

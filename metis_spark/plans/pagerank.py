@@ -64,6 +64,7 @@ def pagerank(
     num_partitions: int | None = None,
     checkpoint_every: int = 1,
     seeds: "list[int] | DataFrame | None" = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(id, rank), info{iterations, delta, seconds, converged}).
 
@@ -80,6 +81,12 @@ def pagerank(
     "rank relative to this 10M-vertex subgraph" at 100 TB scale the seed
     join shuffles like any other equi-join and AQE broadcasts it when
     small).
+
+    ``weight_col``: weighted PageRank — a vertex distributes its rank
+    over out-edges proportionally to the (positive) edge weight instead
+    of uniformly: w(u→v) = weight(u→v) / Σ_out(u) weight. Identical plan
+    shape (the per-src normalizer replaces the out-degree count);
+    composes with ``seeds`` and ``salt``.
 
     Same iteration/checkpoint/salting machinery; the state additionally
     carries the static per-vertex teleport mass ``pmass``. With
@@ -106,16 +113,28 @@ def pagerank(
     # weighted edges, src vertex set) reuses hashpartitioning(src, P), so
     # setup is 2 full-width shuffles total (this one + the dst distinct)
     # instead of 5 — and every iteration's rank⋈edge join reuses it too.
-    e2 = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).repartition(num_partitions, "src").persist()
-    outdeg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))  # no exchange
+    cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("wgt"))
+    e2 = edges.select(*cols).repartition(num_partitions, "src").persist()
+    # per-src normalizer: out-degree count (uniform) or Σ edge weight
+    outdeg = e2.groupBy("src").agg(
+        (F.sum("wgt") if weight_col is not None else F.count(F.lit(1))).alias("deg")
+    )  # no exchange
     # shuffle-hash, not sort-merge: the edge side must never be re-sorted
     # (50M+ rows per iteration); the per-partition rank build side is small
     # by construction (V/num_partitions rows)
     ew = (
         e2.join(outdeg.hint("shuffle_hash"), "src")  # co-partitioned: no exchange
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("wgt") / F.col("deg"))
+                if weight_col is not None
+                else (F.lit(1.0) / F.col("deg"))
+            ).alias("w"),
+        )
     )
     if salt and salt > 1:
         ew = ew.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt)).cast("int"))

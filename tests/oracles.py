@@ -121,3 +121,24 @@ def ppr_oracle(
         dm = r[out == 0].sum()
         r = p * ((1 - d) + d * dm) + d * contrib
     return r
+
+
+def weighted_pagerank_oracle(
+    n: int,
+    edges: list[tuple[int, int]],
+    weights: dict[tuple[int, int], float],
+    d: float = 0.85,
+    iters: int = 5,
+) -> np.ndarray:
+    """PageRank with rank distributed proportionally to edge weight."""
+    wsum = np.zeros(n)
+    for (s, t) in edges:
+        wsum[s] += weights[(s, t)]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[t] += r[s] * weights[(s, t)] / wsum[s]
+        dm = r[wsum == 0].sum()
+        r = (1 - d) / n + d * (contrib + dm / n)
+    return r

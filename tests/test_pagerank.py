@@ -125,3 +125,23 @@ def test_personalized_resume_identical(spark, tmp_path):
     a = {r["id"]: r["rank"] for r in full.collect()}
     b = {r["id"]: r["rank"] for r in resumed.collect()}
     assert a == b
+
+
+def test_weighted_pagerank_vs_oracle(spark, tmp_path):
+    from oracles import random_graph, weighted_pagerank_oracle
+
+    edges = random_graph(n=50, p=0.06, seed=37, zipf_extra=30)
+    weights = {(s, t): float((s * 7 + t * 13) % 10 + 1) for s, t in edges}
+    want = weighted_pagerank_oracle(50, edges, weights, iters=5)
+    wdf = spark.createDataFrame(
+        [(s, t, weights[(s, t)]) for s, t in edges], "src long, dst long, w double"
+    )
+    ranks, _ = pagerank(
+        wdf, vertices=vertices_df(spark, range(50)),
+        checkpoint_dir=str(tmp_path), tol=0.0, max_iter=5, weight_col="w",
+    )
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert len(got) == 50
+    for v in range(50):
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
