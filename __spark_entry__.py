@@ -29,7 +29,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
 from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
 from metis_spark.operators import similarity as SIM  # noqa: E402
 from metis_spark.operators.windows import (  # noqa: E402
     forward_fill,
@@ -628,6 +630,36 @@ def _q_ann_ivf_recall(spark, sf_dir):
     return SIM.topk_recall(exact, approx)
 
 
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli-by-hash sample of documents — same row
+    set on every run/engine/cluster size (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SAMP.hash_sample(docs, "doc_id", 10, 100).select("doc_id", "lang")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Corpus rebalancing: downsample the dominant language (en → 10%),
+    keep 50% of the long tail — deterministic per doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.stratified_sample(
+        docs, "lang", "doc_id", {"en": (1, 10)}, default=(1, 2), salt="strat"
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_tfidf_top3(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·ln(N/df)
+    (operators/corpus_stats.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+def _q_vocab_top100(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: top-100 terms by frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.vocab_topk(docs, "doc_id", "text", k=100)
+
+
 def _q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -882,6 +914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_neardup": _q_embedding_neardup,
+        "hash_sample_docs": _q_hash_sample,
+        "stratified_sample_docs": _q_stratified_sample,
+        "tfidf_top3": _q_tfidf_top3,
+        "vocab_top100": _q_vocab_top100,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "lang_id": _q_langid,
@@ -1462,6 +1498,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ne.query_id, ne.n_exact, COALESCE(hits.n_overlap, 0)::BIGINT AS n_overlap, "
             "ROUND(COALESCE(hits.n_overlap, 0) / ne.n_exact::DOUBLE, 6) AS recall "
             "FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
+        ),
+        "hash_sample_docs": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5('' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10"
+        ),
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 15))::BIGINT "
+            "% (CASE WHEN lang = 'en' THEN 10 ELSE 2 END) < 1"
+        ),
+        "tfidf_top3": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term), "
+            "nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM documents), "
+            "dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term), "
+            "scored AS (SELECT tf.doc_id, tf.term, "
+            "ROUND(tf.tf * ln((SELECT n FROM nd) / dfq.df), 6) AS tfidf "
+            "FROM tf JOIN dfq USING (term)) "
+            "SELECT doc_id, term, tfidf, rn FROM (SELECT doc_id, term, tfidf, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn "
+            "FROM scored) WHERE rn <= 3"
+        ),
+        "vocab_top100": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents), "
+            "freq AS (SELECT term, COUNT(*)::BIGINT AS freq FROM toks GROUP BY term) "
+            "SELECT term, freq, rank FROM (SELECT term, freq, "
+            "ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank FROM freq) "
+            "WHERE rank <= 100"
         ),
         "token_stats": (
             "SELECT doc_id, "

@@ -1,0 +1,84 @@
+"""Corpus-level term statistics: TF-IDF and vocabulary heavy hitters.
+
+Tokenization is functions.text.tokens (pinned, oracle-reproducible).
+All JVM-side: explode → two aggregations → ranking window over small
+per-document groups. At 100 TB the explode amplifies rows by avg tokens
+per doc, but every downstream operator partial-aggregates map-side
+before its exchange, and the document-frequency table (|vocab| rows) is
+broadcast back — no full-corpus shuffle carries text payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metis_spark.functions.text import tokens
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, term, tf): raw per-document term counts."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """→ (doc_id, term, tfidf, rn): top-k characteristic terms per doc.
+
+    tfidf = tf · ln(N / df) with raw counts (no sublinear damping) so the
+    SQL twin is exact; ties break (tfidf desc, term asc). N is a single
+    driver scalar (one count job). The df table is |vocab|-sized —
+    broadcast-joined back to the tf rows.
+    """
+    tf = term_frequencies(docs, id_col, text_col).persist()
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
+    tf.unpersist()
+    return out
+
+
+def vocab_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """→ (term, freq, rank): corpus-wide heavy hitters, ties term asc.
+
+    The groupBy partial-aggregates map-side, so the exchange carries
+    |vocab| rows per partition, not |tokens|; the final top-k is a
+    single-reducer sort over |vocab| rows (fine: vocabularies are small
+    relative to corpora; for unbounded key domains switch to the
+    approximate heavy-hitter path first)."""
+    freq = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("term", "freq", F.col("rank").cast("long").alias("rank"))
+    )

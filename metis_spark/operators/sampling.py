@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (df.sample) is seed-and-partitioning dependent — rerun
+the job with different parallelism and you get a different corpus. These
+operators sample by a content-derived hash instead, which at 100 TB
+scale buys three properties the reference's determinism discipline
+(SURVEY.md §4) demands:
+
+- reproducible: the same row set on every run, every cluster size, and
+  in every engine (the md5 construction is bit-exact in DuckDB — same
+  60-bit trick as similarity._hyperplane);
+- narrow: a map-only filter, no shuffle, pushes below joins and survives
+  column pruning;
+- stable under append: a row's membership never changes when other rows
+  arrive, so incremental pipelines don't churn their sample.
+
+Rates are exact rationals (num/den over the hash ring), not floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit bucket of a key: first 15 hex chars of
+    md5(salt || key) as a non-negative long. JVM-side (md5 + conv)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    num: int,
+    den: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose hash bucket mod ``den`` < ``num`` — an exact
+    num/den Bernoulli-by-hash sample, deterministic per key."""
+    return df.where(F.pmod(hash_bucket(F.col(key_col), salt), F.lit(den)) < num)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (0, 1),
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the standard corpus
+    rebalancing move (downsample the dominant language/source, keep the
+    long tail). ``fractions`` maps stratum value → (num, den); strata not
+    listed use ``default``. One narrow filter, no shuffle."""
+    num = F.lit(default[0])
+    den = F.lit(default[1])
+    for value, (n_, d_) in sorted(fractions.items()):
+        num = F.when(F.col(strata_col) == value, F.lit(n_)).otherwise(num)
+        den = F.when(F.col(strata_col) == value, F.lit(d_)).otherwise(den)
+    b = hash_bucket(F.col(key_col), salt)
+    return df.where(F.pmod(b, den) < num)
