@@ -103,6 +103,14 @@ SPARSE_MOD = 4096  # metrics-pack graph: avg degree ~15 at sf0.01, so the
 # near-complete at sf≥0.01 — every pair adjacent, link prediction vacuous)
 
 
+def derived_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct view of derived_edges — the twin of the
+    _EDGES_SQL ``und`` CTE."""
+    e = derived_edges(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
 def derived_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -770,6 +778,141 @@ def _q_ppr(spark, sf_dir):
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+COOC_K, COOC_CAP = 50, 100
+
+
+def _q_copart_topk(spark, sf_dir):
+    """Top-50 part pairs co-occurring in orders — the bipartite projection
+    a recommender/co-import analysis starts from
+    (operators/corpus_stats.py:cooccurrence_topk, capped wedge join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return CS.cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=COOC_K, group_cap=COOC_CAP
+    )
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Log2-binned undirected degree distribution — the first descriptive
+    query on any web-scale graph (power-law check, skew sizing for salt
+    decisions). Two map-side-combining aggs, O(|V|) shuffle."""
+    und = derived_und(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.select(F.floor(F.log2("deg")).cast("long").alias("bin"), "deg")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+    )
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity: the share of edges whose reverse also
+    exists — one self-equi-join on the reversed key."""
+    e = derived_edges(spark, sf_dir).select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = e.count()
+    n_recip = e.join(rev.hint("shuffle_hash"), ["src", "dst"]).count()
+    return spark.createDataFrame(
+        [(n, n_recip)], "n_edges long, n_reciprocated long"
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        # rounded in-engine (HALF_UP, matching the SQL twin) — not python
+        F.round(F.col("n_reciprocated") / F.col("n_edges"), 6).alias("reciprocity"),
+    )
+
+
+DEDUP_CC_ROUNDS = 8  # candidate-graph diameter bound for the unrolled oracle
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """The at-scale dedup ENDGAME: MinHash-LSH candidate pairs become an
+    undirected similarity graph, connected components gives each document
+    its duplicate-cluster id (min doc_id), plus the cluster size — the
+    table a training pipeline joins against to keep one representative
+    per cluster. Composition of two already-verified operators."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    edges = cands.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qdclus_")
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    ctes = [
+        _MINHASH_CTES,
+        # MATERIALIZED: cund feeds every propagation round — without it the
+        # whole minhash pipeline re-inlines per round
+        "cvert AS MATERIALIZED (SELECT doc_a AS id FROM cand UNION SELECT doc_b FROM cand)",
+        "cund AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand)",
+        "k0 AS (SELECT id, id AS label FROM cvert)",
+    ]
+    for i in range(1, DEDUP_CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"k{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM k{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM cund u "
+            f"JOIN k{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    last = f"k{DEDUP_CC_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nsizes AS (SELECT label, COUNT(*)::BIGINT AS cluster_size FROM {last} GROUP BY label)\n"
+        f"SELECT k.id AS doc_id, k.label AS cluster, s.cluster_size "
+        f"FROM {last} k JOIN sizes s ON k.label = s.label"
+    )
+
+
+def _q_modularity(spark, sf_dir):
+    """Newman modularity contributions of the 2-round LPA partition —
+    the quality gate a community-detection user runs next
+    (plans/metrics.py:community_modularity)."""
+    from metis_spark.plans.metrics import community_modularity
+
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qmod_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return community_modularity(edges, labels)
+
+
+def _modularity_sql() -> str:
+    """LPA label CTEs + per-community modularity arithmetic."""
+    lpa = _lpa_sql()
+    ctes = lpa[len("WITH "): lpa.rindex("\nSELECT")]
+    return (
+        "WITH " + ctes + ",\n"
+        "und2 AS (SELECT src, dst FROM und WHERE src < dst),\n"
+        "mm AS (SELECT COUNT(*)::DOUBLE AS m FROM und2),\n"
+        "mdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+        f"lab AS (SELECT id, label FROM l{LPA_ROUNDS}),\n"
+        "intra AS (SELECT a.label AS label, COUNT(*)::BIGINT AS intra_edges "
+        "FROM und2 u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id "
+        "WHERE a.label = b.label GROUP BY a.label),\n"
+        "comm AS (SELECT l.label, COUNT(*)::BIGINT AS n_vertices, "
+        "SUM(COALESCE(d.deg, 0))::BIGINT AS deg_sum "
+        "FROM lab l LEFT JOIN mdeg d ON l.id = d.id GROUP BY l.label)\n"
+        "SELECT c.label, c.n_vertices, COALESCE(i.intra_edges, 0)::BIGINT AS intra_edges, "
+        "c.deg_sum, ROUND(COALESCE(i.intra_edges, 0) / (SELECT m FROM mm) "
+        "- pow(c.deg_sum / (2 * (SELECT m FROM mm)), 2), 6) AS contribution "
+        "FROM comm c LEFT JOIN intra i ON c.label = i.label"
+    )
+
+
 def _q_pagerank_weighted(spark, sf_dir):
     """Weighted PageRank: rank distributes over out-edges proportionally
     to the deterministic per-edge weight (_W_EXPR, shared with
@@ -888,6 +1031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "label_propagation_2iter": _q_lpa,
+        "community_modularity": _q_modularity,
+        "degree_histogram": _q_degree_histogram,
+        "reciprocity": _q_reciprocity,
+        "dedup_clusters": _q_dedup_clusters,
+        "copart_topk": _q_copart_topk,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "csr_adjacency": _q_csr,
@@ -1311,6 +1459,35 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
         "label_propagation_2iter": _lpa_sql(),
+        "community_modularity": _modularity_sql(),
+        "degree_histogram": (
+            f"WITH {_EDGES_SQL.strip()}, "
+            "d AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src) "
+            "SELECT floor(log2(deg))::BIGINT AS bin, COUNT(*)::BIGINT AS n_vertices, "
+            "MIN(deg)::BIGINT AS min_deg, MAX(deg)::BIGINT AS max_deg "
+            "FROM d GROUP BY floor(log2(deg))::BIGINT"
+        ),
+        "reciprocity": (
+            f"WITH {_EDGES_SQL.strip()}, "
+            "n AS (SELECT COUNT(*)::BIGINT AS n_edges FROM edges), "
+            "r AS (SELECT COUNT(*)::BIGINT AS n_reciprocated FROM edges e "
+            "JOIN edges x ON e.src = x.dst AND e.dst = x.src) "
+            "SELECT n.n_edges, r.n_reciprocated, "
+            "ROUND(r.n_reciprocated / n.n_edges::DOUBLE, 6) AS reciprocity "
+            "FROM n CROSS JOIN r"
+        ),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "copart_topk": (
+            "WITH g AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS item FROM lineitem), "
+            f"small AS (SELECT gk, item FROM g WHERE gk IN "
+            f"(SELECT gk FROM g GROUP BY gk HAVING COUNT(*) <= {COOC_CAP})), "
+            "pairs AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS n_groups "
+            "FROM small a JOIN small b ON a.gk = b.gk AND a.item < b.item "
+            "GROUP BY a.item, b.item) "
+            "SELECT item_a, item_b, n_groups, rn FROM (SELECT item_a, item_b, n_groups, "
+            "ROW_NUMBER() OVER (ORDER BY n_groups DESC, item_a ASC, item_b ASC) AS rn "
+            f"FROM pairs) WHERE rn <= {COOC_K}"
+        ),
         "triangle_count": (
             f"WITH {_EDGES_SQL.strip()}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges) "

@@ -136,8 +136,11 @@ def main() -> None:
         "sessionize_part_index",
         "minhash_lsh_candidates",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "triangle_count",
         "pagerank_5iter",
+        "hits_3iter",
+        "tfidf_top3",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

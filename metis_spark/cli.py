@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("metis_spark")
     p.add_argument("--algo", required=True,
                    choices=["ingest", "extract", "pagerank", "cc", "lpa", "triangles",
-                            "sssp", "all"])
+                            "sssp", "hits", "kcore", "all"])
     p.add_argument("--sources", help="path of the sources table (parquet dir)")
     p.add_argument("--generate", type=int, default=0,
                    help="generate a synthetic corpus of N files instead of reading --sources")
@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="durable commit every k-th PageRank iteration (1 = every)")
+    p.add_argument("--pr-weighted", action="store_true",
+                   help="weighted PageRank over (src*7+dst*13)%%10+1 edge weights")
+    p.add_argument("--pr-seeds", default=None,
+                   help="comma-separated seed ids for personalized PageRank")
+    p.add_argument("--kcore-k", type=int, default=3, help="k for --algo kcore")
     p.add_argument("--sssp-source", type=int, default=None,
                    help="source vertex id for --algo sssp (default: min vertex id)")
     p.add_argument("--sssp-weighted", action="store_true",
@@ -99,10 +104,19 @@ def main(argv: list[str] | None = None) -> None:
     out["edges"] = edges.count()
 
     if args.algo in ("pagerank", "all"):
+        e = edges
+        wcol = None
+        if args.pr_weighted:
+            e = edges.withColumn("w", (F.col("src") * 7 + F.col("dst") * 13) % 10 + 1)
+            wcol = "w"
+        seeds = (
+            [int(s) for s in args.pr_seeds.split(",")] if args.pr_seeds else None
+        )
         ranks, info = pagerank(
-            edges, d=args.damping, tol=args.tol, max_iter=args.max_iter,
+            e, d=args.damping, tol=args.tol, max_iter=args.max_iter,
             checkpoint_dir=chk, resume=not args.no_resume,
             salt=args.salt or None, checkpoint_every=args.checkpoint_every,
+            seeds=seeds, weight_col=wcol,
         )
         ranks.write.mode("overwrite").parquet(os.path.join(args.workdir, "ranks"))
         out["pagerank"] = info
@@ -136,6 +150,24 @@ def main(argv: list[str] | None = None) -> None:
         )
         dists.write.mode("overwrite").parquet(os.path.join(args.workdir, "dists"))
         out["sssp"] = dict(info, source=int(src), weighted=bool(wcol))
+    if args.algo in ("hits", "all"):
+        from metis_spark.plans.hits import hits
+
+        scores, info = hits(
+            edges, tol=args.tol, max_iter=args.max_iter,
+            checkpoint_dir=chk, resume=not args.no_resume,
+            checkpoint_every=args.checkpoint_every,
+        )
+        scores.write.mode("overwrite").parquet(os.path.join(args.workdir, "hits"))
+        out["hits"] = info
+    if args.algo in ("kcore", "all"):
+        from metis_spark.plans.kcore import k_core
+
+        core, info = k_core(
+            edges, k=args.kcore_k, checkpoint_dir=chk, resume=not args.no_resume,
+        )
+        core.write.mode("overwrite").parquet(os.path.join(args.workdir, "kcore"))
+        out["kcore"] = info
 
     print(json.dumps(out, default=str))
 

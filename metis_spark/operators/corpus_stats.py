@@ -82,3 +82,44 @@ def vocab_topk(
         .where(F.col("rank") <= k)
         .select("term", "freq", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def cooccurrence_topk(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 50,
+    group_cap: int = 100,
+) -> DataFrame:
+    """Bipartite projection → (item_a, item_b, n_groups, rn): the top-k
+    item pairs by the number of groups containing both (co-imports,
+    co-purchases, co-citations).
+
+    The self-equi-join on the group key fans out |group|² pairs per
+    group, so groups larger than ``group_cap`` are dropped first — the
+    same explicit web-scale bound as metrics.adamic_adar_topk (a
+    1M-member group would emit 10¹² pairs and carries no pairwise
+    signal). The cap is part of the declared semantics and the SQL twin
+    applies it identically. One shuffle keyed by group, one by pair —
+    both partial-aggregate map-side.
+    """
+    g = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("item")).distinct()
+    sizes = g.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    small = g.join(
+        F.broadcast(sizes.where(F.col("sz") > group_cap)), "g", "left_anti"
+    )
+    a = small.select("g", F.col("item").alias("item_a"))
+    b = small.select("g", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+    w = Window.orderBy(F.desc("n_groups"), F.asc("item_a"), F.asc("item_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("item_a", "item_b", F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("rn").cast("long").alias("rn"))
+    )

@@ -180,3 +180,57 @@ def vertex_jaccard_topk(edges: DataFrame, k: int = 50, hub_cap: int = 128) -> Da
     ).limit(k)
     w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions for a vertex
+    partition → (label, n_vertices, intra_edges, deg_sum, contribution).
+
+    Q = Σ_c [ e_c/m − (D_c/(2m))² ] over the undirected simple graph
+    (m = undirected edge count, e_c = intra-community edges, D_c = summed
+    degree). Σ contribution = Q — the standard quality gate for label
+    propagation / community detection output.
+
+    Plan: one labels⋈edges join per endpoint (labels is the small side —
+    broadcast/SHJ by AQE), two map-side-combining groupBys, and m as a
+    driver scalar. No wedge joins; cost is O(m) with one shuffle keyed by
+    community — hub communities partial-aggregate before the exchange.
+    """
+    und = _und(edges).where(F.col("src") < F.col("dst")).persist()
+    m = und.count()
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    intra = (
+        und.join(la.hint("shuffle_hash"), "src")
+        .join(lb.hint("shuffle_hash"), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = _und_degrees(_und(edges))
+    comm = (
+        lab.join(deg.hint("shuffle_hash"), lab["id"] == deg["id"], "left")
+        .select(lab["id"], "label", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    out = (
+        comm.join(intra, "label", "left")
+        .select(
+            "label",
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)) / F.lit(float(m))
+                - F.pow(F.col("deg_sum") / F.lit(2.0 * m), F.lit(2.0)),
+                6,
+            ).alias("contribution"),
+        )
+    )
+    und.unpersist()
+    return out

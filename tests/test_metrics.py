@@ -123,3 +123,42 @@ def test_hub_cap_bounds_candidates(spark):
     assert got == []
     uncapped = adamic_adar_topk(edges_df(spark, star), k=100, hub_cap=100).collect()
     assert len(uncapped) == 20  # C(7,2)=21 leaf pairs minus the adjacent chord (1,2)
+
+
+def test_community_modularity_vs_python(spark):
+    """Per-community contributions against a direct python computation of
+    Newman's Q on a small partitioned graph."""
+    from conftest import edges_df
+    from metis_spark.plans.metrics import community_modularity
+
+    # two dense blobs {0..4} and {5..9} plus one bridge
+    edges = []
+    for blob in (range(0, 5), range(5, 10)):
+        blob = list(blob)
+        for i in range(len(blob)):
+            for j in range(i + 1, len(blob)):
+                edges.append((blob[i], blob[j]))
+    edges.append((4, 5))
+    labels = [(v, 0 if v < 5 else 1) for v in range(10)]
+    ldf = spark.createDataFrame(labels, "id long, label long")
+
+    und = set()
+    for s, t in edges:
+        und.add((min(s, t), max(s, t)))
+    m = len(und)
+    deg = {v: 0 for v in range(10)}
+    for s, t in und:
+        deg[s] += 1
+        deg[t] += 1
+    lab = dict(labels)
+    want = {}
+    for c in (0, 1):
+        e_c = sum(1 for s, t in und if lab[s] == c and lab[t] == c)
+        d_c = sum(d for v, d in deg.items() if lab[v] == c)
+        want[c] = round(e_c / m - (d_c / (2 * m)) ** 2, 6)
+
+    rows = community_modularity(edges_df(spark, edges), ldf).collect()
+    got = {r["label"]: r["contribution"] for r in rows}
+    assert got == want
+    # a 2-blob partition of a barbell graph is strongly modular
+    assert sum(got.values()) > 0.4

@@ -83,3 +83,21 @@ def test_vocab_topk_order(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     freqs = [r["freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_cooccurrence_cap_and_counts(spark):
+    """Exact pair counts on a tiny bipartite fixture; over-cap groups
+    contribute nothing (declared semantics of the web-scale bound)."""
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        # group 4 exceeds cap=3 → dropped entirely
+        (4, "a"), (4, "b"), (4, "c"), (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, "g long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in CS.cooccurrence_topk(df, "g", "item", k=10, group_cap=3).collect()
+    }
+    assert out == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
