@@ -63,7 +63,9 @@ def hits(
     seconds, converged, n}). hub/auth are L2-normalized."""
     spark = edges.sparkSession
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_hits_")
     cm = CheckpointManager(checkpoint_dir, "hits")

@@ -49,7 +49,9 @@ def k_core(
     """
     spark = edges.sparkSession
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_kcore_")
     cm = CheckpointManager(checkpoint_dir, f"kcore{k}")

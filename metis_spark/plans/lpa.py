@@ -41,7 +41,9 @@ def label_propagation(
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_lpa_")
     cm = CheckpointManager(checkpoint_dir, "lpa")
 
-    num_partitions = spark.sparkContext.defaultParallelism
+    from metis_spark.plans.sizing import auto_partitions
+
+    num_partitions = auto_partitions(edges)
     # hash-partition the (static) undirected edge list by src once; every
     # round's gather join then reuses it exchange-free, and the SHJ hint
     # keeps the big edge side from being re-sorted each round

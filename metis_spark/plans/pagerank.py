@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from metis_spark.plans.checkpoint import CheckpointManager
+from metis_spark.plans.sizing import auto_partitions
 
 
 def _vertices_of(edges: DataFrame) -> DataFrame:
@@ -104,7 +105,7 @@ def pagerank(
     """
     spark = edges.sparkSession
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_pr_")
     cm = CheckpointManager(checkpoint_dir, "pagerank")

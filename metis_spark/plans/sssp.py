@@ -52,7 +52,9 @@ def shortest_paths(
     """
     spark = edges.sparkSession
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_sssp_")
     cm = CheckpointManager(checkpoint_dir, "sssp")

@@ -135,3 +135,49 @@ def streaming_edge_counts(
         .queryName(out_table)
         .start()
     )
+
+
+EVENTS_DDL = "event_id long, user_id long, kind string, ts timestamp"
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "stream_windows",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> "object":
+    """Event-time tumbling-window counts with late-data handling — the
+    watermarked streaming aggregation of SURVEY.md §2.8.
+
+    Append output mode: a (window, kind) row is emitted exactly once,
+    when the watermark (max event time − ``watermark``) passes the
+    window's end; events arriving later than the watermark are dropped —
+    Spark's state store can therefore evict closed windows, which is
+    what makes the aggregation runnable forever at 100 TB/day (an
+    unwatermarked streaming groupBy grows state without bound).
+    Returns the StreamingQuery; rows land in the in-memory ``out_table``
+    as (w_start, w_end, kind, n).
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "kind",
+            "n",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

@@ -132,3 +132,56 @@ def test_streaming_bronze_matches_batch_bronze(spark, tmp_path):
 
     edges = resolve_edges(streamed.select("repo", "path", "commit", "lang", "content"))
     assert edges.count() == len(corpus_ledger(60, 3))
+
+
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling windows: closed windows match the batch
+    computation exactly; events later than the watermark are dropped
+    (append-mode emit-once contract)."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_windowed_counts
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    chk = str(tmp_path / "chk")
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows):
+        return spark.createDataFrame(
+            [(i, u, k, t0 + timedelta(minutes=m)) for i, (u, k, m) in enumerate(rows)],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    # three 10-min windows of real events + one far-future flush event
+    # that advances the watermark past all of them
+    phase1 = [(1, "click", 1), (1, "click", 3), (2, "view", 7),   # w[0,10)
+              (1, "view", 12), (2, "view", 15),                    # w[10,20)
+              (3, "click", 25),                                    # w[20,30)
+              (9, "flush", 24 * 60)]                               # flush
+    _events(phase1).coalesce(1).write.mode("overwrite").parquet(str(drop / "f1"))
+    q = streaming_windowed_counts(
+        spark, str(drop) + "/*", out_table="wct", watermark="10 minutes"
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r["w_start"].minute + 60 * r["w_start"].hour, r["kind"]): r["n"]
+            for r in spark.sql("SELECT * FROM wct").collect()
+        }
+        assert got1 == {
+            (0, "click"): 2, (0, "view"): 1,
+            (10, "view"): 2, (20, "click"): 1,
+        }
+        # a late event 24h behind the watermark: dropped, output unchanged
+        _events([(5, "click", 2)]).coalesce(1).write.mode("overwrite").parquet(
+            str(drop / "f2")
+        )
+        q.processAllAvailable()
+        got2 = {
+            (r["w_start"].minute + 60 * r["w_start"].hour, r["kind"]): r["n"]
+            for r in spark.sql("SELECT * FROM wct").collect()
+        }
+        assert got2 == got1
+    finally:
+        q.stop()
