@@ -467,6 +467,62 @@ def _q_sssp_weighted(spark, sf_dir):
     return dists
 
 
+N_LANDMARKS = 3
+
+
+def _landmark_sources(spark, sf_dir) -> list[int]:
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return [
+        r["id"] for r in verts.orderBy("id").limit(N_LANDMARKS).collect()
+    ]
+
+
+def _q_landmark_distances(spark, sf_dir):
+    """Per-source BFS from the 3 smallest vertex ids — the landmark
+    sketch behind approximate centrality (plans/sssp.py)."""
+    from metis_spark.plans.sssp import landmark_distances
+
+    edges = derived_edges(spark, sf_dir)
+    dists, _ = landmark_distances(
+        edges, _landmark_sources(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qlmd_"), max_iter=SSSP_ROUNDS,
+    )
+    return dists
+
+
+def _q_harmonic(spark, sf_dir):
+    """Landmark harmonic-centrality estimate h(v) = Σ 1/d(s,v)."""
+    from metis_spark.plans.sssp import harmonic_landmarks
+
+    edges = derived_edges(spark, sf_dir)
+    return harmonic_landmarks(
+        edges, _landmark_sources(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qharm_"), max_iter=SSSP_ROUNDS,
+    )
+
+
+def _landmark_ctes() -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        f"srcs AS (SELECT id FROM verts ORDER BY id LIMIT {N_LANDMARKS})",
+        "d0 AS (SELECT id, id AS source, 0::BIGINT AS dist FROM srcs)",
+    ]
+    for i in range(1, SSSP_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS (SELECT id, source, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT e.dst AS id, d.source, d.dist + 1 AS dist "
+            f"FROM edges e JOIN d{p} d ON e.src = d.id "
+            f"UNION ALL SELECT id, source, dist FROM d{p}) GROUP BY id, source)"
+        )
+    return ",\n".join(ctes)
+
+
 def _q_csr(spark, sf_dir):
     """Bucketed sorted CSR adjacency (north_rule), rendered comparable:
     neighbor arrays as comma-joined strings so DuckDB string_agg matches."""
@@ -1041,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_adjacency": _q_csr,
         "sssp_hops": _q_sssp,
         "sssp_weighted": _q_sssp_weighted,
+        "landmark_distances": _q_landmark_distances,
+        "harmonic_landmarks": _q_harmonic,
         # link-graph analytics metrics
         "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
@@ -1496,6 +1554,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp_hops": _sssp_sql(),
         "sssp_weighted": _sssp_sql(weighted=True),
+        "landmark_distances": (
+            f"WITH {_landmark_ctes()} "
+            f"SELECT id, source, dist FROM d{SSSP_ROUNDS}"
+        ),
+        "harmonic_landmarks": (
+            f"WITH {_landmark_ctes()} "
+            f"SELECT id, COUNT(*)::BIGINT AS n_sources, "
+            f"ROUND(SUM(1.0 / dist::DOUBLE), 6) AS h "
+            f"FROM d{SSSP_ROUNDS} WHERE dist > 0 GROUP BY id"
+        ),
         "kcore_3": _kcore_sql(),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "

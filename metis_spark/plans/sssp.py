@@ -142,3 +142,129 @@ def shortest_hops(
         resume=resume, num_partitions=num_partitions, directed=directed,
         weight_col=None,
     )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    directed: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Per-source BFS from a landmark set → (dists(id, source, dist), info).
+
+    Unlike shortest_paths (which min-folds the sources into ONE distance
+    field), the state is keyed (id, source): each landmark's distance
+    field propagates independently in the same relax join — the standard
+    landmark/sketch construction behind approximate closeness/harmonic
+    centrality and distance oracles. State size is O(|V|·|S|); keep the
+    landmark set small (it multiplies every shuffle) — at 10^12 files
+    you run 16-64 landmarks, not thousands.
+
+    Same spine as shortest_paths: edge side partitioned once, SHJ relax
+    join, per-round commit + lineage + mid-algorithm resume, fixpoint
+    when no (id, source) pair improves.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_lmd_")
+    cm = CheckpointManager(checkpoint_dir, "landmarks")
+
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.repartition(num_partitions, "src").persist()
+    e.count()
+
+    dists = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "id long, source long, dist long"
+    )
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            state, meta = cm.load(spark, k0)
+            dists = state.select("id", "source", "dist")
+            start_iter = k0
+            if meta.get("converged"):
+                e.unpersist()
+                return dists, {"iterations": k0, "converged": True, "seconds": 0.0,
+                               "resumed": True}
+
+    t0 = time.monotonic()
+    converged = False
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        relaxed = (
+            e.join(dists.hint("shuffle_hash"), e["src"] == dists["id"])
+            .select(
+                F.col("dst").alias("id"), "source", (F.col("dist") + 1).alias("dist")
+            )
+        )
+        nxt = (
+            dists.unionByName(relaxed)
+            .groupBy("id", "source")
+            .agg(F.min("dist").alias("dist"))
+        )
+        with_old = nxt.join(
+            dists.select("id", "source", F.col("dist").alias("old_dist")).hint("shuffle_hash"),
+            ["id", "source"],
+            "left",
+        )
+        state, totals = cm.commit(
+            k,
+            with_old,
+            {},
+            extra_aggs={
+                "changed": F.sum(
+                    (F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist"))).cast("long")
+                )
+            },
+        )
+        changed = int(totals["changed"] or 0)
+        converged = changed == 0
+        cm.update_meta(k, {"converged": converged, "changed": changed})
+        cm.append_metrics(
+            {"iter": k, "delta": float(changed), "seconds": time.monotonic() - it_t0,
+             "rows": int(totals["rows"])}
+        )
+        dists = state.select("id", "source", "dist")
+        if converged:
+            break
+
+    e.unpersist()
+    return dists, {"iterations": k, "converged": converged,
+                   "seconds": time.monotonic() - t0}
+
+
+def harmonic_landmarks(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Landmark estimate of harmonic centrality → (id, n_sources, h):
+    h(v) = Σ_{s∈S, d(s,v)>0} 1/d(s,v). Scaling by n/|S| gives the
+    standard unbiased estimate of Σ_u 1/d(u,v) when S is a uniform
+    sample; the raw sum is returned so the estimate stays deterministic
+    and engine-comparable."""
+    dists, _ = landmark_distances(
+        edges, sources, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+        directed=directed,
+    )
+    return (
+        dists.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("h"),
+        )
+    )

@@ -111,3 +111,53 @@ def test_weighted_resume(spark, tmp_path):
     a = {r["id"]: r["dist"] for r in full.collect()}
     b = {r["id"]: r["dist"] for r in resumed.collect()}
     assert a == b
+
+
+def test_landmark_distances_vs_python_bfs(spark, tmp_path):
+    from collections import deque
+
+    from metis_spark.plans.sssp import landmark_distances
+    from oracles import random_graph
+
+    edges = random_graph(n=60, p=0.05, seed=41, zipf_extra=30)
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    sources = [0, 1, 2]
+    want = {}
+    for s in sources:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, d in dist.items():
+            want[(v, s)] = d
+    dists, info = landmark_distances(
+        edges_df(spark, edges), sources, checkpoint_dir=str(tmp_path),
+    )
+    got = {(r["id"], r["source"]): r["dist"] for r in dists.collect()}
+    assert got == want and info["converged"]
+
+
+def test_landmark_resume_identical(spark, tmp_path):
+    from metis_spark.plans.sssp import landmark_distances
+    from oracles import random_graph
+
+    edges = random_graph(n=40, p=0.07, seed=43, zipf_extra=20)
+    full, _ = landmark_distances(
+        edges_df(spark, edges), [0, 1], checkpoint_dir=str(tmp_path / "a"),
+    )
+    landmark_distances(
+        edges_df(spark, edges), [0, 1], checkpoint_dir=str(tmp_path / "b"),
+        max_iter=2,
+    )
+    resumed, _ = landmark_distances(
+        edges_df(spark, edges), [0, 1], checkpoint_dir=str(tmp_path / "b"),
+    )
+    a = {(r["id"], r["source"]): r["dist"] for r in full.collect()}
+    b = {(r["id"], r["source"]): r["dist"] for r in resumed.collect()}
+    assert a == b
