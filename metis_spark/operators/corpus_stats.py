@@ -67,19 +67,19 @@ def vocab_topk(
     """→ (term, freq, rank): corpus-wide heavy hitters, ties term asc.
 
     The groupBy partial-aggregates map-side, so the exchange carries
-    |vocab| rows per partition, not |tokens|; the final top-k is a
-    single-reducer sort over |vocab| rows (fine: vocabularies are small
-    relative to corpora; for unbounded key domains switch to the
-    approximate heavy-hitter path first)."""
+    |vocab| rows per partition, not |tokens|; the global top-k is a
+    distributed TakeOrdered (orderBy+limit — per-partition top-k then a
+    k-row merge, NEVER a single-partition window over the full vocab),
+    and only the k survivors see the ranking window."""
     freq = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = freq.orderBy(F.desc("freq"), F.asc("term")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("term"))
     return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("term", "freq", F.col("rank").cast("long").alias("rank"))
     )
 
@@ -116,10 +116,13 @@ def cooccurrence_topk(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_groups"))
     )
+    # distributed TakeOrdered first; the ranking window sees only k rows
+    top = pairs.orderBy(
+        F.desc("n_groups"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)
     w = Window.orderBy(F.desc("n_groups"), F.asc("item_a"), F.asc("item_b"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        top.withColumn("rn", F.row_number().over(w))
         .select("item_a", "item_b", F.col("n_groups").cast("long").alias("n_groups"),
                 F.col("rn").cast("long").alias("rn"))
     )
