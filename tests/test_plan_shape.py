@@ -119,3 +119,44 @@ def test_no_unpartitioned_window_in_shipped_queries(spark):
     # all-rows-to-one-task funnel) is an Exchange SinglePartition
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_topk_candidates_never_shuffle_to_probes(spark):
+    """ivf_topk must broadcast the tiny probe set: no Exchange keyed on
+    cid over the candidate side and no SortMergeJoin anywhere."""
+    import os
+
+    from metis_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    cent = SIM.ivf_centroids_stride(emb, 25)
+    q = SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 3), cent, nprobe=2)
+    plan = _executed(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_cluster_edges_have_no_cartesian(spark):
+    """The minhash candidate build feeding dedup_clusters stays a band-key
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin."""
+    import os
+
+    from metis_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(os.path.join(TESTDATA, "documents.parquet"))
+    cands = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    plan = _executed(cands)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    """vocab/co-occurrence top-k must compile to TakeOrderedAndProject —
+    never a single-partition window over the full aggregate."""
+    import os
+
+    from metis_spark.operators import corpus_stats as CS
+
+    docs = spark.read.parquet(os.path.join(TESTDATA, "documents.parquet"))
+    plan = _executed(CS.vocab_topk(docs, k=10))
+    assert "TakeOrderedAndProject" in plan
