@@ -694,6 +694,20 @@ def _q_ann_ivf_recall(spark, sf_dir):
     return SIM.topk_recall(exact, approx)
 
 
+HH_MIN_COUNT = 60
+
+
+def _q_heavy_hitter_users(spark, sf_dir):
+    """Exact heavy hitters via the candidate-pruned two-pass plan
+    (operators/sketches.py): per-partition Arrow counting emits provably
+    complete candidates; only candidates are shuffled and recounted.
+    Output is exact, so the plain GROUP BY/HAVING oracle pins it."""
+    from metis_spark.operators.sketches import exact_heavy_hitters
+
+    events = _t(spark, sf_dir, "events")
+    return exact_heavy_hitters(events, "user_id", HH_MIN_COUNT)
+
+
 def _q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — same row
     set on every run/engine/cluster size (operators/sampling.py)."""
@@ -1120,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_neardup": _q_embedding_neardup,
+        "heavy_hitter_users": _q_heavy_hitter_users,
         "hash_sample_docs": _q_hash_sample,
         "stratified_sample_docs": _q_stratified_sample,
         "tfidf_top3": _q_tfidf_top3,
@@ -1743,6 +1758,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ne.query_id, ne.n_exact, COALESCE(hits.n_overlap, 0)::BIGINT AS n_overlap, "
             "ROUND(COALESCE(hits.n_overlap, 0) / ne.n_exact::DOUBLE, 6) AS recall "
             "FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
+        ),
+        "heavy_hitter_users": (
+            "SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events "
+            f"GROUP BY user_id HAVING COUNT(*) >= {HH_MIN_COUNT}"
         ),
         "hash_sample_docs": (
             "SELECT doc_id, lang FROM documents "
