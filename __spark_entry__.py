@@ -861,6 +861,59 @@ def _q_copart_topk(spark, sf_dir):
     )
 
 
+SCC_PHASES, SCC_ROUNDS = 3, 10  # measured: 2 phases at sf0.001, 1 at sf0.01;
+# min-label propagation settles well inside 10 rounds on the mod-301 graph
+
+
+def _q_scc(spark, sf_dir):
+    """Directed strongly connected components (import cycles) via
+    min-label FW-BW phases (plans/scc.py)."""
+    from metis_spark.plans.scc import strongly_connected_components
+
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qscc_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+    )
+    return labels
+
+
+def _scc_sql() -> str:
+    """Unrolled FW-BW phases: per phase, fwd/bwd min propagation over the
+    active-induced edge subset; settle fwd==bwd; shrink the active set."""
+    ctes = [_EDGES_SQL.strip(), "a1 AS MATERIALIZED (SELECT id FROM verts)"]
+    for p in range(1, SCC_PHASES + 1):
+        ctes.append(
+            f"ea{p} AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
+            f"JOIN a{p} x ON e.src = x.id JOIN a{p} y ON e.dst = y.id)"
+        )
+        ctes.append(f"f{p}_0 AS (SELECT id, id AS label FROM a{p})")
+        ctes.append(f"b{p}_0 AS (SELECT id, id AS label FROM a{p})")
+        for r in range(1, SCC_ROUNDS + 1):
+            ctes.append(
+                f"f{p}_{r} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM f{p}_{r-1} v LEFT JOIN (SELECT e.dst AS id, MIN(l.label) AS minl "
+                f"FROM ea{p} e JOIN f{p}_{r-1} l ON e.src = l.id GROUP BY e.dst) m ON v.id = m.id)"
+            )
+            ctes.append(
+                f"b{p}_{r} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM b{p}_{r-1} v LEFT JOIN (SELECT e.src AS id, MIN(l.label) AS minl "
+                f"FROM ea{p} e JOIN b{p}_{r-1} l ON e.dst = l.id GROUP BY e.src) m ON v.id = m.id)"
+            )
+        ctes.append(
+            f"s{p} AS MATERIALIZED (SELECT f.id, f.label AS scc "
+            f"FROM f{p}_{SCC_ROUNDS} f JOIN b{p}_{SCC_ROUNDS} b "
+            f"ON f.id = b.id AND f.label = b.label)"
+        )
+        ctes.append(
+            f"a{p+1} AS MATERIALIZED (SELECT id FROM a{p} EXCEPT SELECT id FROM s{p})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, scc FROM s{p}" for p in range(1, SCC_PHASES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union}"
+
+
 def _q_degree_histogram(spark, sf_dir):
     """Log2-binned undirected degree distribution — the first descriptive
     query on any web-scale graph (power-law check, skew sizing for salt
@@ -1100,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": _q_hits,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
+        "strongly_connected_components": _q_scc,
         "label_propagation_2iter": _q_lpa,
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
@@ -1531,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_3iter": _hits_sql(),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
+        "strongly_connected_components": _scc_sql(),
         "label_propagation_2iter": _lpa_sql(),
         "community_modularity": _modularity_sql(),
         "degree_histogram": (

@@ -1,0 +1,183 @@
+"""Strongly connected components (directed) — min-label FW-BW phases.
+
+The undirected CC plan (components.py) cannot see edge direction; a
+link-graph user asking "which modules form import cycles?" needs SCC.
+Distributed algorithm (the min-label variant of FW-BW peeling):
+
+  phase over the ACTIVE subgraph:
+    fwd(v) = min active id that can REACH v   (min-propagation along edges)
+    bwd(v) = min active id REACHABLE FROM v   (min-propagation along
+                                               reversed edges)
+    fwd(v) == bwd(v) == m  ⟺  v and m are mutually reachable, so the
+    equality set is a union of complete SCCs (every vertex of SCC(m)
+    shares both labels); settle those, remove them, repeat.
+
+Each phase settles at least the SCC of the smallest active id, so the
+phase count is bounded by the graph's "SCC peeling depth" — small on
+web-shaped graphs (one giant SCC + shallow tail), O(#SCC) only on
+adversarial chains. Each propagation round is the same join+agg shape
+as connected_components: edge side hash-partitioned once per phase and
+reused, SHJ hints, min-fold with map-side partial aggregation absorbing
+hubs, fixpoint by zero-changed count folded into an Observation.
+
+Checkpoint contract: one durable commit per PHASE (state = settled
+assignments ∪ active labels); resume restarts at the last completed
+phase — the mid-algorithm resume granularity that matters here, since
+phases, not rounds, are the expensive unit.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from metis_spark.plans.checkpoint import CheckpointManager
+
+
+def _min_propagate(e: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
+    """Fixpoint of label(v) = min(label(v), min over e-incoming labels).
+    ``e`` is (src, dst) — propagation flows src→dst."""
+    for r in range(max_rounds):
+        obs = Observation(f"scc_prop_{id(e)}_{r}")
+        incoming = (
+            e.join(labels.hint("shuffle_hash"), e["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("minl"))
+        )
+        nxt = (
+            labels.join(incoming.hint("shuffle_hash"), labels["id"] == incoming["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("minl"), F.col("label"))).alias("label"),
+                F.col("label").alias("old"),
+            )
+        )
+        nxt = nxt.observe(
+            obs, F.sum((F.col("label") < F.col("old")).cast("long")).alias("changed")
+        ).select("id", "label").localCheckpoint(eager=True)
+        labels = nxt
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_phases: int = 30,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) → (labels(id, scc), info). scc = min vertex id of
+    the component; single vertices (no cycle through them) settle as
+    their own SCC."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_scc_")
+    cm = CheckpointManager(checkpoint_dir, "scc")
+
+    e_all = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    if vertices is None:
+        verts = (
+            e_all.select(F.col("src").alias("id"))
+            .unionByName(e_all.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        verts = vertices.select(F.col("id").cast("long"))
+
+    # state rows: (id, scc, settled); active vertices carry scc = NULL
+    state = verts.select("id", F.lit(None).cast("long").alias("scc"))
+    start_phase = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            st, meta = cm.load(spark, k0)
+            state = st.select("id", "scc")
+            start_phase = k0
+            if meta.get("converged"):
+                e_all.unpersist()
+                return state.select("id", "scc"), {
+                    "phases": k0, "converged": True, "seconds": 0.0, "resumed": True,
+                }
+
+    t0 = time.monotonic()
+    converged = False
+    k = start_phase
+    for k in range(start_phase + 1, max_phases + 1):
+        ph_t0 = time.monotonic()
+        active = state.where(F.col("scc").isNull()).select("id").persist()
+        n_active = active.count()
+        if n_active == 0:
+            converged = True
+            active.unpersist()
+            break
+        # active-induced edge subset, partitioned by the propagation key
+        # (fwd flows src→dst; the reversed copy is built from the same rows)
+        e_act = (
+            e_all.join(active.hint("shuffle_hash"), e_all["src"] == active["id"])
+            .select("src", "dst")
+            .join(
+                active.select(F.col("id").alias("_d")).hint("shuffle_hash"),
+                F.col("dst") == F.col("_d"),
+            )
+            .select("src", "dst")
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        e_rev = (
+            e_act.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        init = active.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+        fwd = _min_propagate(e_act, init, max_rounds)
+        bwd = _min_propagate(e_rev, init, max_rounds)
+        settled = (
+            fwd.select("id", F.col("label").alias("f"))
+            .join(bwd.select("id", F.col("label").alias("b")).hint("shuffle_hash"), "id")
+            .where(F.col("f") == F.col("b"))
+            .select("id", F.col("f").alias("new_scc"))
+        )
+        new_state = (
+            state.join(settled.hint("shuffle_hash"), "id", "left")
+            .select("id", F.coalesce("scc", "new_scc").alias("scc"))
+        )
+        obs = Observation(f"scc_phase_{k}")
+        new_state = new_state.observe(
+            obs, F.sum(F.col("scc").isNull().cast("long")).alias("remaining")
+        )
+        st, _ = cm.commit(k, new_state.repartition(max(8, num_partitions // 8)), {"converged": False})
+        remaining = int(obs.get["remaining"] or 0)
+        converged = remaining == 0
+        cm.update_meta(k, {"converged": converged, "remaining": remaining})
+        cm.append_metrics(
+            {"iter": k, "delta": float(remaining), "seconds": time.monotonic() - ph_t0,
+             "rows": n_active}
+        )
+        state = st.select("id", "scc")
+        active.unpersist()
+        e_act.unpersist()
+        e_rev.unpersist()
+        if converged:
+            break
+
+    e_all.unpersist()
+    return state.select("id", "scc"), {
+        "phases": k, "converged": converged, "seconds": time.monotonic() - t0,
+    }
