@@ -891,12 +891,12 @@ def _scc_sql() -> str:
         ctes.append(f"b{p}_0 AS (SELECT id, id AS label FROM a{p})")
         for r in range(1, SCC_ROUNDS + 1):
             ctes.append(
-                f"f{p}_{r} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"f{p}_{r} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
                 f"FROM f{p}_{r-1} v LEFT JOIN (SELECT e.dst AS id, MIN(l.label) AS minl "
                 f"FROM ea{p} e JOIN f{p}_{r-1} l ON e.src = l.id GROUP BY e.dst) m ON v.id = m.id)"
             )
             ctes.append(
-                f"b{p}_{r} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"b{p}_{r} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
                 f"FROM b{p}_{r-1} v LEFT JOIN (SELECT e.src AS id, MIN(l.label) AS minl "
                 f"FROM ea{p} e JOIN b{p}_{r-1} l ON e.dst = l.id GROUP BY e.src) m ON v.id = m.id)"
             )
@@ -912,6 +912,49 @@ def _scc_sql() -> str:
         f"SELECT id, scc FROM s{p}" for p in range(1, SCC_PHASES + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\n{union}"
+
+
+DAG_ROUNDS = 6  # ≥ condensation-DAG longest path at every sf (measured ≤ 1)
+
+
+def _q_dag_levels(spark, sf_dir):
+    """Build-order levels of the SCC condensation DAG: level(v) = longest
+    path from any root — everything at level k can build once levels < k
+    are done (plans/scc.py:condensation_levels)."""
+    from metis_spark.plans.scc import (
+        condensation_levels,
+        strongly_connected_components,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qdag_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+    )
+    return condensation_levels(edges, labels, max_rounds=DAG_ROUNDS)
+
+
+def _dag_levels_sql() -> str:
+    scc = _scc_sql()
+    head, union = scc.rsplit("\n", 1)
+    ctes = [head[len("WITH "):]]
+    ctes.append(f"sccall AS MATERIALIZED ({union})")
+    ctes.append(
+        "cedges AS MATERIALIZED (SELECT DISTINCT a.scc AS cs, b.scc AS cd "
+        "FROM edges e JOIN sccall a ON e.src = a.id JOIN sccall b ON e.dst = b.id "
+        "WHERE a.scc <> b.scc)"
+    )
+    ctes.append("v0 AS (SELECT DISTINCT scc AS c, 0::BIGINT AS level FROM sccall)")
+    for r in range(1, DAG_ROUNDS + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT v.c, GREATEST(v.level, COALESCE(m.il, v.level))::BIGINT AS level "
+            f"FROM v{r-1} v LEFT JOIN (SELECT e.cd AS c, MAX(l.level) + 1 AS il "
+            f"FROM cedges e JOIN v{r-1} l ON e.cs = l.c GROUP BY e.cd) m ON v.c = m.c)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s.id, s.scc, v.level FROM sccall s JOIN v{DAG_ROUNDS} v ON s.scc = v.c"
+    )
 
 
 def _q_degree_histogram(spark, sf_dir):
@@ -1154,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
+        "dag_levels": _q_dag_levels,
         "label_propagation_2iter": _q_lpa,
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
@@ -1586,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
         "strongly_connected_components": _scc_sql(),
+        "dag_levels": _dag_levels_sql(),
         "label_propagation_2iter": _lpa_sql(),
         "community_modularity": _modularity_sql(),
         "degree_histogram": (

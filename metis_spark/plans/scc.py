@@ -181,3 +181,63 @@ def strongly_connected_components(
     return state.select("id", "scc"), {
         "phases": k, "converged": converged, "seconds": time.monotonic() - t0,
     }
+
+
+def condensation_levels(
+    edges: DataFrame,
+    labels: DataFrame,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Longest-path levels of the SCC condensation DAG → (id, scc, level).
+
+    THE dependency-graph scheduling query: contract each SCC (cycle
+    group) to one node, then level(c) = longest path from any root —
+    everything at level k can build once levels < k are done. ``labels``
+    is the (id, scc) output of strongly_connected_components (already
+    checkpointed/resumable there; this derivation converges in
+    DAG-depth rounds of one join+agg each — max-fold propagation,
+    map-side combining, plan truncated per round).
+    """
+    lab = labels.select("id", "scc")
+    ls = lab.select(F.col("id").alias("src"), F.col("scc").alias("cs"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("scc").alias("cd"))
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    num_partitions = max(8, e.sparkSession.sparkContext.defaultParallelism)
+    ec = (
+        e.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .where(F.col("cs") != F.col("cd"))
+        .select("cs", "cd")
+        .distinct()
+        .repartition(num_partitions, "cs")
+        .persist()
+    )
+    lv = lab.select(F.col("scc").alias("c")).distinct().select(
+        "c", F.lit(0).cast("long").alias("level")
+    ).localCheckpoint(eager=True)
+    for r in range(max_rounds):
+        obs = Observation(f"dag_lv_{r}")
+        incoming = (
+            ec.join(lv.hint("shuffle_hash"), ec["cs"] == lv["c"])
+            .groupBy("cd")
+            .agg((F.max("level") + 1).alias("in_lv"))
+        )
+        nxt = (
+            lv.join(incoming.hint("shuffle_hash"), lv["c"] == incoming["cd"], "left")
+            .select(
+                "c",
+                F.greatest(F.col("level"), F.coalesce(F.col("in_lv"), F.col("level"))).alias("level"),
+                F.col("level").alias("old"),
+            )
+            .observe(obs, F.sum((F.col("level") > F.col("old")).cast("long")).alias("changed"))
+            .select("c", "level")
+            .localCheckpoint(eager=True)
+        )
+        lv = nxt
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    ec.unpersist()
+    return (
+        lab.join(lv.hint("shuffle_hash"), lab["scc"] == lv["c"])
+        .select("id", "scc", "level")
+    )

@@ -103,3 +103,32 @@ def test_scc_resume_identical(spark, tmp_path):
     a = {r["id"]: r["scc"] for r in full.collect()}
     b = {r["id"]: r["scc"] for r in resumed.collect()}
     assert a == b and info["converged"]
+
+
+def test_condensation_levels_vs_python(spark, tmp_path):
+    """Longest-path levels on the condensed DAG vs a python oracle."""
+    from metis_spark.plans.scc import condensation_levels
+
+    edges = random_graph(n=50, p=0.06, seed=59, zipf_extra=30)
+    want_scc = tarjan_scc(50, edges)
+    # python longest-path levels over the condensation
+    cedges = {(want_scc[s], want_scc[t]) for s, t in edges if want_scc[s] != want_scc[t]}
+    comps = set(want_scc.values())
+    level = {c: 0 for c in comps}
+    for _ in range(len(comps)):
+        changed = False
+        for cs, cd in cedges:
+            if level[cs] + 1 > level[cd]:
+                level[cd] = level[cs] + 1
+                changed = True
+        if not changed:
+            break
+
+    labels, _ = strongly_connected_components(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path),
+    )
+    rows = condensation_levels(edges_df(spark, edges), labels).collect()
+    got = {r["id"]: (r["scc"], r["level"]) for r in rows}
+    want = {v: (want_scc[v], level[want_scc[v]]) for v in got}
+    assert got == want and len(got) > 0
+    assert max(lv for _, lv in got.values()) >= 1
