@@ -725,6 +725,16 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q_dataset_splits(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — documents never
+    migrate between splits as the corpus grows (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.split_assign(
+        docs, "doc_id", [("train", 80), ("val", 10), ("test", 10)]
+    )
+    return out.select("doc_id", "lang", "split")
+
+
 def _q_tfidf_top3(spark, sf_dir):
     """Top-3 characteristic terms per document by tf·ln(N/df)
     (operators/corpus_stats.py)."""
@@ -1235,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_users": _q_heavy_hitter_users,
         "hash_sample_docs": _q_hash_sample,
         "stratified_sample_docs": _q_stratified_sample,
+        "dataset_splits": _q_dataset_splits,
         "tfidf_top3": _q_tfidf_top3,
         "vocab_top100": _q_vocab_top100,
         "token_stats": _q_token_stats,
@@ -1871,6 +1882,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 15))::BIGINT "
             "% (CASE WHEN lang = 'en' THEN 10 ELSE 2 END) < 1"
+        ),
+        "dataset_splits": (
+            "SELECT doc_id, lang, CASE "
+            "WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train' "
+            "WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
         ),
         "tfidf_top3": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("

@@ -61,3 +61,29 @@ def stratified_sample(
         den = F.when(F.col(strata_col) == value, F.lit(d_)).otherwise(den)
     b = hash_bucket(F.col(key_col), salt)
     return df.where(F.pmod(b, den) < num)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]],
+    den: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment → df + ``split`` column.
+
+    ``splits`` is [(name, weight)] with Σ weight == den; a row's bucket
+    (hash mod den) selects the range its key falls in. Same guarantees
+    as hash_sample: reproducible across engines/cluster sizes, stable
+    under append (a document never migrates between splits when the
+    corpus grows — the property that keeps eval sets uncontaminated)."""
+    if sum(w for _, w in splits) != den:
+        raise ValueError("split weights must sum to den")
+    b = F.pmod(hash_bucket(F.col(key_col), salt), F.lit(den))
+    expr = None
+    lo = 0
+    for name, w in splits:
+        cond = b < F.lit(lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    return df.withColumn("split", expr)

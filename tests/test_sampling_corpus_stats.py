@@ -101,3 +101,19 @@ def test_cooccurrence_cap_and_counts(spark):
         for r in CS.cooccurrence_topk(df, "g", "item", k=10, group_cap=3).collect()
     }
     assert out == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_split_assign_stable_and_total(spark):
+    """Every row gets exactly one split; membership is append-stable."""
+    a = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    b = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    splits = [("train", 80), ("val", 10), ("test", 10)]
+    sa = {r["doc_id"]: r["split"] for r in SAMP.split_assign(a, "doc_id", splits).collect()}
+    sb = {r["doc_id"]: r["split"] for r in SAMP.split_assign(b, "doc_id", splits).collect()}
+    assert len(sa) == 400 and len(sb) == 1000
+    assert all(sb[i] == sa[i] for i in range(400))
+    from collections import Counter
+    frac = Counter(sb.values())
+    assert 0.7 < frac["train"] / 1000 < 0.9
+    assert 0.04 < frac["val"] / 1000 < 0.17
+    assert 0.04 < frac["test"] / 1000 < 0.17
