@@ -140,6 +140,7 @@ def main() -> None:
         "triangle_count",
         "pagerank_5iter",
         "hits_3iter",
+        "strongly_connected_components",
         "tfidf_top3",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
