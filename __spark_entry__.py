@@ -984,6 +984,38 @@ def _q_degree_histogram(spark, sf_dir):
     )
 
 
+def _q_graph_summary(spark, sf_dir):
+    """One-row global profile: sizes, degree extremes, density — the
+    numbers that size every downstream decision (salting, partitions,
+    broadcast thresholds). Two aggs, no joins."""
+    e = derived_edges(spark, sf_dir)
+    und = derived_und(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_v = verts.count()
+    n_e = e.count()
+    n_und = und.count() // 2
+    row = deg.agg(
+        F.max("d").alias("max_out_deg"), F.avg("d").alias("avg_out")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(n_v, n_e, n_und, int(row["max_out_deg"]))],
+        "n_vertices long, n_edges long, n_und_edges long, max_out_deg long",
+    ).select(
+        "*",
+        F.round(F.col("n_edges") / F.col("n_vertices"), 6).alias("avg_out_deg"),
+        F.round(
+            F.col("n_und_edges")
+            / (F.col("n_vertices") * (F.col("n_vertices") - 1) / F.lit(2.0)),
+            6,
+        ).alias("density"),
+    )
+
+
 def _q_reciprocity(spark, sf_dir):
     """Directed-edge reciprocity: the share of edges whose reverse also
     exists — one self-equi-join on the reversed key."""
@@ -1211,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_2iter": _q_lpa,
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
+        "graph_summary": _q_graph_summary,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
         "copart_topk": _q_copart_topk,
@@ -1650,6 +1683,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT floor(log2(deg))::BIGINT AS bin, COUNT(*)::BIGINT AS n_vertices, "
             "MIN(deg)::BIGINT AS min_deg, MAX(deg)::BIGINT AS max_deg "
             "FROM d GROUP BY floor(log2(deg))::BIGINT"
+        ),
+        "graph_summary": (
+            f"WITH {_EDGES_SQL.strip()}, "
+            "nv AS (SELECT COUNT(*)::BIGINT AS n_vertices FROM verts), "
+            "ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM edges), "
+            "nu AS (SELECT (COUNT(*) // 2)::BIGINT AS n_und_edges FROM und), "
+            "md AS (SELECT MAX(d)::BIGINT AS max_out_deg FROM "
+            "(SELECT COUNT(*) AS d FROM edges GROUP BY src)) "
+            "SELECT nv.n_vertices, ne.n_edges, nu.n_und_edges, md.max_out_deg, "
+            "ROUND(ne.n_edges / nv.n_vertices::DOUBLE, 6) AS avg_out_deg, "
+            "ROUND(nu.n_und_edges / (nv.n_vertices * (nv.n_vertices - 1) / 2.0), 6) AS density "
+            "FROM nv CROSS JOIN ne CROSS JOIN nu CROSS JOIN md"
         ),
         "reciprocity": (
             f"WITH {_EDGES_SQL.strip()}, "
