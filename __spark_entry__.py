@@ -984,6 +984,23 @@ def _q_degree_histogram(spark, sf_dir):
     )
 
 
+def _q_events_in_windows(spark, sf_dir):
+    """Bucketed interval-containment join: all events falling inside each
+    low-user activity window — an equi-join on time buckets, never a
+    BroadcastNestedLoopJoin (operators/windows.py:interval_join)."""
+    from metis_spark.operators.windows import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    iv = (
+        events.where(F.col("user_id") < 3)
+        .groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    return interval_join(
+        events.select("event_id", "ts", "user_id"), iv
+    ).select("event_id", "user_id", "w_user")
+
+
 def _q_graph_summary(spark, sf_dir):
     """One-row global profile: sizes, degree extremes, density — the
     numbers that size every downstream decision (salting, partitions,
@@ -1244,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
         "graph_summary": _q_graph_summary,
+        "events_in_windows": _q_events_in_windows,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
         "copart_topk": _q_copart_topk,
@@ -1683,6 +1701,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT floor(log2(deg))::BIGINT AS bin, COUNT(*)::BIGINT AS n_vertices, "
             "MIN(deg)::BIGINT AS min_deg, MAX(deg)::BIGINT AS max_deg "
             "FROM d GROUP BY floor(log2(deg))::BIGINT"
+        ),
+        "events_in_windows": (
+            "WITH iv AS (SELECT user_id AS w_user, MIN(ts) AS t_start, MAX(ts) AS t_end "
+            "FROM events WHERE user_id < 3 GROUP BY user_id) "
+            "SELECT e.event_id, e.user_id, iv.w_user FROM events e "
+            "JOIN iv ON e.ts >= iv.t_start AND e.ts <= iv.t_end"
         ),
         "graph_summary": (
             f"WITH {_EDGES_SQL.strip()}, "

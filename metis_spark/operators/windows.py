@@ -102,3 +102,46 @@ def last_event_fallback(
             F.last(value, ignorenulls=True).over(w_scope),
         ),
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Containment join (event ts ∈ [start, end]) as an EQUI-join.
+
+    The naive `e.ts BETWEEN i.start AND i.end` predicate has no equi-key,
+    so Spark compiles it to BroadcastNestedLoopJoin — O(|events|·|intervals|)
+    and a driver OOM once the interval side outgrows broadcast. Instead,
+    each interval is exploded to the time buckets it covers and each event
+    keys into its single bucket: the join becomes a shuffle equi-join on
+    the bucket id, then the exact containment predicate filters within
+    buckets. Cost O(|events| + Σ interval_len/bucket) — pick
+    ``bucket_seconds`` near the median interval length so the explode
+    factor stays small. Each qualifying (event, interval) pair emerges
+    exactly once (an event has one bucket; interval bucket rows are
+    distinct)."""
+    # ANSI mode forbids timestamp→long casts; unix_timestamp handles
+    # timestamp/timestamp_ntz (session TZ is pinned UTC)
+    b = bucket_seconds
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    ev = events.withColumn(
+        "_bk", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+    )
+    return (
+        ev.join(iv, "_bk")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_bk")
+    )

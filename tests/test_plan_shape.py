@@ -160,3 +160,36 @@ def test_global_topk_is_take_ordered(spark):
     docs = spark.read.parquet(os.path.join(TESTDATA, "documents.parquet"))
     plan = _executed(CS.vocab_topk(docs, k=10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    """Bucketed interval_join: same rows as the naive containment join,
+    with an equi-join plan (no BroadcastNestedLoopJoin/Cartesian)."""
+    import datetime as dt
+
+    from metis_spark.operators.windows import interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=17 * i)) for i in range(200)],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (0, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=9)),
+            (1, t0 + dt.timedelta(hours=20), t0 + dt.timedelta(hours=30)),
+        ],
+        "w long, t_start timestamp, t_end timestamp",
+    )
+    out = interval_join(events, iv)
+    got = {(r["event_id"], r["w"]) for r in out.collect()}
+    naive = {
+        (r["event_id"], r["w"])
+        for r in events.join(
+            iv, (events["ts"] >= iv["t_start"]) & (events["ts"] <= iv["t_end"])
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+    plan = _executed(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
