@@ -506,6 +506,51 @@ def _q_harmonic(spark, sf_dir):
     )
 
 
+N_WALKS = 64
+WALK_LEN = 8
+
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (plans/walks.py): one walk from
+    each of the 64 smallest vertices, next hop = arg-min of an arithmetic
+    hash over out-neighbors — replayable DeepWalk-style sampling for
+    graph-to-training-data pipelines."""
+    from metis_spark.plans.walks import random_walks
+
+    edges = derived_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(N_WALKS)
+    )
+    return random_walks(edges, starts, length=WALK_LEN)
+
+
+def _walks_ctes() -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        f"w0 AS MATERIALIZED (SELECT id AS walk_id, 0::BIGINT AS step, id AS v "
+        f"FROM (SELECT id FROM verts ORDER BY id LIMIT {N_WALKS}))",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, {t}::BIGINT AS step, dst AS v FROM ("
+            f"SELECT w.walk_id, e.dst, ROW_NUMBER() OVER (PARTITION BY w.walk_id "
+            f"ORDER BY (w.walk_id*1000003 + {t}*10007 + e.dst*31337) % 1000000007, e.dst"
+            f") AS rn FROM w{t - 1} w JOIN edges e ON e.src = w.v) WHERE rn = 1)"
+        )
+    return ",\n".join(ctes)
+
+
+def _walks_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, v FROM w{t}" for t in range(WALK_LEN + 1)
+    )
+    return f"WITH {_walks_ctes()} {union}"
+
+
 def _landmark_ctes() -> str:
     ctes = [
         _EDGES_SQL.strip(),
@@ -1272,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": _q_sssp_weighted,
         "landmark_distances": _q_landmark_distances,
         "harmonic_landmarks": _q_harmonic,
+        "random_walks": _q_random_walks,
         # link-graph analytics metrics
         "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
@@ -1753,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_landmark_ctes()} "
             f"SELECT id, source, dist FROM d{SSSP_ROUNDS}"
         ),
+        "random_walks": _walks_sql(),
         "harmonic_landmarks": (
             f"WITH {_landmark_ctes()} "
             f"SELECT id, COUNT(*)::BIGINT AS n_sources, "

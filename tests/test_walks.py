@@ -1,0 +1,53 @@
+"""Deterministic random walks (plans/walks.py) vs a pure-Python walker."""
+
+from conftest import edges_df
+
+from metis_spark.plans.walks import _M1, _M2, _M3, _MOD, random_walks
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (2, 4), (3, 1), (3, 4), (4, 5),
+    (5, 1), (5, 6), (6, 2),
+    (7, 8),  # 8 is a sink: walk 7 must terminate at step 2
+]
+
+
+def py_walks(edges, starts, length):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    rows = set()
+    for w in starts:
+        v = w
+        rows.add((w, 0, v))
+        for t in range(1, length + 1):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            v = min(nbrs, key=lambda u: ((w * _M1 + t * _M2 + u * _M3) % _MOD, u))
+            rows.add((w, t, v))
+    return rows
+
+
+def test_walks_match_python_reference(spark):
+    starts = [1, 2, 5, 7]
+    got = random_walks(
+        edges_df(spark, EDGES),
+        spark.createDataFrame([(s,) for s in starts], "id long"),
+        length=6,
+        num_partitions=4,
+    )
+    have = {(r["walk_id"], r["step"], r["v"]) for r in got.collect()}
+    got.unpersist()
+    assert have == py_walks(EDGES, starts, 6)
+
+
+def test_sink_terminates_walk(spark):
+    got = random_walks(
+        edges_df(spark, EDGES),
+        spark.createDataFrame([(7,)], "id long"),
+        length=5,
+        num_partitions=2,
+    )
+    rows = sorted((r["step"], r["v"]) for r in got.collect())
+    got.unpersist()
+    assert rows == [(0, 7), (1, 8)]  # 8 has no out-edges → walk stops
