@@ -528,6 +528,22 @@ def _q_random_walks(spark, sf_dir):
     return random_walks(edges, starts, length=WALK_LEN)
 
 
+def _q_walk_sentences(spark, sf_dir):
+    """Walk corpus rendered as skip-gram training sentences: space-joined
+    vertex ids per walk (plans/walks.py:walk_sentences)."""
+    from metis_spark.plans.walks import random_walks, walk_sentences
+
+    edges = derived_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(N_WALKS)
+    )
+    return walk_sentences(random_walks(edges, starts, length=WALK_LEN))
+
+
 def _walks_ctes() -> str:
     ctes = [
         _EDGES_SQL.strip(),
@@ -549,6 +565,18 @@ def _walks_sql() -> str:
         f"SELECT walk_id, step, v FROM w{t}" for t in range(WALK_LEN + 1)
     )
     return f"WITH {_walks_ctes()} {union}"
+
+
+def _walk_sentences_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, v FROM w{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        f"WITH {_walks_ctes()}, allsteps AS ({union}) "
+        f"SELECT walk_id, COUNT(*)::BIGINT AS length, "
+        f"string_agg(v::VARCHAR, ' ' ORDER BY step) AS sentence "
+        f"FROM allsteps GROUP BY walk_id"
+    )
 
 
 def _landmark_ctes() -> str:
@@ -1318,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": _q_landmark_distances,
         "harmonic_landmarks": _q_harmonic,
         "random_walks": _q_random_walks,
+        "walk_sentences": _q_walk_sentences,
         # link-graph analytics metrics
         "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
@@ -1800,6 +1829,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, source, dist FROM d{SSSP_ROUNDS}"
         ),
         "random_walks": _walks_sql(),
+        "walk_sentences": _walk_sentences_sql(),
         "harmonic_landmarks": (
             f"WITH {_landmark_ctes()} "
             f"SELECT id, COUNT(*)::BIGINT AS n_sources, "

@@ -87,3 +87,27 @@ def random_walks(
     for f in live:
         f.unpersist()
     return out  # caller owns out.unpersist()
+
+
+def walk_sentences(walks: DataFrame) -> DataFrame:
+    """(walk_id, step, v) → (walk_id, length, sentence).
+
+    Renders each walk as the space-joined vertex-id string a skip-gram
+    trainer (word2vec over DeepWalk corpora) consumes. One shuffle on
+    walk_id; sentences are bounded by walk length, so collect_list per
+    group is O(length), never a skew risk.
+    """
+    return (
+        walks.groupBy("walk_id")
+        .agg(
+            F.count(F.lit(1)).alias("length"),
+            F.array_sort(F.collect_list(F.struct("step", "v"))).alias("path"),
+        )
+        .select(
+            "walk_id",
+            "length",
+            F.concat_ws(
+                " ", F.transform(F.col("path"), lambda s: s["v"].cast("string"))
+            ).alias("sentence"),
+        )
+    )

@@ -41,6 +41,20 @@ def test_walks_match_python_reference(spark):
     assert have == py_walks(EDGES, starts, 6)
 
 
+def test_walk_sentences_render(spark):
+    from metis_spark.plans.walks import walk_sentences
+
+    walks = random_walks(
+        edges_df(spark, EDGES),
+        spark.createDataFrame([(7,)], "id long"),
+        length=5,
+        num_partitions=2,
+    )
+    rows = walk_sentences(walks).collect()
+    walks.unpersist()
+    assert [(r["walk_id"], r["length"], r["sentence"]) for r in rows] == [(7, 2, "7 8")]
+
+
 def test_sink_terminates_walk(spark):
     got = random_walks(
         edges_df(spark, EDGES),
