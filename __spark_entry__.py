@@ -506,6 +506,36 @@ def _q_harmonic(spark, sf_dir):
     )
 
 
+def _q_closeness(spark, sf_dir):
+    """Landmark closeness-centrality estimate c(v) = r/Σd(s,v) with the
+    reached-count correction r (plans/sssp.py:closeness_landmarks)."""
+    from metis_spark.plans.sssp import closeness_landmarks
+
+    edges = derived_edges(spark, sf_dir)
+    return closeness_landmarks(
+        edges, _landmark_sources(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qclo_"), max_iter=SSSP_ROUNDS,
+    )
+
+
+def _q_bipartite(spark, sf_dir):
+    """Bipartiteness / odd-cycle audit per component (plans/bipartite.py):
+    CC roots → multi-source BFS parity → same-parity edge count. One
+    summary row: component count, bipartite count, odd-edge total."""
+    from metis_spark.plans.bipartite import bipartite_check
+
+    per_comp, info = bipartite_check(
+        derived_edges(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qbip_"), max_iter=SSSP_ROUNDS + 2,
+    )
+    assert info["converged"], info
+    return per_comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(F.col("is_bipartite").cast("long")).cast("long").alias("n_bipartite"),
+        F.sum("n_odd_edges").cast("long").alias("n_odd_edges"),
+    )
+
+
 N_WALKS = 64
 WALK_LEN = 8
 
@@ -594,6 +624,50 @@ def _landmark_ctes() -> str:
             f"UNION ALL SELECT id, source, dist FROM d{p}) GROUP BY id, source)"
         )
     return ",\n".join(ctes)
+
+
+def _bipartite_sql() -> str:
+    """DuckDB twin of _q_bipartite: min-label CC (CC_ROUNDS unroll) →
+    BFS dist from each component root → same-parity canonical-edge audit."""
+    ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM l{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM und u "
+            f"JOIN l{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    ctes.append(f"lab AS MATERIALIZED (SELECT id, label FROM l{CC_ROUNDS})")
+    bfs_rounds = SSSP_ROUNDS + 2  # matches the Spark query's max_iter
+    ctes.append("bd0 AS (SELECT DISTINCT label AS id, 0::BIGINT AS dist FROM lab)")
+    for i in range(1, bfs_rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"bd{i} AS MATERIALIZED (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM bd{p} UNION ALL "
+            f"SELECT u.dst AS id, d.dist + 1 AS dist FROM und u JOIN bd{p} d ON u.src = d.id"
+            f") GROUP BY id)"
+        )
+    last = f"bd{bfs_rounds}"
+    ctes.append(
+        "cu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM und)"
+    )
+    ctes.append(
+        f"odd AS (SELECT l.label AS component, COUNT(*)::BIGINT AS n_odd FROM cu "
+        f"JOIN {last} da ON cu.a = da.id JOIN {last} db ON cu.b = db.id "
+        f"JOIN lab l ON l.id = cu.a WHERE da.dist % 2 = db.dist % 2 GROUP BY l.label)"
+    )
+    ctes.append(
+        "percomp AS (SELECT l.label AS component, COUNT(*)::BIGINT AS n_vertices, "
+        "COALESCE(MAX(o.n_odd), 0)::BIGINT AS n_odd FROM lab l "
+        "LEFT JOIN odd o ON o.component = l.label GROUP BY l.label)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + " SELECT COUNT(*)::BIGINT AS n_components, "
+        "SUM(CASE WHEN n_odd = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bipartite, "
+        "SUM(n_odd)::BIGINT AS n_odd_edges FROM percomp"
+    )
 
 
 def _q_csr(spark, sf_dir):
@@ -954,10 +1028,11 @@ def _q_scc(spark, sf_dir):
     from metis_spark.plans.scc import strongly_connected_components
 
     edges = derived_edges(spark, sf_dir)
-    labels, _ = strongly_connected_components(
+    labels, info = strongly_connected_components(
         edges, checkpoint_dir=_tmpdir("metis_qscc_"),
         max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
     )
+    assert info["converged"], info  # else NULL scc rows would shadow an oracle diff
     return labels
 
 
@@ -1010,10 +1085,11 @@ def _q_dag_levels(spark, sf_dir):
     )
 
     edges = derived_edges(spark, sf_dir)
-    labels, _ = strongly_connected_components(
+    labels, info = strongly_connected_components(
         edges, checkpoint_dir=_tmpdir("metis_qdag_"),
         max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
     )
+    assert info["converged"], info  # else NULL scc rows would shadow an oracle diff
     return condensation_levels(edges, labels, max_rounds=DAG_ROUNDS)
 
 
@@ -1296,6 +1372,67 @@ def _q_kcore(spark, sf_dir):
     return core
 
 
+KTRUSS_K = 4
+KTRUSS_ORACLE_ROUNDS = 10  # oracle unroll depth; peeling fixpoint is
+# idempotent, so any depth ≥ the measured cascade matches — asserted below
+
+
+def _q_ktruss(spark, sf_dir):
+    """4-truss of the sparse graph: edges in ≥2 triangles after cascade
+    peeling (plans/ktruss.py — edge-support twin of k-core)."""
+    from metis_spark.plans.ktruss import k_truss
+
+    sup, info = k_truss(
+        derived_edges_sparse(spark, sf_dir),
+        k=KTRUSS_K,
+        checkpoint_dir=_tmpdir("metis_qktruss_"),
+    )
+    assert info["converged"] and info["iterations"] <= KTRUSS_ORACLE_ROUNDS, info
+    return sup
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
+    """Unrolled support peeling: per round, enumerate triangles x<y<z over
+    the canonical surviving edges, per-edge support = triangles containing
+    it, keep support ≥ k-2. Final select recomputes support on the fixpoint
+    set (matching plans/ktruss.py's returned ``support`` column)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "t0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM und)",
+    ]
+
+    def _sup(r: int) -> str:
+        return (
+            f"(SELECT a, b, COUNT(*)::BIGINT AS s FROM ("
+            f"SELECT tr.x AS a, tr.y AS b FROM tri{r} tr "
+            f"UNION ALL SELECT tr.y, tr.z FROM tri{r} tr "
+            f"UNION ALL SELECT tr.x, tr.z FROM tri{r} tr) GROUP BY a, b)"
+        )
+
+    for r in range(rounds):
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM t{r} e1 JOIN t{r} e2 ON e1.b = e2.a "
+            f"JOIN t{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        ctes.append(
+            f"t{r + 1} AS MATERIALIZED (SELECT t.a, t.b FROM t{r} t "
+            f"JOIN {_sup(r)} s ON s.a = t.a AND s.b = t.b WHERE s.s >= {k - 2})"
+        )
+    ctes.append(
+        f"trif AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        f"FROM t{rounds} e1 JOIN t{rounds} e2 ON e1.b = e2.a "
+        f"JOIN t{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT t.a AS src, t.b AS dst, COUNT(*)::BIGINT AS support FROM t{rounds} t "
+        "JOIN (SELECT x AS a, y AS b FROM trif UNION ALL SELECT y, z FROM trif "
+        "UNION ALL SELECT x, z FROM trif) s ON s.a = t.a AND s.b = t.b "
+        "GROUP BY t.a, t.b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-semantics operator pack (SURVEY.md §2)
@@ -1345,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": _q_sssp_weighted,
         "landmark_distances": _q_landmark_distances,
         "harmonic_landmarks": _q_harmonic,
+        "closeness_landmarks": _q_closeness,
+        "bipartite_check": _q_bipartite,
         "random_walks": _q_random_walks,
         "walk_sentences": _q_walk_sentences,
         # link-graph analytics metrics
@@ -1353,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_topk": _q_adamic_adar,
         "vertex_jaccard_topk": _q_vertex_jaccard,
         "kcore_3": _q_kcore,
+        "ktruss_4": _q_ktruss,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
@@ -1391,7 +1531,7 @@ _WEDGE_SQL = (
     "wedge AS (SELECT h1.dst AS u, h2.dst AS v, h1.src AS w, d.deg AS deg_w "
     "FROM und h1 JOIN und h2 ON h1.src = h2.src AND h1.dst < h2.dst "
     "JOIN deg d ON d.id = h1.src WHERE d.deg <= {cap})"
-).format(cap=128)
+).format(cap=HUB_CAP)
 
 
 def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
@@ -1836,7 +1976,15 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND(SUM(1.0 / dist::DOUBLE), 6) AS h "
             f"FROM d{SSSP_ROUNDS} WHERE dist > 0 GROUP BY id"
         ),
+        "closeness_landmarks": (
+            f"WITH {_landmark_ctes()} "
+            f"SELECT id, COUNT(*)::BIGINT AS n_sources, SUM(dist)::BIGINT AS sum_dist, "
+            f"ROUND(COUNT(*)::DOUBLE / SUM(dist)::DOUBLE, 6) AS closeness "
+            f"FROM d{SSSP_ROUNDS} WHERE dist > 0 GROUP BY id"
+        ),
+        "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),
+        "ktruss_4": _ktruss_sql(),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "

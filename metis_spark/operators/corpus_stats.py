@@ -38,9 +38,13 @@ def tfidf_topk(
     tfidf = tf · ln(N / df) with raw counts (no sublinear damping) so the
     SQL twin is exact; ties break (tfidf desc, term asc). N is a single
     driver scalar (one count job). The df table is |vocab|-sized —
-    broadcast-joined back to the tf rows.
+    broadcast-joined back to the tf rows. The tf branch is computed twice
+    (once for dfreq, once for scored) by design: a persist() here would
+    either be dead (nothing materializes it before this function returns)
+    or leak past the lazy return — one extra map-side tokenize beats a
+    query-lifetime cache.
     """
-    tf = term_frequencies(docs, id_col, text_col).persist()
+    tf = term_frequencies(docs, id_col, text_col)
     n_docs = docs.select(F.col(id_col)).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").select(
@@ -54,7 +58,6 @@ def tfidf_topk(
         .where(F.col("rn") <= k)
         .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
     )
-    tf.unpersist()
     return out
 
 

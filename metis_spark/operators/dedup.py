@@ -65,8 +65,16 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.8
 ) -> DataFrame:
-    """→ (doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold (a < b)."""
-    exploded = exploded_shingles(df, id_col, text_col, k).persist()
+    """→ (doc_a, doc_b, jaccard) for pairs with Jaccard ≥ threshold (a < b).
+
+    The shingle explode is deliberately NOT persisted: the three consumers
+    (sizes, both join sides) recompute it, but a ``persist()`` here would
+    outlive the query (the returned DataFrame is lazy, so there is no safe
+    point inside this function to unpersist) and leak one cached table per
+    call. Recomputing a map-side explode is cheaper than a query-lifetime
+    cache leak; this is the all-pairs ORACLE path, not the scale path.
+    """
+    exploded = exploded_shingles(df, id_col, text_col, k)
     sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.select(F.col("doc").alias("doc_a"), "shingle")
     b = exploded.select(F.col("doc").alias("doc_b"), "shingle")

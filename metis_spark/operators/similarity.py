@@ -362,15 +362,25 @@ def lsh_bucket_topk(
     ]
     c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    pairs = None
-    for t, planes in enumerate(tables):
-        cb = c.select("neighbor_id", "c_vec", lsh_signature(F.col("c_vec"), planes).alias("bucket"))
-        qb = q.select("query_id", "q_vec", lsh_signature(F.col("q_vec"), planes).alias("bucket"))
-        hit = cb.join(F.broadcast(qb), "bucket").select("query_id", "q_vec", "neighbor_id", "c_vec")
-        pairs = hit if pairs is None else pairs.unionByName(hit)
-    scored = (
-        pairs.dropDuplicates(["query_id", "neighbor_id"])
+    # Band join and pair-dedup on IDS ONLY — one posexplode over all table
+    # signatures per side, so the candidate machinery shuffles 16-byte id
+    # rows, never the ~dim×4-byte embedding payload (same discipline as
+    # lsh_neardup_pairs above; plan-pinned by tests/test_plan_shape).
+    c_sigs = F.array(*[lsh_signature(F.col("c_vec"), planes) for planes in tables])
+    q_sigs = F.array(*[lsh_signature(F.col("q_vec"), planes) for planes in tables])
+    cb = c.select("neighbor_id", F.posexplode(c_sigs).alias("t", "bucket"))
+    qb = q.select("query_id", F.posexplode(q_sigs).alias("t", "bucket"))
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # Vectors re-attached exactly once per surviving (query, candidate) pair:
+    # the query side broadcasts, the candidate side joins by id.
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -37,9 +37,18 @@ from pyspark.sql import functions as F
 
 
 def exact_heavy_hitters(df: DataFrame, col: str, min_count: int) -> DataFrame:
-    """→ (col, cnt) for every value with global count ≥ min_count."""
+    """→ (col, cnt) for every value with global count ≥ min_count.
+
+    NULL semantics: NULL values are excluded up front (``WHERE col IS NOT
+    NULL``). A plain ``GROUP BY col HAVING count(*) >= t`` would keep a
+    NULL group; this operator intentionally does not — pandas value_counts
+    drops NaN in pass 1 and the semi equi-join drops null keys in pass 2,
+    so the explicit filter makes the contract uniform instead of silently
+    diverging when a column has ≥ min_count NULLs.
+    """
     if min_count < 1:
         raise ValueError("min_count must be ≥ 1")
+    df = df.where(F.col(col).isNotNull())
     num_parts = df.rdd.getNumPartitions()
     local_t = max(1, math.ceil(min_count / max(1, num_parts)))
     dtype = dict(df.dtypes)[col]

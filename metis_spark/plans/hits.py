@@ -30,9 +30,18 @@ iterative kernel family of SURVEY.md §2.10):
   PageRank contract; non-commit iterations truncate lineage with an
   eager localCheckpoint + Observation (one Spark job).
 
-Convergence: L1 delta over the NORMALIZED hub+auth vectors, computed
-inside the commit/observe pass using the previous iteration's norms as
-constants (the state carries the previous normalized values).
+Convergence: L1 delta over the NORMALIZED hub+auth vectors, folded into
+the SAME single commit/observe scan as the norms — the chicken-and-egg
+(delta needs this iteration's norm, the norm comes out of the scan) is
+broken by lagging one step, like pagerank.py carries the previous
+dangling constant: during iteration k the constants 1/‖h_{k-1}‖ and
+1/‖a_{k-1}‖ are already known, and the state still holds both raw_{k-1}
+(uhub/uauth) and normalized_{k-2} (old_hub/old_auth), so
+delta_{k-1} = Σ|raw_{k-1}·inv − old| rides iteration k's lineage scan as
+one extra sum — tol>0 costs ZERO extra Spark jobs per iteration. The
+loop therefore stops one iteration after the fixpoint (and `info`
+reports the delta of the last MEASURED iteration); one extra converged
+iteration is far cheaper than one extra full-state scan per iteration.
 """
 
 from __future__ import annotations
@@ -122,9 +131,11 @@ def hits(
     delta = float("inf")
     k = start_iter
     converged = False
+    compute_delta = tol > 0.0
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
         inv_h = 1.0 / math.sqrt(sh2)  # normalizes the PREVIOUS raw hubs
+        inv_a_prev = 1.0 / math.sqrt(sa2)
         # authority gather: Σ over in-edges of normalized prev hub
         hubs = state.select("id", (F.col("uhub") * inv_h).alias("h"))
         ua = (
@@ -141,12 +152,25 @@ def hits(
             .agg(F.sum("ua").alias("uh"))
             .select(F.col("src").alias("hid"), "uh")
         )
-        inv_a_prev = 1.0 / math.sqrt(sa2)
+        # dlt = per-vertex L1 delta of ITERATION k-1, computable right now
+        # because inv_h/inv_a_prev are known constants — it rides the state
+        # joins (+8 bytes/row) and folds into the one commit/observe scan.
+        dlt_cols = (
+            [
+                (
+                    F.abs(F.col("uhub") * inv_h - F.col("old_hub"))
+                    + F.abs(F.col("uauth") * inv_a_prev - F.col("old_auth"))
+                ).alias("dlt")
+            ]
+            if compute_delta
+            else []
+        )
         new_state = (
             state.select(
                 "id",
                 (F.col("uhub") * inv_h).alias("old_hub"),
                 (F.col("uauth") * inv_a_prev).alias("old_auth"),
+                *dlt_cols,
             )
             .join(ua.hint("shuffle_hash"), F.col("id") == ua["aid"], "left")
             .drop("aid")
@@ -158,12 +182,15 @@ def hits(
                 F.coalesce("ua", F.lit(0.0)).alias("uauth"),
                 "old_hub",
                 "old_auth",
+                *(["dlt"] if compute_delta else []),
             )
         )
         extra_aggs = {
             "sh2": F.sum(F.col("uhub") * F.col("uhub")),
             "sa2": F.sum(F.col("uauth") * F.col("uauth")),
         }
+        if compute_delta:
+            extra_aggs["dsum"] = F.sum("dlt")
         committed = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
         if committed:
             condensed = new_state.repartition(max(8, num_partitions // 8))
@@ -178,20 +205,21 @@ def hits(
         sh2 = float(totals["sh2"])
         sa2 = float(totals["sa2"])
         state = st.select(*_STATE_COLS)
-        if tol > 0.0:
-            # L1 delta over normalized vectors — one cheap scan of the
-            # materialized state (skipped entirely for fixed-iter runs)
-            delta = float(
-                state.agg(
-                    F.sum(
-                        F.abs(F.col("uhub") / math.sqrt(sh2) - F.col("old_hub"))
-                        + F.abs(F.col("uauth") / math.sqrt(sa2) - F.col("old_auth"))
-                    )
-                ).collect()[0][0]
-            )
+        if compute_delta and (k > start_iter + 1 or start_iter > 0):
+            # lagged fold: totals["dsum"] is the L1 delta of iteration k-1
+            # (zero extra jobs). The cold-start first loop pass is skipped —
+            # its old_* columns are the synthetic init, so dsum would be a
+            # spurious 0. On resume (start_iter > 0) the checkpointed old_*
+            # are genuine, so the first pass already measures correctly.
+            delta = float(totals["dsum"])
             converged = delta < tol
         if converged and not committed:
-            st, totals = cm.commit(k, state, {"converged": False}, extra_aggs=extra_aggs)
+            st, totals = cm.commit(
+                k,
+                state,
+                {"converged": False},
+                extra_aggs={k2: v for k2, v in extra_aggs.items() if k2 != "dsum"},
+            )
             state = st.select(*_STATE_COLS)
             committed = True
         if committed:

@@ -244,6 +244,38 @@ def landmark_distances(
                    "seconds": time.monotonic() - t0}
 
 
+def closeness_landmarks(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Landmark estimate of closeness centrality → (id, n_sources,
+    sum_dist, closeness): c(v) = r / Σ_{s∈S reached, d>0} d(s,v), with
+    r = the reached-count correction (landmarks that actually reach v) —
+    the Σd twin of harmonic_landmarks, robust to partially-reachable
+    vertices: a vertex seen by fewer landmarks is scored on ITS reached
+    set instead of inheriting 0-distance holes. Scaling by |S|/n gives
+    the standard unbiased sampled-closeness estimate; the raw ratio is
+    returned so the result stays deterministic and engine-comparable."""
+    dists, _ = landmark_distances(
+        edges, sources, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+        directed=directed,
+    )
+    return (
+        dists.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("dist").cast("double"), 6
+            ).alias("closeness"),
+        )
+    )
+
+
 def harmonic_landmarks(
     edges: DataFrame,
     sources: list[int],

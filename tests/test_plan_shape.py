@@ -193,3 +193,44 @@ def test_interval_join_is_equi_join(spark):
     plan = _executed(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _shuffle_exchange_outputs(df):
+    """Column-name lists of every shuffle Exchange in the physical plan
+    (BroadcastExchange excluded — broadcasting a tiny side is fine).
+    Uses the adaptive plan's initialPlan: sparkPlan() predates
+    EnsureRequirements, so required shuffles aren't inserted yet."""
+    root = df._jdf.queryExecution().executedPlan()
+    if root.nodeName() == "AdaptiveSparkPlan":
+        root = root.initialPlan()
+    found, stack = [], [root]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Exchange":
+            attrs = node.output()
+            found.append([attrs.apply(i).name() for i in range(attrs.size())])
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return found
+
+
+def test_lsh_topk_candidate_machinery_sheds_vectors(spark):
+    """lsh_bucket_topk: the band join + pair dedup run on ids only — no
+    shuffle Exchange may carry BOTH embedding payloads (the old plan
+    shuffled ~520 bytes/row of q_vec+c_vec through the dedup; the fix
+    re-attaches vectors once, after the id-level distinct)."""
+    import os
+
+    from metis_spark.operators import similarity as SIM
+
+    # repartition so the pair-dedup cannot collapse into a single-partition
+    # aggregate — we want the Exchange it would run at scale
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet")).repartition(8)
+    q = SIM.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    for cols in _shuffle_exchange_outputs(q):
+        assert not ("q_vec" in cols and "c_vec" in cols), cols
+    # and the pair-dedup exchange itself is ids-only
+    assert any(set(c) == {"query_id", "neighbor_id"} for c in _shuffle_exchange_outputs(q))
+    plan = _executed(q)
+    assert "CartesianProduct" not in plan
