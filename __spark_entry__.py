@@ -609,6 +609,50 @@ def _walk_sentences_sql() -> str:
     )
 
 
+N2V_P, N2V_Q = 3, 2  # integer bias multipliers (return / outward)
+
+
+def _q_node2vec(spark, sf_dir):
+    """Second-order node2vec-style walks (plans/walks.py:node2vec_walks):
+    deterministic hash-arg-min with integer p/q key multipliers — return
+    ×3, common-neighbor ×1, outward ×2 — replayable bit-exactly by the
+    unrolled SQL twin."""
+    from metis_spark.plans.walks import node2vec_walks
+
+    edges = derived_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(N_WALKS)
+    )
+    return node2vec_walks(edges, starts, length=WALK_LEN, p=N2V_P, q=N2V_Q)
+
+
+def _node2vec_sql() -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        f"n0 AS MATERIALIZED (SELECT id AS walk_id, 0::BIGINT AS step, id AS v, "
+        f"NULL::BIGINT AS prev FROM (SELECT id FROM verts ORDER BY id LIMIT {N_WALKS}))",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT walk_id, {t}::BIGINT AS step, dst AS v, v AS prev FROM ("
+            f"SELECT w.walk_id, e.dst, w.v, ROW_NUMBER() OVER (PARTITION BY w.walk_id "
+            f"ORDER BY ((w.walk_id*1000003 + {t}*10007 + e.dst*31337) % 1000000007) * "
+            f"(CASE WHEN w.prev IS NULL THEN 1 WHEN e.dst = w.prev THEN {N2V_P} "
+            f"WHEN e2.src IS NOT NULL THEN 1 ELSE {N2V_Q} END), e.dst) AS rn "
+            f"FROM n{t - 1} w JOIN edges e ON e.src = w.v "
+            f"LEFT JOIN edges e2 ON e2.src = w.prev AND e2.dst = e.dst"
+            f") WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, v FROM n{t}" for t in range(WALK_LEN + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f" {union}"
+
+
 def _landmark_ctes() -> str:
     ctes = [
         _EDGES_SQL.strip(),
@@ -1372,6 +1416,66 @@ def _q_kcore(spark, sf_dir):
     return core
 
 
+N_BETW_SOURCES = 8
+BETW_ROUNDS = 10  # ≥ measured source eccentricity on the sparse graph
+# (8 at sf0.001, 4 at sf0.01); the Spark query asserts depth ≤ this
+
+
+def _q_betweenness(spark, sf_dir):
+    """Approximate betweenness: exact Brandes restricted to the 8
+    smallest-id sources of the sparse graph (plans/betweenness.py) —
+    forward σ/level BFS + backward dependency accumulation."""
+    from metis_spark.plans.betweenness import betweenness_approx
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [r["id"] for r in verts.orderBy("id").limit(N_BETW_SOURCES).collect()]
+    bc, info = betweenness_approx(edges, srcs, max_depth=BETW_ROUNDS + 2)
+    assert info["depth"] <= BETW_ROUNDS, info
+    return bc
+
+
+def _betweenness_sql(rounds: int = BETW_ROUNDS) -> str:
+    """Unrolled Brandes twin: forward BFS with σ accumulation (first
+    discovery via NOT EXISTS), backward per-level dependency fold."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        f"srcs AS (SELECT id FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) "
+        f"ORDER BY id LIMIT {N_BETW_SOURCES})",
+        "f0 AS (SELECT id, id AS source, 0::BIGINT AS dist, 1.0::DOUBLE AS sigma FROM srcs)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT id, source, dist, sigma FROM f{p} "
+            f"UNION ALL SELECT n.id, n.source, {t}::BIGINT AS dist, n.sigma FROM ("
+            f"SELECT e.dst AS id, d.source, SUM(d.sigma) AS sigma FROM edges e "
+            f"JOIN f{p} d ON e.src = d.id AND d.dist = {p} GROUP BY e.dst, d.source) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM f{p} x WHERE x.id = n.id AND x.source = n.source))"
+        )
+    ctes.append(
+        f"dl{rounds} AS MATERIALIZED (SELECT id, source, dist, sigma, 0.0::DOUBLE AS delta FROM f{rounds})"
+    )
+    for t in range(rounds, 0, -1):
+        ctes.append(
+            f"dl{t - 1} AS MATERIALIZED (SELECT v.id, v.source, v.dist, v.sigma, "
+            f"v.delta + COALESCE(c.c, 0.0) AS delta FROM dl{t} v LEFT JOIN ("
+            f"SELECT pv.id, pv.source, SUM(pv.sigma / pw.sigma * (1.0 + pw.delta)) AS c "
+            f"FROM edges e JOIN dl{t} pw ON pw.id = e.dst AND pw.dist = {t} "
+            f"JOIN dl{t} pv ON pv.id = e.src AND pv.source = pw.source AND pv.dist = {t - 1} "
+            f"GROUP BY pv.id, pv.source) c ON c.id = v.id AND c.source = v.source)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + " SELECT id, ROUND(SUM(delta), 6) AS betweenness FROM dl0 "
+        "WHERE id <> source GROUP BY id"
+    )
+
+
 KTRUSS_K = 4
 KTRUSS_ORACLE_ROUNDS = 10  # oracle unroll depth; peeling fixpoint is
 # idempotent, so any depth ≥ the measured cascade matches — asserted below
@@ -1486,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": _q_bipartite,
         "random_walks": _q_random_walks,
         "walk_sentences": _q_walk_sentences,
+        "node2vec_walks": _q_node2vec,
         # link-graph analytics metrics
         "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
@@ -1493,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_jaccard_topk": _q_vertex_jaccard,
         "kcore_3": _q_kcore,
         "ktruss_4": _q_ktruss,
+        "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
@@ -1970,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_walks": _walks_sql(),
         "walk_sentences": _walk_sentences_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "harmonic_landmarks": (
             f"WITH {_landmark_ctes()} "
             f"SELECT id, COUNT(*)::BIGINT AS n_sources, "
@@ -1985,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),
         "ktruss_4": _ktruss_sql(),
+        "betweenness_approx": _betweenness_sql(),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "

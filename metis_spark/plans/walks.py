@@ -111,3 +111,110 @@ def walk_sentences(walks: DataFrame) -> DataFrame:
             ).alias("sentence"),
         )
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 8,
+    p: int = 3,
+    q: int = 2,
+    num_partitions: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks → (walk_id, step, v).
+
+    node2vec (Grover & Leskovec, KDD 2016) biases the next hop by where
+    the candidate u sits relative to the PREVIOUS vertex `prev`:
+    return (u = prev) weighted 1/p, common-neighbor (u ∈ Γ(prev))
+    weighted 1, outward weighted 1/q. The deterministic analog keeps the
+    arithmetic-hash arg-min of random_walks and folds the bias into an
+    INTEGER key multiplier — next hop = arg-min over out-neighbors u of
+
+        h(w, t, u) · mult(u),   mult = p | 1 | q  (return | common | out)
+
+    so smaller multipliers win more often in exact inverse proportion on
+    average, and the whole walk stays engine-replayable with pure 64-bit
+    integer arithmetic (the DuckDB oracle reproduces it bit-exactly; no
+    float sampling keys, no transcendental functions). Step 1 has no
+    `prev` yet and falls back to the unbiased first-order rule.
+
+    Scale shape: identical to random_walks (frontier O(#walks), edge
+    table partitioned by src once) plus ONE extra persisted table — the
+    out-adjacency CSR rows (operators/csr.py's sorted collect_list
+    shape), partitioned by src so the per-step membership lookup
+    Γ(prev) ∋ u joins without re-shuffling the adjacency side; only the
+    O(#walks) frontier moves, carrying one adjacency array per walk row.
+    """
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers (key multipliers)")
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.repartition(num_partitions, "src").persist()
+    e.count()
+    # sorted out-adjacency rows (CSR shape, cf. operators/csr.py) for the
+    # Γ(prev) membership test — partitioned by src like e, built once
+    adj = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    adj.count()
+
+    frontier = starts.select(
+        F.col("id").cast("long").alias("walk_id"),
+        F.col("id").cast("long").alias("v"),
+        F.lit(None).cast("long").alias("prev"),
+    ).persist()
+    steps = [frontier.select("walk_id", "v").withColumn("step", F.lit(0).cast("long"))]
+    live = [frontier]
+    for t in range(1, length + 1):
+        # attach Γ(prev) to each walk row (left: step 1 has prev = null)
+        fr = frontier.join(
+            adj.select(F.col("src").alias("prev"), F.col("nbrs").alias("nbrs_prev")),
+            "prev",
+            "left",
+        )
+        h = (
+            F.col("walk_id") * _M1 + F.lit(t).cast("long") * _M2 + F.col("dst") * _M3
+        ) % _MOD
+        mult = (
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("dst") == F.col("prev"), F.lit(p))
+            .when(F.array_contains(F.col("nbrs_prev"), F.col("dst")), F.lit(1))
+            .otherwise(F.lit(q))
+        ).cast("long")
+        nxt = (
+            e.join(fr.hint("shuffle_hash"), e["src"] == fr["v"])
+            .select("walk_id", "v", "dst", (h * mult).alias("key"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("key", "dst", "v")).alias("m"))
+            .select(
+                "walk_id",
+                F.col("m.dst").alias("v"),
+                F.col("m.v").alias("prev"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize: keeps lineage one step deep
+        steps.append(nxt.select("walk_id", "v").withColumn("step", F.lit(t).cast("long")))
+        frontier = nxt
+        live.append(nxt)
+
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    out = out.select("walk_id", "step", "v").persist()
+    out.count()  # materialize BEFORE dropping the per-step caches
+    e.unpersist()
+    adj.unpersist()
+    for f in live:
+        f.unpersist()
+    return out  # caller owns out.unpersist()
