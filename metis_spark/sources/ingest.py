@@ -70,6 +70,21 @@ def bronze_ingest_counted(
     sized), NOT from recounting the bronze table — poll cost must stay
     independent of accumulated lake size.
     """
+    bronze, new_rows, n_appended = bronze_ingest_delta(spark, df, bronze_path, repo_buckets)
+    new_rows.unpersist()
+    return bronze, n_appended
+
+
+def bronze_ingest_delta(
+    spark: SparkSession, df: DataFrame, bronze_path: str, repo_buckets: int = 64
+) -> tuple[DataFrame, DataFrame, int]:
+    """bronze_ingest returning (bronze, new_rows, rows_appended).
+
+    ``new_rows`` is the PERSISTED micro-batch-sized DataFrame of rows that
+    were actually appended — the increment downstream maintenance
+    (operators/edge_maintenance.py) folds in, so derived tables never
+    rescan the lake. Caller owns ``new_rows.unpersist()``.
+    """
     incoming = with_sha(validate_sources(df)).withColumn(
         "repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(repo_buckets)).cast("int")
     )
@@ -82,13 +97,17 @@ def bronze_ingest_counted(
         )
     else:
         new_rows = incoming
-    new_rows = new_rows.persist()
+    # localCheckpoint, NOT persist: the anti-join plan references the bronze
+    # path, and the append below triggers refreshByPath, which invalidates
+    # any cache whose plan reads that path — a persisted new_rows would
+    # silently recompute to EMPTY after the write. The eager localCheckpoint
+    # severs the lineage, so the increment survives its own commit.
+    new_rows = new_rows.localCheckpoint(eager=True)
     n_appended = new_rows.count()
     if n_appended > 0 or not _exists(bronze_path):
         # the empty write still runs on first touch so the table exists
         new_rows.write.mode("append").partitionBy("repo_bucket").parquet(bronze_path)
-    new_rows.unpersist()
-    return spark.read.parquet(bronze_path), n_appended
+    return spark.read.parquet(bronze_path), new_rows, n_appended
 
 
 def _exists(path: str) -> bool:

@@ -9,8 +9,13 @@ micro-batches:
 - ``IncrementalIngest``: batch-incremental. Each ``poll()`` ingests only
   files not yet seen (offset = set of committed input files, the analog
   of the reference's consumed byte offset), dedups by sha against bronze,
-  and appends. ``finalize()`` runs the downstream edge build exactly once
-  over the accumulated bronze — the MRR-triggered batch finalization.
+  appends, and folds the appended rows into the MAINTAINED edge table
+  (operators/edge_maintenance.py) — per-increment scope, mirroring the
+  reference's one-file EOS finalization (metis_sink.py:163-166).
+  ``finalize()`` is now a read of the maintained table, not a rebuild;
+  ``rebuild_edges()`` keeps the full re-extract for reconciliation (the
+  incremental ≡ rebuild equivalence is pinned by
+  tests/test_edge_maintenance.py).
 - ``streaming_bronze_ingest``: the FULL pipeline as Structured
   Streaming — readStream over the drop directory, each micro-batch
   sha-deduped and appended to bronze through ``foreachBatch``
@@ -35,7 +40,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metis_spark.sources.ingest import bronze_ingest_counted
+from metis_spark.operators.edge_maintenance import EdgeMaintenance
+from metis_spark.sources.ingest import bronze_ingest_counted, bronze_ingest_delta
 
 SOURCES_DDL = (
     "repo string, path string, commit string, lang string, content string"
@@ -48,6 +54,7 @@ class IncrementalIngest:
         self.drop_dir = drop_dir
         self.bronze_path = bronze_path
         self._offset_file = os.path.join(bronze_path + "_offsets.json")
+        self._maint = EdgeMaintenance(spark, bronze_path + "_derived")
 
     def _seen(self) -> set[str]:
         if os.path.isfile(self._offset_file):
@@ -68,7 +75,14 @@ class IncrementalIngest:
         batch = self.spark.read.schema(SOURCES_DDL).parquet(*new_files)
         # appended count comes from the micro-batch-sized anti-join, not a
         # before/after recount of bronze — poll cost must not grow with the lake
-        _, appended = bronze_ingest_counted(self.spark, batch, self.bronze_path)
+        _, new_rows, appended = bronze_ingest_delta(self.spark, batch, self.bronze_path)
+        if appended > 0:
+            # per-increment edge maintenance: only the appended rows are
+            # extracted; the edge table merges a delta instead of rebuilding
+            self._maint.apply_increment(
+                new_rows.select("repo", "path", "commit", "lang", "content")
+            )
+        new_rows.unpersist()
         with open(self._offset_file, "w") as f:
             json.dump(sorted(seen | set(new_files)), f)
         return appended
@@ -77,22 +91,36 @@ class IncrementalIngest:
         return self.spark.read.parquet(self.bronze_path)
 
     def finalize(self) -> DataFrame:
-        """End-of-stream: build the edge table over everything ingested."""
+        """End-of-stream: the maintained edge table — a read proportional
+        to |edges|, never a re-extract of the bronze content."""
+        return self._maint.edges()
+
+    def rebuild_edges(self) -> DataFrame:
+        """Full re-extract over accumulated bronze — the old finalize();
+        kept as the reconciliation oracle for the maintained table."""
         from metis_spark.operators.edges import resolve_edges
 
         return resolve_edges(self.bronze().select("repo", "path", "commit", "lang", "content"))
 
 
 def streaming_bronze_ingest(
-    spark: SparkSession, drop_dir: str, bronze_path: str, checkpoint_dir: str
+    spark: SparkSession,
+    drop_dir: str,
+    bronze_path: str,
+    checkpoint_dir: str,
+    maintain_edges: bool = False,
 ) -> "object":
     """Structured-Streaming bronze ingest: every micro-batch is validated,
     sha-pinned, deduped against bronze and appended (the same
     ``bronze_ingest`` kernel as the batch path, so streamed and batch
-    bronze are byte-identical — pinned by tests). Returns the
-    StreamingQuery; drive with processAllAvailable() + stop(), then run
-    the downstream edge build over ``bronze`` — the EOS-triggered
-    finalization of the reference's live path.
+    bronze are byte-identical — pinned by tests). With
+    ``maintain_edges=True`` each micro-batch ALSO folds its appended rows
+    into the maintained edge table at ``bronze_path + "_derived"``
+    (operators/edge_maintenance.py) — the streaming twin of
+    IncrementalIngest.poll's per-increment finalization; replays are
+    no-ops end-to-end because both the bronze append (sha anti-join) and
+    the edge merge (left_anti) are idempotent. Returns the
+    StreamingQuery; drive with processAllAvailable() + stop().
     """
     stream = (
         spark.readStream.schema(SOURCES_DDL)
@@ -101,7 +129,13 @@ def streaming_bronze_ingest(
     )
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        bronze_ingest_counted(batch_df.sparkSession, batch_df, bronze_path)
+        sess = batch_df.sparkSession
+        _, new_rows, appended = bronze_ingest_delta(sess, batch_df, bronze_path)
+        if maintain_edges and appended > 0:
+            EdgeMaintenance(sess, bronze_path + "_derived").apply_increment(
+                new_rows.select("repo", "path", "commit", "lang", "content")
+            )
+        new_rows.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_sink)
