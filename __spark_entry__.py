@@ -956,6 +956,58 @@ def _q_quality(spark, sf_dir):
     return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score"))
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per doc (top-word fraction,
+    duplicate-bigram fraction) — the boilerplate/spam filter inputs
+    (operators/corpus_stats.py:repetition_stats)."""
+    return CS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# deterministic PII augmentation: the synthetic corpus carries no real
+# PII, so both engines append an identical synthetic contact line and the
+# scrubber is validated end-to-end on text that actually matches
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@example.com ip 10.0."),
+    (F.col("doc_id") % 256).cast("string"),
+    F.lit(".1"),
+)
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) || '.1'"
+)
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB twin built from the SAME TX.PII_PATTERNS constants — one
+    source of truth for the regexes (RE2-safe by construction)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS {name}_hits"
+        for name, pat in TX.PII_PATTERNS
+    )
+    redacted = "t"
+    for _, pat in TX.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{TX.PII_TOKEN}', 'g')"
+    return (
+        f"WITH aug AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents) "
+        f"SELECT doc_id, {counts}, length({redacted})::BIGINT AS clean_len FROM aug"
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction audit (functions/text.py:pii_redact/pii_counts):
+    per-doc match counts per pattern class + post-redaction length, over
+    deterministically PII-augmented text."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = _PII_SUFFIX_SPARK()
+    return docs.select(
+        "doc_id",
+        *TX.pii_counts(aug),
+        F.length(TX.pii_redact(aug)).cast("long").alias("clean_len"),
+    )
+
+
 _LANG_MARKERS = {
     "de": r"\b(der|die|das|und|ist)\b",
     "en": r"\b(the|and|of|to|is)\b",
@@ -1622,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top100": _q_vocab_top100,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
+        "repetition_stats": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "lang_id": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "corpus_curation": _q_corpus_curation,
@@ -2330,6 +2384,22 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
             "FROM documents)"
         ),
+        "repetition_stats": (
+            "WITH lists AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), "
+            "nz AS MATERIALIZED (SELECT doc_id, tk FROM lists WHERE len(tk) > 0), "
+            "bf AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens, "
+            "CASE WHEN len(tk) >= 2 THEN ROUND(1.0 - len(list_distinct(list_transform("
+            "range(len(tk) - 1), i -> tk[i + 1] || ' ' || tk[i + 2])))::DOUBLE "
+            "/ (len(tk) - 1)::DOUBLE, 6) ELSE 0.0 END AS dup_bigram_frac FROM nz), "
+            "twc AS (SELECT doc_id, w, COUNT(*)::BIGINT AS c FROM "
+            "(SELECT doc_id, unnest(tk) AS w FROM nz) GROUP BY doc_id, w), "
+            "tw AS (SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_word_frac "
+            "FROM twc GROUP BY doc_id) "
+            "SELECT b.doc_id, b.n_tokens, t.top_word_frac, b.dup_bigram_frac "
+            "FROM bf b JOIN tw t ON b.doc_id = t.doc_id"
+        ),
+        "pii_scrub": _pii_scrub_sql(),
         "lang_id": (
             f"SELECT doc_id, {lang_pred} AS predicted, "
             + ", ".join(f"ROUND(s_{lg}, 6) AS s_{lg}" for lg in sorted(_LANG_MARKERS))

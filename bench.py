@@ -142,6 +142,8 @@ def main() -> None:
         "hits_3iter",
         "strongly_connected_components",
         "tfidf_top3",
+        "node2vec_walks",
+        "betweenness_approx",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

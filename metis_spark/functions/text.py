@@ -113,3 +113,34 @@ def simhash60(toks: Column) -> Column:
         bit_votes, weights, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(masked, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# PII / secrets scrubbing — the redaction pass every LLM training-data
+# pipeline runs before tokenization. Patterns are deliberately RE2-safe
+# (no backrefs/lookarounds) so the DuckDB oracle applies the IDENTICAL
+# regexes; counts are per-pattern over the ORIGINAL text (a string can
+# match several patterns — counts are independent signals, the redaction
+# itself applies patterns in order so text is replaced once).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("hexkey", r"\b[0-9a-fA-F]{32,}\b"),
+    ("longnum", r"\b\d{9,}\b"),
+]
+PII_TOKEN = "[PII]"
+
+
+def pii_redact(text: Column) -> Column:
+    """Text with every PII match replaced by ``[PII]`` (JVM regex chain)."""
+    out = text
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, PII_TOKEN)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One ``<name>_hits`` count column per pattern (regexp_count)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"{name}_hits")
+        for name, pat in PII_PATTERNS
+    ]

@@ -129,3 +129,61 @@ def cooccurrence_topk(
         .select("item_a", "item_b", F.col("n_groups").cast("long").alias("n_groups"),
                 F.col("rn").cast("long").alias("rn"))
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, top_word_frac, dup_bigram_frac): the Gopher-
+    style repetition signals a quality filter cuts on — a document
+    dominated by one word or by repeated bigrams is boilerplate/spam.
+
+    top_word_frac  = count(most frequent token) / n_tokens
+    dup_bigram_frac = 1 − distinct(bigrams)/total(bigrams)  (0 if <2 tokens)
+
+    Scale shape: the bigram fraction is computed PER ROW with array ops
+    (sequence → transform → array_distinct), entirely inside codegen — no
+    explode, no shuffle; only the top-word mode needs one explode +
+    groupBy with map-side partial counts, keyed (doc, word).
+    """
+    tk = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk")).where(
+        F.size("tk") > 0
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tk", (i + 1).cast("int")), F.element_at("tk", (i + 2).cast("int"))
+        ),
+    )
+    bf = base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("tk") >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double")
+                / (F.size("tk") - 1).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    wc = (
+        base.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_word_frac")
+        )
+    )
+    return bf.join(wc, "doc_id").select(
+        "doc_id", "n_tokens", "top_word_frac", "dup_bigram_frac"
+    )

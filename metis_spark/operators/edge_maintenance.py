@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from metis_spark.functions.extract import module_key_col
 from metis_spark.operators.edges import extract_edges
-from metis_spark.sources.ingest import _exists
+from metis_spark.sources.ingest import WriterLock, _exists
 
 IMPORT_BUCKETS = 64
 
@@ -65,6 +65,7 @@ class EdgeMaintenance:
 
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
+        self.base_path = base_path
         self.modules_path = os.path.join(base_path, "modules")
         self.imports_path = os.path.join(base_path, "imports")
         self.edges_path = os.path.join(base_path, "edges")
@@ -103,6 +104,13 @@ class EdgeMaintenance:
         of accumulated state are the compact modules dim and the
         bucket-pruned slice of the imports ledger.
         """
+        # one writer at a time across all three derived tables: the E1/E2
+        # split depends on a consistent prior/new module frontier, so the
+        # whole increment is the critical section (Iceberg MERGE at scale)
+        with WriterLock(self.base_path):
+            return self._apply_increment_locked(new_rows)
+
+    def _apply_increment_locked(self, new_rows: DataFrame) -> dict:
         spark = self.spark
         prior_modules = self.modules()
 

@@ -109,3 +109,69 @@ def test_streaming_maintained_edges_match_batch(spark, tmp_path):
     )
     assert _rows(maintained) == _rows(full)
     assert maintained.count() == len(corpus_ledger(60, 3))
+
+
+def test_writer_lock_mutual_exclusion(tmp_path):
+    import threading
+    import time as _time
+
+    from metis_spark.sources.ingest import WriterLock
+
+    table = str(tmp_path / "tbl")
+    order = []
+    a = WriterLock(table)
+    a.acquire()
+
+    def contender():
+        with WriterLock(table, timeout_s=10):
+            order.append("b")
+
+    th = threading.Thread(target=contender)
+    th.start()
+    _time.sleep(0.3)
+    order.append("a")  # still holding — b must not have entered
+    a.release()
+    th.join(timeout=10)
+    assert order == ["a", "b"]
+
+
+def test_writer_lock_stale_breaker(tmp_path):
+    import os as _os
+    import time as _time
+
+    from metis_spark.sources.ingest import WriterLock
+
+    table = str(tmp_path / "tbl")
+    crashed = WriterLock(table)
+    crashed.acquire()  # simulate a crash: never released
+    old = _time.time() - 3600
+    _os.utime(crashed.lock_path, (old, old))
+    with WriterLock(table, timeout_s=5, stale_s=300):
+        pass  # stale lock broken and re-acquired
+    assert not _os.path.exists(crashed.lock_path)
+
+
+def test_concurrent_ingest_no_double_insert(spark, tmp_path):
+    """Two threads ingesting the SAME batch concurrently: the writer lock
+    serializes the anti-join+append critical sections, so the bronze
+    table ends with exactly one copy of every row."""
+    import threading
+
+    from metis_spark.sources.corpus import generate_corpus
+    from metis_spark.sources.ingest import bronze_ingest_counted
+
+    src = generate_corpus(spark, 40, 2)
+    bronze = str(tmp_path / "bronze")
+    appended = []
+
+    def writer():
+        _, n = bronze_ingest_counted(spark, src, bronze)
+        appended.append(n)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert sorted(appended) == [0, 40]  # one winner, one no-op
+    assert spark.read.parquet(bronze).count() == 40

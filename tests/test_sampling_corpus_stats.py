@@ -117,3 +117,47 @@ def test_split_assign_stable_and_total(spark):
     assert 0.7 < frac["train"] / 1000 < 0.9
     assert 0.04 < frac["val"] / 1000 < 0.17
     assert 0.04 < frac["test"] / 1000 < 0.17
+
+
+def test_pii_redact_and_counts(spark):
+    from metis_spark.functions.text import pii_counts, pii_redact
+
+    rows = [
+        (1, "reach me at alice.smith+x@corp.example.org today"),
+        (2, "server 192.168.1.254 and key deadbeefdeadbeefdeadbeefdeadbeef01"),
+        (3, "card 4111111111111111 plain words"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *pii_counts(F.col("text")), pii_redact(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert out[1]["email_hits"] == 1 and "[PII]" in out[1]["clean"]
+    assert "alice" not in out[1]["clean"]
+    assert out[2]["ipv4_hits"] == 1 and out[2]["hexkey_hits"] == 1
+    assert "192.168" not in out[2]["clean"] and "deadbeef" not in out[2]["clean"]
+    assert out[3]["longnum_hits"] == 1 and "4111" not in out[3]["clean"]
+    assert out[4]["clean"] == "nothing sensitive here"
+    for k in ("email_hits", "ipv4_hits", "hexkey_hits", "longnum_hits"):
+        assert out[4][k] == 0
+
+
+def test_repetition_stats_goldens(spark):
+    import pytest
+
+    from metis_spark.operators.corpus_stats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),        # one word: top=1.0, all bigrams dup
+        (2, "a b c d"),                    # all distinct: top=0.25, dup=0
+        (3, "x"),                          # single token: dup defined 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["top_word_frac"] == 1.0
+    assert got[1]["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert got[2]["top_word_frac"] == 0.25 and got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
