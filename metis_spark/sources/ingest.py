@@ -152,6 +152,9 @@ class WriterLock:
         import json as _json
         import time as _time
 
+        parent = os.path.dirname(self.lock_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)  # first ingest creates the tree
         deadline = _time.monotonic() + self.timeout_s
         while True:
             try:
