@@ -66,6 +66,7 @@ def pagerank(
     checkpoint_every: int = 1,
     seeds: "list[int] | DataFrame | None" = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(id, rank), info{iterations, delta, seconds, converged}).
 
@@ -102,6 +103,18 @@ def pagerank(
     standard durability/throughput dial for iterative jobs. k=1 is the
     fully-durable default; the resume contract and final state are
     identical for every k (pinned by tests).
+
+    ``init_ranks``: warm start — a (id, rank) DataFrame (e.g. the ranks
+    from the PREVIOUS corpus snapshot) replaces the uniform initial
+    vector. The fixpoint is unique, so warm starting never changes the
+    answer, only the iteration count: after an incremental edge-table
+    drain (operators/edge_maintenance.py) the old scores are already
+    near the new fixpoint and convergence takes a handful of iterations
+    instead of tens — the re-rank half of the incremental-maintenance
+    story. Vertices absent from ``init_ranks`` (newly added) start at
+    1/n; the vector is renormalized to Σ=1 (the invariant the dangling /
+    teleport arithmetic assumes). A resumable checkpoint in
+    ``checkpoint_dir`` takes precedence over ``init_ranks``.
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -217,6 +230,19 @@ def pagerank(
         state0 = state0.select("id", "dangling", F.lit(1.0 / n).alias("rank"))
         state_cols = ["id", "dangling"]
 
+    if init_ranks is not None:
+        # warm start: previous snapshot's scores, new vertices at 1/n,
+        # renormalized to Σ=1. One extra agg job, once, before iterating.
+        ir = init_ranks.select(
+            F.col("id").cast("long"), F.col("rank").cast("double").alias("_r0")
+        )
+        warmed = state0.drop("rank").join(ir.hint("shuffle_hash"), "id", "left")
+        warmed = warmed.withColumn("_rraw", F.coalesce("_r0", F.lit(1.0 / n)))
+        total = warmed.agg(F.sum("_rraw")).collect()[0][0] or 1.0
+        state0 = warmed.select(
+            *state_cols, (F.col("_rraw") / F.lit(float(total))).alias("rank")
+        )
+
     start_iter = 0
     t0 = time.monotonic()
     ranks = state0
@@ -239,11 +265,14 @@ def pagerank(
                     "converged": True, "n": n, "resumed": True,
                 }
     if dm_prev is None:
-        if start_iter == 0 and not personalized:
+        if start_iter == 0 and not personalized and init_ranks is None:
             # fresh start: ranks are uniform 1/n, so Σ rank over dangling
             # vertices is |dangling|/n — already observed, no extra job
             dm_prev = float(obs0.get["nd"] or 0) / n
-        else:  # seeded start, or a checkpoint whose meta predates the dm total
+        else:  # warm/seeded start, or a checkpoint whose meta predates dm
+            # (with init_ranks the uniform shortcut would inject an O(dm
+            # error) perturbation that decays only at rate d — wiping out
+            # the entire warm-start advantage)
             dm_prev = float(
                 ranks.where(F.col("dangling")).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
             )

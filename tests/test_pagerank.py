@@ -145,3 +145,52 @@ def test_weighted_pagerank_vs_oracle(spark, tmp_path):
     for v in range(50):
         assert got[v] == pytest.approx(want[v], abs=1e-12), v
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_warm_start_same_fixpoint_fewer_iterations(spark, tmp_path):
+    """init_ranks warm start: identical fixpoint, and restarting from the
+    converged vector re-converges (almost) immediately — the re-rank step
+    after an incremental edge drain."""
+    edges = random_graph(n=80, p=0.05, seed=71, zipf_extra=60)
+    cold, info_cold = pagerank(
+        edges_df(spark, edges), tol=1e-9, max_iter=200,
+        checkpoint_dir=str(tmp_path / "cold"),
+    )
+    assert info_cold["converged"]
+    warm, info_warm = pagerank(
+        edges_df(spark, edges), tol=1e-9, max_iter=200,
+        checkpoint_dir=str(tmp_path / "warm"), init_ranks=cold,
+    )
+    assert info_warm["converged"]
+    assert info_warm["iterations"] <= 2
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in warm.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-9, v
+
+
+def test_warm_start_after_edge_growth(spark, tmp_path):
+    """Warm start on a GROWN graph (the incremental-maintenance shape):
+    new vertices default to 1/n, vector renormalizes, and the result
+    matches a cold run on the grown graph to 1e-9."""
+    old = random_graph(n=60, p=0.06, seed=73, zipf_extra=40)
+    grown = old + [(90 + i, (7 * i) % 60) for i in range(8)] + [(3, 91), (5, 95)]
+    old_ranks, _ = pagerank(
+        edges_df(spark, old), tol=1e-9, max_iter=200,
+        checkpoint_dir=str(tmp_path / "old"),
+    )
+    cold, info_cold = pagerank(
+        edges_df(spark, grown), tol=1e-9, max_iter=200,
+        checkpoint_dir=str(tmp_path / "cold"),
+    )
+    warm, info_warm = pagerank(
+        edges_df(spark, grown), tol=1e-9, max_iter=200,
+        checkpoint_dir=str(tmp_path / "warm"), init_ranks=old_ranks,
+    )
+    assert info_cold["converged"] and info_warm["converged"]
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in warm.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-8, v
