@@ -1383,6 +1383,40 @@ def _modularity_sql() -> str:
     )
 
 
+KATZ_ALPHA = 0.01
+KATZ_ITERS = 5
+
+
+def _q_katz(spark, sf_dir):
+    """Katz centrality, KATZ_ITERS fixed power steps (plans/spectral.py)
+    — walk-counting centrality over the directed derived graph."""
+    from metis_spark.plans.spectral import katz_centrality
+
+    scores, _ = katz_centrality(
+        derived_edges(spark, sf_dir),
+        alpha=KATZ_ALPHA,
+        beta=1.0,
+        tol=0.0,
+        max_iter=KATZ_ITERS,
+        checkpoint_dir=_tmpdir("metis_qkatz_"),
+    )
+    return scores.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _q_eigen(spark, sf_dir):
+    """Eigenvector centrality, PR_ITERS normalized power steps over the
+    undirected view (plans/spectral.py)."""
+    from metis_spark.plans.spectral import eigenvector_centrality
+
+    scores, _ = eigenvector_centrality(
+        derived_edges(spark, sf_dir),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        checkpoint_dir=_tmpdir("metis_qeig_"),
+    )
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
 def _q_pagerank_weighted(spark, sf_dir):
     """Weighted PageRank: rank distributes over out-edges proportionally
     to the deterministic per-edge weight (_W_EXPR, shared with
@@ -1618,6 +1652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         "pagerank_5iter": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
+        "katz_5iter": _q_katz,
+        "eigencentrality_5iter": _q_eigen,
         "hits_3iter": _q_hits,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
@@ -1737,6 +1773,58 @@ def _pagerank_sql(weighted: bool = False) -> str:
             f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+
+
+def _katz_sql() -> str:
+    """Unrolled Katz twin of plans/spectral.py: x_k = β + α·Σ_in x_{k-1},
+    x_0 = β."""
+    a, b, n_iters = KATZ_ALPHA, 1.0, KATZ_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        f"x0 AS MATERIALIZED (SELECT id, {b} AS katz FROM verts)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.katz) AS c "
+            f"FROM edges e JOIN x{p} x ON e.src = x.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT v.id, {b} + {a}*COALESCE(c.c, 0) AS katz "
+            f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(katz, 6) AS katz FROM x{n_iters}"
+    )
+
+
+def _eigen_sql() -> str:
+    """Unrolled eigenvector-centrality twin of plans/spectral.py:
+    y_k = A·x̂_{k-1} over und, x̂_k = y_k/‖y_k‖₂, x̂_0 = 1/√n."""
+    n_iters = PR_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0/SQRT((SELECT n FROM nn)) AS x FROM verts)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"y{i} AS MATERIALIZED (SELECT v.id, COALESCE(c.c, 0) AS y FROM verts v "
+            f"LEFT JOIN (SELECT u.dst AS id, SUM(x.x) AS c FROM und u "
+            f"JOIN x{p} x ON u.src = x.id GROUP BY u.dst) c ON v.id = c.id)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT SQRT(SUM(y*y)) AS nrm FROM y{i})"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT id, y/(SELECT nrm FROM n{i}) AS x FROM y{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(x, 6) AS score FROM x{n_iters}"
+    )
 
 
 def _ppr_sql() -> str:
@@ -2063,6 +2151,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_5iter": _pagerank_sql(),
         "pagerank_weighted": _pagerank_sql(weighted=True),
+        "katz_5iter": _katz_sql(),
+        "eigencentrality_5iter": _eigen_sql(),
         "hits_3iter": _hits_sql(),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
