@@ -1567,6 +1567,52 @@ KTRUSS_ORACLE_ROUNDS = 10  # oracle unroll depth; peeling fixpoint is
 # idempotent, so any depth ≥ the measured cascade matches — asserted below
 
 
+MIS_ORACLE_ROUNDS = 12  # ≥ measured Luby rounds on the sparse graph at all sf
+
+
+def _q_mis(spark, sf_dir):
+    """Deterministic-Luby maximal independent set of the sparse graph
+    (plans/mis.py) — fixed injective hash priorities make the round
+    sequence engine-replayable, so the unrolled oracle reaches the
+    identical set."""
+    from metis_spark.plans.mis import maximal_independent_set
+
+    out, info = maximal_independent_set(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qmis_"),
+    )
+    assert info["converged"] and info["iterations"] <= MIS_ORACLE_ROUNDS, info
+    return out
+
+
+def _mis_sql(rounds: int = MIS_ORACLE_ROUNDS) -> str:
+    """Unrolled Luby twin of plans/mis.py on the sparse und graph."""
+    hv = "((({v}) * 2654435761) % 4294967296)"
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "sverts AS MATERIALIZED (SELECT src AS id FROM und GROUP BY src)",
+        "a0 AS MATERIALIZED (SELECT id FROM sverts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT v.id FROM a{p} v WHERE NOT EXISTS ("
+            f"SELECT 1 FROM und e JOIN a{p} u ON e.src = u.id "
+            f"WHERE e.dst = v.id AND {hv.format(v='u.id')} < {hv.format(v='v.id')}))"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id FROM a{p} WHERE id NOT IN "
+            f"(SELECT id FROM w{i}) AND id NOT IN "
+            f"(SELECT e.dst FROM und e JOIN w{i} w ON e.src = w.id))"
+        )
+    mis_union = " UNION ALL ".join(f"SELECT id FROM w{i}" for i in range(1, rounds + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nmis AS MATERIALIZED ({mis_union})\n"
+        "SELECT v.id, v.id IN (SELECT id FROM mis) AS in_mis FROM sverts v"
+    )
+
+
 def _q_ktruss(spark, sf_dir):
     """4-truss of the sparse graph: edges in ≥2 triangles after cascade
     peeling (plans/ktruss.py — edge-support twin of k-core)."""
@@ -1686,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_jaccard_topk": _q_vertex_jaccard,
         "kcore_3": _q_kcore,
         "ktruss_4": _q_ktruss,
+        "maximal_independent_set": _q_mis,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
@@ -2236,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),
         "ktruss_4": _ktruss_sql(),
+        "maximal_independent_set": _mis_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
