@@ -1567,6 +1567,64 @@ KTRUSS_ORACLE_ROUNDS = 10  # oracle unroll depth; peeling fixpoint is
 # idempotent, so any depth ≥ the measured cascade matches — asserted below
 
 
+DIAM_ROUNDS = 16  # ≥ measured double-sweep eccentricities on the sparse graph
+
+
+def _q_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound of the sparse graph
+    (plans/sssp.py): BFS from the max-degree vertex, BFS again from the
+    farthest vertex reached — usually the exact diameter on web-shaped
+    graphs, always ≥ half of it."""
+    from metis_spark.plans.sssp import diameter_double_sweep
+
+    out, info = diameter_double_sweep(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qdiam_"),
+    )
+    assert info["converged"] and info["diameter_lb"] <= DIAM_ROUNDS, info
+    return out
+
+
+def _diameter_sql(rounds: int = DIAM_ROUNDS) -> str:
+    """Unrolled double-sweep twin of plans/sssp.py diameter_double_sweep
+    on the sparse und graph: two min-folded BFS chains, the second's
+    source picked from the first's argmax (dist DESC, id ASC)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "sdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "s0 AS (SELECT id FROM sdeg ORDER BY deg DESC, id LIMIT 1)",
+        "b0 AS (SELECT (SELECT id FROM s0) AS id, 0::BIGINT AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + 1 AS dist FROM und e JOIN b{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    ctes.append(
+        f"far AS (SELECT id, dist FROM b{rounds} ORDER BY dist DESC, id LIMIT 1)"
+    )
+    ctes.append("c0 AS (SELECT (SELECT id FROM far) AS id, 0::BIGINT AS dist)")
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM c{p} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + 1 AS dist FROM und e JOIN c{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT (SELECT id FROM s0) AS start_id, "
+        f"(SELECT dist FROM far) AS ecc_start, "
+        f"(SELECT id FROM far) AS far_id, "
+        f"(SELECT MAX(dist) FROM c{rounds}) AS diameter_lb"
+    )
+
+
 MIS_ORACLE_ROUNDS = 12  # ≥ measured Luby rounds on the sparse graph at all sf
 
 
@@ -1733,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_3": _q_kcore,
         "ktruss_4": _q_ktruss,
         "maximal_independent_set": _q_mis,
+        "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
@@ -2284,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_3": _kcore_sql(),
         "ktruss_4": _ktruss_sql(),
         "maximal_independent_set": _mis_sql(),
+        "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "

@@ -300,3 +300,73 @@ def harmonic_landmarks(
             F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("h"),
         )
     )
+
+
+def diameter_double_sweep(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Double-sweep diameter lower bound over the undirected view →
+    (one-row DataFrame(start_id, ecc_start, far_id, diameter_lb), info).
+
+    The classic 2-BFS heuristic (Magnien/Latapy/Habib's double sweep):
+    BFS from the max-degree vertex (tie → min id), pick the farthest
+    vertex reached (tie → min id), BFS again from it; that second
+    eccentricity is the bound. On web-shaped graphs it is usually the
+    exact diameter; it is always ≥ half of it. Both sweeps reuse
+    shortest_hops — same persisted edge partitioning, per-round commit +
+    lineage + resume, fixpoint via the commit scan. Driver-side data
+    movement is two ONE-ROW collects (the argmax picks), independent of
+    graph size; an iFUB-style exact refinement would iterate more sweeps
+    on the same spine.
+
+    Unreachable-from-start vertices don't contribute (the bound is for
+    the start vertex's component — on a disconnected graph run once per
+    giant component root from connected_components).
+    """
+    import tempfile as _tempfile
+
+    if checkpoint_dir is None:
+        checkpoint_dir = _tempfile.mkdtemp(prefix="metis_diam_")
+    spark = edges.sparkSession
+    t0 = time.monotonic()
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    start = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(1)
+        .collect()[0]["src"]
+    )
+    d1, i1 = shortest_hops(
+        edges, [int(start)], max_iter=max_iter, resume=resume,
+        checkpoint_dir=checkpoint_dir + "/sweep1",
+        num_partitions=num_partitions, directed=False,
+    )
+    far = d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    d2, i2 = shortest_hops(
+        edges, [int(far["id"])], max_iter=max_iter, resume=resume,
+        checkpoint_dir=checkpoint_dir + "/sweep2",
+        num_partitions=num_partitions, directed=False,
+    )
+    ecc2 = d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    out = spark.createDataFrame(
+        [(int(start), int(far["dist"]), int(far["id"]), int(ecc2))],
+        "start_id long, ecc_start long, far_id long, diameter_lb long",
+    )
+    return out, {
+        "converged": i1["converged"] and i2["converged"],
+        "sweep1_iterations": i1["iterations"],
+        "sweep2_iterations": i2["iterations"],
+        "ecc_start": int(far["dist"]),
+        "diameter_lb": int(ecc2),
+        "seconds": time.monotonic() - t0,
+    }
