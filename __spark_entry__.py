@@ -340,6 +340,50 @@ def _q_graph_degrees(spark, sf_dir):
     )
 
 
+def _q_edge_diff(spark, sf_dir):
+    """Snapshot audit (operators/edge_maintenance.py edge_diff): the
+    symmetric difference between the edge tables two corpus snapshots
+    derive — here two deterministic lineitem slices (even line numbers
+    vs quantity ≤ 40) standing in for crawl T and crawl T+1."""
+    from metis_spark.operators.edge_maintenance import edge_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def snap(cond):
+        return (
+            li.where(cond)
+            .select(
+                (F.col("l_orderkey") % GRAPH_MOD).alias("src"),
+                (F.col("l_partkey") % GRAPH_MOD).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    old = snap(F.col("l_linenumber") % 2 == 0)
+    new = snap(F.col("l_quantity") <= 40)
+    return edge_diff(old, new)
+
+
+_EDGE_DIFF_SQL = f"""
+WITH olde AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_linenumber % 2 = 0
+    AND l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+),
+newe AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_quantity <= 40
+    AND l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+)
+SELECT n.src, n.dst, 'added' AS change FROM newe n
+WHERE NOT EXISTS (SELECT 1 FROM olde o WHERE o.src = n.src AND o.dst = n.dst)
+UNION ALL
+SELECT o.src, o.dst, 'removed' AS change FROM olde o
+WHERE NOT EXISTS (SELECT 1 FROM newe n WHERE n.src = o.src AND n.dst = o.dst)
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     edges = derived_edges(spark, sf_dir)
     ranks, _ = pagerank(
@@ -1754,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-graph core (§2.10)
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
+        "edge_snapshot_diff": _q_edge_diff,
         "pagerank_5iter": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
         "katz_5iter": _q_katz,
@@ -2255,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": (
             f"WITH {_EDGES_SQL.strip()} SELECT src, COUNT(*)::BIGINT AS out_deg FROM edges GROUP BY src"
         ),
+        "edge_snapshot_diff": _EDGE_DIFF_SQL,
         "pagerank_5iter": _pagerank_sql(),
         "pagerank_weighted": _pagerank_sql(weighted=True),
         "katz_5iter": _katz_sql(),

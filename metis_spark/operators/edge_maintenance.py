@@ -213,3 +213,27 @@ class EdgeMaintenance:
             "new_imports": n_imports,
             "new_edges": n_edges,
         }
+
+
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Symmetric difference of two edge-table snapshots →
+    (src, dst, change ∈ {'added','removed'}).
+
+    The audit query behind incremental maintenance: what did a drain (or
+    a corpus re-crawl) change? Two left-anti joins, each one shuffle on
+    (src, dst) with both sides partition-pruned to the key columns —
+    never a full-row comparison, never a collect. At 100 TB both sides
+    are bucketed edge tables on the same key, so the anti-joins are
+    co-partitioned merges. Duplicate-free inputs are assumed (the edge
+    tables this repo maintains are distinct by construction); duplicates
+    on one side would surface as repeated diff rows rather than errors.
+    """
+    o = old_edges.select("src", "dst")
+    n = new_edges.select("src", "dst")
+    added = n.join(o, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("added").alias("change")
+    )
+    removed = o.join(n, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)
