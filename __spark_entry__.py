@@ -1669,6 +1669,89 @@ def _diameter_sql(rounds: int = DIAM_ROUNDS) -> str:
     )
 
 
+COLOR_THIN = 5  # thin the sparse graph so the JP round count stays unrollable
+COLOR_ORACLE_ROUNDS = 26  # ≥ measured JP rounds on the thinned graph (9 / 20)
+
+
+def _coloring_edges(spark, sf_dir):
+    """Thinned sparse graph for greedy_coloring: Jones–Plassmann rounds =
+    longest priority-decreasing path, which on the full sparse graph
+    exceeds what an unrolled oracle can express (79 rounds at sf0.01);
+    keeping edges with (src+dst) % COLOR_THIN == 0 bounds it at ~20."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % SPARSE_MOD).alias("src"),
+            (F.col("l_partkey") % SPARSE_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .where((F.col("src") + F.col("dst")) % COLOR_THIN == 0)
+        .distinct()
+    )
+
+
+def _q_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring (plans/coloring.py): equals the
+    sequential greedy pass in hash-priority order, so the unrolled
+    oracle reproduces it exactly."""
+    from metis_spark.plans.coloring import greedy_coloring
+
+    out, info = greedy_coloring(
+        _coloring_edges(spark, sf_dir), checkpoint_dir=_tmpdir("metis_qcolor_")
+    )
+    assert (
+        info["converged"]
+        and info["iterations"] <= COLOR_ORACLE_ROUNDS
+        and info["n_colors"] <= 64
+    ), info
+    return out
+
+
+def _coloring_sql(rounds: int = COLOR_ORACLE_ROUNDS) -> str:
+    """Unrolled Jones–Plassmann twin of plans/coloring.py on the thinned
+    sparse und graph. Per round: ready = uncolored vertices whose
+    uncolored neighbours all hash larger; each picks the smallest color
+    absent from its colored neighbourhood (MIN over range(0,64) minus
+    used — 64 > the asserted color bound)."""
+    hv = "((({v}) * 2654435761) % 4294967296)"
+    m, t = SPARSE_MOD, COLOR_THIN
+    ctes = [
+        f"cedges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {m} AS src, "
+        f"l_partkey % {m} AS dst FROM lineitem "
+        f"WHERE l_orderkey % {m} <> l_partkey % {m} "
+        f"AND (l_orderkey % {m} + l_partkey % {m}) % {t} = 0)",
+        "cund AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM cedges UNION ALL SELECT dst AS src, src AS dst "
+        "FROM cedges) WHERE src <> dst)",
+        "s0 AS MATERIALIZED (SELECT src AS id, CAST(NULL AS BIGINT) AS color "
+        "FROM cund GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id FROM s{p} v WHERE v.color IS NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM cund e JOIN s{p} u ON e.src = u.id "
+            f"WHERE e.dst = v.id AND u.color IS NULL "
+            f"AND {hv.format(v='u.id')} < {hv.format(v='v.id')}))"
+        )
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT e.dst AS id, s.color FROM cund e "
+            f"JOIN s{p} s ON e.src = s.id AND s.color IS NOT NULL "
+            f"JOIN r{i} r ON e.dst = r.id GROUP BY e.dst, s.color)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, COALESCE(s.color, "
+            f"CASE WHEN r.id IS NULL THEN NULL ELSE ("
+            f"SELECT MIN(g.c) FROM (SELECT UNNEST(range(0, 64)) AS c) g "
+            f"WHERE g.c NOT IN (SELECT u.color FROM u{i} u WHERE u.id = s.id)"
+            f") END) AS color FROM s{p} s LEFT JOIN r{i} r ON s.id = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM s{rounds}"
+    )
+
+
 MIS_ORACLE_ROUNDS = 12  # ≥ measured Luby rounds on the sparse graph at all sf
 
 
@@ -1836,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_3": _q_kcore,
         "ktruss_4": _q_ktruss,
         "maximal_independent_set": _q_mis,
+        "greedy_coloring": _q_coloring,
         "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
@@ -2389,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_3": _kcore_sql(),
         "ktruss_4": _ktruss_sql(),
         "maximal_independent_set": _mis_sql(),
+        "greedy_coloring": _coloring_sql(),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (
