@@ -1669,6 +1669,67 @@ def _diameter_sql(rounds: int = DIAM_ROUNDS) -> str:
     )
 
 
+LOUVAIN_ROUNDS = 2
+
+
+def _q_louvain(spark, sf_dir):
+    """Two synchronous Louvain local-moving sweeps on the sparse graph
+    (plans/louvain.py): per-vertex modularity-gain argmax with the
+    ROUND(gain,9)+min-label tie discipline, so the unrolled oracle
+    replays every move."""
+    from metis_spark.plans.louvain import louvain_local_moving
+
+    labels, info = louvain_local_moving(
+        derived_edges_sparse(spark, sf_dir),
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qlouvain_"),
+    )
+    assert info["iterations"] == LOUVAIN_ROUNDS, info
+    return labels
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous local-moving twin of plans/louvain.py on the
+    sparse und graph."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "ldeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "mm AS (SELECT COUNT(*)/2.0 AS m FROM und)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM ldeg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"tot{i} AS MATERIALIZED (SELECT l.label, SUM(d.deg)::BIGINT AS tot "
+            f"FROM l{p} l JOIN ldeg d ON l.id = d.id GROUP BY l.label)"
+        )
+        ctes.append(
+            f"kvc{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"COUNT(*)::BIGINT AS kvc FROM und e JOIN l{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"cand{i} AS MATERIALIZED (SELECT id, c, MAX(kvc)::BIGINT AS kvc FROM ("
+            f"SELECT id, c, kvc FROM kvc{i} UNION ALL "
+            f"SELECT id, label AS c, 0::BIGINT AS kvc FROM l{p}) GROUP BY id, c)"
+        )
+        ctes.append(
+            f"sc{i} AS MATERIALIZED (SELECT x.id, x.c, "
+            f"ROUND(x.kvc / (SELECT m FROM mm) - (d.deg * (t.tot - "
+            f"CASE WHEN x.c = l.label THEN d.deg ELSE 0 END)) "
+            f"/ (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
+            f"FROM cand{i} x JOIN l{p} l ON x.id = l.id "
+            f"JOIN ldeg d ON x.id = d.id JOIN tot{i} t ON x.c = t.label)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY g9 DESC, c ASC) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
 COLOR_THIN = 5  # thin the sparse graph so the JP round count stays unrollable
 COLOR_ORACLE_ROUNDS = 26  # ≥ measured JP rounds on the thinned graph (9 / 20)
 
@@ -1920,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_4": _q_ktruss,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
+        "louvain_2round": _q_louvain,
         "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
@@ -2474,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_4": _ktruss_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
+        "louvain_2round": _louvain_sql(),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (
