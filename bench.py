@@ -144,6 +144,8 @@ def main() -> None:
         "tfidf_top3",
         "node2vec_walks",
         "betweenness_approx",
+        "louvain_2round",
+        "eigencentrality_5iter",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
