@@ -395,6 +395,58 @@ def _q_pagerank(spark, sf_dir):
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+PR_CONV_TOL = 1e-12  # both engines land within ~1e-12 L1 of the unique
+# fixpoint; nearest ROUND(,6) boundary on this graph is ≥1.3e-10 away
+# (measured at both sf), so the hash compare has two orders of margin
+PR_CONV_ORACLE_ITERS = 30  # cold power iteration needs ≤18 at either sf
+
+
+def _q_pagerank_incremental(spark, sf_dir):
+    """Incremental re-rank after a corpus drain — the full maintenance
+    story end-to-end: snapshot T's edge table is patched to snapshot T+1
+    by applying the ``edge_diff`` delta (never rebuilt from content), and
+    PageRank warm-starts from T's scores (``init_ranks``) instead of
+    uniform. The fixpoint is unique, so the result is bit-independent of
+    the warm start — the oracle runs a COLD unrolled power iteration on
+    the T+1 table and must agree; the warm start only buys iterations
+    (asserted below: strictly fewer than the cold oracle budget).
+    Mirrors the reference's re-import-then-recompute flow
+    (/root/reference/Metis/python/metis_sink.py:163-166) with
+    increment-scoped work."""
+    from metis_spark.operators.edge_maintenance import edge_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    old = (
+        li.where(F.col("l_linenumber") % 2 == 0)
+        .select(
+            (F.col("l_orderkey") % GRAPH_MOD).alias("src"),
+            (F.col("l_partkey") % GRAPH_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    new = derived_edges(spark, sf_dir)
+    diff = edge_diff(old, new)
+    removed = diff.where(F.col("change") == "removed").select("src", "dst")
+    added = diff.where(F.col("change") == "added").select("src", "dst")
+    patched = old.join(removed, ["src", "dst"], "left_anti").unionByName(added)
+
+    # cheap warm-start vector: snapshot T's 5-iteration scores
+    ranks_old, _ = pagerank(
+        old, checkpoint_dir=_tmpdir("metis_qpri_a_"), tol=0.0, max_iter=PR_ITERS
+    )
+    ranks, info = pagerank(
+        patched,
+        checkpoint_dir=_tmpdir("metis_qpri_b_"),
+        tol=PR_CONV_TOL,
+        max_iter=100,
+        init_ranks=ranks_old,
+    )
+    assert info["converged"], info
+    assert info["iterations"] <= PR_CONV_ORACLE_ITERS, info
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _q_connected_components(spark, sf_dir):
     edges = derived_edges(spark, sf_dir)
     labels, _ = connected_components(
@@ -1944,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         "edge_snapshot_diff": _q_edge_diff,
         "pagerank_5iter": _q_pagerank,
+        "pagerank_incremental": _q_pagerank_incremental,
         "pagerank_weighted": _q_pagerank_weighted,
         "katz_5iter": _q_katz,
         "eigencentrality_5iter": _q_eigen,
@@ -2043,29 +2096,29 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, deg FROM a{rounds}"
 
 
-def _pagerank_sql(weighted: bool = False) -> str:
-    d, n_iters = 0.85, PR_ITERS
+def _pagerank_sql(weighted: bool = False, n_iters: int = PR_ITERS) -> str:
+    d = 0.85
     w_expr = "((e.src * 7 + e.dst * 13) % 10 + 1)"  # _W_EXPR on aliased edges
     deg_expr = (
         "SUM((src * 7 + dst * 13) % 10 + 1)::DOUBLE" if weighted else "COUNT(*)::DOUBLE"
     )
     contrib_expr = f"SUM(r.rank * {w_expr} / o.deg)" if weighted else "SUM(r.rank/o.deg)"
     ctes = [_EDGES_SQL.strip().rstrip(),
-            "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
-            f"outdeg AS (SELECT src, {deg_expr} AS deg FROM edges GROUP BY src)",
-            "r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
+            "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+            f"outdeg AS MATERIALIZED (SELECT src, {deg_expr} AS deg FROM edges GROUP BY src)",
+            "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
     for i in range(1, n_iters + 1):
         p = i - 1
         ctes.append(
-            f"c{i} AS (SELECT e.dst AS id, {contrib_expr} AS contrib "
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, {contrib_expr} AS contrib "
             f"FROM edges e JOIN r{p} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
         )
         ctes.append(
-            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{p} r "
+            f"dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank),0) AS dm FROM r{p} r "
             f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
         )
         ctes.append(
-            f"r{i} AS (SELECT v.id, (1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
+            f"r{i} AS MATERIALIZED (SELECT v.id, (1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
             f"+ (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank "
             f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
         )
@@ -2448,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "edge_snapshot_diff": _EDGE_DIFF_SQL,
         "pagerank_5iter": _pagerank_sql(),
+        "pagerank_incremental": _pagerank_sql(n_iters=PR_CONV_ORACLE_ITERS),
         "pagerank_weighted": _pagerank_sql(weighted=True),
         "katz_5iter": _katz_sql(),
         "eigencentrality_5iter": _eigen_sql(),
