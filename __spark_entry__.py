@@ -1663,6 +1663,125 @@ KTRUSS_ORACLE_ROUNDS = 10  # oracle unroll depth; peeling fixpoint is
 # idempotent, so any depth ≥ the measured cascade matches — asserted below
 
 
+ANF_ROUNDS = 3  # out-reach horizon: exact pair table stays feasible (≤7M
+# pairs at sf0.01) while the curve still spans 3 decades of growth
+ANF_MASKS = 32  # FM sketches per vertex: 256 B state, ~10% curve error
+
+
+def _q_neighborhood_function(spark, sf_dir):
+    """EXACT neighborhood function N(t) on the sparse directed graph
+    (plans/anf.py) — the quadratic-state baseline/oracle twin of the
+    ANF sketch, same contract as ngram_jaccard_dedup vs MinHash."""
+    from metis_spark.plans.anf import neighborhood_function
+
+    return neighborhood_function(
+        derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS
+    )
+
+
+def _q_anf_sketch(spark, sf_dir):
+    """Flajolet-Martin ANF ball sketches per vertex (plans/anf.py — the
+    100 TB path: 256 B/vertex state, one PageRank-shaped join+bit_or
+    groupBy per round). md5-seeded masks are reproduced bit-exactly in
+    DuckDB, so sum_r hash-matches as an exact integer."""
+    from metis_spark.plans.anf import anf_sketch
+
+    return anf_sketch(
+        derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS, num_masks=ANF_MASKS
+    )
+
+
+def _q_anf_effective_diameter(spark, sf_dir):
+    """Effective diameter (smallest t with N̂(t) ≥ 0.9·N̂(horizon)) off
+    the sketch curve — the one-row graph-profile summary a web-graph
+    operator actually reads."""
+    from metis_spark.plans.anf import effective_diameter
+
+    return effective_diameter(
+        derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS, num_masks=ANF_MASKS
+    )
+
+
+def _anf_masks_ctes() -> list:
+    """Shared CTE chain reproducing plans/anf.py's FM masks bit-exactly:
+    per (id, m) 60-bit md5 hash → trailing-zero bit, then per-round
+    self ∪ out-neighbor bit_or folds (identical recurrence)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "averts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        f"msel AS MATERIALIZED (SELECT m FROM range(0, {ANF_MASKS}) t(m))",
+        "mk0 AS MATERIALIZED (SELECT id, m, CASE WHEN h = 0 THEN (2**59)::BIGINT "
+        "ELSE (2**bit_count((h & -h) - 1))::BIGINT END AS mask FROM ("
+        "SELECT v.id, s.m, ('0x' || substr(md5('anf:' || s.m || ':' || v.id), 1, 15))::BIGINT AS h "
+        "FROM averts v CROSS JOIN msel s))",
+    ]
+    for i in range(1, ANF_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"mk{i} AS MATERIALIZED (SELECT id, m, bit_or(mask) AS mask FROM ("
+            f"SELECT id, m, mask FROM mk{p} UNION ALL "
+            f"SELECT e.src AS id, k.m, k.mask FROM edges e JOIN mk{p} k ON e.dst = k.id"
+            f") GROUP BY id, m)"
+        )
+    return ctes
+
+
+def _anf_sketch_out_sql() -> str:
+    """UNION ALL of the per-horizon (t, id, sum_r, est) projections."""
+    sels = []
+    for t in range(ANF_ROUNDS + 1):
+        sels.append(
+            f"SELECT {t}::BIGINT AS t, id, "
+            f"SUM(bit_count(xor(mask, mask + 1)) - 1)::BIGINT AS sum_r, "
+            f"ROUND(2 ** (SUM(bit_count(xor(mask, mask + 1)) - 1)::DOUBLE / {ANF_MASKS}) "
+            f"/ 0.77351, 4) AS est FROM mk{t} GROUP BY id"
+        )
+    return " UNION ALL ".join(sels)
+
+
+def _anf_sketch_sql() -> str:
+    return "WITH " + ",\n".join(_anf_masks_ctes()) + "\n" + _anf_sketch_out_sql()
+
+
+def _anf_eff_diam_sql() -> str:
+    ctes = _anf_masks_ctes()
+    ctes.append("sk AS MATERIALIZED (" + _anf_sketch_out_sql() + ")")
+    ctes.append("curve AS MATERIALIZED (SELECT t, SUM(est) AS nf FROM sk GROUP BY t)")
+    ctes.append(
+        f"fin AS (SELECT nf AS f FROM curve WHERE t = {ANF_ROUNDS})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT MIN(t)::BIGINT AS eff_diameter, "
+        "ROUND((SELECT f FROM fin), 1) AS nf_final_est "
+        "FROM curve WHERE nf >= 0.9 * (SELECT f FROM fin)"
+    )
+
+
+def _anf_exact_sql() -> str:
+    """Unrolled distinct reach-pair counts — the twin of plans/anf.py
+    neighborhood_function."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "averts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "re0 AS MATERIALIZED (SELECT id, id AS v FROM averts)",
+    ]
+    for i in range(1, ANF_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"re{i} AS MATERIALIZED (SELECT DISTINCT id, v FROM ("
+            f"SELECT id, v FROM re{p} UNION ALL "
+            f"SELECT e.src AS id, r.v FROM edges e JOIN re{p} r ON e.dst = r.id))"
+        )
+    sels = [
+        f"SELECT {t}::BIGINT AS t, COUNT(*)::BIGINT AS pairs FROM re{t}"
+        for t in range(ANF_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+
 DIAM_ROUNDS = 16  # ≥ measured double-sweep eccentricities on the sparse graph
 
 
@@ -1997,6 +2116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_snapshot_diff": _q_edge_diff,
         "pagerank_5iter": _q_pagerank,
         "pagerank_incremental": _q_pagerank_incremental,
+        "neighborhood_function": _q_neighborhood_function,
+        "anf_sketch": _q_anf_sketch,
+        "anf_effective_diameter": _q_anf_effective_diameter,
         "pagerank_weighted": _q_pagerank_weighted,
         "katz_5iter": _q_katz,
         "eigencentrality_5iter": _q_eigen,
@@ -2502,6 +2624,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_snapshot_diff": _EDGE_DIFF_SQL,
         "pagerank_5iter": _pagerank_sql(),
         "pagerank_incremental": _pagerank_sql(n_iters=PR_CONV_ORACLE_ITERS),
+        "neighborhood_function": _anf_exact_sql(),
+        "anf_sketch": _anf_sketch_sql(),
+        "anf_effective_diameter": _anf_eff_diam_sql(),
         "pagerank_weighted": _pagerank_sql(weighted=True),
         "katz_5iter": _katz_sql(),
         "eigencentrality_5iter": _eigen_sql(),
