@@ -1531,6 +1531,58 @@ def _q_pagerank_weighted(spark, sf_dir):
 HITS_ITERS = 3
 
 
+SALSA_ITERS = 3
+
+
+def _q_salsa(spark, sf_dir):
+    """SALSA hubs & authorities (plans/salsa.py): HITS with random-walk
+    (degree-normalized) transitions — stochastic updates conserve mass,
+    so unlike HITS there is no normalization pass at all."""
+    from metis_spark.plans.salsa import salsa
+
+    scores, info = salsa(
+        derived_edges(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qsalsa_"),
+        tol=0.0,
+        max_iter=SALSA_ITERS,
+    )
+    assert info["converged"], info
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _salsa_sql() -> str:
+    """Unrolled SALSA twin: a = Σ h/outdeg over in-edges, then
+    h = Σ a/indeg over out-edges, h_0 uniform over hub vertices."""
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY src)",
+        "indeg AS MATERIALIZED (SELECT dst, COUNT(*)::DOUBLE AS idg FROM edges GROUP BY dst)",
+        "nh AS (SELECT COUNT(*)::DOUBLE AS c FROM outdeg)",
+        "sh0 AS MATERIALIZED (SELECT src AS id, 1.0/(SELECT c FROM nh) AS hub FROM outdeg)",
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"sa{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub / o.od) AS auth "
+            f"FROM edges e JOIN sh{p} h ON e.src = h.id "
+            f"JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"sh{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth / d.idg) AS hub "
+            f"FROM edges e JOIN sa{i} a ON e.dst = a.id "
+            f"JOIN indeg d ON e.dst = d.dst GROUP BY e.src)"
+        )
+    k = SALSA_ITERS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.id, ROUND(COALESCE(h.hub, 0), 6) AS hub, "
+        f"ROUND(COALESCE(a.auth, 0), 6) AS auth FROM verts v "
+        f"LEFT JOIN sh{k} h ON v.id = h.id LEFT JOIN sa{k} a ON v.id = a.id"
+    )
+
+
 def _q_hits(spark, sf_dir):
     """HITS hubs & authorities, fixed 3 iterations, L2-normalized each
     round (plans/hits.py — unrolled-CTE DuckDB twin)."""
@@ -2123,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_5iter": _q_katz,
         "eigencentrality_5iter": _q_eigen,
         "hits_3iter": _q_hits,
+        "salsa_3iter": _q_salsa,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
@@ -2631,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_5iter": _katz_sql(),
         "eigencentrality_5iter": _eigen_sql(),
         "hits_3iter": _hits_sql(),
+        "salsa_3iter": _salsa_sql(),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
         "strongly_connected_components": _scc_sql(),
