@@ -1022,6 +1022,73 @@ def _q_dataset_splits(spark, sf_dir):
     return out.select("doc_id", "lang", "split")
 
 
+CONTAM_K = 5  # decontamination gram width (distinct 5-grams per doc)
+CONTAM_BENCH_MOD, CONTAM_BENCH_REM = 11, 3  # deterministic "benchmark" slice
+BOILER_MIN_DOCS = 4  # 3-grams in ≥4 docs are corpus-boilerplate (measured:
+# ~600-950 such grams at both sf — selective but nonzero)
+
+
+def _q_benchmark_contamination(spark, sf_dir):
+    """Train/eval n-gram decontamination audit
+    (operators/corpus_stats.py benchmark_contamination): fraction of each
+    non-benchmark document's distinct 5-grams that appear in the
+    benchmark slice — broadcast-semi shape, the corpus side never
+    shuffles except the final per-doc groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_REM
+    return CS.benchmark_contamination(
+        docs.where(~is_bench), docs.where(is_bench), k=CONTAM_K
+    )
+
+
+def _q_boilerplate_ngrams(spark, sf_dir):
+    """CCNet/C4-style boilerplate signal: fraction of a doc's distinct
+    3-grams occurring in ≥ BOILER_MIN_DOCS documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.boilerplate_ngrams(docs, k=3, min_docs=BOILER_MIN_DOCS)
+
+
+def _kgram_sql(toks_cte: str, k: int) -> str:
+    """DuckDB distinct-k-gram list from a toks CTE (twin of
+    functions/text.py shingles(k))."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return (
+        f"CASE WHEN len(t) >= {k} THEN list_distinct(list_transform("
+        f"range(1, len(t) - {k - 2}), i -> {joined})) ELSE []::VARCHAR[] END"
+    )
+
+
+def _contamination_sql() -> str:
+    bench = f"doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}"
+    g = _kgram_sql("t", CONTAM_K)
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {g} AS s FROM toks), "
+        f"bg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE {bench}), "
+        f"ex AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE NOT ({bench})) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+        "SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit, "
+        "ROUND(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE "
+        "/ COUNT(*)::DOUBLE, 6) AS contamination "
+        "FROM ex LEFT JOIN bg USING (gram) GROUP BY doc_id"
+    )
+
+
+def _boilerplate_sql() -> str:
+    return (
+        f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
+        "ex AS (SELECT doc_id, unnest(s) AS gram FROM sh), "
+        "boiler AS (SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM ex "
+        f"GROUP BY gram) WHERE df >= {BOILER_MIN_DOCS}) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+        "SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler, "
+        "ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE "
+        "/ COUNT(*)::DOUBLE, 6) AS boilerplate_frac "
+        "FROM ex LEFT JOIN boiler b USING (gram) GROUP BY doc_id"
+    )
+
+
 def _q_tfidf_top3(spark, sf_dir):
     """Top-3 characteristic terms per document by tf·ln(N/df)
     (operators/corpus_stats.py)."""
@@ -2236,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition,
+        "benchmark_contamination": _q_benchmark_contamination,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_scrub": _q_pii_scrub,
         "lang_id": _q_langid,
         "doc_fingerprint": _q_fingerprint,
@@ -3009,6 +3078,8 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
             "FROM documents)"
         ),
+        "benchmark_contamination": _contamination_sql(),
+        "boilerplate_ngrams": _boilerplate_sql(),
         "repetition_stats": (
             "WITH lists AS (SELECT doc_id, list_filter("
             "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk FROM documents), "

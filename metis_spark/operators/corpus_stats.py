@@ -187,3 +187,107 @@ def repetition_stats(
     return bf.join(wc, "doc_id").select(
         "doc_id", "n_tokens", "top_word_frac", "dup_bigram_frac"
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """→ (doc_id, n_grams, n_hit, contamination): per-document fraction
+    of distinct token k-grams that appear in ANY benchmark document —
+    the train/eval overlap audit every LLM data pipeline runs before
+    training (the GPT-3/PaLM n-gram decontamination check). Documents
+    with fewer than k tokens have no grams and are omitted.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are ~10^5 grams, the corpus 10^12), so it is collected
+    into a BROADCAST hash side — the corpus-side exploded grams stream
+    through a map-side broadcast left join and the only exchange is the
+    final map-side-combinable groupBy(doc_id). Nothing corpus-sized ever
+    shuffles, which is the difference between "run nightly" and
+    "can't afford it" at 100 TB.
+    """
+    from metis_spark.functions.text import shingles
+
+    bgrams = (
+        bench.select(
+            F.explode(shingles(tokens(F.col(text_col)), k)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("gram"),
+    )
+    return (
+        ex.join(F.broadcast(bgrams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 20,
+) -> DataFrame:
+    """→ (doc_id, n_grams, n_boiler, boilerplate_frac): fraction of a
+    document's distinct token k-grams that occur in ≥ ``min_docs``
+    documents — the CCNet/C4-style boilerplate signal (headers, footers,
+    license blurbs repeat across pages; prose doesn't).
+
+    Scale shape: gram document-frequency is one explode + groupBy(gram)
+    with map-side partial counts; the surviving boilerplate-gram table is
+    df-thresholded (tiny — corpus-frequent grams are by definition few
+    distinct strings) and broadcast back, so like the contamination
+    check the corpus side never shuffles except the final groupBy(doc).
+    At 100 TB the df pass composes with exact_heavy_hitters'
+    candidate-pruned two-pass shape (operators/sketches.py) if even the
+    gram-df exchange must be avoided.
+    """
+    from metis_spark.functions.text import shingles
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("gram"),
+    )
+    boiler = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+        .withColumn("_b", F.lit(1))
+    )
+    return (
+        ex.join(F.broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -161,3 +161,43 @@ def test_repetition_stats_goldens(spark):
     assert got[1]["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
     assert got[2]["top_word_frac"] == 0.25 and got[2]["dup_bigram_frac"] == 0.0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_benchmark_contamination_goldens(spark):
+    from metis_spark.operators.corpus_stats import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact copy → 1.0
+            (2, "alpha beta gamma delta epsilon other words here pad"),  # partial
+            (3, "completely different tokens one two three four five"),  # clean
+            (4, "too short"),                              # <k tokens → omitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in benchmark_contamination(docs, bench, k=5).collect()}
+    assert got[1]["contamination"] == 1.0
+    assert got[2]["n_hit"] == 1 and 0 < got[2]["contamination"] < 1
+    assert got[3]["n_hit"] == 0 and got[3]["contamination"] == 0.0
+    assert 4 not in got
+
+
+def test_boilerplate_ngrams_goldens(spark):
+    from metis_spark.operators.corpus_stats import boilerplate_ngrams
+
+    footer = "copyright footer text"
+    docs = spark.createDataFrame(
+        [(i, f"unique words {i} here {footer}") for i in range(3)]
+        + [(9, "nothing shared with anyone at all")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_ngrams(docs, k=3, min_docs=3).collect()}
+    # the two footer-suffix 3-grams ("here copyright footer",
+    # "copyright footer text") reach df≥3; the {i}-bearing grams don't
+    for i in range(3):
+        assert got[i]["n_boiler"] == 2, got[i]
+    assert got[9]["n_boiler"] == 0 and got[9]["boilerplate_frac"] == 0.0
