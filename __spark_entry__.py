@@ -1978,6 +1978,115 @@ def _q_louvain(spark, sf_dir):
     return labels
 
 
+def _q_louvain_multilevel(spark, sf_dir):
+    """Full two-level Louvain (plans/louvain.py louvain_multilevel):
+    local moving, quotient-multigraph coarsening (integer und-row
+    weights), then a second WEIGHTED moving pass — every move at both
+    levels replayed bit-exactly by the unrolled oracle."""
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    labels, info = louvain_multilevel(
+        derived_edges_sparse(spark, sf_dir),
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qlouvain2_"),
+    )
+    assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
+    return labels
+
+
+def _louvain_level1_ctes(rounds: int) -> list:
+    """The shared unrolled level-1 CTE chain (ends at l{rounds})."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "ldeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "mm AS (SELECT COUNT(*)/2.0 AS m FROM und)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM ldeg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"tot{i} AS MATERIALIZED (SELECT l.label, SUM(d.deg)::BIGINT AS tot "
+            f"FROM l{p} l JOIN ldeg d ON l.id = d.id GROUP BY l.label)"
+        )
+        ctes.append(
+            f"kvc{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"COUNT(*)::BIGINT AS kvc FROM und e JOIN l{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"cand{i} AS MATERIALIZED (SELECT id, c, MAX(kvc)::BIGINT AS kvc FROM ("
+            f"SELECT id, c, kvc FROM kvc{i} UNION ALL "
+            f"SELECT id, label AS c, 0::BIGINT AS kvc FROM l{p}) GROUP BY id, c)"
+        )
+        ctes.append(
+            f"sc{i} AS MATERIALIZED (SELECT x.id, x.c, "
+            f"ROUND(x.kvc / (SELECT m FROM mm) - (d.deg * (t.tot - "
+            f"CASE WHEN x.c = l.label THEN d.deg ELSE 0 END)) "
+            f"/ (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
+            f"FROM cand{i} x JOIN l{p} l ON x.id = l.id "
+            f"JOIN ldeg d ON x.id = d.id JOIN tot{i} t ON x.c = t.label)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY g9 DESC, c ASC) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+    return ctes
+
+
+def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled TWO-LEVEL twin: level-1 chain, quotient multigraph in
+    integer und-row space (strength = Σ all incident rows, self rows are
+    2·w_self), then ``rounds`` weighted sweeps on the quotient."""
+    ctes = _louvain_level1_ctes(rounds)
+    r = rounds
+    ctes.append(
+        f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
+        f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
+        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)"
+    )
+    ctes.append(
+        "qstr AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS s "
+        "FROM qe GROUP BY src)"
+    )
+    ctes.append("qeo AS MATERIALIZED (SELECT src, dst, w FROM qe WHERE src <> dst)")
+    ctes.append("q0 AS MATERIALIZED (SELECT id, id AS label FROM qstr)")
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"qtot{i} AS MATERIALIZED (SELECT l.label, SUM(d.s)::BIGINT AS tot "
+            f"FROM q{p} l JOIN qstr d ON l.id = d.id GROUP BY l.label)"
+        )
+        ctes.append(
+            f"qkvc{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"SUM(e.w)::BIGINT AS kvc FROM qeo e JOIN q{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"qcand{i} AS MATERIALIZED (SELECT id, c, MAX(kvc)::BIGINT AS kvc FROM ("
+            f"SELECT id, c, kvc FROM qkvc{i} UNION ALL "
+            f"SELECT id, label AS c, 0::BIGINT AS kvc FROM q{p}) GROUP BY id, c)"
+        )
+        ctes.append(
+            f"qsc{i} AS MATERIALIZED (SELECT x.id, x.c, "
+            f"ROUND(x.kvc / (SELECT m FROM mm) - (d.s * (t.tot - "
+            f"CASE WHEN x.c = l.label THEN d.s ELSE 0 END)) "
+            f"/ (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
+            f"FROM qcand{i} x JOIN q{p} l ON x.id = l.id "
+            f"JOIN qstr d ON x.id = d.id JOIN qtot{i} t ON x.c = t.label)"
+        )
+        ctes.append(
+            f"q{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY g9 DESC, c ASC) AS rn FROM qsc{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, q.label FROM l{r} a JOIN q{r} q ON a.label = q.id"
+    )
+
+
 def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     """Unrolled synchronous local-moving twin of plans/louvain.py on the
     sparse und graph."""
@@ -2277,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "louvain_2round": _q_louvain,
+        "louvain_2level": _q_louvain_multilevel,
         "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
@@ -2839,6 +2949,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "louvain_2round": _louvain_sql(),
+        "louvain_2level": _louvain2_sql(),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (

@@ -85,3 +85,99 @@ def test_louvain_resumes_identically(spark, tmp_path):
     a = {r["id"]: r["label"] for r in full.collect()}
     b = {r["id"]: r["label"] for r in rest.collect()}
     assert a == b
+
+
+def _modularity(edges, labels):
+    """Q = Σ_c [ in_c/(2m) − (tot_c/(2m))² ] over the und multiview."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    two_m = len(und)
+    deg = collections.Counter(s for s, _ in und)
+    tot = collections.Counter()
+    for v, dg in deg.items():
+        tot[labels[v]] += dg
+    inn = collections.Counter()
+    for s, d in und:
+        if labels[s] == labels[d]:
+            inn[labels[s]] += 1
+    return sum(
+        inn[c] / two_m - (tot[c] / two_m) ** 2 for c in tot
+    )
+
+
+def test_multilevel_is_coarsening_and_improves(spark, tmp_path):
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    edges = random_graph(n=80, p=0.06, seed=77, zipf_extra=50)
+    l1, _ = louvain_local_moving(
+        edges_df(spark, edges), rounds=2, checkpoint_dir=str(tmp_path / "l1")
+    )
+    l2, info = louvain_multilevel(
+        edges_df(spark, edges), rounds=2, checkpoint_dir=str(tmp_path / "l2")
+    )
+    a = {r["id"]: r["label"] for r in l1.collect()}
+    b = {r["id"]: r["label"] for r in l2.collect()}
+    # level-2 is a coarsening of level-1: same level-1 community ⇒ same
+    # level-2 label
+    by_l1 = collections.defaultdict(set)
+    for v, c in a.items():
+        by_l1[c].add(b[v])
+    assert all(len(s) == 1 for s in by_l1.values())
+    assert len(set(b.values())) <= len(set(a.values()))
+    assert info["level1_communities"] == len(set(a.values()))
+    # NOTE: SEQUENTIAL Louvain guarantees modularity never drops per
+    # level; the synchronous variant does not (documented oscillation
+    # caveat in plans/louvain.py) — on structureless random graphs a
+    # synchronous quotient sweep may dip slightly, so monotonicity is
+    # asserted on the structured clique-chain graph below instead.
+
+
+def test_multilevel_barbell_cliques(spark, tmp_path):
+    """Two K5s joined by one bridge: level-1 finds the cliques, the
+    quotient sweep keeps them apart (bridge weight 1 never pays), and
+    the extra level never hurts modularity on structured input."""
+    import itertools
+
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    edges = (
+        list(itertools.combinations(range(5), 2))
+        + list(itertools.combinations(range(5, 10), 2))
+        + [(4, 5)]
+    )
+    out, info = louvain_multilevel(
+        edges_df(spark, edges), rounds=2, checkpoint_dir=str(tmp_path / "c")
+    )
+    lab = {r["id"]: r["label"] for r in out.collect()}
+    assert len({lab[v] for v in range(5)}) == 1
+    assert len({lab[v] for v in range(5, 10)}) == 1
+    assert lab[0] != lab[9]
+    assert info["iterations"] == 4 and info["level1_communities"] == 2
+    # on this structured graph the extra level never hurts modularity
+    l1, _ = louvain_local_moving(edges_df(spark, edges), rounds=2)
+    a = {r["id"]: r["label"] for r in l1.collect()}
+    assert _modularity(edges, lab) >= _modularity(edges, a) - 1e-12
+
+
+def test_multilevel_resumes_identically(spark, tmp_path):
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    edges = random_graph(n=60, p=0.08, seed=31, zipf_extra=30)
+    full, _ = louvain_multilevel(
+        edges_df(spark, edges), rounds=2, checkpoint_dir=str(tmp_path / "a")
+    )
+    # partial run: level 1 only (rounds=2 commits k=1..2... simulate by
+    # running the single-level op into the same dir under the ml name is
+    # not possible — instead rerun the same op on a fresh dir and resume
+    # from its own commits mid-way by reusing the dir)
+    louvain_multilevel(
+        edges_df(spark, edges), rounds=2, checkpoint_dir=str(tmp_path / "b")
+    )
+    rest, _ = louvain_multilevel(
+        edges_df(spark, edges), rounds=2, checkpoint_dir=str(tmp_path / "b")
+    )
+    a = {r["id"]: r["label"] for r in full.collect()}
+    b = {r["id"]: r["label"] for r in rest.collect()}
+    assert a == b
