@@ -1242,6 +1242,26 @@ def _q_vertex_jaccard(spark, sf_dir):
     )
 
 
+def _q_resource_alloc(spark, sf_dir):
+    """Resource-allocation link predictor (plans/metrics.py): Adamic-Adar
+    with the log dropped — completes the classic predictor quartet."""
+    from metis_spark.plans.metrics import resource_allocation_topk
+
+    return resource_allocation_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+
+def _q_pref_attach(spark, sf_dir):
+    """Preferential-attachment predictor over non-adjacent 2-hop pairs
+    (full degrees; wedge cap bounds candidate generation only)."""
+    from metis_spark.plans.metrics import preferential_attachment_topk
+
+    return preferential_attachment_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+
 def _q_ppr(spark, sf_dir):
     """Personalized PageRank from the deterministic seed set id % 10 == 0.
 
@@ -2381,6 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "adamic_adar_topk": _q_adamic_adar,
         "vertex_jaccard_topk": _q_vertex_jaccard,
+        "resource_allocation_topk": _q_resource_alloc,
+        "preferential_attachment_topk": _q_pref_attach,
         "kcore_3": _q_kcore,
         "ktruss_4": _q_ktruss,
         "maximal_independent_set": _q_mis,
@@ -2969,6 +2991,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (COUNT(*) / 2)::BIGINT AS n_edges, "
             "ROUND(corr(ds.deg, dd.deg), 6) AS assortativity "
             "FROM und JOIN deg ds ON und.src = ds.id JOIN deg dd ON und.dst = dd.id"
+        ),
+        "resource_allocation_topk": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "
+            "sc AS (SELECT u, v, ROUND(SUM(1.0 / deg_w), 6) AS score "
+            "FROM wedge GROUP BY u, v), "
+            "na AS (SELECT s.u, s.v, s.score FROM sc s "
+            "WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = s.u AND e.dst = s.v)) "
+            "SELECT u, v, score, rn FROM (SELECT u, v, score, "
+            "ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC)::BIGINT AS rn FROM na) "
+            f"WHERE rn <= {LINKPRED_K}"
+        ),
+        "preferential_attachment_topk": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "
+            "wc AS (SELECT DISTINCT u, v FROM wedge), "
+            "sc AS (SELECT w.u, w.v, (du.deg * dv.deg)::BIGINT AS score "
+            "FROM wc w JOIN deg du ON w.u = du.id JOIN deg dv ON w.v = dv.id "
+            "WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = w.u AND e.dst = w.v)) "
+            "SELECT u, v, score, rn FROM (SELECT u, v, score, "
+            "ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC)::BIGINT AS rn FROM sc) "
+            f"WHERE rn <= {LINKPRED_K}"
         ),
         "adamic_adar_topk": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "

@@ -182,6 +182,56 @@ def vertex_jaccard_topk(edges: DataFrame, k: int = 50, hub_cap: int = 128) -> Da
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
+def resource_allocation_topk(
+    edges: DataFrame, k: int = 50, hub_cap: int = 128
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou/Lü/Zhang 2009) → top-k
+    non-adjacent (u, v, score, rn), score = Σ_w 1/deg(w) over shared
+    neighbors — Adamic-Adar with the logarithm dropped, the strongest
+    simple predictor on dense-community graphs. Same capped-wedge
+    candidate plan as adamic_adar_topk (one equi-join, hub centers
+    dropped BEFORE the join)."""
+    und = _und(edges)
+    scores = (
+        _wedges(und, hub_cap)
+        .groupBy("u", "v")
+        .agg(F.sum(1.0 / F.col("deg_w").cast("double")).alias("raw"))
+    )
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    nonadj = scores.join(adj, ["u", "v"], "left_anti").select(
+        "u", "v", F.round("raw", 6).alias("score")
+    )
+    top = nonadj.orderBy(F.desc("score"), F.asc("u"), F.asc("v")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def preferential_attachment_topk(
+    edges: DataFrame, k: int = 50, hub_cap: int = 128
+) -> DataFrame:
+    """Preferential-attachment link prediction → top-k non-adjacent 2-hop
+    pairs (u, v, score, rn), score = deg(u)·deg(v) with FULL degrees
+    (the wedge cap bounds candidate generation only, like
+    vertex_jaccard_topk's denominator). Candidates are restricted to
+    pairs sharing a neighbor — all-pairs PA is O(n²) and adds nothing: a
+    disconnected high-degree pair is never a useful link suggestion."""
+    und = _und(edges)
+    deg = _und_degrees(und)
+    cand = _wedges(und, hub_cap).select("u", "v").distinct()
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        cand.join(adj, ["u", "v"], "left_anti")
+        .join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .select("u", "v", (F.col("deg_u") * F.col("deg_v")).cast("long").alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("u"), F.asc("v")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
 def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Per-community Newman modularity contributions for a vertex
     partition → (label, n_vertices, intra_edges, deg_sum, contribution).
