@@ -455,6 +455,71 @@ def _q_connected_components(spark, sf_dir):
     return labels
 
 
+SLPA_ROUNDS = 4  # fixed sweeps (oracle-unrollable); unreached stay NULL
+SLPA_SEED_MOD = 97  # deterministic seed set: id % 97 == 0, label = id
+
+
+def _q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised label spreading (plans/lpa.py
+    seeded_label_propagation): seeds id%97==0 pin label=id, everyone
+    else adopts the most frequent non-null neighbour label (smallest-
+    label ties); unreached vertices stay NULL."""
+    from metis_spark.plans.lpa import seeded_label_propagation
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % SLPA_SEED_MOD == 0).select(
+        "id", F.col("id").alias("label")
+    )
+    labels, info = seeded_label_propagation(
+        edges,
+        seeds,
+        max_iter=SLPA_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qslpa_"),
+        stop_when_stable=False,
+    )
+    assert info["iterations"] == SLPA_ROUNDS, info
+    return labels
+
+
+def _seeded_lpa_sql(rounds: int = SLPA_ROUNDS) -> str:
+    """Unrolled twin of seeded_label_propagation on the sparse und graph."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "sverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"sd AS MATERIALIZED (SELECT id, id AS slabel FROM sverts "
+        f"WHERE id % {SLPA_SEED_MOD} = 0)",
+        "s0 AS MATERIALIZED (SELECT v.id, sd.slabel AS label FROM sverts v "
+        "LEFT JOIN sd ON v.id = sd.id)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"lab{i} AS MATERIALIZED (SELECT id, label FROM s{p} "
+            f"WHERE label IS NOT NULL)"
+        )
+        ctes.append(
+            f"cnt{i} AS MATERIALIZED (SELECT id, label, COUNT(*)::BIGINT AS cnt FROM ("
+            f"SELECT u.dst AS id, l.label FROM und u JOIN lab{i} l ON u.src = l.id "
+            f"UNION ALL SELECT id, label FROM lab{i}) GROUP BY id, label)"
+        )
+        ctes.append(
+            f"nl{i} AS MATERIALIZED (SELECT id, label AS nl FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM cnt{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, "
+            f"COALESCE(sd.slabel, n.nl, s.label) AS label FROM s{p} s "
+            f"LEFT JOIN nl{i} n ON s.id = n.id LEFT JOIN sd ON s.id = sd.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM s{rounds}"
+
+
 def _q_lpa(spark, sf_dir):
     edges = derived_edges(spark, sf_dir)
     labels, _ = label_propagation(
@@ -2377,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strongly_connected_components": _q_scc,
         "dag_levels": _q_dag_levels,
         "label_propagation_2iter": _q_lpa,
+        "seeded_lpa": _q_seeded_lpa,
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
         "graph_summary": _q_graph_summary,
@@ -2891,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "strongly_connected_components": _scc_sql(),
         "dag_levels": _dag_levels_sql(),
         "label_propagation_2iter": _lpa_sql(),
+        "seeded_lpa": _seeded_lpa_sql(),
         "community_modularity": _modularity_sql(),
         "degree_histogram": (
             f"WITH {_EDGES_SQL.strip()}, "

@@ -55,3 +55,36 @@ def test_triangles_vs_bruteforce(spark):
     got = {r["id"]: r["triangles"] for r in
            triangle_count_per_vertex(df, vertices_df(spark, range(80))).collect()}
     assert got == expected_pv
+
+
+def test_seeded_lpa_path_and_unreached(spark, tmp_path):
+    """Two seeds on a path split it by proximity (smallest-label ties);
+    a component with no seed stays honestly NULL."""
+    from metis_spark.plans.lpa import seeded_label_propagation
+
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (8, 9)])
+    seeds = spark.createDataFrame([(0, 100), (5, 200)], "id long, label long")
+    out, info = seeded_label_propagation(
+        e, seeds, max_iter=10, checkpoint_dir=str(tmp_path / "s")
+    )
+    assert info["converged"]
+    lab = {r["id"]: r["label"] for r in out.collect()}
+    assert lab[0] == lab[1] == lab[2] == 100
+    assert lab[3] == lab[4] == lab[5] == 200
+    assert lab[8] is None and lab[9] is None
+
+
+def test_seeded_lpa_seeds_immutable(spark, tmp_path):
+    """A seed surrounded by the other label still keeps its own."""
+    from metis_spark.plans.lpa import seeded_label_propagation
+
+    star = [(0, i) for i in range(1, 6)]
+    e = edges_df(spark, star)
+    seeds = spark.createDataFrame(
+        [(0, 7)] + [(i, 9) for i in range(1, 6)], "id long, label long"
+    )
+    out, _ = seeded_label_propagation(
+        e, seeds, max_iter=5, checkpoint_dir=str(tmp_path / "s2")
+    )
+    lab = {r["id"]: r["label"] for r in out.collect()}
+    assert lab[0] == 7 and all(lab[i] == 9 for i in range(1, 6))
