@@ -1792,6 +1792,45 @@ KCORE_ORACLE_ROUNDS = 12  # oracle unroll depth; fixpoint is idempotent so
 # measured depth at test scale well under this
 
 
+CORENESS_ORACLE_ROUNDS = 18  # measured h-index fixpoint: 8 / 14 rounds
+# at sf0.001 / sf0.01; extra rounds past the fixpoint are no-ops, so the
+# fixed-round oracle equals the converge-and-stop Spark run
+
+
+def _q_coreness(spark, sf_dir):
+    """Full k-core decomposition (plans/coreness.py): per-vertex core
+    numbers by distributed h-index iteration — fixpoint in O(10) rounds,
+    not degeneracy-many peels."""
+    from metis_spark.plans.coreness import coreness
+
+    out, info = coreness(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qcoreness_"),
+    )
+    assert info["converged"] and info["iterations"] <= CORENESS_ORACLE_ROUNDS, info
+    return out
+
+
+def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+    """Unrolled h-index iteration twin on the sparse und graph:
+    c_{t+1}(v) = max over desc-ranked neighbour values of
+    least(value, rank)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core "
+        "FROM und GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, MAX(LEAST(val, rn))::BIGINT AS core "
+            f"FROM (SELECT u.src AS id, s.core AS val, "
+            f"ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY s.core DESC) AS rn "
+            f"FROM und u JOIN c{p} s ON u.dst = s.id) GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM c{rounds}"
+
+
 def _q_kcore(spark, sf_dir):
     core, info = k_core(
         derived_edges_sparse(spark, sf_dir),
@@ -2470,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_allocation_topk": _q_resource_alloc,
         "preferential_attachment_topk": _q_pref_attach,
         "kcore_3": _q_kcore,
+        "coreness": _q_coreness,
         "ktruss_4": _q_ktruss,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
@@ -3034,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),
+        "coreness": _coreness_sql(),
         "ktruss_4": _ktruss_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),

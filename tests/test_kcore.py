@@ -69,3 +69,60 @@ def test_resume_mid_peel_identical(spark, tmp_path):
     )
     assert _got(resumed) == _got(full)
     assert info_r["iterations"] >= 2
+
+
+def test_coreness_goldens(spark, tmp_path):
+    """K4 (core 3) + pendant path (core 1) + triangle (core 2)."""
+    import itertools
+
+    from metis_spark.plans.coreness import coreness
+
+    e = edges_df(
+        spark,
+        list(itertools.combinations(range(4), 2))
+        + [(3, 10), (10, 11)]
+        + [(20, 21), (21, 22), (20, 22)],
+    )
+    out, info = coreness(e, checkpoint_dir=str(tmp_path / "c"))
+    assert info["converged"]
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert all(got[v] == 3 for v in range(4))
+    assert got[10] == got[11] == 1
+    assert got[20] == got[21] == got[22] == 2
+
+
+def test_coreness_consistent_with_kcore(spark, tmp_path):
+    """{v : coreness(v) ≥ k} must equal the k-core peel for every k up
+    to the degeneracy — two independent algorithms, one truth."""
+    from conftest import edges_df as _e
+    from oracles import random_graph
+
+    from metis_spark.plans.coreness import coreness
+    from metis_spark.plans.kcore import k_core
+
+    edges = random_graph(n=70, p=0.08, seed=99, zipf_extra=40)
+    out, info = coreness(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "cc")
+    )
+    assert info["converged"]
+    cores = {r["id"]: r["core"] for r in out.collect()}
+    kmax = max(cores.values())
+    for k in (2, 3, kmax):
+        sub, kin = k_core(
+            edges_df(spark, edges), k=k, checkpoint_dir=str(tmp_path / f"k{k}")
+        )
+        members = {r["id"] for r in sub.collect()}
+        assert members == {v for v, c in cores.items() if c >= k}, k
+
+
+def test_coreness_resumes_identically(spark, tmp_path):
+    from oracles import random_graph
+
+    from metis_spark.plans.coreness import coreness
+
+    edges = random_graph(n=60, p=0.1, seed=5, zipf_extra=30)
+    full, _ = coreness(edges_df(spark, edges), checkpoint_dir=str(tmp_path / "a"))
+    coreness(edges_df(spark, edges), max_iter=2, checkpoint_dir=str(tmp_path / "b"))
+    rest, info = coreness(edges_df(spark, edges), checkpoint_dir=str(tmp_path / "b"))
+    assert info["converged"]
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, rest.collect()))
