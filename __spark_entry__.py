@@ -1592,6 +1592,63 @@ def _dedup_clusters_sql() -> str:
     )
 
 
+def _q_neardup_keep_best(spark, sf_dir):
+    """Near-dup curation ENDGAME: MinHash clusters (dedup_clusters'
+    machinery) joined with quality_score, keeping the HIGHEST-quality
+    representative per cluster (score desc, doc_id asc ties); documents
+    in no cluster represent themselves. This is the row a 100 TB
+    pipeline actually writes — dedup that keeps the best copy, not an
+    arbitrary one. One extra broadcast-size join + a per-cluster window
+    over ≤cluster_size rows on top of two verified operators."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2
+    )
+    edges = cands.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qnkb_")
+    )
+    scored = docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score")
+    )
+    joined = scored.join(
+        labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cl")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("cl", "doc_id").alias("cluster"), "score")
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster", "score")
+    )
+
+
+def _neardup_keep_best_sql() -> str:
+    """dedup_clusters' CTE chain + the quality formula + per-cluster
+    argmax — the oracle composes the same two verified pieces."""
+    dc = _dedup_clusters_sql()
+    ctes = dc[len("WITH "): dc.rindex("\nSELECT")].rstrip().rstrip(",")
+    last = f"k{DEDUP_CC_ROUNDS}"
+    return (
+        "WITH " + ctes + ",\n"
+        "qsc AS (SELECT doc_id, ROUND("
+        "0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / greatest(n_chars2, 1.0)) "
+        "+ 0.2 * least((n_stop / greatest(n_tok, 1.0)) * 5.0, 1.0) + 0.1 * least(n_chars2 / 500.0, 1.0)"
+        ", 6) AS score FROM (SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok, "
+        "length(text)::DOUBLE AS n_chars2, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct, "
+        "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
+        "FROM documents)),\n"
+        f"wcl AS (SELECT q.doc_id, COALESCE(k.label, q.doc_id) AS cluster, q.score "
+        f"FROM qsc q LEFT JOIN {last} k ON q.doc_id = k.id)\n"
+        "SELECT doc_id, cluster, score FROM (SELECT doc_id, cluster, score, "
+        "ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn "
+        "FROM wcl) WHERE rn = 1"
+    )
+
+
 def _q_modularity(spark, sf_dir):
     """Newman modularity contributions of the 2-round LPA partition —
     the quality gate a community-detection user runs next
@@ -2488,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_windows": _q_events_in_windows,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
+        "neardup_keep_best": _q_neardup_keep_best,
         "copart_topk": _q_copart_topk,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -3034,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM n CROSS JOIN r"
         ),
         "dedup_clusters": _dedup_clusters_sql(),
+        "neardup_keep_best": _neardup_keep_best_sql(),
         "copart_topk": (
             "WITH g AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS item FROM lineitem), "
             f"small AS (SELECT gk, item FROM g WHERE gk IN "
