@@ -1179,6 +1179,32 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+ZIPF_TOPN = 100  # fit over the vocab head (the tail is count-quantized)
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Lexical-health check: least-squares slope/intercept of
+    ln(freq) ~ ln(rank) over the top-100 vocabulary — natural corpora
+    sit near slope −1 (Zipf); synthetic/templated corpora are flatter.
+    Global top-k is a distributed sort-limit; the ranking window and the
+    regression see only the surviving 100 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("term")).limit(ZIPF_TOPN)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log("rank").alias("lr"), F.log("freq").alias("lf")
+    )
+    return pts.agg(
+        F.round(F.expr("regr_slope(lf, lr)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(lf, lr)"), 6).alias("zipf_intercept"),
+    )
+
+
 def _q_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score"))
@@ -2600,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition,
         "benchmark_contamination": _q_benchmark_contamination,
+        "zipf_fit": _q_zipf_fit,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_scrub": _q_pii_scrub,
         "lang_id": _q_langid,
@@ -3399,6 +3426,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)"
         ),
         "benchmark_contamination": _contamination_sql(),
+        "zipf_fit": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents), "
+            "freq AS (SELECT term, COUNT(*)::BIGINT AS freq FROM toks GROUP BY term), "
+            "top AS (SELECT term, freq, ROW_NUMBER() OVER "
+            "(ORDER BY freq DESC, term ASC) AS rank FROM freq "
+            f"QUALIFY rank <= {100}) "
+            "SELECT ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope, "
+            "ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept FROM top"
+        ),
         "boilerplate_ngrams": _boilerplate_sql(),
         "repetition_stats": (
             "WITH lists AS (SELECT doc_id, list_filter("
