@@ -146,6 +146,9 @@ def main() -> None:
         "betweenness_approx",
         "louvain_2round",
         "eigencentrality_5iter",
+        "salsa_3iter",
+        "coreness",
+        "anf_sketch",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
