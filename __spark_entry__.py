@@ -1767,6 +1767,7 @@ HITS_ITERS = 3
 
 
 SALSA_ITERS = 3
+PSALSA_SEED_MOD = 10  # personalized-SALSA seed rule, same as ppr_5iter
 
 
 def _q_salsa(spark, sf_dir):
@@ -1787,15 +1788,146 @@ def _q_salsa(spark, sf_dir):
     )
 
 
-def _salsa_sql() -> str:
+def _q_salsa_personalized(spark, sf_dir):
+    """Personalized SALSA (plans/salsa.py salsa(seeds=)): initial hub
+    mass uniform over the SEED hubs only (id % 10 == 0 — the same seed
+    rule as ppr_5iter), the WTF-recommender variant; the transition
+    operators are unchanged so mass is still conserved."""
+    from metis_spark.plans.salsa import salsa
+
+    edges = derived_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("id")).where(
+        F.col("id") % PSALSA_SEED_MOD == 0
+    )
+    scores, info = salsa(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qpsalsa_"),
+        tol=0.0,
+        max_iter=SALSA_ITERS,
+        seeds=seeds,
+    )
+    assert info["converged"], info
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _q_transitivity(spark, sf_dir):
+    """Global transitivity C = 3·triangles / wedges over the sparse und
+    graph — the one-number clustering profile (``local_clustering`` is
+    the per-vertex variant; this is its graph-level ratio-of-sums, NOT
+    the average of the per-vertex coefficients). Wedges come straight
+    off the degree table (no join); triangles reuse the degree-oriented
+    sorted-adjacency intersection (plans/triangles.py:52)."""
+    from metis_spark.plans.triangles import triangle_count
+
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    wedges2 = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2")
+    ).collect()[0]["w2"]
+    wedges = int(wedges2) // 2
+    tri = triangle_count(e)
+    return spark.createDataFrame(
+        [(wedges, tri)], "wedges long, triangles long"
+    ).select(
+        "wedges",
+        "triangles",
+        F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6).alias(
+            "transitivity"
+        ),
+    )
+
+
+RICH_CLUB_KS = [4, 8, 16, 32]  # degree thresholds; spine rows survive n_k=0
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) on the sparse
+    und graph: the edge density among vertices of degree > k, for each
+    threshold in RICH_CLUB_KS — the standard 'do hubs stick together'
+    profile (Colizza et al. 2006, unnormalized φ).
+
+    Plan shape: ONE degree table, one endpoint-join pass over the
+    canonical (src<dst) edge set, then both the N_k and E_k counts fan
+    out over a 4-row literal threshold spine (explode of a lit array —
+    no per-k rescan of the graph). NULL φ where N_k < 2."""
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = F.array([F.lit(k) for k in RICH_CLUB_KS])
+    spine = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k long")
+    nk = (
+        deg.select(F.explode(ks).alias("k"), "d")
+        .withColumn("k", F.col("k").cast("long"))
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    pairs = (
+        und.where(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("id").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("db")), "dst")
+    )
+    ek = (
+        pairs.select(F.explode(ks).alias("k"), "da", "db")
+        .withColumn("k", F.col("k").cast("long"))
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        spine.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.coalesce(F.col("n_k"), F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("e_k"), F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )
+
+
+_RICH_CLUB_SQL = f"""
+WITH {{edges}},
+degs AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS d FROM und GROUP BY src),
+cpairs AS MATERIALIZED (
+  SELECT u.src, u.dst, a.d AS da, b.d AS db FROM und u
+  JOIN degs a ON u.src = a.id JOIN degs b ON u.dst = b.id WHERE u.src < u.dst
+),
+spine(k) AS (VALUES {", ".join(f"({k}::BIGINT)" for k in RICH_CLUB_KS)}),
+nk AS (SELECT s.k, COUNT(*)::BIGINT AS n_k FROM spine s JOIN degs d ON d.d > s.k GROUP BY s.k),
+ek AS (SELECT s.k, COUNT(*)::BIGINT AS e_k FROM spine s JOIN cpairs p
+       ON p.da > s.k AND p.db > s.k GROUP BY s.k)
+SELECT s.k, COALESCE(n.n_k, 0)::BIGINT AS n_k, COALESCE(e.e_k, 0)::BIGINT AS e_k,
+       CASE WHEN COALESCE(n.n_k, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(e.e_k, 0) / (n.n_k * (n.n_k - 1)), 6) END AS phi
+FROM spine s LEFT JOIN nk n ON s.k = n.k LEFT JOIN ek e ON s.k = e.k
+"""
+
+
+def _salsa_sql(seed_mod: int | None = None) -> str:
     """Unrolled SALSA twin: a = Σ h/outdeg over in-edges, then
-    h = Σ a/indeg over out-edges, h_0 uniform over hub vertices."""
+    h = Σ a/indeg over out-edges, h_0 uniform over hub vertices
+    (or over seed hubs ``src % seed_mod == 0`` in personalized mode)."""
+    seed_where = f" WHERE src % {seed_mod} = 0" if seed_mod is not None else ""
     ctes = [
         _EDGES_SQL.strip().rstrip(),
         "outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY src)",
         "indeg AS MATERIALIZED (SELECT dst, COUNT(*)::DOUBLE AS idg FROM edges GROUP BY dst)",
-        "nh AS (SELECT COUNT(*)::DOUBLE AS c FROM outdeg)",
-        "sh0 AS MATERIALIZED (SELECT src AS id, 1.0/(SELECT c FROM nh) AS hub FROM outdeg)",
+        f"nh AS (SELECT COUNT(*)::DOUBLE AS c FROM outdeg{seed_where})",
+        f"sh0 AS MATERIALIZED (SELECT src AS id, 1.0/(SELECT c FROM nh) AS hub FROM outdeg{seed_where})",
     ]
     for i in range(1, SALSA_ITERS + 1):
         p = i - 1
@@ -2559,6 +2691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_5iter": _q_eigen,
         "hits_3iter": _q_hits,
         "salsa_3iter": _q_salsa,
+        "salsa_personalized": _q_salsa_personalized,
+        "transitivity_global": _q_transitivity,
+        "rich_club": _q_rich_club,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
@@ -3077,6 +3212,18 @@ def oracle_sql() -> dict[str, str]:
         "eigencentrality_5iter": _eigen_sql(),
         "hits_3iter": _hits_sql(),
         "salsa_3iter": _salsa_sql(),
+        "salsa_personalized": _salsa_sql(seed_mod=PSALSA_SEED_MOD),
+        "transitivity_global": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "
+            "degs AS (SELECT src, COUNT(*)::BIGINT AS d FROM und GROUP BY src), "
+            "wed AS (SELECT (SUM(d * (d - 1)) / 2)::BIGINT AS w FROM degs), "
+            "tri AS (SELECT COUNT(*)::BIGINT AS t FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT w AS wedges, t AS triangles, ROUND(3.0 * t / w, 6) AS transitivity "
+            "FROM wed, tri"
+        ),
+        "rich_club": _RICH_CLUB_SQL.format(edges=_EDGES_SPARSE_SQL.strip()),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
         "strongly_connected_components": _scc_sql(),

@@ -46,12 +46,22 @@ def salsa(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (scores(id, hub, auth), info{iterations, delta,
     converged, seconds, n}). ``tol=0`` runs exactly ``max_iter``
     iterations (the driver-gate / unrolled-oracle mode); ``tol>0`` stops
     when the L1 hub delta drops below it. Vertices with no out-edges
-    have hub = 0; with no in-edges, auth = 0."""
+    have hub = 0; with no in-edges, auth = 0.
+
+    ``seeds`` (optional, one ``id`` column) personalizes the walk the
+    way Twitter's WTF recommender seeds SALSA with the user's circle of
+    trust: the initial hub mass is uniform over ``seeds ∩ hubs`` instead
+    of all hubs, so authority mass concentrates in the seeds'
+    neighborhood. The transition operators are unchanged (still
+    column-stochastic — mass stays 1.0 every iteration); only h₀
+    moves. Raises ``ValueError`` if no seed has an out-edge (the walk
+    would start with zero mass)."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -77,7 +87,17 @@ def salsa(
     )
     n = verts.count()
     hubs = e_src.select(F.col("src").alias("id")).distinct()
+    if seeds is not None:
+        # restrict the initial mass to seed hubs (left_semi: ids only
+        # cross the join — the seed set is never widened or shuffled
+        # with payload)
+        hubs = hubs.join(
+            seeds.select(F.col("id").cast("long")).distinct(), "id", "left_semi"
+        )
     nh = hubs.count()
+    if seeds is not None and nh == 0:
+        e_src.unpersist(); e_dst.unpersist(); verts.unpersist()
+        raise ValueError("salsa(seeds=): no seed vertex has an out-edge")
     if n == 0:
         e_src.unpersist(); e_dst.unpersist(); verts.unpersist()
         return spark.createDataFrame([], "id long, hub double, auth double"), {

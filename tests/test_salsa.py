@@ -63,3 +63,38 @@ def test_salsa_tol_convergence(spark):
     assert info["iterations"] < 100
     rows = out.collect()
     assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+
+def test_salsa_personalized_seeds(spark):
+    """seeds= moves the initial hub mass onto the seed hubs only; the
+    stochastic transitions still conserve total mass, and a python
+    replay with the seeded h0 matches exactly."""
+    seeds = edges_df(spark, [(0, 0), (4, 4)]).select("src").toDF("id")
+    out, info = salsa(edges_df(spark, E), max_iter=2, seeds=seeds)
+    assert info["converged"]
+    rows = out.collect()
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-12
+    # python replay with h0 uniform over {0, 4}
+    od = collections.Counter(s for s, _ in E)
+    idg = collections.Counter(d for _, d in E)
+    h = {0: 0.5, 4: 0.5}
+    for _ in range(2):
+        a = collections.defaultdict(float)
+        for s, d in E:
+            a[d] += h.get(s, 0.0) / od[s]
+        h2 = collections.defaultdict(float)
+        for s, d in E:
+            h2[s] += a[d] / idg[d]
+        h = h2
+    for r in rows:
+        assert abs(r["hub"] - h.get(r["id"], 0.0)) < 1e-12
+        assert abs(r["auth"] - a.get(r["id"], 0.0)) < 1e-12
+
+
+def test_salsa_personalized_no_seed_hub_raises(spark):
+    """A seed set with no out-edges cannot start the walk."""
+    import pytest
+
+    seeds = edges_df(spark, [(99, 99)]).select("src").toDF("id")
+    with pytest.raises(ValueError):
+        salsa(edges_df(spark, E), max_iter=1, seeds=seeds)
