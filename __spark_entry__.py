@@ -2653,6 +2653,66 @@ def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
     )
 
 
+TRUSSNESS_ORACLE_ROUNDS = 6  # measured edge-h-index fixpoint: 3 / 3
+# rounds at sf0.001 / sf0.01; rounds past the fixpoint are no-ops, so
+# the fixed-round oracle equals the converge-and-stop Spark run
+
+
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition (plans/trussness.py): per-edge truss
+    numbers by distributed edge-h-index iteration over a
+    once-materialized triangle table — fixpoint in O(1) rounds here,
+    never truss-many peeling levels."""
+    from metis_spark.plans.trussness import trussness
+
+    out, info = trussness(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qtrussness_"),
+    )
+    assert info["converged"] and info["iterations"] <= TRUSSNESS_ORACLE_ROUNDS, info
+    return out
+
+
+def _trussness_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
+    """Unrolled edge-h-index twin: triangles x<y<z enumerated once,
+    fanned to (edge, other1, other2) rows; per round
+    t(e) = least(t(e), H({min(t(o1), t(o2))})) with the same relational
+    h-index (desc rank, max(least(value, rank))) as plans/trussness.py."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und)",
+        "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM ce e1 JOIN ce e2 ON e1.b = e2.a "
+        "JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)",
+        "te AS MATERIALIZED ("
+        "SELECT x AS s, y AS d, x AS s1, z AS d1, y AS s2, z AS d2 FROM tri "
+        "UNION ALL SELECT x, z, x, y, y, z FROM tri "
+        "UNION ALL SELECT y, z, x, y, x, z FROM tri)",
+        "t0 AS MATERIALIZED (SELECT e.a AS s, e.b AS d, "
+        "COALESCE(c.c, 0)::BIGINT AS t FROM ce e LEFT JOIN "
+        "(SELECT s, d, COUNT(*)::BIGINT AS c FROM te GROUP BY s, d) c "
+        "ON c.s = e.a AND c.d = e.b)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT e.s, e.d, "
+            f"LEAST(e.t, COALESCE(h.h, 0))::BIGINT AS t FROM t{p} e LEFT JOIN ("
+            f"SELECT s, d, MAX(LEAST(m, rn))::BIGINT AS h FROM ("
+            f"SELECT te.s, te.d, LEAST(a.t, b.t) AS m, "
+            f"ROW_NUMBER() OVER (PARTITION BY te.s, te.d "
+            f"ORDER BY LEAST(a.t, b.t) DESC) AS rn "
+            f"FROM te JOIN t{p} a ON te.s1 = a.s AND te.d1 = a.d "
+            f"JOIN t{p} b ON te.s2 = b.s AND te.d2 = b.d) GROUP BY s, d) h "
+            f"ON e.s = h.s AND e.d = h.d)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s AS src, d AS dst, (t + 2)::BIGINT AS truss FROM t{rounds}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference-semantics operator pack (SURVEY.md §2)
@@ -2730,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_3": _q_kcore,
         "coreness": _q_coreness,
         "ktruss_4": _q_ktruss,
+        "trussness": _q_trussness,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "louvain_2round": _q_louvain,
@@ -3309,6 +3370,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_3": _kcore_sql(),
         "coreness": _coreness_sql(),
         "ktruss_4": _ktruss_sql(),
+        "trussness": _trussness_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "louvain_2round": _louvain_sql(),
