@@ -2333,6 +2333,139 @@ def _q_louvain_multilevel(spark, sf_dir):
     return labels
 
 
+def _q_louvain_trajectory(spark, sf_dir):
+    """Per-level modularity trajectory of two-level Louvain: one row per
+    level (0 = singletons, 1 = after local moving, 2 = after the
+    quotient sweep) with community count and total Newman modularity
+    Q = intra/m − Σ_c (D_c/(2m))² — the quality curve users eyeball to
+    decide whether another level is worth it. Level-1 labels come free
+    from the multilevel run (parquet-backed commit); each level's score
+    is two SHJ label joins + two map-side-combining groupBys, scalars
+    only at the driver."""
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    l2, info = louvain_multilevel(
+        edges,
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qlouvtraj_"),
+    )
+    assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    m = und.count() / 2.0
+    canon = und.where(F.col("src") < F.col("dst"))
+
+    def _score(labels):
+        la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+        intra = (
+            canon.join(la.hint("shuffle_hash"), "src")
+            .join(lb.hint("shuffle_hash"), "dst")
+            .where(F.col("la") == F.col("lb"))
+            .count()
+        )
+        agg = (
+            labels.join(deg.hint("shuffle_hash"), "id")
+            .groupBy("label")
+            .agg(F.sum("deg").alias("D"))
+            .agg(
+                F.count(F.lit(1)).alias("ncomm"),
+                F.sum(F.pow(F.col("D") / F.lit(2.0 * m), F.lit(2.0))).alias("ss"),
+            )
+            .collect()[0]
+        )
+        q = round(intra / m - float(agg["ss"]), 6)
+        return int(agg["ncomm"]), q
+
+    l0 = deg.select("id", F.col("id").alias("label"))
+    rows = []
+    for lvl, labels in ((0, l0), (1, info["level1_labels"]), (2, l2)):
+        ncomm, q = _score(labels)
+        rows.append((lvl, ncomm, q))
+    und.unpersist()
+    return spark.createDataFrame(
+        rows, "level long, communities long, modularity double"
+    )
+
+
+def _louvain_trajectory_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Trajectory twin: the shared level-1 + level-2 CTE chains, then
+    Q(labels) = intra/m − Σ_c (D_c/(2m))² per level over a 3-row union."""
+    ctes = _louvain_level1_ctes(rounds)
+    r = rounds
+    # level-2 chain (same CTEs as _louvain2_sql)
+    ctes.append(
+        f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
+        f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
+        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)"
+    )
+    ctes.append(
+        "qstr AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS s "
+        "FROM qe GROUP BY src)"
+    )
+    ctes.append("qeo AS MATERIALIZED (SELECT src, dst, w FROM qe WHERE src <> dst)")
+    ctes.append("q0 AS MATERIALIZED (SELECT id, id AS label FROM qstr)")
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"qtot{i} AS MATERIALIZED (SELECT l.label, SUM(d.s)::BIGINT AS tot "
+            f"FROM q{p} l JOIN qstr d ON l.id = d.id GROUP BY l.label)"
+        )
+        ctes.append(
+            f"qkvc{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"SUM(e.w)::BIGINT AS kvc FROM qeo e JOIN q{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"qcand{i} AS MATERIALIZED (SELECT id, c, MAX(kvc)::BIGINT AS kvc FROM ("
+            f"SELECT id, c, kvc FROM qkvc{i} UNION ALL "
+            f"SELECT id, label AS c, 0::BIGINT AS kvc FROM q{p}) GROUP BY id, c)"
+        )
+        ctes.append(
+            f"qsc{i} AS MATERIALIZED (SELECT x.id, x.c, "
+            f"ROUND(x.kvc / (SELECT m FROM mm) - (d.s * (t.tot - "
+            f"CASE WHEN x.c = l.label THEN d.s ELSE 0 END)) "
+            f"/ (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
+            f"FROM qcand{i} x JOIN q{p} l ON x.id = l.id "
+            f"JOIN qstr d ON x.id = d.id JOIN qtot{i} t ON x.c = t.label)"
+        )
+        ctes.append(
+            f"q{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY g9 DESC, c ASC) AS rn FROM qsc{i}) WHERE rn = 1)"
+        )
+    ctes.append(
+        f"lev2 AS MATERIALIZED (SELECT a.id, q.label "
+        f"FROM l{r} a JOIN q{r} q ON a.label = q.id)"
+    )
+
+    def _q(lab: str, lvl: int) -> str:
+        return (
+            f"SELECT {lvl}::BIGINT AS level, "
+            f"(SELECT COUNT(DISTINCT label) FROM {lab})::BIGINT AS communities, "
+            f"ROUND((SELECT COUNT(*) FROM und e JOIN {lab} a ON e.src = a.id "
+            f"JOIN {lab} b ON e.dst = b.id "
+            f"WHERE a.label = b.label AND e.src < e.dst) / (SELECT m FROM mm) - "
+            f"(SELECT SUM(POWER(t.tot / (2.0 * (SELECT m FROM mm)), 2)) FROM "
+            f"(SELECT label, SUM(d.deg) AS tot FROM {lab} l "
+            f"JOIN ldeg d ON l.id = d.id GROUP BY label) t), 6) AS modularity"
+        )
+
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n{_q('l0', 0)} UNION ALL {_q(f'l{r}', 1)} UNION ALL {_q('lev2', 2)}"
+    )
+
+
 def _louvain_level1_ctes(rounds: int) -> list:
     """The shared unrolled level-1 CTE chain (ends at l{rounds})."""
     ctes = [
@@ -2795,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": _q_coloring,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
+        "louvain_modularity_levels": _q_louvain_trajectory,
         "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
@@ -3375,6 +3509,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _coloring_sql(),
         "louvain_2round": _louvain_sql(),
         "louvain_2level": _louvain2_sql(),
+        "louvain_modularity_levels": _louvain_trajectory_sql(),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (

@@ -384,4 +384,8 @@ def louvain_multilevel(
         "n": n,
         "m": m,
         "level1_communities": n_comm1,
+        # parquet-backed by its last commit — free to expose; lets callers
+        # (e.g. the modularity-trajectory query) score intermediate levels
+        # without re-running the level-1 sweeps
+        "level1_labels": l1,
     }
