@@ -1520,6 +1520,29 @@ def _q_events_in_windows(spark, sf_dir):
     ).select("event_id", "user_id", "w_user")
 
 
+def _q_window_distinct(spark, sf_dir):
+    """Exact distinct users per tumbling hour window × event_type — the
+    batch twin of streaming_windowed_distinct (streaming/incremental.py),
+    which keeps an O(1) HLL++ sketch per open window because exact
+    COUNT(DISTINCT) is unsupported on streams. One shuffle keyed by
+    (window, event_type); epoch-hour tumbling windows align F.window
+    with date_trunc('hour') exactly (session TZ pinned UTC)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("w_epoch"),
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 def _q_graph_summary(spark, sf_dir):
     """One-row global profile: sizes, degree extremes, density — the
     numbers that size every downstream decision (salting, partitions,
@@ -2897,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
+        "window_distinct_users": _q_window_distinct,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
         "neardup_keep_best": _q_neardup_keep_best,
@@ -3438,6 +3462,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE user_id < 3 GROUP BY user_id) "
             "SELECT e.event_id, e.user_id, iv.w_user FROM events e "
             "JOIN iv ON e.ts >= iv.t_start AND e.ts <= iv.t_end"
+        ),
+        "window_distinct_users": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS w_epoch, event_type, "
+            "COUNT(DISTINCT user_id)::BIGINT AS n_users, COUNT(*)::BIGINT AS n_events "
+            "FROM events GROUP BY 1, 2"
         ),
         "graph_summary": (
             f"WITH {_EDGES_SQL.strip()}, "

@@ -215,3 +215,51 @@ def streaming_windowed_counts(
         .queryName(out_table)
         .start()
     )
+
+
+def streaming_windowed_distinct(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "stream_distinct",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    rsd: float = 0.05,
+) -> "object":
+    """Approximate distinct users per event-time tumbling window — the
+    streaming cardinality audit.
+
+    Exact ``COUNT(DISTINCT)`` is unsupported in streaming aggregations
+    (it would hold every seen value in the state store);
+    ``approx_count_distinct`` keeps one O(1) HLL++ sketch per open
+    (window, kind) group instead, and sketch merge across micro-batches
+    is associative/commutative — so the streamed result over any drain
+    is IDENTICAL to the one-pass batch ``approx_count_distinct`` over
+    the same rows (pinned by tests), not merely close to it. Watermark
+    semantics match streaming_windowed_counts: append mode, emit-once on
+    window close, late data dropped, closed-window state evicted — the
+    bounded-state property that keeps this runnable forever at
+    100 TB/day. Rows land in ``out_table`` as
+    (w_start, w_end, kind, approx_users).
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "kind")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "kind",
+            "approx_users",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

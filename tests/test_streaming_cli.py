@@ -185,3 +185,76 @@ def test_streaming_windowed_counts_watermark(spark, tmp_path):
         assert got2 == got1
     finally:
         q.stop()
+
+
+def test_streaming_windowed_distinct_matches_batch(spark, tmp_path):
+    """Streamed per-window approx_count_distinct over two micro-batch
+    drains equals the one-pass batch sketch on the same rows (HLL merge
+    is associative), and sits within the rsd band of exact distinct."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_windowed_distinct
+
+    drop = tmp_path / "dropd"
+    drop.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, k, t0 + timedelta(minutes=m))
+                for i, (u, k, m) in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    # w[0,10): 40 distinct click users (dup'd), 3 view; w[10,20): 10 click
+    phase1 = (
+        [(u, "click", u % 9) for u in range(40)]
+        + [(u, "click", (u + 1) % 9) for u in range(40)]
+        + [(u, "view", 5) for u in (100, 101, 102)]
+        + [(u, "click", 12) for u in range(200, 210)]
+    )
+    flush = [(9, "flush", 24 * 60)]
+    _events(phase1).coalesce(2).write.mode("overwrite").parquet(str(drop / "f1"))
+    _events(flush, start_id=10_000).coalesce(1).write.mode("overwrite").parquet(
+        str(drop / "f2")
+    )
+    q = streaming_windowed_distinct(
+        spark, str(drop) + "/*", out_table="wdt", watermark="10 minutes"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["w_start"].minute + 60 * r["w_start"].hour, r["kind"]): r[
+                "approx_users"
+            ]
+            for r in spark.sql("SELECT * FROM wdt").collect()
+        }
+    finally:
+        q.stop()
+
+    allrows = _events(phase1).unionByName(_events(flush, start_id=10_000))
+    batch = {
+        (r["w_start"].minute + 60 * r["w_start"].hour, r["kind"]): r["approx_users"]
+        for r in allrows.groupBy(F.window("ts", "10 minutes"), "kind")
+        .agg(F.approx_count_distinct("user_id", 0.05).alias("approx_users"))
+        .select(
+            F.col("window.start").alias("w_start"), "kind", "approx_users"
+        )
+        .collect()
+    }
+    exact = {
+        (r["w_start"].minute + 60 * r["w_start"].hour, r["kind"]): r["n"]
+        for r in allrows.groupBy(F.window("ts", "10 minutes"), "kind")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("w_start"), "kind", "n")
+        .collect()
+    }
+    # only CLOSED windows are emitted (flush window still open) — every
+    # emitted row must equal the batch sketch bit-for-bit
+    assert got, got
+    for key, v in got.items():
+        assert v == batch[key], (key, v, batch[key])
+        assert abs(v - exact[key]) <= max(1, 0.15 * exact[key]), (key, v, exact)
+    assert (0, "click") in got and (10, "click") in got
