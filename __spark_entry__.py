@@ -1210,6 +1210,79 @@ def _q_quality(spark, sf_dir):
     return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score"))
 
 
+SHARD_BUDGET = 2048  # tokens per training shard
+SHARD_BUCKET = 64  # prefix-sum bucket granularity (doc_id range per bucket)
+
+
+def _q_training_shards(spark, sf_dir):
+    """Concat-and-split training-shard assignment: documents in doc_id
+    order, whitespace token counts, shard = start_offset // budget
+    (operators/packing.py — two-phase prefix sums, plan-pinned to never
+    produce the single-partition global window)."""
+    from metis_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.whitespace_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "tokens", budget=SHARD_BUDGET, bucket_size=SHARD_BUCKET
+    )
+
+
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MIN_QUALITY = 0.5
+
+
+def _q_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel: ordered stages (too_short → low_quality →
+    exact_dup), each applied to the previous stage's survivors — the
+    drop-off audit every corpus-curation run reports. Stage flags are
+    per-row expressions; the dup stage is one window over the
+    fingerprints of stage-2 survivors (min-doc_id representative kept).
+    Output: one row per stage with docs dropped there + running
+    survivors, all integers."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("n_tok"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("score"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    flagged = (
+        docs.withColumn("s1", F.col("n_tok") < FUNNEL_MIN_TOKENS)
+        .withColumn("s2", ~F.col("s1") & (F.col("score") < FUNNEL_MIN_QUALITY))
+        .withColumn("keep12", ~F.col("s1") & ~F.col("s2"))
+    )
+    # rank only stage-1/2 survivors within each fingerprint: survivors
+    # sort first, so a survivor's row_number counts prior survivors only
+    w = Window.partitionBy("fp").orderBy(F.desc("keep12"), F.asc("doc_id"))
+    staged = (
+        flagged.withColumn(
+            "rn", F.when(F.col("keep12"), F.row_number().over(w))
+        )
+        .select(
+            F.when(F.col("s1"), F.lit(1))
+            .when(F.col("s2"), F.lit(2))
+            .when(F.col("rn") > 1, F.lit(3))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("stage")
+        )
+    )
+    counts = {
+        int(r["stage"]): int(r["n"])
+        for r in staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    rows, surviving = [], total
+    for stage, name in ((1, "too_short"), (2, "low_quality"), (3, "exact_dup")):
+        dropped = counts.get(stage, 0)
+        surviving -= dropped
+        rows.append((stage, name, dropped, surviving))
+    return spark.createDataFrame(
+        rows, "stage long, stage_name string, dropped long, surviving long"
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style repetition signals per doc (top-word fraction,
     duplicate-bigram fraction) — the boilerplate/spam filter inputs
@@ -2978,6 +3051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top100": _q_vocab_top100,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
+        "training_shards": _q_training_shards,
+        "filter_funnel": _q_filter_funnel,
         "repetition_stats": _q_repetition,
         "benchmark_contamination": _q_benchmark_contamination,
         "zipf_fit": _q_zipf_fit,
@@ -3797,6 +3872,37 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct, "
             "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
             "FROM documents)"
+        ),
+        "training_shards": (
+            "SELECT doc_id, tokens, "
+            "(SUM(tokens) OVER (ORDER BY doc_id) - tokens)::BIGINT AS start_off, "
+            f"((SUM(tokens) OVER (ORDER BY doc_id) - tokens) // {SHARD_BUDGET})::BIGINT AS shard "
+            "FROM (SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS tokens "
+            "FROM documents)"
+        ),
+        "filter_funnel": (
+            "WITH f AS MATERIALIZED (SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tok, "
+            "ROUND("
+            "0.4 * least(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE / 100.0, 1.0) "
+            "+ 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text)::DOUBLE, 1.0)) "
+            "+ 0.2 * least((len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE "
+            "/ greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE, 1.0)) * 5.0, 1.0) "
+            "+ 0.1 * least(length(text)::DOUBLE / 500.0, 1.0), 6) AS score, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents), "
+            f"fl AS (SELECT doc_id, fp, (n_tok < {FUNNEL_MIN_TOKENS}) AS s1, "
+            f"(n_tok >= {FUNNEL_MIN_TOKENS} AND score < {FUNNEL_MIN_QUALITY}) AS s2 FROM f), "
+            "rk AS (SELECT s1, s2, CASE WHEN NOT s1 AND NOT s2 THEN "
+            "ROW_NUMBER() OVER (PARTITION BY fp ORDER BY (NOT s1 AND NOT s2) DESC, doc_id) END AS rn FROM fl), "
+            "st AS (SELECT (CASE WHEN s1 THEN 1 WHEN s2 THEN 2 WHEN rn > 1 THEN 3 ELSE 0 END)::BIGINT AS stage FROM rk), "
+            "c AS (SELECT stage, COUNT(*)::BIGINT AS n FROM st GROUP BY stage), "
+            "tot AS (SELECT COUNT(*)::BIGINT AS t FROM st), "
+            "spine(stage, stage_name) AS (VALUES (1::BIGINT, 'too_short'), "
+            "(2::BIGINT, 'low_quality'), (3::BIGINT, 'exact_dup')) "
+            "SELECT s.stage, s.stage_name, COALESCE(c.n, 0)::BIGINT AS dropped, "
+            "((SELECT t FROM tot) - SUM(COALESCE(c.n, 0)) OVER (ORDER BY s.stage))::BIGINT AS surviving "
+            "FROM spine s LEFT JOIN c ON s.stage = c.stage"
         ),
         "benchmark_contamination": _contamination_sql(),
         "zipf_fit": (
