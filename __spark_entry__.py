@@ -2882,9 +2882,12 @@ def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
     )
 
 
-TRUSSNESS_ORACLE_ROUNDS = 6  # measured edge-h-index fixpoint: 3 / 3
-# rounds at sf0.001 / sf0.01; rounds past the fixpoint are no-ops, so
-# the fixed-round oracle equals the converge-and-stop Spark run
+TRUSSNESS_ORACLE_ROUNDS = 40  # measured edge-h-index fixpoint: 3 / 3 / 35
+# rounds at sf0.001 / sf0.01 / sf0.1 (the mod-4096 graph densifies with
+# sf, and h-index rounds grow with triangle density); rounds past the
+# fixpoint are no-ops, so the fixed-round oracle equals the
+# converge-and-stop Spark run — unrolling 40 rounds costs nothing at the
+# gate scales (te is ~24k rows at sf0.01)
 
 
 def _q_trussness(spark, sf_dir):

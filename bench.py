@@ -149,6 +149,7 @@ def main() -> None:
         "salsa_3iter",
         "coreness",
         "anf_sketch",
+        "training_shards",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
