@@ -455,6 +455,27 @@ def _q_connected_components(spark, sf_dir):
     return labels
 
 
+def _q_cc_incremental(spark, sf_dir):
+    """Incremental CC maintenance (plans/components.py
+    connected_components_incremental): snapshot T = the even-(src+dst)
+    subset of the derived edges, delta = the rest. Added edges contract
+    to their endpoint components, the delta-sized quotient runs ordinary
+    star CC, one |V| re-map join composes — no full-graph rescan. The
+    min-label fixpoint is unique, so the oracle is the COLD cc on the
+    full table: a strict equality check of the incremental path."""
+    from metis_spark.plans.components import connected_components_incremental
+
+    new = derived_edges(spark, sf_dir)
+    old = new.where((F.col("src") + F.col("dst")) % 2 == 0)
+    added = new.join(old, ["src", "dst"], "left_anti")
+    base, _ = connected_components(old, checkpoint_dir=_tmpdir("metis_qcci_a_"))
+    labels, info = connected_components_incremental(
+        base, added, checkpoint_dir=_tmpdir("metis_qcci_b_")
+    )
+    assert info["converged"], info
+    return labels
+
+
 SLPA_ROUNDS = 4  # fixed sweeps (oracle-unrollable); unreached stay NULL
 SLPA_SEED_MOD = 97  # deterministic seed set: id % 97 == 0, label = id
 
@@ -1556,6 +1577,30 @@ def _dag_levels_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT s.id, s.scc, v.level FROM sccall s JOIN v{DAG_ROUNDS} v ON s.scc = v.c"
+    )
+
+
+DEG_PCTS = [0.5, 0.9, 0.99, 1.0]
+
+
+def _q_degree_percentiles(spark, sf_dir):
+    """Exact interpolated degree quantiles (p50/p90/p99/max) of the und
+    graph — the tail-shape numbers that set salting thresholds and skew
+    budgets. One O(|V|) agg (Spark's exact `percentile`, linear
+    interpolation at rank p·(n−1) — the same definition as DuckDB's
+    quantile_cont), then a 4-row posexplode. Where approximate tails
+    suffice at extreme scale, swap in percentile_approx — same plan."""
+    und = derived_und(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    qs = deg.agg(
+        F.percentile("deg", F.array(*[F.lit(p) for p in DEG_PCTS])).alias("qs")
+    )
+    spine = F.array(*[F.lit(p) for p in DEG_PCTS])
+    return qs.select(
+        F.posexplode("qs").alias("i", "v")
+    ).select(
+        F.element_at(spine, F.col("i") + 1).alias("pct"),
+        F.round("v", 6).alias("deg"),
     )
 
 
@@ -2988,12 +3033,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
+        "cc_incremental": _q_cc_incremental,
         "strongly_connected_components": _q_scc,
         "dag_levels": _q_dag_levels,
         "label_propagation_2iter": _q_lpa,
         "seeded_lpa": _q_seeded_lpa,
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
+        "degree_percentiles": _q_degree_percentiles,
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
@@ -3523,11 +3570,20 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _RICH_CLUB_SQL.format(edges=_EDGES_SPARSE_SQL.strip()),
         "ppr_5iter": _ppr_sql(),
         "connected_components": _cc_sql(),
+        # incremental path has a unique fixpoint == the cold run
+        "cc_incremental": _cc_sql(),
         "strongly_connected_components": _scc_sql(),
         "dag_levels": _dag_levels_sql(),
         "label_propagation_2iter": _lpa_sql(),
         "seeded_lpa": _seeded_lpa_sql(),
         "community_modularity": _modularity_sql(),
+        "degree_percentiles": (
+            f"WITH {_EDGES_SQL.strip()}, "
+            "d AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
+            f"q AS (SELECT quantile_cont(deg, {DEG_PCTS}) AS qs FROM d) "
+            f"SELECT unnest({DEG_PCTS}::DOUBLE[]) AS pct, "
+            "ROUND(unnest(qs), 6) AS deg FROM q"
+        ),
         "degree_histogram": (
             f"WITH {_EDGES_SQL.strip()}, "
             "d AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src) "

@@ -40,3 +40,63 @@ def test_grand_vs_union_find(spark, tmp_path):
     labels, info = connected_components(df, vertices=vertices, checkpoint_dir=str(tmp_path))
     assert info["converged"]
     assert _labels(labels) == cc_oracle(list(range(100)), edges)
+
+
+def test_incremental_matches_cold(spark, tmp_path):
+    """Incremental label maintenance over an addition delta equals cold
+    CC on the union bit-for-bit (transitive merges + new vertices)."""
+    from metis_spark.plans.components import connected_components_incremental
+
+    old_edges = [(0, 1), (2, 3), (4, 5), (8, 9)]
+    # merges {0,1}+{2,3} transitively via a NEW vertex 20, links {4,5}
+    # to new chain 10-11, leaves {8,9} untouched
+    delta = [(1, 20), (20, 2), (5, 10), (10, 11)]
+    base, _ = connected_components(
+        edges_df(spark, old_edges), checkpoint_dir=str(tmp_path / "a")
+    )
+    inc, info = connected_components_incremental(
+        base, edges_df(spark, delta), checkpoint_dir=str(tmp_path / "b")
+    )
+    assert info["converged"]
+    cold, _ = connected_components(
+        edges_df(spark, old_edges + delta), checkpoint_dir=str(tmp_path / "c")
+    )
+    assert _labels(inc) == _labels(cold)
+    assert info["quotient_edges"] <= len(delta) + 1
+
+
+def test_incremental_noop_delta(spark, tmp_path):
+    """A delta entirely inside existing components is a zero-round
+    no-op: the quotient graph is empty and labels are unchanged."""
+    from metis_spark.plans.components import connected_components_incremental
+
+    old_edges = [(0, 1), (1, 2), (4, 5)]
+    base, _ = connected_components(
+        edges_df(spark, old_edges), checkpoint_dir=str(tmp_path / "a")
+    )
+    inc, info = connected_components_incremental(
+        base, edges_df(spark, [(0, 2), (4, 5)]), checkpoint_dir=str(tmp_path / "b")
+    )
+    assert info["quotient_edges"] == 0 and info["iterations"] == 0
+    assert _labels(inc) == _labels(base)
+
+
+def test_incremental_random_vs_cold(spark, tmp_path):
+    """Random split of a random graph into base + delta: incremental
+    composition equals the cold run."""
+    from metis_spark.plans.components import connected_components_incremental
+
+    edges = random_graph(n=120, p=0.012, seed=7, zipf_extra=30)
+    old = [e for i, e in enumerate(edges) if i % 3 != 0]
+    delta = [e for i, e in enumerate(edges) if i % 3 == 0]
+    base, _ = connected_components(
+        edges_df(spark, old), checkpoint_dir=str(tmp_path / "a")
+    )
+    inc, info = connected_components_incremental(
+        base, edges_df(spark, delta), checkpoint_dir=str(tmp_path / "b")
+    )
+    assert info["converged"]
+    cold, _ = connected_components(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "c")
+    )
+    assert _labels(inc) == _labels(cold)
