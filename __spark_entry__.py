@@ -1427,6 +1427,15 @@ def _q_vertex_jaccard(spark, sf_dir):
     )
 
 
+def _q_square_count(spark, sf_dir):
+    """Global 4-cycle count (plans/metrics.py square_count): the motif
+    one step past triangles — ½ Σ C(c_uv, 2) over the SAME hub-capped
+    wedge plan the link predictors use (identical cap in the oracle)."""
+    from metis_spark.plans.metrics import square_count
+
+    return square_count(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
+
+
 def _q_resource_alloc(spark, sf_dir):
     """Resource-allocation link predictor (plans/metrics.py): Adamic-Adar
     with the log dropped — completes the classic predictor quartet."""
@@ -3064,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
         "adamic_adar_topk": _q_adamic_adar,
+        "square_count": _q_square_count,
         "vertex_jaccard_topk": _q_vertex_jaccard,
         "resource_allocation_topk": _q_resource_alloc,
         "preferential_attachment_topk": _q_pref_attach,
@@ -3712,6 +3722,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u, v, score, rn FROM (SELECT u, v, score, "
             "ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC)::BIGINT AS rn FROM sc) "
             f"WHERE rn <= {LINKPRED_K}"
+        ),
+        "square_count": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+            "deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
+            f"{_WEDGE_SQL}, "
+            "c AS (SELECT u, v, COUNT(*)::BIGINT AS c FROM wedge GROUP BY u, v) "
+            "SELECT COUNT(*)::BIGINT AS pairs_common, "
+            "(SUM(c * (c - 1) // 2) // 2)::BIGINT AS squares FROM c"
         ),
         "adamic_adar_topk": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "

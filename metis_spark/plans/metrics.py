@@ -284,3 +284,34 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     und.unpersist()
     return out
+
+
+def square_count(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
+    """Global 4-cycle (square) count → one row (pairs_common, squares).
+
+    A square is determined by an opposite-corner pair {u,v} plus two of
+    their common neighbors, and each square has two opposite pairs, so
+
+        #C4 = ½ · Σ_{u<v} C(c_uv, 2),   c_uv = |Γ(u) ∩ Γ(v)|
+
+    computed off the SAME capped wedge plan as the link predictors
+    (deg(center) ≤ hub_cap dropped before the self-join — the declared
+    web-scale fan-out bound; the SQL twin applies the identical cap).
+    Squares through a hub center are excluded by that cap, exactly like
+    AA/RA/PA candidates. All-integer arithmetic: c·(c−1) is even and the
+    pair-sum counts every square twice, so both halvings are exact
+    shifts. ``pairs_common`` = #pairs with ≥1 (capped) common neighbor —
+    the candidate-table size the predictors also see.
+    """
+    und = _und(edges)
+    c = (
+        _wedges(und, hub_cap)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("pairs_common"),
+        F.shiftright(
+            F.sum(F.shiftright(F.col("c") * (F.col("c") - 1), 1)), 1
+        ).cast("long").alias("squares"),
+    )

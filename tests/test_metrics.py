@@ -162,3 +162,41 @@ def test_community_modularity_vs_python(spark):
     assert got == want
     # a 2-blob partition of a barbell graph is strongly modular
     assert sum(got.values()) > 0.4
+
+
+def test_square_count_c4_and_k4(spark):
+    """One 4-cycle counts once; K4 holds three; a pendant adds none."""
+    from metis_spark.plans.metrics import square_count
+
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 9)]
+    row = square_count(edges_df(spark, c4), hub_cap=100).collect()[0]
+    assert row["squares"] == 1
+    import itertools
+
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    row = square_count(edges_df(spark, k4), hub_cap=100).collect()[0]
+    assert row["squares"] == 3
+
+
+def test_square_count_vs_bruteforce(spark):
+    """Random graph: capped=∞ square count equals brute-force cycle
+    enumeration; hub cap excludes squares through fat centers."""
+    from metis_spark.plans.metrics import square_count
+
+    edges = random_graph(n=40, p=0.08, seed=11, zipf_extra=10)
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    import itertools
+
+    expected = 0
+    for u, v in itertools.combinations(sorted(adj), 2):
+        c = len(adj[u] & adj[v])
+        expected += c * (c - 1) // 2
+    expected //= 2
+    row = square_count(edges_df(spark, edges), hub_cap=10_000).collect()[0]
+    assert row["squares"] == expected
+    capped = square_count(edges_df(spark, edges), hub_cap=3).collect()[0]
+    assert capped["squares"] <= row["squares"]
