@@ -182,6 +182,33 @@ def _q_sessionize(spark, sf_dir):
     ).select("event_id", "user_id", "part_index")
 
 
+SESSION_GAP_MIN = 30  # session-window inactivity gap (minutes)
+
+
+def _q_session_windows(spark, sf_dir):
+    """Native gap-based session windows (F.session_window): per-user
+    dynamic windows that merge events closer than the gap — the
+    streaming-capable sibling of the lag+cumsum ``sessionize`` (W1).
+    session_window is the one windowing primitive whose batch groupBy
+    and watermarked streaming aggregation share a plan, so this batch
+    twin is what the streaming path (streaming/incremental.py
+    streaming_session_windows) is reconciled against. Epoch-second
+    bounds; end = last event + gap (Spark's closed-open convention)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("s_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("e_epoch"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 def _q_forward_fill(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return forward_fill(
@@ -2547,23 +2574,19 @@ def _q_louvain_trajectory(spark, sf_dir):
     )
 
 
-def _louvain_trajectory_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
-    """Trajectory twin: the shared level-1 + level-2 CTE chains, then
-    Q(labels) = intra/m − Σ_c (D_c/(2m))² per level over a 3-row union."""
-    ctes = _louvain_level1_ctes(rounds)
+def _louvain_level2_ctes(rounds: int) -> list:
+    """The unrolled level-2 CTE chain on top of l{rounds}: quotient
+    multigraph (qe/qstr/qeo) + ``rounds`` weighted sweeps → q{rounds}."""
     r = rounds
-    # level-2 chain (same CTEs as _louvain2_sql)
-    ctes.append(
+    ctes = [
         f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
         f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
-        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)"
-    )
-    ctes.append(
+        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)",
         "qstr AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS s "
-        "FROM qe GROUP BY src)"
-    )
-    ctes.append("qeo AS MATERIALIZED (SELECT src, dst, w FROM qe WHERE src <> dst)")
-    ctes.append("q0 AS MATERIALIZED (SELECT id, id AS label FROM qstr)")
+        "FROM qe GROUP BY src)",
+        "qeo AS MATERIALIZED (SELECT src, dst, w FROM qe WHERE src <> dst)",
+        "q0 AS MATERIALIZED (SELECT id, id AS label FROM qstr)",
+    ]
     for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(
@@ -2593,6 +2616,14 @@ def _louvain_trajectory_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
             f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
             f"ORDER BY g9 DESC, c ASC) AS rn FROM qsc{i}) WHERE rn = 1)"
         )
+    return ctes
+
+
+def _louvain_trajectory_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Trajectory twin: the shared level-1 + level-2 CTE chains, then
+    Q(labels) = intra/m − Σ_c (D_c/(2m))² per level over a 3-row union."""
+    r = rounds
+    ctes = _louvain_level1_ctes(rounds) + _louvain_level2_ctes(rounds)
     ctes.append(
         f"lev2 AS MATERIALIZED (SELECT a.id, q.label "
         f"FROM l{r} a JOIN q{r} q ON a.label = q.id)"
@@ -2661,48 +2692,8 @@ def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     """Unrolled TWO-LEVEL twin: level-1 chain, quotient multigraph in
     integer und-row space (strength = Σ all incident rows, self rows are
     2·w_self), then ``rounds`` weighted sweeps on the quotient."""
-    ctes = _louvain_level1_ctes(rounds)
     r = rounds
-    ctes.append(
-        f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
-        f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
-        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)"
-    )
-    ctes.append(
-        "qstr AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS s "
-        "FROM qe GROUP BY src)"
-    )
-    ctes.append("qeo AS MATERIALIZED (SELECT src, dst, w FROM qe WHERE src <> dst)")
-    ctes.append("q0 AS MATERIALIZED (SELECT id, id AS label FROM qstr)")
-    for i in range(1, rounds + 1):
-        p = i - 1
-        ctes.append(
-            f"qtot{i} AS MATERIALIZED (SELECT l.label, SUM(d.s)::BIGINT AS tot "
-            f"FROM q{p} l JOIN qstr d ON l.id = d.id GROUP BY l.label)"
-        )
-        ctes.append(
-            f"qkvc{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
-            f"SUM(e.w)::BIGINT AS kvc FROM qeo e JOIN q{p} l ON e.dst = l.id "
-            f"GROUP BY e.src, l.label)"
-        )
-        ctes.append(
-            f"qcand{i} AS MATERIALIZED (SELECT id, c, MAX(kvc)::BIGINT AS kvc FROM ("
-            f"SELECT id, c, kvc FROM qkvc{i} UNION ALL "
-            f"SELECT id, label AS c, 0::BIGINT AS kvc FROM q{p}) GROUP BY id, c)"
-        )
-        ctes.append(
-            f"qsc{i} AS MATERIALIZED (SELECT x.id, x.c, "
-            f"ROUND(x.kvc / (SELECT m FROM mm) - (d.s * (t.tot - "
-            f"CASE WHEN x.c = l.label THEN d.s ELSE 0 END)) "
-            f"/ (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
-            f"FROM qcand{i} x JOIN q{p} l ON x.id = l.id "
-            f"JOIN qstr d ON x.id = d.id JOIN qtot{i} t ON x.c = t.label)"
-        )
-        ctes.append(
-            f"q{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
-            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
-            f"ORDER BY g9 DESC, c ASC) AS rn FROM qsc{i}) WHERE rn = 1)"
-        )
+    ctes = _louvain_level1_ctes(rounds) + _louvain_level2_ctes(rounds)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT a.id, q.label FROM l{r} a JOIN q{r} q ON a.label = q.id"
@@ -3053,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
+        "session_windows": _q_session_windows,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
         "neardup_keep_best": _q_neardup_keep_best,
@@ -3606,6 +3598,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE user_id < 3 GROUP BY user_id) "
             "SELECT e.event_id, e.user_id, iv.w_user FROM events e "
             "JOIN iv ON e.ts >= iv.t_start AND e.ts <= iv.t_end"
+        ),
+        "session_windows": (
+            # gaps-and-islands twin of F.session_window: a new session
+            # starts when the gap is >= 30min (Spark's closed-open
+            # [start, last+gap) convention); floor(epoch) matches
+            # unix_timestamp's truncation on fractional-second ts
+            "WITH o AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER "
+            f"(PARTITION BY user_id ORDER BY ts) >= INTERVAL {SESSION_GAP_MIN} MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+            "SELECT user_id, floor(epoch(MIN(ts)))::BIGINT AS s_epoch, "
+            f"(floor(epoch(MAX(ts))) + {SESSION_GAP_MIN * 60})::BIGINT AS e_epoch, "
+            "COUNT(*)::BIGINT AS n_events FROM s GROUP BY user_id, sess"
         ),
         "window_distinct_users": (
             "SELECT epoch(date_trunc('hour', ts))::BIGINT AS w_epoch, event_type, "

@@ -217,6 +217,47 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_session_windows(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "stream_sessions",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> "object":
+    """Watermarked SESSION windows on a stream — dynamic gap windows
+    that merge events closer than ``gap`` per user, Spark's one
+    windowing primitive whose batch groupBy and streaming aggregation
+    share semantics (the batch twin is the ``session_windows`` driver
+    query). The state store keeps one open session per active user and
+    MERGES sessions when a bridging event arrives; a session is emitted
+    exactly once, when the watermark passes its end (last event + gap),
+    and its state is evicted — bounded state at 100 TB/day, like the
+    tumbling-window aggregations. Rows land in ``out_table`` as
+    (user_id, s_epoch, e_epoch, n_events)."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("s_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("e_epoch"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )
+
+
 def streaming_windowed_distinct(
     spark: SparkSession,
     drop_dir: str,

@@ -258,3 +258,67 @@ def test_streaming_windowed_distinct_matches_batch(spark, tmp_path):
         assert v == batch[key], (key, v, batch[key])
         assert abs(v - exact[key]) <= max(1, 0.15 * exact[key]), (key, v, exact)
     assert (0, "click") in got and (10, "click") in got
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Streamed session windows: cross-micro-batch session MERGE (a
+    bridging event in batch 2 joins two open fragments), emit-once on
+    watermark close, and closed rows equal the batch session_window."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_session_windows
+
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, "e", t0 + timedelta(minutes=m))
+                for i, (u, m) in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    # user 1: events at 0 and 40 (two fragments, gap 30 would split)...
+    batch1 = [(1, 0), (1, 40), (2, 5)]
+    # ...bridged by minute 20 in the SECOND micro-batch -> ONE session;
+    # flush event advances the watermark far past everything
+    batch2 = [(1, 20), (9, 24 * 60)]
+    _events(batch1).coalesce(1).write.mode("overwrite").parquet(str(drop / "f1"))
+    q = streaming_session_windows(spark, str(drop) + "/*", out_table="sst")
+    try:
+        q.processAllAvailable()
+        _events(batch2, start_id=100).coalesce(1).write.mode("overwrite").parquet(
+            str(drop / "f2")
+        )
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["s_epoch"], r["e_epoch"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sst").collect()
+        }
+    finally:
+        q.stop()
+
+    allrows = _events(batch1).unionByName(_events(batch2, start_id=100))
+    batch = {
+        (r["user_id"], r["s_epoch"], r["e_epoch"]): r["n_events"]
+        for r in allrows.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("s_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("e_epoch"),
+            "n_events",
+        )
+        .collect()
+    }
+    # every closed streamed session equals its batch twin; user 1's
+    # bridged session spans 0..40+30 with 3 events
+    assert got, got
+    for key, v in got.items():
+        assert batch[key] == v, (key, v, batch)
+    u1 = [k for k in got if k[0] == 1]
+    assert len(u1) == 1 and got[u1[0]] == 3
+    assert u1[0][2] - u1[0][1] == (40 + 30) * 60
