@@ -482,6 +482,78 @@ def _q_connected_components(spark, sf_dir):
     return labels
 
 
+COMPONENT_PROFILE_ROUNDS = 12  # min-label unroll depth for the oracle;
+# ≥ the dense graph's per-component min-vertex eccentricity (≤4 measured
+# at both gate sf); extra rounds are no-ops at the fixpoint
+
+
+def _q_component_profile(spark, sf_dir):
+    """Per-component profile: size, intra-edge count, density — the
+    partition-sizing numbers for per-component downstream work (which
+    components broadcast, which need salting). Spark side reuses the
+    converged star CC (fixpoint = min member id); the oracle replays a
+    fixed-depth min-label flood, which reaches the same fixpoint on
+    this graph's diameter."""
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = connected_components(edges, checkpoint_dir=_tmpdir("metis_qcp_"))
+    und = derived_und(spark, sf_dir).where(F.col("src") < F.col("dst"))
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    # both endpoints share a component by definition — one join suffices
+    intra = (
+        und.join(
+            labels.select(F.col("id").alias("src"), "component").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    return (
+        sizes.join(intra, "component", "left")
+        .select(
+            "component",
+            "n_vertices",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.when(
+                F.col("n_vertices") >= 2,
+                F.round(
+                    F.coalesce("intra_edges", F.lit(0))
+                    / (F.col("n_vertices") * (F.col("n_vertices") - 1) / 2.0),
+                    6,
+                ),
+            ).alias("density"),
+        )
+    )
+
+
+def _component_profile_sql(rounds: int = COMPONENT_PROFILE_ROUNDS) -> str:
+    """Min-label flood to the fixpoint, then per-component aggregation."""
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "c0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, MIN(lab)::BIGINT AS lab FROM ("
+            f"SELECT id, lab FROM c{p} UNION ALL "
+            f"SELECT e.src AS id, c.lab FROM und e JOIN c{p} c ON e.dst = c.id"
+            f") GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        "cedges AS (SELECT src, dst FROM und WHERE src < dst),\n"
+        f"sizes AS (SELECT lab, COUNT(*)::BIGINT AS n FROM c{rounds} GROUP BY lab),\n"
+        f"ie AS (SELECT c.lab, COUNT(*)::BIGINT AS e FROM cedges x "
+        f"JOIN c{rounds} c ON x.src = c.id GROUP BY c.lab)\n"
+        "SELECT s.lab AS component, s.n AS n_vertices, "
+        "COALESCE(ie.e, 0)::BIGINT AS intra_edges, "
+        "CASE WHEN s.n >= 2 THEN ROUND(COALESCE(ie.e, 0) / (s.n * (s.n - 1) / 2.0), 6) END AS density "
+        "FROM sizes s LEFT JOIN ie ON s.lab = ie.lab"
+    )
+
+
 def _q_cc_incremental(spark, sf_dir):
     """Incremental CC maintenance (plans/components.py
     connected_components_incremental): snapshot T = the even-(src+dst)
@@ -3034,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
         "cc_incremental": _q_cc_incremental,
+        "component_profile": _q_component_profile,
         "strongly_connected_components": _q_scc,
         "dag_levels": _q_dag_levels,
         "label_propagation_2iter": _q_lpa,
@@ -3574,6 +3647,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(),
         # incremental path has a unique fixpoint == the cold run
         "cc_incremental": _cc_sql(),
+        "component_profile": _component_profile_sql(),
         "strongly_connected_components": _scc_sql(),
         "dag_levels": _dag_levels_sql(),
         "label_propagation_2iter": _lpa_sql(),
