@@ -234,3 +234,36 @@ def test_lsh_topk_candidate_machinery_sheds_vectors(spark):
     assert any(set(c) == {"query_id", "neighbor_id"} for c in _shuffle_exchange_outputs(q))
     plan = _executed(q)
     assert "CartesianProduct" not in plan
+
+
+def test_square_count_wedge_is_equi_join(spark):
+    """The 4-cycle counter's wedge self-join must stay a center-keyed
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin."""
+    from metis_spark.plans.metrics import square_count
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    plan = _executed(square_count(edges, hub_cap=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cc_incremental_quotient_is_delta_keyed(spark):
+    """Incremental CC: the contraction joins are equi-joins on the delta
+    endpoints; no BNLJ, no cartesian anywhere in the composed output."""
+    from metis_spark.plans.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+    import tempfile
+
+    old = spark.createDataFrame([(0, 1), (2, 3), (4, 5)], "src long, dst long")
+    delta = spark.createDataFrame([(1, 2), (5, 9)], "src long, dst long")
+    base, _ = connected_components(old, checkpoint_dir=tempfile.mkdtemp())
+    out, _ = connected_components_incremental(
+        base, delta, checkpoint_dir=tempfile.mkdtemp()
+    )
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
