@@ -1476,6 +1476,25 @@ def _q_langid(spark, sf_dir):
     return docs.select(*sel)
 
 
+def _q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: stored ``lang`` label × the n-gram
+    heuristic's prediction, with counts — the accuracy audit run before
+    trusting the classifier as a corpus filter. One groupBy over the
+    scored docs (same pinned score expressions as ``lang_id``)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = {lg: TX.lang_score(t, pat) for lg, pat in _LANG_MARKERS.items()}
+    m = F.greatest(*scores.values())
+    pred = F.when(m == 0, "und")
+    for lg in sorted(scores):
+        pred = pred.when(scores[lg] == m, lg)
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -3184,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_scrub": _q_pii_scrub,
         "lang_id": _q_langid,
+        "lang_confusion": _q_lang_confusion,
         "doc_fingerprint": _q_fingerprint,
         "corpus_curation": _q_corpus_curation,
     }
@@ -4096,6 +4116,12 @@ def oracle_sql() -> dict[str, str]:
             + f" FROM (SELECT doc_id, {langid_scores}, "
             + "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(_LANG_MARKERS)) + ") AS m "
             "FROM documents)"
+        ),
+        "lang_confusion": (
+            f"SELECT lang, {lang_pred} AS predicted, COUNT(*)::BIGINT AS n "
+            f"FROM (SELECT lang, {langid_scores}, "
+            + "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(_LANG_MARKERS)) + ") AS m "
+            "FROM documents) GROUP BY lang, predicted"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
