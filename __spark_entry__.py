@@ -1707,6 +1707,38 @@ def _dag_levels_sql() -> str:
     )
 
 
+def _q_avg_neighbor_degree(spark, sf_dir):
+    """Degree-correlation curve knn(k): for each degree k, the mean over
+    degree-k vertices of their mean neighbor degree — the standard
+    assortativity PROFILE (the scalar Pearson version is
+    ``degree_assortativity``); rising knn(k) = assortative, falling =
+    hubs attach to leaves. Two O(m) joins + two map-side-combining
+    groupBys on the sparse und graph."""
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    per_vertex = (
+        und.join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("nd"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.avg("nd").alias("mean_nbr_deg"))
+    )
+    return (
+        per_vertex.join(deg.hint("shuffle_hash"), "id")
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg("mean_nbr_deg"), 6).alias("knn"),
+        )
+    )
+
+
 DEG_PCTS = [0.5, 0.9, 0.99, 1.0]
 
 
@@ -3133,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
         "degree_percentiles": _q_degree_percentiles,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
@@ -3673,6 +3706,14 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_2iter": _lpa_sql(),
         "seeded_lpa": _seeded_lpa_sql(),
         "community_modularity": _modularity_sql(),
+        "avg_neighbor_degree": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+            "d AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
+            "pv AS (SELECT u.src AS id, AVG(nd.deg) AS mnd FROM und u "
+            "JOIN d nd ON u.dst = nd.id GROUP BY u.src) "
+            "SELECT d.deg, COUNT(*)::BIGINT AS n_vertices, ROUND(AVG(pv.mnd), 6) AS knn "
+            "FROM pv JOIN d ON pv.id = d.id GROUP BY d.deg"
+        ),
         "degree_percentiles": (
             f"WITH {_EDGES_SQL.strip()}, "
             "d AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
