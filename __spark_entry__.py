@@ -1151,6 +1151,21 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_embedding_cluster_sizes(spark, sf_dir):
+    """Coarse-quantizer cluster-size histogram: how the corpus
+    distributes over the IVF inverted lists — the skew check run before
+    trusting nprobe search (one fat list = one slow probe; the same
+    argmax-cosine assignment as ann_ivf_topk, so the oracle reproduces
+    it bit-exactly). One broadcast against L centroids + one
+    map-side-combining groupBy; the cluster table is L rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    asg = SIM.ivf_assign(emb, cent, "vec_id", "embedding")
+    return asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
 def _q_ann_ivf_recall(spark, sf_dir):
     """Quality gate for the IVF path: per-query recall vs exact top-k.
     On the near-gaussian fixture recall reflects nprobe/L (no cluster
@@ -1474,6 +1489,48 @@ def _q_langid(spark, sf_dir):
     sel = [F.col("doc_id"), pred.alias("predicted")]
     sel += [F.round(scores[lg], 6).alias(f"s_{lg}") for lg in sorted(scores)]
     return docs.select(*sel)
+
+
+OOV_VOCAB_K = 100  # head-vocabulary size for the coverage audit
+
+
+def _q_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage audit: per-doc fraction of token OCCURRENCES
+    outside the corpus top-K vocabulary — the number that decides
+    whether a candidate tokenizer vocabulary is big enough. The K-term
+    head is a TakeOrdered result broadcast into an anti-membership
+    check; per-doc math stays in one explode + map-side-combining
+    groupBy. Docs with zero tokens report NULL."""
+    from metis_spark.operators.corpus_stats import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = F.broadcast(
+        vocab_topk(docs, k=OOV_VOCAB_K).select(F.col("term").alias("tok"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    flagged = toks.join(
+        vocab.withColumn("in_v", F.lit(1)), "tok", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.col("n_tok") > 0, F.round(F.col("n_oov") / F.col("n_tok"), 6)
+            ).alias("oov_frac"),
+        )
+    )
 
 
 def _q_lang_confusion(spark, sf_dir):
@@ -3218,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": _q_ann_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_topk": _q_ann_ivf,
+        "embedding_cluster_sizes": _q_embedding_cluster_sizes,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_neardup": _q_embedding_neardup,
         "heavy_hitter_users": _q_heavy_hitter_users,
@@ -3237,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "lang_id": _q_langid,
         "lang_confusion": _q_lang_confusion,
+        "oov_rate": _q_oov_rate,
         "doc_fingerprint": _q_fingerprint,
         "corpus_curation": _q_corpus_curation,
     }
@@ -4017,6 +4076,10 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_ann_ivf_ctes()} "
             "SELECT query_id, neighbor_id, sim, rn FROM ivf_topk"
         ),
+        "embedding_cluster_sizes": (
+            f"WITH {_ann_ivf_ctes()} "
+            "SELECT cid, COUNT(*)::BIGINT AS n_vectors FROM casg GROUP BY cid"
+        ),
         "ann_ivf_recall": (
             f"WITH {_ann_ivf_ctes()}, "
             "q5 AS (SELECT vec_id AS qid, embedding AS qv2 FROM embeddings WHERE vec_id < 5), "
@@ -4157,6 +4220,20 @@ def oracle_sql() -> dict[str, str]:
             + f" FROM (SELECT doc_id, {langid_scores}, "
             + "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(_LANG_MARKERS)) + ") AS m "
             "FROM documents)"
+        ),
+        "oov_rate": (
+            "WITH toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents), "
+            "freq AS (SELECT tok AS term, COUNT(*)::BIGINT AS freq FROM toks GROUP BY tok), "
+            "vocab AS (SELECT term FROM (SELECT term, ROW_NUMBER() OVER "
+            f"(ORDER BY freq DESC, term ASC) AS rank FROM freq) WHERE rank <= {OOV_VOCAB_K}), "
+            "per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tok, "
+            "SUM(CASE WHEN tok IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)::BIGINT AS n_oov "
+            "FROM toks GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_tok, 0)::BIGINT AS n_tok, "
+            "COALESCE(p.n_oov, 0)::BIGINT AS n_oov, "
+            "CASE WHEN p.n_tok > 0 THEN ROUND(p.n_oov / p.n_tok::DOUBLE, 6) END AS oov_frac "
+            "FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"
         ),
         "lang_confusion": (
             f"SELECT lang, {lang_pred} AS predicted, COUNT(*)::BIGINT AS n "
