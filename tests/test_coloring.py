@@ -76,3 +76,41 @@ def test_coloring_resumes_identically(spark, tmp_path):
     a = {r["id"]: r["color"] for r in full.collect()}
     b = {r["id"]: r["color"] for r in rest.collect()}
     assert a == b
+
+
+def test_speculative_valid_and_delta_bound(spark, tmp_path):
+    """Trial-and-revoke: proper coloring, per-vertex color <= deg(v),
+    and full convergence on a random graph + a dense clique."""
+    import itertools
+
+    from metis_spark.plans.coloring import speculative_coloring
+    from pyspark.sql import functions as F
+
+    k8 = [(a, b) for a, b in itertools.combinations(range(8), 2)]
+    extra = random_graph(n=80, p=0.06, seed=5, zipf_extra=15)
+    pairs = k8 + extra
+    df = edges_df(spark, pairs)
+    out, info = speculative_coloring(df, checkpoint_dir=str(tmp_path / "a"))
+    assert info["converged"], info
+    colors = {r["id"]: r["color"] for r in out.collect()}
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for a, b in und:
+        assert colors[a] != colors[b], (a, b)
+    for v, c in colors.items():
+        assert 0 <= c <= deg[v], (v, c, deg[v])
+
+
+def test_speculative_resume_identical(spark, tmp_path):
+    from metis_spark.plans.coloring import speculative_coloring
+
+    pairs = random_graph(n=60, p=0.05, seed=9, zipf_extra=10)
+    d = str(tmp_path / "ck")
+    a, info1 = speculative_coloring(edges_df(spark, pairs), checkpoint_dir=d)
+    first = {r["id"]: r["color"] for r in a.collect()}
+    b, info2 = speculative_coloring(edges_df(spark, pairs), checkpoint_dir=d)
+    assert info2.get("resumed")
+    assert {r["id"]: r["color"] for r in b.collect()} == first
