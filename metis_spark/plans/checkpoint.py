@@ -62,12 +62,38 @@ def _row_checksum(cols: list[str]) -> Column:
 
 
 class CheckpointManager:
-    def __init__(self, base_dir: str, algo: str):
+    def __init__(self, base_dir: str, algo: str, retain: int | None = None):
+        """``retain`` (opt-in): keep only the newest ``retain`` committed
+        iterations — after each commit, older iter dirs are deleted. A
+        100-iteration PageRank run otherwise keeps 100 |V|-sized state
+        dirs; resume only ever reads ``latest()``, so retain=2 (current +
+        one predecessor surviving a torn commit of the current) is the
+        at-scale setting. Leave None (keep everything) for algorithms
+        that re-load SPECIFIC earlier iterations (louvain_multilevel
+        reads the level-1 final during level 2) or when the per-iteration
+        history is itself the product."""
         self.dir = os.path.join(base_dir, algo)
+        self.retain = retain
+        if retain is not None and retain < 1:
+            raise ValueError("retain must be >= 1 (or None to keep all)")
         os.makedirs(self.dir, exist_ok=True)
 
     def _iter_dir(self, k: int) -> str:
         return os.path.join(self.dir, f"iter={k}")
+
+    def _prune(self, latest_k: int) -> None:
+        if self.retain is None:
+            return
+        for name in os.listdir(self.dir):
+            if not name.startswith("iter="):
+                continue
+            k = int(name.split("=", 1)[1])
+            # only committed dirs older than the window; a torn dir of a
+            # NEWER iteration is the next commit's business, not ours
+            if k <= latest_k - self.retain and os.path.isfile(
+                os.path.join(self.dir, name, "meta.json")
+            ):
+                shutil.rmtree(os.path.join(self.dir, name), ignore_errors=True)
 
     def commit(
         self,
@@ -135,6 +161,7 @@ class CheckpointManager:
         with open(tmp, "w") as f:
             json.dump(full_meta, f)
         os.replace(tmp, os.path.join(it_dir, "meta.json"))
+        self._prune(k)
         return reloaded, totals
 
     def update_meta(self, k: int, patch: dict) -> None:

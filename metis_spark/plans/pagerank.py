@@ -67,6 +67,7 @@ def pagerank(
     seeds: "list[int] | DataFrame | None" = None,
     weight_col: str | None = None,
     init_ranks: DataFrame | None = None,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks(id, rank), info{iterations, delta, seconds, converged}).
 
@@ -121,7 +122,9 @@ def pagerank(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_pr_")
-    cm = CheckpointManager(checkpoint_dir, "pagerank")
+    # retain: resume only ever reads latest() here, so a small window
+    # (e.g. 2) caps checkpoint storage on long converge runs
+    cm = CheckpointManager(checkpoint_dir, "pagerank", retain=retain)
 
     # ONE edge shuffle for the whole setup: everything downstream (outdeg,
     # weighted edges, src vertex set) reuses hashpartitioning(src, P), so

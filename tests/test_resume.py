@@ -157,3 +157,33 @@ def test_pagerank_checkpoint_every_equivalent_and_resumable(spark, tmp_path):
     c = {r["id"]: r["rank"] for r in resumed.collect()}
     for k in a:
         assert a[k] == _pytest.approx(c[k], abs=1e-12)
+
+
+def test_checkpoint_retention_window(spark, tmp_path):
+    """retain=2 keeps only the newest two committed iterations, the run
+    converges to the same ranks, and resume-from-latest still works."""
+    import os
+
+    from metis_spark.plans.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)],
+        "src long, dst long",
+    )
+    d1 = str(tmp_path / "full")
+    full, _ = pagerank(edges, tol=0.0, max_iter=6, checkpoint_dir=d1)
+    d2 = str(tmp_path / "ret")
+    ret, info = pagerank(edges, tol=0.0, max_iter=6, checkpoint_dir=d2, retain=2)
+    a = {r["id"]: round(r["rank"], 12) for r in full.collect()}
+    b = {r["id"]: round(r["rank"], 12) for r in ret.collect()}
+    assert a == b
+    iters = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(os.path.join(d2, "pagerank"))
+        if n.startswith("iter=")
+    )
+    assert iters == [5, 6], iters
+    # resume sees the retained latest and returns instantly
+    again, info2 = pagerank(edges, tol=0.0, max_iter=6, checkpoint_dir=d2, retain=2)
+    assert info2.get("resumed") or info2["iterations"] == 6
+    assert {r["id"]: round(r["rank"], 12) for r in again.collect()} == a
