@@ -2690,6 +2690,42 @@ def _q_louvain_multilevel(spark, sf_dir):
     return labels
 
 
+def _q_community_quotient(spark, sf_dir):
+    """Community quotient graph: weighted inter-community edges after
+    the level-1 Louvain sweeps — the coarsened graph a multilevel run
+    feeds forward, exposed as a queryable table (who talks to whom, and
+    how much, at community granularity). One map-side-combined groupBy
+    over the label-joined und edges; self-loops = intra-community mass
+    (2·w_self in und-row space)."""
+    from metis_spark.plans.louvain import louvain_local_moving
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    labels, info = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qcq_")
+    )
+    assert info["iterations"] == LOUVAIN_ROUNDS, info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        und.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("ca"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("cb"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("ca").alias("c_src"), F.col("cb").alias("c_dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
 def _q_louvain_trajectory(spark, sf_dir):
     """Per-level modularity trajectory of two-level Louvain: one row per
     level (0 = singletons, 1 = after local moving, 2 = after the
@@ -3332,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
+        "community_quotient": _q_community_quotient,
         "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
@@ -3957,6 +3994,12 @@ def oracle_sql() -> dict[str, str]:
         "louvain_2round": _louvain_sql(),
         "louvain_2level": _louvain2_sql(),
         "louvain_modularity_levels": _louvain_trajectory_sql(),
+        "community_quotient": (
+            "WITH " + ",\n".join(_louvain_level1_ctes(LOUVAIN_ROUNDS))
+            + f"\nSELECT la.label AS c_src, lb.label AS c_dst, COUNT(*)::BIGINT AS w "
+            f"FROM und e JOIN l{LOUVAIN_ROUNDS} la ON e.src = la.id "
+            f"JOIN l{LOUVAIN_ROUNDS} lb ON e.dst = lb.id GROUP BY la.label, lb.label"
+        ),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (

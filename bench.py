@@ -150,6 +150,7 @@ def main() -> None:
         "coreness",
         "anf_sketch",
         "training_shards",
+        "speculative_coloring",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
