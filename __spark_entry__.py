@@ -2383,14 +2383,15 @@ def _q_coreness(spark, sf_dir):
     return out
 
 
-def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> str:
     """Unrolled h-index iteration twin on the sparse und graph:
     c_{t+1}(v) = max over desc-ranked neighbour values of
-    least(value, rank)."""
+    least(value, rank). ``und`` names the symmetric edge CTE so the
+    decremental twin can run the identical rounds on a reduced set."""
     ctes = [
         _EDGES_SPARSE_SQL.strip().rstrip(),
-        "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core "
-        "FROM und GROUP BY src)",
+        f"c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core "
+        f"FROM {und} GROUP BY src)",
     ]
     for i in range(1, rounds + 1):
         p = i - 1
@@ -2398,9 +2399,50 @@ def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
             f"c{i} AS MATERIALIZED (SELECT id, MAX(LEAST(val, rn))::BIGINT AS core "
             f"FROM (SELECT u.src AS id, s.core AS val, "
             f"ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY s.core DESC) AS rn "
-            f"FROM und u JOIN c{p} s ON u.dst = s.id) GROUP BY id)"
+            f"FROM {und} u JOIN c{p} s ON u.dst = s.id) GROUP BY id)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM c{rounds}"
+
+
+CORENESS_DEC_MOD = 5  # deletion rule: drop sparse edges with
+# (src*31 + dst) % 5 == 0 (~20% of the canonical edge set)
+
+
+def _q_coreness_decremental(spark, sf_dir):
+    """Decremental core maintenance: old core numbers stay UPPER bounds
+    after edge deletions (coreness is monotone in the edge set), so the
+    h-index iteration warm-started from them repairs only the
+    neighbourhoods the deletions touched — same unique fixpoint as a
+    cold run (the oracle), a fraction of the rounds."""
+    from metis_spark.plans.coreness import coreness
+
+    full = derived_edges_sparse(spark, sf_dir)
+    reduced = full.where(
+        (F.col("src") * 31 + F.col("dst")) % CORENESS_DEC_MOD != 0
+    )
+    base, info0 = coreness(full, checkpoint_dir=_tmpdir("metis_qcoredec_a_"))
+    assert info0["converged"], info0
+    out, info = coreness(
+        reduced, init_cores=base, checkpoint_dir=_tmpdir("metis_qcoredec_b_")
+    )
+    assert info["converged"] and info["iterations"] <= CORENESS_ORACLE_ROUNDS, info
+    return out
+
+
+def _coreness_dec_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+    """Cold unrolled twin on the REDUCED graph (the decremental path's
+    unique fixpoint): the same deletion rule applied to the canonical
+    directed sparse edges, re-symmetrized."""
+    base = _coreness_sql(rounds, und="und2")
+    extra = (
+        f"edges2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE (src * 31 + dst) % {CORENESS_DEC_MOD} <> 0),\n"
+        "und2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges2 UNION ALL "
+        "SELECT dst AS src, src AS dst FROM edges2) WHERE src <> dst),\n"
+        "c0 AS"
+    )
+    return base.replace("c0 AS", extra, 1)
 
 
 def _q_kcore(spark, sf_dir):
@@ -3360,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preferential_attachment_topk": _q_pref_attach,
         "kcore_3": _q_kcore,
         "coreness": _q_coreness,
+        "coreness_decremental": _q_coreness_decremental,
         "ktruss_4": _q_ktruss,
         "trussness": _q_trussness,
         "maximal_independent_set": _q_mis,
@@ -3986,6 +4029,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),
         "coreness": _coreness_sql(),
+        "coreness_decremental": _coreness_dec_sql(),
         "ktruss_4": _ktruss_sql(),
         "trussness": _trussness_sql(),
         "maximal_independent_set": _mis_sql(),

@@ -46,11 +46,26 @@ def coreness(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    init_cores: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (cores(id, core), info{iterations, changed,
     converged, seconds, n}). Undirected view (symmetrized, self-loops
     dropped). Stops when no vertex changes (the fixpoint = core
-    numbers); ``converged`` False only if max_iter ran out first."""
+    numbers); ``converged`` False only if max_iter ran out first.
+
+    ``init_cores`` (id, core) warm-starts the h-index iteration. The
+    iteration converges from ANY per-vertex UPPER bound on the true core
+    number (the h-index map is monotone and its fixpoint from above is
+    the core number — same theorem as the degree start, which is just
+    the trivial upper bound). The canonical use is DECREMENTAL
+    maintenance: after edge deletions, the old core numbers are still
+    upper bounds (coreness is monotone in the edge set), so seeding with
+    them converges in O(1) rounds of delta-local repair instead of a
+    full from-degrees run. (After edge ADDITIONS old cores are NOT upper
+    bounds — use the cold start.) Each supplied value is clamped to the
+    new degree (also an upper bound, and it restores exactness if a
+    caller passes stale values for vertices whose degree dropped below
+    them); vertices absent from ``init_cores`` start at their degree."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -71,6 +86,18 @@ def coreness(
     state = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("core")
     )
+    if init_cores is not None:
+        state = (
+            state.withColumnRenamed("core", "deg")
+            .join(
+                init_cores.select(
+                    F.col("id").cast("long"), F.col("core").cast("long").alias("ic")
+                ).hint("shuffle_hash"),
+                "id",
+                "left",
+            )
+            .select("id", F.least(F.coalesce("ic", "deg"), F.col("deg")).alias("core"))
+        )
     n = state.count()
 
     start_iter = 0

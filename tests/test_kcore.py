@@ -126,3 +126,27 @@ def test_coreness_resumes_identically(spark, tmp_path):
     rest, info = coreness(edges_df(spark, edges), checkpoint_dir=str(tmp_path / "b"))
     assert info["converged"]
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, rest.collect()))
+
+
+def test_coreness_decremental_warm_start(spark, tmp_path):
+    """After edge DELETIONS the old core numbers are upper bounds, so a
+    warm-started h-index run converges to the same fixpoint as cold —
+    in fewer rounds."""
+    from metis_spark.plans.coreness import coreness
+
+    edges = random_graph(n=90, p=0.06, seed=13, zipf_extra=25)
+    full = edges_df(spark, edges)
+    kept = [e for i, e in enumerate(edges) if i % 4 != 0]
+    reduced = edges_df(spark, kept)
+
+    base, i0 = coreness(full, checkpoint_dir=str(tmp_path / "a"))
+    assert i0["converged"]
+    cold, ic = coreness(reduced, checkpoint_dir=str(tmp_path / "b"))
+    warm, iw = coreness(
+        reduced, init_cores=base, checkpoint_dir=str(tmp_path / "c")
+    )
+    assert iw["converged"]
+    c = {r["id"]: r["core"] for r in cold.collect()}
+    w = {r["id"]: r["core"] for r in warm.collect()}
+    assert c == w
+    assert iw["iterations"] <= ic["iterations"]
