@@ -217,6 +217,69 @@ def streaming_windowed_counts(
     )
 
 
+def streaming_click_attribution(
+    spark: SparkSession,
+    imp_dir: str,
+    click_dir: str,
+    out_table: str = "stream_attrib",
+    watermark: str = "10 minutes",
+    max_lag: str = "10 minutes",
+) -> "object":
+    """STREAM-STREAM inner join — the attribution pattern: every click
+    joined to the matching user's impression that happened at or before
+    it, within ``max_lag`` event time. The remaining §2.8 primitive next
+    to windowed aggregation: Spark buffers BOTH sides in the state
+    store and the watermark + the time-range join condition bound how
+    long a buffered row can still find a partner, so state is evicted
+    and the join runs forever at 100 TB/day. An unwatermarked or
+    unbounded-range stream-stream join is rejected by Spark for exactly
+    that reason.
+
+    Both sides are EVENTS_DDL drop directories (impressions keyed by
+    ``kind='imp'`` convention is up to the caller's data; the join is on
+    user_id + the time range). Emits
+    (user_id, imp_id, click_id, imp_ts, click_ts) exactly once per
+    matched pair, append mode. The pytest twin replays the same rows
+    through a batch join and must match exactly.
+    """
+    imps = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(imp_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+    )
+    clicks = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(click_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = imps.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND click_ts >= imp_ts "
+            f"AND click_ts <= imp_ts + interval {max_lag}"
+        ),
+        "inner",
+    ).select("user_id", "imp_id", "click_id", "imp_ts", "click_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )
+
+
 def streaming_session_windows(
     spark: SparkSession,
     drop_dir: str,

@@ -322,3 +322,88 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     u1 = [k for k in got if k[0] == 1]
     assert len(u1) == 1 and got[u1[0]] == 3
     assert u1[0][2] - u1[0][1] == (40 + 30) * 60
+
+
+def test_streaming_stream_stream_attribution(spark, tmp_path):
+    """Stream-stream time-range join: clicks attach to the same user's
+    impression within the lag window, cross-micro-batch (the click
+    arrives a drain after its impression), and the streamed pairs equal
+    the batch join exactly."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_click_attribution
+
+    imp_dir = tmp_path / "imps"
+    click_dir = tmp_path / "clicks"
+    imp_dir.mkdir(); click_dir.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, k, t0 + timedelta(minutes=m))
+                for i, (u, k, m) in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    imps = [(1, "imp", 0), (1, "imp", 30), (2, "imp", 5), (3, "imp", 0)]
+    # user 1 clicks at 4 (matches imp@0) and 33 (matches imp@30 ONLY —
+    # imp@0 is beyond the 10-min lag); user 2 clicks at 20 (no match:
+    # >10 min after imp@5); user 9 far-future rows flush both watermarks
+    clicks1 = [(1, "click", 4)]
+    clicks2 = [(1, "click", 33), (2, "click", 20)]
+    flush = [(9, "x", 24 * 60)]
+
+    _events(imps).coalesce(1).write.mode("overwrite").parquet(str(imp_dir / "f1"))
+    _events(clicks1, 100).coalesce(1).write.mode("overwrite").parquet(
+        str(click_dir / "f1")
+    )
+    q = streaming_click_attribution(
+        spark, str(imp_dir) + "/*", str(click_dir) + "/*", out_table="att"
+    )
+    try:
+        q.processAllAvailable()
+        _events(clicks2, 200).coalesce(1).write.mode("overwrite").parquet(
+            str(click_dir / "f2")
+        )
+        _events(flush, 900).coalesce(1).write.mode("overwrite").parquet(
+            str(imp_dir / "f2")
+        )
+        _events(flush, 950).coalesce(1).write.mode("overwrite").parquet(
+            str(click_dir / "f3")
+        )
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["imp_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM att").collect()
+        }
+    finally:
+        q.stop()
+
+    allimps = _events(imps).unionByName(_events(flush, 900))
+    allclicks = (
+        _events(clicks1, 100)
+        .unionByName(_events(clicks2, 200))
+        .unionByName(_events(flush, 950))
+    )
+    batch = {
+        (r["user_id"], r["imp_id"], r["click_id"])
+        for r in allimps.alias("i")
+        .join(
+            allclicks.alias("c"),
+            F.expr(
+                "i.user_id = c.user_id AND c.ts >= i.ts "
+                "AND c.ts <= i.ts + interval 10 minutes"
+            ),
+        )
+        .select(
+            F.col("i.user_id").alias("user_id"),
+            F.col("i.event_id").alias("imp_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert got == batch, (got, batch)
+    assert (1, 0, 100) in got and (1, 1, 200) in got
+    assert not any(u == 2 for u, _, _ in got)
