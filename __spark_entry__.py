@@ -2768,6 +2768,92 @@ def _q_community_quotient(spark, sf_dir):
     )
 
 
+def _q_community_pagerank(spark, sf_dir):
+    """Community-level PageRank: weighted power iteration over the
+    Louvain quotient graph — 'which communities matter', the two-scale
+    composition a link-graph user runs after community detection. Both
+    stages are independently verified operators (louvain_local_moving +
+    pagerank(weight_col=)); the quotient has |communities| vertices, so
+    the iteration runs on a graph orders of magnitude smaller than the
+    input."""
+    from metis_spark.plans.louvain import louvain_local_moving
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    labels, info = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qcpr_a_")
+    )
+    assert info["iterations"] == LOUVAIN_ROUNDS, info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    q_edges = (
+        und.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("ca"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("cb"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks, _ = pagerank(
+        q_edges,
+        tol=0.0,
+        max_iter=PR_ITERS,
+        weight_col="w",
+        checkpoint_dir=_tmpdir("metis_qcpr_b_"),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _community_pagerank_sql(n_iters: int = PR_ITERS) -> str:
+    """Quotient-weighted PR twin: louvain level-1 CTEs → qeo edges with
+    integer weights → unrolled weighted power iteration (dangling mass
+    redistributed uniformly, d=0.85), same shape as _pagerank_sql."""
+    d = 0.85
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    r = LOUVAIN_ROUNDS
+    ctes += [
+        f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
+        f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
+        f"JOIN l{r} lb ON e.dst = lb.id WHERE la.label <> lb.label "
+        f"GROUP BY la.label, lb.label)",
+        "qverts AS MATERIALIZED (SELECT src AS id FROM qe UNION SELECT dst FROM qe)",
+        "qn AS (SELECT COUNT(*)::DOUBLE AS n FROM qverts)",
+        "qoutdeg AS MATERIALIZED (SELECT src, SUM(w)::DOUBLE AS deg FROM qe GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM qn) AS rank FROM qverts)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"pc{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"SUM(x.rank * e.w / o.deg) AS contrib FROM qe e "
+            f"JOIN p{p} x ON e.src = x.id JOIN qoutdeg o ON e.src = o.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pdm{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank),0) AS dm FROM p{p} x "
+            f"WHERE NOT EXISTS (SELECT 1 FROM qoutdeg o WHERE o.src = x.id))"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v.id, (1-{d})/(SELECT n FROM qn) "
+            f"+ {d}*(COALESCE(c.contrib,0) + (SELECT dm FROM pdm{i})/(SELECT n FROM qn)) AS rank "
+            f"FROM qverts v LEFT JOIN pc{i} c ON v.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM p{n_iters}"
+    )
+
+
 def _q_louvain_trajectory(spark, sf_dir):
     """Per-level modularity trajectory of two-level Louvain: one row per
     level (0 = singletons, 1 = after local moving, 2 = after the
@@ -3412,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
         "community_quotient": _q_community_quotient,
+        "community_pagerank": _q_community_pagerank,
         "diameter_double_sweep": _q_diameter,
         "betweenness_approx": _q_betweenness,
         # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
@@ -4044,6 +4131,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM und e JOIN l{LOUVAIN_ROUNDS} la ON e.src = la.id "
             f"JOIN l{LOUVAIN_ROUNDS} lb ON e.dst = lb.id GROUP BY la.label, lb.label"
         ),
+        "community_pagerank": _community_pagerank_sql(),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
         "local_clustering": (
