@@ -2425,7 +2425,11 @@ def _q_coreness_decremental(spark, sf_dir):
     out, info = coreness(
         reduced, init_cores=base, checkpoint_dir=_tmpdir("metis_qcoredec_b_")
     )
-    assert info["converged"] and info["iterations"] <= CORENESS_ORACLE_ROUNDS, info
+    # converged is the only contract here: the warm-start round count is
+    # unrelated to the ORACLE's unroll depth (the oracle runs COLD rounds
+    # on the reduced graph and only needs to reach ITS fixpoint — h-index
+    # fixpoints are unique, so any converged run hash-matches it)
+    assert info["converged"], info
     return out
 
 
