@@ -3369,15 +3369,17 @@ def _q_trussness(spark, sf_dir):
     return out
 
 
-def _trussness_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
+def _trussness_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS, und: str = "und") -> str:
     """Unrolled edge-h-index twin: triangles x<y<z enumerated once,
     fanned to (edge, other1, other2) rows; per round
     t(e) = least(t(e), H({min(t(o1), t(o2))})) with the same relational
-    h-index (desc rank, max(least(value, rank))) as plans/trussness.py."""
+    h-index (desc rank, max(least(value, rank))) as plans/trussness.py.
+    ``und`` names the symmetric edge CTE so the decremental twin can run
+    the identical rounds on a reduced set."""
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
         "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
-        "GREATEST(src, dst) AS b FROM und)",
+        f"GREATEST(src, dst) AS b FROM {und})",
         "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
         "FROM ce e1 JOIN ce e2 ON e1.b = e2.a "
         "JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)",
@@ -3407,6 +3409,48 @@ def _trussness_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT s AS src, d AS dst, (t + 2)::BIGINT AS truss FROM t{rounds}"
     )
+
+
+TRUSS_DEC_MOD = 7  # deletion rule: drop sparse edges with
+# (src * 31 + dst) % 7 == 0 (~14% of the canonical directed edge set)
+
+
+def _q_trussness_decremental(spark, sf_dir):
+    """Decremental truss maintenance: old truss numbers of surviving
+    edges stay UPPER bounds after edge deletions (trussness is monotone
+    in the edge set), so the edge-h-index iteration warm-started from
+    them repairs only the triangle neighbourhoods the deletions touched
+    — same unique fixpoint as a cold run (the oracle), in a fraction of
+    the descent rounds (plans/trussness.py init_truss)."""
+    from metis_spark.plans.trussness import trussness
+
+    full = derived_edges_sparse(spark, sf_dir)
+    reduced = full.where((F.col("src") * 31 + F.col("dst")) % TRUSS_DEC_MOD != 0)
+    base, info0 = trussness(full, checkpoint_dir=_tmpdir("metis_qtrussdec_a_"))
+    assert info0["converged"], info0
+    out, info = trussness(
+        reduced, init_truss=base, checkpoint_dir=_tmpdir("metis_qtrussdec_b_")
+    )
+    # converged is the only contract: h-index fixpoints are unique, so any
+    # converged run hash-matches the oracle's cold fixed-round unroll
+    assert info["converged"], info
+    return out
+
+
+def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
+    """Cold unrolled twin on the REDUCED graph (the decremental path's
+    unique fixpoint): the same deletion rule applied to the canonical
+    directed sparse edges, re-symmetrized."""
+    base = _trussness_sql(rounds, und="und2")
+    extra = (
+        f"edges2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE (src * 31 + dst) % {TRUSS_DEC_MOD} <> 0),\n"
+        "und2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges2 UNION ALL "
+        "SELECT dst AS src, src AS dst FROM edges2) WHERE src <> dst),\n"
+        "ce AS"
+    )
+    return base.replace("ce AS", extra, 1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3495,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_decremental": _q_coreness_decremental,
         "ktruss_4": _q_ktruss,
         "trussness": _q_trussness,
+        "trussness_decremental": _q_trussness_decremental,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4123,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "coreness_decremental": _coreness_dec_sql(),
         "ktruss_4": _ktruss_sql(),
         "trussness": _trussness_sql(),
+        "trussness_decremental": _trussness_dec_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),

@@ -98,13 +98,30 @@ def trussness(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    init_truss: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (truss(src, dst, truss), info{iterations, changed,
     converged, seconds, triangles}). Output edges are canonical
     (src < dst, undirected dedup'd, self-loops dropped); ``truss`` is the
     edge's truss number (max k with the edge in the k-truss; 2 for edges
     in no triangle). Stops when no edge changes; ``converged`` False only
-    if max_iter ran out first."""
+    if max_iter ran out first.
+
+    ``init_truss`` (src, dst, truss) warm-starts the edge-h-index
+    iteration — the edge analog of plans/coreness.py's ``init_cores``.
+    The iteration converges from ANY per-edge UPPER bound on the true
+    truss number (the update map is monotone and explicitly clamped by
+    ``least(old, h)``, so the sequence decreases from the start values to
+    the unique fixpoint, which is the truss number — support start is
+    just the trivial upper bound). Canonical use is DECREMENTAL
+    maintenance: after edge DELETIONS the old truss numbers of surviving
+    edges are still upper bounds (trussness is monotone in the edge set),
+    so seeding with them repairs only the triangles the deletions
+    touched instead of re-descending from raw support. (After edge
+    ADDITIONS old values are NOT upper bounds — use the cold start.)
+    Supplied values are clamped to the reduced graph's support (also an
+    upper bound); surviving edges absent from ``init_truss`` start at
+    support."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -135,6 +152,20 @@ def trussness(
         cedges.join(support, ["s", "d"], "left")
         .select("s", "d", F.coalesce("t", F.lit(0)).cast("long").alias("t"))
     )
+    if init_truss is not None:
+        seed = init_truss.select(
+            F.least("src", "dst").cast("long").alias("s"),
+            F.greatest("src", "dst").cast("long").alias("d"),
+            (F.col("truss").cast("long") - 2).alias("it"),
+        )
+        state = (
+            state.withColumnRenamed("t", "sup")
+            .join(seed.hint("shuffle_hash"), ["s", "d"], "left")
+            .select(
+                "s", "d",
+                F.least(F.coalesce("it", "sup"), F.col("sup")).cast("long").alias("t"),
+            )
+        )
 
     start_iter = 0
     if resume:

@@ -87,6 +87,28 @@ def test_trussness_mixed_graph_matches_bruteforce(spark):
     assert info["triangles"] == 10 + 4  # C(5,3) + C(4,3)
 
 
+def test_trussness_decremental_warm_start(spark, tmp_path):
+    """After edge DELETIONS old truss numbers are upper bounds, so a
+    warm-started edge-h-index run converges to the same fixpoint as
+    cold — in no more rounds."""
+    from oracles import random_graph
+
+    pairs = random_graph(n=60, p=0.12, seed=31, zipf_extra=30)
+    kept = [e for i, e in enumerate(pairs) if i % 5 != 0]
+
+    base, i0 = trussness(edges_df(spark, pairs), checkpoint_dir=str(tmp_path / "a"))
+    assert i0["converged"]
+    cold, ic = trussness(edges_df(spark, kept), checkpoint_dir=str(tmp_path / "b"))
+    warm, iw = trussness(
+        edges_df(spark, kept), init_truss=base, checkpoint_dir=str(tmp_path / "c")
+    )
+    assert iw["converged"]
+    c = {(r["src"], r["dst"]): r["truss"] for r in cold.collect()}
+    w = {(r["src"], r["dst"]): r["truss"] for r in warm.collect()}
+    assert c == w == brute_truss(kept)
+    assert iw["iterations"] <= ic["iterations"]
+
+
 def test_trussness_resume_identical(spark, tmp_path):
     """A resumed run from a mid-peel checkpoint returns the same table."""
     k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
