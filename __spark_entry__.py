@@ -3437,6 +3437,115 @@ def _q_trussness_decremental(spark, sf_dir):
     return out
 
 
+MSF_ORACLE_ROUNDS = 8  # Borůvka outer unroll: fragments at least halve
+# per round, so rounds ≤ log2(#vertices); rounds past convergence choose
+# no edges and are no-ops, so the fixed-round oracle equals the
+# converge-and-stop Spark run (the query asserts the measured count fits)
+MSF_INNER_J = 12  # hash-min contraction unroll per round: ≥ the longest
+# min-edge chain in any round's fragment forest (measured ≤ 4 at the
+# gate scales; hash-random weights keep chains O(log)); extra steps are
+# no-ops — the query asserts the measured max fits
+
+
+def _msf_weight_col() -> F.Column:
+    """Deterministic distinct edge weight both engines can replay: the
+    md5→60-bit trick on the canonical "s_d" pair string."""
+    pair = F.concat_ws(
+        "_",
+        F.least("src", "dst").cast("string"),
+        F.greatest("src", "dst").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(pair), 1, 15), 16, 10).cast("long")
+
+
+def _q_msf(spark, sf_dir):
+    """Minimum spanning forest by distributed Borůvka rounds
+    (plans/mst.py): per-fragment min-edge selection under the total
+    order (weight, s, d) + hash-min quotient contraction. Hash-derived
+    distinct weights make the MSF unique, so the unrolled oracle
+    hash-matches regardless of contraction implementation."""
+    from metis_spark.plans.mst import minimum_spanning_forest
+
+    weighted = derived_edges_sparse(spark, sf_dir).select(
+        "src", "dst", _msf_weight_col().alias("weight")
+    )
+    msf, info = minimum_spanning_forest(
+        weighted, checkpoint_dir=_tmpdir("metis_qmsf_")
+    )
+    assert (
+        info["converged"]
+        and info["rounds"] <= MSF_ORACLE_ROUNDS
+        and info["inner_steps_max"] <= MSF_INNER_J
+    ), info
+    return msf
+
+
+def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J) -> str:
+    """Unrolled Borůvka twin: per round, min cross edge per fragment
+    label (ROW_NUMBER over (w, s, d) — the same total order as Spark's
+    min_by struct), then ``inner`` hash-min steps on the chosen-edge
+    quotient graph (q(c) ← least(q, min over projected neighbours),
+    re-projected each step — fixpoint is the fragment-min label), then
+    one vertex relabel. Rounds past convergence are no-ops."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "ce AS MATERIALIZED (SELECT a, b, "
+        "('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT AS w "
+        "FROM (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM und))",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM (SELECT DISTINCT a AS id "
+        "FROM ce UNION SELECT b FROM ce))",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT la.lab AS c, e.a AS s, e.b AS d, e.w, "
+            f"la.lab AS ls, lb.lab AS ld "
+            f"FROM ce e JOIN l{p} la ON e.a = la.id JOIN l{p} lb ON e.b = lb.id "
+            f"WHERE la.lab <> lb.lab "
+            f"UNION ALL SELECT lb.lab, e.a, e.b, e.w, la.lab, lb.lab "
+            f"FROM ce e JOIN l{p} la ON e.a = la.id JOIN l{p} lb ON e.b = lb.id "
+            f"WHERE la.lab <> lb.lab)"
+        )
+        ctes.append(
+            f"chosen{r} AS MATERIALIZED (SELECT DISTINCT s, d, w, ls, ld FROM ("
+            f"SELECT s, d, w, ls, ld, "
+            f"ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, s, d) AS rn "
+            f"FROM cand{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"qe{r} AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+            f"SELECT ls AS a, ld AS b FROM chosen{r} "
+            f"UNION ALL SELECT ld, ls FROM chosen{r}))"
+        )
+        ctes.append(
+            f"q{r}_0 AS MATERIALIZED (SELECT DISTINCT a AS c, a AS q FROM qe{r})"
+        )
+        for j in range(1, inner + 1):
+            jp = j - 1
+            ctes.append(
+                f"m{r}_{j} AS MATERIALIZED (SELECT x, LEAST(x, MIN(y)) AS m FROM ("
+                f"SELECT DISTINCT qa.q AS x, qb.q AS y "
+                f"FROM qe{r} e JOIN q{r}_{jp} qa ON e.a = qa.c "
+                f"JOIN q{r}_{jp} qb ON e.b = qb.c WHERE qa.q <> qb.q) GROUP BY x)"
+            )
+            ctes.append(
+                f"q{r}_{j} AS MATERIALIZED (SELECT qq.c, COALESCE(m.m, qq.q) AS q "
+                f"FROM q{r}_{jp} qq LEFT JOIN m{r}_{j} m ON qq.q = m.x)"
+            )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT l.id, COALESCE(q.q, l.lab) AS lab "
+            f"FROM l{p} l LEFT JOIN q{r}_{inner} q ON l.lab = q.c)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, d, w FROM chosen{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT s AS src, d AS dst, w AS weight FROM ({union})"
+    )
+
+
 def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
     """Cold unrolled twin on the REDUCED graph (the decremental path's
     unique fixpoint): the same deletion rule applied to the canonical
@@ -3540,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_4": _q_ktruss,
         "trussness": _q_trussness,
         "trussness_decremental": _q_trussness_decremental,
+        "minimum_spanning_forest": _q_msf,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4169,6 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_4": _ktruss_sql(),
         "trussness": _trussness_sql(),
         "trussness_decremental": _trussness_dec_sql(),
+        "minimum_spanning_forest": _msf_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),
