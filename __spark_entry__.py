@@ -3546,6 +3546,86 @@ def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J) -> str:
     )
 
 
+TEMPORAL_SEED_MOD = 512  # seeds: vertices with id % 512 == 0
+TEMPORAL_TS_MOD = 1000  # hash-derived edge timestamps in [0, 1000)
+TEMPORAL_ORACLE_ROUNDS = 24  # Bellman-Ford unroll ≥ max hop count of an
+# optimal temporal path (measured 6 / 5 at sf0.001 / sf0.01); rounds
+# past the fixpoint are no-ops — the query asserts the measured count
+TEMPORAL_INF = 1 << 60
+
+
+def _q_temporal_reachability(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability (plans/temporal.py):
+    directed sparse edges carry hash-derived timestamps; seeds (id %
+    512 == 0) start at t=0; a path may only traverse edges in
+    non-decreasing timestamp order. Iterated edge relaxation — the
+    monotone least fixpoint, so the fixed-round oracle hash-matches any
+    converged run."""
+    from metis_spark.plans.temporal import temporal_reachability
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_reachability(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_")
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+
+def _temporal_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
+    """Unrolled relaxation twin: a_{k+1}(v) = least(a_k(v), min ts over
+    in-edges (u, v, ts) with ts >= a_k(u)); integer 2^60 = unreached."""
+    inf = TEMPORAL_INF
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"a0 AS MATERIALIZED (SELECT id, CASE WHEN id % {TEMPORAL_SEED_MOD} = 0 "
+        f"THEN 0 ELSE {inf} END::BIGINT AS arr FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.id, "
+            f"LEAST(v.arr, COALESCE(r.m, {inf}))::BIGINT AS arr FROM a{p} v "
+            f"LEFT JOIN (SELECT e.dst AS id, MIN(e.ts) AS m FROM te e "
+            f"JOIN a{p} u ON e.src = u.id WHERE e.ts >= u.arr GROUP BY e.dst) r "
+            f"ON v.id = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, arr AS arrival FROM a{rounds} WHERE arr < {inf}"
+    )
+
+
 def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
     """Cold unrolled twin on the REDUCED graph (the decremental path's
     unique fixpoint): the same deletion rule applied to the canonical
@@ -3650,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": _q_trussness,
         "trussness_decremental": _q_trussness_decremental,
         "minimum_spanning_forest": _q_msf,
+        "temporal_reachability": _q_temporal_reachability,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4280,6 +4361,7 @@ def oracle_sql() -> dict[str, str]:
         "trussness": _trussness_sql(),
         "trussness_decremental": _trussness_dec_sql(),
         "minimum_spanning_forest": _msf_sql(),
+        "temporal_reachability": _temporal_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),

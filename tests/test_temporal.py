@@ -1,0 +1,84 @@
+"""Time-respecting earliest arrival (plans/temporal.py) vs brute force."""
+
+import pytest
+from oracles import random_graph
+
+from metis_spark.plans.temporal import temporal_reachability
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from metis_spark.session import get_spark
+
+    return get_spark("test_temporal", master="local[4]", shuffle_partitions=4)
+
+
+def dfs(spark, rows, seed_ids):
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    s = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+    return e, s
+
+
+def brute(rows, seed_ids):
+    """Python fixpoint of arr(v) = min(0 if seed, min ts of in-edges
+    with ts >= arr(u)) — the same least fixpoint, sequentially."""
+    INF = float("inf")
+    verts = {v for s, d, t in rows if s != d for v in (s, d)}
+    arr = {v: (0 if v in seed_ids else INF) for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in rows:
+            if s != d and t >= arr[s] and t < arr[d]:
+                arr[d] = t
+                changed = True
+    return {v: a for v, a in arr.items() if a < INF}
+
+
+def run(spark, rows, seed_ids, **kw):
+    e, s = dfs(spark, rows, seed_ids)
+    out, info = temporal_reachability(e, s, **kw)
+    assert info["converged"], info
+    return {r["id"]: r["arrival"] for r in out.collect()}, info
+
+
+def test_temporal_waiting_allowed_and_blocked(spark):
+    """0 →(5) 1 →(3) 2 is NOT time-respecting (3 < 5); 1 →(7) 3 is
+    (waiting at 1 from t=5 to t=7 is allowed)."""
+    rows = [(0, 1, 5), (1, 2, 3), (1, 3, 7)]
+    got, _ = run(spark, rows, {0})
+    assert got == {0: 0, 1: 5, 3: 7}
+
+
+def test_temporal_earliest_of_two_paths(spark):
+    """Two temporal paths to 3: via 1 arrives at 9, via 2 at 6 — the
+    earlier one wins even though its first hop is later."""
+    rows = [(0, 1, 1), (1, 3, 9), (0, 2, 4), (2, 3, 6)]
+    got, _ = run(spark, rows, {0})
+    assert got[3] == 6
+
+
+def test_temporal_matches_bruteforce_random(spark):
+    import hashlib
+
+    pairs = random_graph(n=70, p=0.07, seed=17, zipf_extra=35)
+    rows = [
+        (s, d, int(hashlib.md5(f"t_{s}_{d}".encode()).hexdigest()[:15], 16) % 50)
+        for s, d in pairs
+        if s != d
+    ]
+    seeds = {v for v, _, _ in rows if v % 10 == 0}
+    got, info = run(spark, rows, seeds)
+    assert got == brute(rows, seeds)
+    assert info["reached"] == len(got)
+
+
+def test_temporal_resume_identical(spark, tmp_path):
+    rows = [(0, 1, 2), (1, 2, 3), (2, 3, 4), (3, 4, 5), (4, 5, 6)]
+    d = str(tmp_path / "ck")
+    cold, _ = run(spark, rows, {0})
+    temporal_reachability(
+        *dfs(spark, rows, {0}), max_iter=2, checkpoint_dir=d
+    )
+    warm, info = run(spark, rows, {0}, checkpoint_dir=d)
+    assert warm == cold == {0: 0, 1: 2, 2: 3, 3: 4, 4: 5, 5: 6}
