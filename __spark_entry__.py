@@ -1212,6 +1212,30 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-rebalanced (α = 0.5) half-corpus sample: per-language
+    quotas ∝ sqrt(n_lang) — upsamples the long tail vs proportional
+    draw; integer-exact quotas + hash-rank membership
+    (operators/sampling.py:temperature_mixture_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.temperature_mixture_sample(docs, "lang", "doc_id")
+    return out.select("doc_id", "lang")
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH counts AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, FLOOR(SQRT(n))::BIGINT AS wt FROM counts),
+tot AS (SELECT SUM(n)::BIGINT AS nn, SUM(wt)::BIGINT AS s FROM w),
+plan AS (SELECT lang, LEAST(n, ((nn * 1 // 2) * wt) // s)::BIGINT AS target
+         FROM w, tot),
+ranked AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+  ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang FROM ranked r JOIN plan p ON r.lang = p.lang
+WHERE r.rn <= p.target
+"""
+
+
 def _q_dataset_splits(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment — documents never
     migrate between splits as the corpus grows (operators/sampling.py)."""
@@ -3761,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": _q_hash_sample,
         "stratified_sample_docs": _q_stratified_sample,
         "dataset_splits": _q_dataset_splits,
+        "temperature_mix_sample": _q_temperature_mix,
         "tfidf_top3": _q_tfidf_top3,
         "vocab_top100": _q_vocab_top100,
         "token_stats": _q_token_stats,
@@ -4601,6 +4626,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 15))::BIGINT "
             "% (CASE WHEN lang = 'en' THEN 10 ELSE 2 END) < 1"
         ),
+        "temperature_mix_sample": _TEMPERATURE_MIX_SQL,
         "dataset_splits": (
             "SELECT doc_id, lang, CASE "
             "WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train' "

@@ -63,6 +63,63 @@ def stratified_sample(
     return df.where(F.pmod(b, den) < num)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total_num: int = 1,
+    total_den: int = 2,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-rebalanced corpus sampling (α = 0.5): draw a
+    ``total_num/total_den`` fraction of the corpus with per-group quotas
+    ∝ n_g^α instead of ∝ n_g — the standard multilingual-training move
+    (UNIMAX / mT5-style temperature sampling) that upsamples the long
+    tail relative to the dominant group.
+
+    Integer-exact everywhere so every engine agrees bit-for-bit:
+    wt_g = floor(sqrt(n_g)) (IEEE sqrt is correctly rounded, so the
+    floor is exact for counts < 2^52 in Spark and DuckDB alike),
+    target_g = min(n_g, (TOTAL·wt_g) div Σwt), and membership is the
+    per-group rank under the 60-bit hash order (hash, key) — fully
+    deterministic, append-stable quota computation.
+
+    Shape: the quota table is group-cardinality-sized (broadcast); the
+    rank is one window per group partition. At 100 TB you'd keep THIS
+    operator's quota computation but select via the map-only threshold
+    sampler (hash_sample / stratified_sample above) instead of an exact
+    rank — the quotas are the new piece, the selection is a plug."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = counts.withColumn("wt", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    tot = w.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("wt").cast("long").alias("s")
+    )
+    plan = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.least(
+                F.col("n"),
+                F.expr(f"((nn * {total_num} DIV {total_den}) * wt) DIV s"),
+            ).cast("long"),
+        )
+        .select(group_col, "target")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            hash_bucket(F.col(key_col), salt + "_"), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("rn", rn)
+        .join(F.broadcast(plan), group_col)
+        .where(F.col("rn") <= F.col("target"))
+        .drop("rn", "target")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

@@ -201,3 +201,31 @@ def test_boilerplate_ngrams_goldens(spark):
     for i in range(3):
         assert got[i]["n_boiler"] == 2, got[i]
     assert got[9]["n_boiler"] == 0 and got[9]["boilerplate_frac"] == 0.0
+
+
+def test_temperature_mixture_sample_quotas_and_determinism(spark):
+    """α=0.5 quotas: target_g = min(n_g, (TOTAL·isqrt(n_g)) div Σisqrt);
+    the dominant group's share shrinks vs proportional, membership is
+    the per-group hash-rank prefix, and reruns are identical."""
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = SAMP.temperature_mixture_sample(df, "lang", "doc_id")
+    got = [(r["doc_id"], r["lang"]) for r in out.collect()]
+    by = {}
+    for _, g in got:
+        by[g] = by.get(g, 0) + 1
+    # nn=425, TOTAL=212, wt: big 20, small 5, s=25; small's raw quota
+    # (212*5)//25 = 42 caps at n_small = 25 — the whole tail is kept
+    assert by == {"big": (212 * 20) // 25, "small": 25}
+    assert by["big"] == 169
+    # small is upsampled relative to proportional (212*25/425 ≈ 12)
+    assert by["small"] > 212 * 25 / 425
+    # deterministic rerun, and membership = hash-rank prefix per group
+    again = [(r["doc_id"], r["lang"]) for r in
+             SAMP.temperature_mixture_sample(df, "lang", "doc_id").collect()]
+    assert sorted(got) == sorted(again)
+    def hb(i):
+        return int(hashlib.md5(f"mix_{i}".encode()).hexdigest()[:15], 16)
+    big_ids = sorted((hb(i), i) for i in range(400))
+    want_big = {i for _, i in big_ids[:169]}
+    assert {i for i, g in got if g == "big"} == want_big
