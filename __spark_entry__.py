@@ -3570,6 +3570,69 @@ def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J) -> str:
     )
 
 
+MATCHING_ORACLE_ROUNDS = 12  # locally-dominant rounds unroll: measured
+# fixpoint well under this at the gate scales (O(log n) expected on
+# hash-random priorities); rounds past the fixpoint match no new edges
+# and are no-ops — the query asserts the measured count fits
+
+
+def _q_maximal_matching(spark, sf_dir):
+    """Maximal matching (plans/matching.py): deterministic locally-
+    dominant (mutual-minimum) edge rounds under the strict (hash, s, d)
+    priority order — equals THE sequential greedy matching for that
+    order, so the unrolled oracle hash-matches any converged run."""
+    from metis_spark.plans.matching import maximal_matching
+
+    out, info = maximal_matching(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qmatching_"),
+    )
+    assert info["converged"] and info["iterations"] <= MATCHING_ORACLE_ROUNDS, info
+    return out
+
+
+def _matching_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
+    """Unrolled mutual-min twin: per round, each free vertex's min
+    active incident edge by (p, s, d); an edge chosen by BOTH endpoints
+    (COUNT(*) = 2 over the per-vertex argmin fan) joins the matching."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "ce AS MATERIALIZED (SELECT a, b, "
+        "('0x' || substr(md5('m_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        "::BIGINT AS p FROM (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und))",
+        "s0 AS MATERIALIZED (SELECT id, -1::BIGINT AS mate FROM ("
+        "SELECT DISTINCT a AS id FROM ce UNION SELECT b FROM ce))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"mn{i} AS MATERIALIZED (SELECT s, d FROM ("
+            f"SELECT id, s, d, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY p, s, d) AS rn FROM ("
+            f"SELECT e.a AS id, e.a AS s, e.b AS d, e.p FROM ce e "
+            f"JOIN s{p} x ON e.a = x.id AND x.mate = -1 "
+            f"JOIN s{p} y ON e.b = y.id AND y.mate = -1 "
+            f"UNION ALL "
+            f"SELECT e.b, e.a, e.b, e.p FROM ce e "
+            f"JOIN s{p} x ON e.a = x.id AND x.mate = -1 "
+            f"JOIN s{p} y ON e.b = y.id AND y.mate = -1)) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT s, d FROM mn{i} "
+            f"GROUP BY s, d HAVING COUNT(*) = 2)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT st.id, "
+            f"COALESCE(w1.d, w2.s, st.mate)::BIGINT AS mate FROM s{p} st "
+            f"LEFT JOIN w{i} w1 ON st.id = w1.s LEFT JOIN w{i} w2 ON st.id = w2.d)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS src, mate AS dst FROM s{rounds} WHERE mate > id"
+    )
+
+
 TEMPORAL_SEED_MOD = 512  # seeds: vertices with id % 512 == 0
 TEMPORAL_TS_MOD = 1000  # hash-derived edge timestamps in [0, 1000)
 TEMPORAL_ORACLE_ROUNDS = 24  # Bellman-Ford unroll ≥ max hop count of an
@@ -3755,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness_decremental": _q_trussness_decremental,
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
+        "maximal_matching": _q_maximal_matching,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4387,6 +4451,7 @@ def oracle_sql() -> dict[str, str]:
         "trussness_decremental": _trussness_dec_sql(),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
+        "maximal_matching": _matching_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),
