@@ -799,6 +799,23 @@ def _q_closeness(spark, sf_dir):
     )
 
 
+CENTER_K = 5
+
+
+def _q_center(spark, sf_dir):
+    """Landmark graph-center estimate: the 5 vertices minimizing the
+    eccentricity lower bound max_s d(s, v) over the 3 landmarks
+    (plans/sssp.py:center_landmarks); only fully-reached vertices
+    compete, ties by id."""
+    from metis_spark.plans.sssp import center_landmarks
+
+    edges = derived_edges(spark, sf_dir)
+    return center_landmarks(
+        edges, _landmark_sources(spark, sf_dir), k=CENTER_K,
+        checkpoint_dir=_tmpdir("metis_qcenter_"), max_iter=SSSP_ROUNDS,
+    )
+
+
 def _q_bipartite(spark, sf_dir):
     """Bipartiteness / odd-cycle audit per component (plans/bipartite.py):
     CC roots → multi-source BFS parity → same-parity edge count. One
@@ -3798,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": _q_landmark_distances,
         "harmonic_landmarks": _q_harmonic,
         "closeness_landmarks": _q_closeness,
+        "graph_center_landmarks": _q_center,
         "bipartite_check": _q_bipartite,
         "random_walks": _q_random_walks,
         "walk_sentences": _q_walk_sentences,
@@ -4441,6 +4459,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, COUNT(*)::BIGINT AS n_sources, SUM(dist)::BIGINT AS sum_dist, "
             f"ROUND(COUNT(*)::DOUBLE / SUM(dist)::DOUBLE, 6) AS closeness "
             f"FROM d{SSSP_ROUNDS} WHERE dist > 0 GROUP BY id"
+        ),
+        "graph_center_landmarks": (
+            f"WITH {_landmark_ctes()} "
+            f"SELECT id, ecc_lb, rn FROM (SELECT id, ecc_lb, "
+            f"ROW_NUMBER() OVER (ORDER BY ecc_lb, id) AS rn FROM ("
+            f"SELECT id, MAX(dist)::BIGINT AS ecc_lb FROM d{SSSP_ROUNDS} "
+            f"GROUP BY id HAVING COUNT(*) = {N_LANDMARKS})) WHERE rn <= {CENTER_K}"
         ),
         "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),

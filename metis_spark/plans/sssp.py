@@ -244,6 +244,46 @@ def landmark_distances(
                    "seconds": time.monotonic() - t0}
 
 
+def center_landmarks(
+    edges: DataFrame,
+    sources: list[int],
+    k: int = 5,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Landmark estimate of the graph CENTER → the k vertices with the
+    smallest eccentricity LOWER bound ecc_lb(v) = max_{s∈S} d(s, v)
+    (true eccentricity ≥ the max over any landmark subset; with
+    double-sweep-style landmarks the bound is tight in practice —
+    Magnien/Latapy/Habib's BFS-bound framework). Only vertices reached
+    by EVERY landmark compete (a partially-reached vertex's max is not
+    comparable). Ties broken by id; output (id, ecc_lb, rn).
+
+    Shape: the landmark table is O(|V|·|S|); the top-k is a global
+    orderBy().limit(k) (TakeOrdered — no single-partition window) and
+    the rank window runs over the k collected rows only."""
+    from pyspark.sql import Window
+
+    dists, _ = landmark_distances(
+        edges, sources, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+        directed=directed,
+    )
+    ecc = (
+        dists.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.max("dist").cast("long").alias("ecc_lb"),
+        )
+        .where(F.col("n_sources") == len(sources))
+    )
+    topk = ecc.orderBy("ecc_lb", "id").limit(k)
+    w = Window.orderBy("ecc_lb", "id")
+    return topk.select(
+        "id", "ecc_lb", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
 def closeness_landmarks(
     edges: DataFrame,
     sources: list[int],

@@ -161,3 +161,37 @@ def test_landmark_resume_identical(spark, tmp_path):
     a = {(r["id"], r["source"]): r["dist"] for r in full.collect()}
     b = {(r["id"], r["source"]): r["dist"] for r in resumed.collect()}
     assert a == b
+
+
+def test_center_landmarks_vs_python(spark, tmp_path):
+    """Top-k center candidates = smallest max-landmark-distance among
+    vertices reached by EVERY landmark, ties by id."""
+    from collections import deque
+
+    from metis_spark.plans.sssp import center_landmarks
+    from oracles import random_graph
+
+    edges = random_graph(n=60, p=0.06, seed=47, zipf_extra=30)
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    sources = [0, 1, 2]
+    dist = {}
+    for s in sources:
+        d = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, []):
+                if v not in d:
+                    d[v] = d[u] + 1
+                    dq.append(v)
+        for v, dd in d.items():
+            dist.setdefault(v, {})[s] = dd
+    full = {v: max(ds.values()) for v, ds in dist.items() if len(ds) == 3}
+    want = sorted(full.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    out = center_landmarks(
+        edges_df(spark, edges), sources, k=5, checkpoint_dir=str(tmp_path)
+    )
+    got = [(r["id"], r["ecc_lb"]) for r in out.orderBy("rn").collect()]
+    assert got == want
