@@ -1761,6 +1761,94 @@ def _scc_sql() -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{union}"
 
 
+BOWTIE_REACH_ROUNDS = 24  # reach-fixpoint unroll for the bow-tie BFS
+# sets (directed fwd/bwd, core-free, weak); the query asserts every
+# measured fixpoint lands strictly inside this, and unroll rounds past
+# a fixpoint are set-union no-ops
+
+
+def _q_bowtie(spark, sf_dir):
+    """Broder bow-tie macro-structure of the directed import graph
+    (plans/bowtie.py): CORE / IN / OUT / TUBE / TENDRIL / OTHER /
+    DISCONNECTED region sizes, composed from the SCC spine + five
+    monotone reach fixpoints."""
+    from metis_spark.plans.bowtie import bowtie_decomposition
+
+    out, info = bowtie_decomposition(
+        derived_edges(spark, sf_dir),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+        reach_rounds=BOWTIE_REACH_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qbowtie_"),
+    )
+    # strictly less ⇒ every reach hit its fixpoint before the cap, so the
+    # fixed-round oracle unroll is complete too
+    assert info["reach_rounds_max"] < BOWTIE_REACH_ROUNDS, info
+    return out
+
+
+def _bowtie_sql(rr: int = BOWTIE_REACH_ROUNDS) -> str:
+    """SCC twin + five unrolled reach fixpoints + the CASE ladder."""
+    scc = _scc_sql()
+    head, union = scc.rsplit("\n", 1)
+    ctes = [head[len("WITH "):]]
+    ctes.append(f"sccall AS MATERIALIZED ({union})")
+    ctes.append(
+        "corelab AS MATERIALIZED (SELECT scc FROM (SELECT scc, COUNT(*) AS n "
+        "FROM sccall GROUP BY scc ORDER BY n DESC, scc ASC LIMIT 1))"
+    )
+    ctes.append(
+        "cv AS MATERIALIZED (SELECT id FROM sccall "
+        "WHERE scc = (SELECT scc FROM corelab))"
+    )
+
+    def reach(name, seed_sql, step_sql):
+        ctes.append(f"{name}0 AS ({seed_sql})")
+        for r in range(1, rr + 1):
+            ctes.append(
+                f"{name}{r} AS MATERIALIZED (SELECT id FROM {name}{r-1} "
+                f"UNION {step_sql.format(prev=f'{name}{r-1}')})"
+            )
+
+    reach("f", "SELECT id FROM cv",
+          "SELECT e.dst FROM edges e JOIN {prev} x ON e.src = x.id")
+    reach("b", "SELECT id FROM cv",
+          "SELECT e.src FROM edges e JOIN {prev} x ON e.dst = x.id")
+    ctes.append(
+        f"outs AS MATERIALIZED (SELECT id FROM f{rr} EXCEPT SELECT id FROM cv)"
+    )
+    ctes.append(
+        f"ins AS MATERIALIZED (SELECT id FROM b{rr} EXCEPT SELECT id FROM cv)"
+    )
+    ctes.append(
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        "WHERE src NOT IN (SELECT id FROM cv) AND dst NOT IN (SELECT id FROM cv))"
+    )
+    reach("tf", "SELECT id FROM ins",
+          "SELECT e.dst FROM e2 e JOIN {prev} x ON e.src = x.id")
+    reach("tb", "SELECT id FROM outs",
+          "SELECT e.src FROM e2 e JOIN {prev} x ON e.dst = x.id")
+    ctes.append(
+        "und2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst, src FROM edges)"
+    )
+    reach("w", "SELECT id FROM cv",
+          "SELECT e.dst FROM und2 e JOIN {prev} x ON e.src = x.id")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT region, COUNT(*)::BIGINT AS n_vertices FROM (
+  SELECT CASE
+    WHEN id IN (SELECT id FROM cv) THEN 'CORE'
+    WHEN id IN (SELECT id FROM ins) THEN 'IN'
+    WHEN id IN (SELECT id FROM outs) THEN 'OUT'
+    WHEN id IN (SELECT id FROM tf{rr}) AND id IN (SELECT id FROM tb{rr}) THEN 'TUBE'
+    WHEN id IN (SELECT id FROM tf{rr}) OR id IN (SELECT id FROM tb{rr}) THEN 'TENDRIL'
+    WHEN id IN (SELECT id FROM w{rr}) THEN 'OTHER'
+    ELSE 'DISCONNECTED' END AS region
+  FROM verts) GROUP BY region"""
+    )
+
+
 DAG_ROUNDS = 6  # ≥ condensation-DAG longest path at every sf (measured ≤ 1)
 
 
@@ -3837,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
         "maximal_matching": _q_maximal_matching,
+        "bowtie_structure": _q_bowtie,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4477,6 +4566,7 @@ def oracle_sql() -> dict[str, str]:
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
         "maximal_matching": _matching_sql(),
+        "bowtie_structure": _bowtie_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),
