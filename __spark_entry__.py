@@ -1355,6 +1355,40 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+CHUNK_TOK, CHUNK_STRIDE = 64, 48  # context-window slicing: 64-token
+# chunks, 16-token overlap
+
+
+def _q_chunk_plan(spark, sf_dir):
+    """Sliding-window chunk plan (operators/packing.py:chunk_plan): one
+    row per (doc, context window) with token offsets — the pretraining/
+    RAG slicing step as a map-only plan; same whitespace token
+    definition as token_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    from metis_spark.operators.packing import chunk_plan
+
+    return chunk_plan(
+        docs, "doc_id", TX.whitespace_token_count(F.col("text")),
+        chunk=CHUNK_TOK, stride=CHUNK_STRIDE,
+    )
+
+
+_CHUNK_PLAN_SQL = f"""
+WITH t AS (SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n
+  FROM documents),
+k AS (SELECT doc_id, n, CASE WHEN n <= 0 THEN 0 WHEN n <= {CHUNK_TOK} THEN 1
+  ELSE (n - {CHUNK_TOK} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1 END AS nk
+  FROM t)
+SELECT doc_id, unnest(range(0, nk))::BIGINT AS chunk_idx,
+  (unnest(range(0, nk)) * {CHUNK_STRIDE})::BIGINT AS start_tok,
+  LEAST(unnest(range(0, nk)) * {CHUNK_STRIDE} + {CHUNK_TOK}, n)::BIGINT AS end_tok,
+  (LEAST(unnest(range(0, nk)) * {CHUNK_STRIDE} + {CHUNK_TOK}, n)
+   - unnest(range(0, nk)) * {CHUNK_STRIDE})::BIGINT AS chunk_tokens
+FROM k WHERE nk > 0
+"""
+
+
 ZIPF_TOPN = 100  # fit over the vocab head (the tail is count-quantized)
 
 
@@ -3926,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": _q_temporal_reachability,
         "maximal_matching": _q_maximal_matching,
         "bowtie_structure": _q_bowtie,
+        "chunk_plan": _q_chunk_plan,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4567,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reachability": _temporal_sql(),
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
+        "chunk_plan": _CHUNK_PLAN_SQL,
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),

@@ -79,3 +79,51 @@ def pack_sequences(
             F.floor(F.col("start_off") / budget).cast("long").alias("shard"),
         )
     )
+
+
+def chunk_plan(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunk plan per document → one row per chunk
+    (id, chunk_idx, start_tok, end_tok, chunk_tokens) — the
+    context-window slicing step of a pretraining/RAG pipeline, as a
+    PLAN over token offsets (the text itself never rides the explode).
+
+    Starts at 0, stride, 2·stride, …; n_chunks = 1 for docs that fit,
+    else ceil((n − chunk)/stride) + 1 so the final window always covers
+    the tail (it may overlap more). Zero-token docs emit no chunks.
+    Integer arithmetic only — engine-exact. ``tokens_col`` is a Column
+    (e.g. functions.text.whitespace_token_count) so callers pin the
+    same token definition their other corpus queries use.
+
+    Shape: narrow select + explode(sequence) — map-only, no shuffle;
+    chunk row count is data-bounded (Σ n_chunks), never |docs|·const.
+    """
+    if chunk <= 0 or stride <= 0 or stride > chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    base = df.select(F.col(id_col), tokens_col.cast("long").alias("_n"))
+    n_chunks = (
+        F.when(F.col("_n") <= 0, F.lit(0))
+        .when(F.col("_n") <= chunk, F.lit(1))
+        .otherwise(F.expr(f"(_n - {chunk} + {stride} - 1) DIV {stride} + 1"))
+    )
+    return base.select(id_col, "_n", n_chunks.cast("long").alias("_k")).where(
+        F.col("_k") > 0
+    ).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_k") - 1)).alias("chunk_idx"),
+        "_n",
+    ).select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+        F.least(F.col("chunk_idx") * stride + chunk, F.col("_n")).cast("long").alias("end_tok"),
+        (
+            F.least(F.col("chunk_idx") * stride + chunk, F.col("_n"))
+            - F.col("chunk_idx") * stride
+        ).cast("long").alias("chunk_tokens"),
+    )

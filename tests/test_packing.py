@@ -49,3 +49,32 @@ def test_pack_empty_and_bad_budget(spark):
     assert pack_sequences(df, "doc_id", "tokens", budget=10).count() == 0
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "tokens", budget=0)
+
+
+def test_chunk_plan_windows(spark):
+    """Sliding windows: fit-in-one doc, exact multi-chunk coverage, tail
+    overhang, zero-token doc omitted; every token covered, consecutive
+    chunks overlap by chunk - stride."""
+    from metis_spark.operators.packing import chunk_plan
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 64), (3, 65), (4, 160), (5, 0)],
+        "doc_id long, n long",
+    )
+    out = chunk_plan(docs, "doc_id", F.col("n"), chunk=64, stride=48)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["end_tok"], r["chunk_tokens"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (0, 10, 10)
+    assert got[(2, 0)] == (0, 64, 64) and (2, 1) not in got
+    assert got[(3, 0)] == (0, 64, 64) and got[(3, 1)] == (48, 65, 17)
+    # 160 tokens: ceil((160-64)/48)+1 = 3 chunks; last covers the tail
+    assert got[(4, 0)] == (0, 64, 64)
+    assert got[(4, 1)] == (48, 112, 64)
+    assert got[(4, 2)] == (96, 160, 64)
+    assert not any(d == 5 for d, _ in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_plan(docs, "doc_id", F.col("n"), chunk=8, stride=9)
