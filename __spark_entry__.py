@@ -3643,13 +3643,18 @@ def _q_msf(spark, sf_dir):
     return msf
 
 
-def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J) -> str:
+def _msf_sql(
+    rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J,
+    out: str = "forest",
+) -> str:
     """Unrolled Borůvka twin: per round, min cross edge per fragment
     label (ROW_NUMBER over (w, s, d) — the same total order as Spark's
     min_by struct), then ``inner`` hash-min steps on the chosen-edge
     quotient graph (q(c) ← least(q, min over projected neighbours),
     re-projected each step — fixpoint is the fragment-min label), then
-    one vertex relabel. Rounds past convergence are no-ops."""
+    one vertex relabel. Rounds past convergence are no-ops.
+    ``out="forest"`` emits the chosen edges (the MSF); ``out="clusters"``
+    emits the round-``rounds`` fragment labels (affinity clustering)."""
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
         "ce AS MATERIALIZED (SELECT a, b, "
@@ -3699,6 +3704,11 @@ def _msf_sql(rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J) -> str:
         ctes.append(
             f"l{r} AS MATERIALIZED (SELECT l.id, COALESCE(q.q, l.lab) AS lab "
             f"FROM l{p} l LEFT JOIN q{r}_{inner} q ON l.lab = q.c)"
+        )
+    if out == "clusters":
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, lab AS cluster FROM l{rounds}"
         )
     union = " UNION ALL ".join(
         f"SELECT s, d, w FROM chosen{r}" for r in range(1, rounds + 1)
@@ -3852,6 +3862,27 @@ def _temporal_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
     )
 
 
+AFFINITY_LEVEL = 2  # affinity clustering level: fragments after 2
+# Borůvka rounds (level 1 is near-trivial pairing on this graph)
+
+
+def _q_affinity_clusters(spark, sf_dir):
+    """Affinity clustering level-2 (plans/mst.py:affinity_clusters —
+    Bateni et al. NeurIPS'17): clusters are the Borůvka fragments after
+    2 min-edge merge rounds over the hash-weighted sparse graph."""
+    from metis_spark.plans.mst import affinity_clusters
+
+    weighted = derived_edges_sparse(spark, sf_dir).select(
+        "src", "dst", _msf_weight_col().alias("weight")
+    )
+    out, info = affinity_clusters(
+        weighted, level=AFFINITY_LEVEL,
+        checkpoint_dir=_tmpdir("metis_qaffinity_"),
+    )
+    assert info["inner_steps_max"] <= MSF_INNER_J, info
+    return out
+
+
 def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
     """Cold unrolled twin on the REDUCED graph (the decremental path's
     unique fixpoint): the same deletion rule applied to the canonical
@@ -3961,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": _q_maximal_matching,
         "bowtie_structure": _q_bowtie,
         "chunk_plan": _q_chunk_plan,
+        "affinity_clusters_l2": _q_affinity_clusters,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4603,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,
+        "affinity_clusters_l2": _msf_sql(rounds=AFFINITY_LEVEL, out="clusters"),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),

@@ -237,4 +237,33 @@ def minimum_spanning_forest(
         "converged": converged,
         "seconds": time.monotonic() - t0,
         "n": n,
+        "labels": labels,  # (id, lab) fragment-min labels after the last round
     }
+
+
+def affinity_clusters(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    level: int = 1,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Affinity clustering (Bateni et al., "Affinity Clustering:
+    Hierarchical Clustering at Scale", NeurIPS 2017): the level-k
+    clusters are EXACTLY the Borůvka fragments after k rounds — each
+    vertex/cluster greedily merges along its minimum-weight incident
+    edge, k times. Runs the same committed Borůvka loop capped at
+    ``level`` rounds and returns (clusters(id, cluster), info); the
+    cluster id is the fragment-minimum vertex id (deterministic, and
+    what the unrolled oracle computes). If the forest saturates before
+    ``level`` rounds the clusters are the connected components."""
+    msf, info = minimum_spanning_forest(
+        edges,
+        weight_col=weight_col,
+        max_rounds=level,
+        checkpoint_dir=checkpoint_dir,
+        resume=False,
+        num_partitions=num_partitions,
+    )
+    out = info["labels"].select("id", F.col("lab").alias("cluster"))
+    return out, info

@@ -109,3 +109,60 @@ def test_msf_resume_identical(spark, tmp_path):
     assert not pinfo["converged"]
     rest, info = run(spark, rows, checkpoint_dir=d)
     assert rest == cold == kruskal(rows)
+
+
+def test_affinity_clusters_levels(spark):
+    """Level-1 affinity clusters = components of the min-incident-edge
+    graph; a deep level saturates to the connected components."""
+    from metis_spark.plans.mst import affinity_clusters
+
+    pairs = random_graph(n=50, p=0.08, seed=37, zipf_extra=25)
+    rows = [(s, d, hash_weight(s, d)) for s, d in pairs]
+    df = wedges_df(spark, rows)
+
+    # python twin: canonical min-weight edges, each vertex picks min
+    best = {}
+    for s, d, w in rows:
+        if s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        if (a, b) not in best or w < best[(a, b)]:
+            best[(a, b)] = w
+    inc = {}
+    for (a, b), w in best.items():
+        for v, o in ((a, b), (b, a)):
+            if v not in inc or (w, *sorted((v, o))) < inc[v][0]:
+                inc[v] = ((w, min(v, o), max(v, o)), o)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v, (_, o) in inc.items():
+        ra, rb = find(v), find(o)
+        if ra != rb:
+            parent[ra] = rb
+    verts = {v for a, b in best for v in (a, b)}
+    want = {}
+    comp = {}
+    for v in sorted(verts):
+        comp.setdefault(find(v), []).append(v)
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            want[v] = m
+
+    out, _ = affinity_clusters(df, level=1)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == want
+
+    deep, _ = affinity_clusters(df, level=20)
+    got_deep = {r["id"]: r["cluster"] for r in deep.collect()}
+    n_clusters = len(set(got_deep.values()))
+    # saturated clusters == connected components (via kruskal forest size)
+    forest = kruskal(rows)
+    assert n_clusters == len(verts) - len(forest)
