@@ -1102,6 +1102,54 @@ def _q_ann_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+KCENTER_K = 4
+
+
+def _q_kcenter(spark, sf_dir):
+    """Greedy k-center / farthest-first seeds over the embedding corpus
+    (operators/similarity.py:kcenter_seeds) — the deterministic
+    2-approx diversity seeder; round-before-rank cosine distance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kcenter_seeds(emb, "vec_id", "embedding", k=KCENTER_K)
+
+
+def _kcenter_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+        f"/ (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) "
+        f"* sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    )
+
+
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    """Unrolled farthest-first twin: per step, fold the new center's
+    rounded cosine distance into the running min, then argmax by
+    (dist DESC, vec_id ASC)."""
+    ctes = [
+        "p0 AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v, 2.0::DOUBLE AS dist FROM p0 "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM p0))",
+    ]
+    for i in range(2, k + 1):
+        p = "p0 p" if i == 2 else f"d{i-2} p"
+        prev_dist = "2.0::DOUBLE" if i == 2 else "p.dist"
+        ctes.append(
+            f"d{i-1} AS MATERIALIZED (SELECT p.vec_id, p.v, "
+            f"LEAST({prev_dist}, ROUND(1.0 - {_kcenter_cos('p.v', 'c.v')}, 6)) AS dist "
+            f"FROM {p} CROSS JOIN c{i-1} c WHERE p.vec_id <> c.vec_id)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, v, dist FROM ("
+            f"SELECT vec_id, v, dist, ROW_NUMBER() OVER "
+            f"(ORDER BY dist DESC, vec_id ASC) AS rn FROM d{i-1}) WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rn, vec_id, dist FROM c{i}" for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union}"
+
+
 ANN_TABLES, ANN_PLANES = 16, 3       # lsh_bucket_topk / recall-gate params
 NEARDUP_TABLES, NEARDUP_PLANES = 24, 3  # sized so every ≥0.4 pair collides
 
@@ -3993,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_structure": _q_bowtie,
         "chunk_plan": _q_chunk_plan,
         "affinity_clusters_l2": _q_affinity_clusters,
+        "kcenter_seeds": _q_kcenter,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4636,6 +4685,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,
         "affinity_clusters_l2": _msf_sql(rounds=AFFINITY_LEVEL, out="clusters"),
+        "kcenter_seeds": _kcenter_sql(),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),

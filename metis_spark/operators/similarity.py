@@ -393,3 +393,53 @@ def lsh_bucket_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def kcenter_seeds(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985) over
+    cosine distance → (rn, vec_id, dist): the standard 2-approximation
+    coreset/diversity seeder for embedding corpora (and the usual
+    k-means++-style init when determinism matters more than sampling).
+
+    Start from the smallest id; each step picks the point maximizing its
+    min distance to the chosen set, tie-broken by id on the ROUNDED
+    distance (round-before-rank, the same float discipline as
+    cosine_topk, so any engine replays the identical sequence).
+    ``dist`` is the selection-time distance; the seed row reports 2.0
+    (the cosine-distance diameter).
+
+    Shape at scale: k passes, each a map-only broadcast of ONE new
+    center vector + a running elementwise LEAST, then a TakeOrdered
+    argmax (orderBy().limit(1)) — no shuffle of the point set, no
+    cross join; driver holds k rows total.
+    """
+    state = points.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    first = state.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(first["vec_id"]), 2.0)]
+    cur_vec = first["v"]
+    state = state.where(F.col("vec_id") != int(first["vec_id"])).withColumn(
+        "dist", F.lit(2.0)
+    )
+    for rn in range(2, k + 1):
+        cv = F.array(*[F.lit(float(x)) for x in cur_vec])
+        state = state.select(
+            "vec_id", "v",
+            F.least(
+                F.col("dist"), F.round(1.0 - cosine(F.col("v"), cv), 6)
+            ).alias("dist"),
+        ).localCheckpoint(eager=True)
+        top = state.orderBy(F.desc("dist"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((rn, int(top["vec_id"]), float(top["dist"])))
+        cur_vec = top["v"]
+        state = state.where(F.col("vec_id") != int(top["vec_id"]))
+    spark = points.sparkSession
+    return spark.createDataFrame(
+        centers, "rn long, vec_id long, dist double"
+    )

@@ -154,3 +154,46 @@ def test_ivf_fit_deterministic(spark):
     c1 = {r["cid"]: r["cv"] for r in SIM.ivf_fit(emb, cent0, iters=2).collect()}
     c2 = {r["cid"]: r["cv"] for r in SIM.ivf_fit(emb, cent0, iters=2).collect()}
     assert c1 == c2 and len(c1) > 0
+
+
+def test_kcenter_seeds_farthest_first(spark):
+    """Greedy k-center on a tiny planted set: axis-aligned clusters —
+    each new seed lands in the farthest untouched cluster; Python twin
+    replays the exact (rounded-dist, id) sequence."""
+    import math
+
+    vecs = {
+        0: [1.0, 0.0, 0.0], 1: [0.99, 0.01, 0.0],
+        10: [0.0, 1.0, 0.0], 11: [0.01, 0.99, 0.0],
+        20: [0.0, 0.0, 1.0],
+        30: [0.6, 0.6, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    out = SIM.kcenter_seeds(df, k=4)
+    got = [(r["rn"], r["vec_id"], r["dist"]) for r in out.orderBy("rn").collect()]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    chosen = [0]
+    dist = {v: 2.0 for v in vecs if v != 0}
+    want = [(1, 0, 2.0)]
+    for rn in range(2, 5):
+        for v in dist:
+            dist[v] = min(dist[v], round(1.0 - cos(vecs[v], vecs[chosen[-1]]), 6))
+        nxt = min(dist, key=lambda v: (-dist[v], v))
+        want.append((rn, nxt, dist[nxt]))
+        chosen.append(nxt)
+        del dist[nxt]
+    assert [(r, v) for r, v, _ in got] == [(r, v) for r, v, _ in want]
+    for (_, _, dg), (_, _, dw) in zip(got, want):
+        assert abs(dg - dw) < 1e-9
+    # the three orthogonal clusters are each hit before any near-dup
+    assert {v for _, v, _ in got[:3]} <= {0, 1, 10, 11, 20}
+    assert len({v // 10 for _, v, _ in got[:3]}) == 3
