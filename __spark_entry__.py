@@ -1150,6 +1150,15 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{union}"
 
 
+def _q_directed_triads(spark, sf_dir):
+    """Directed 3-node motif census on the sparse import graph
+    (plans/triangles.py:directed_triad_census): cyclic u→v→w→u vs
+    feed-forward u→v→w, u→w — the Milo-style motif signature."""
+    from metis_spark.plans.triangles import directed_triad_census
+
+    return directed_triad_census(derived_edges_sparse(spark, sf_dir))
+
+
 ANN_TABLES, ANN_PLANES = 16, 3       # lsh_bucket_topk / recall-gate params
 NEARDUP_TABLES, NEARDUP_PLANES = 24, 3  # sized so every ≥0.4 pair collides
 
@@ -4042,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_plan": _q_chunk_plan,
         "affinity_clusters_l2": _q_affinity_clusters,
         "kcenter_seeds": _q_kcenter,
+        "directed_triads": _q_directed_triads,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4686,6 +4696,17 @@ def oracle_sql() -> dict[str, str]:
         "chunk_plan": _CHUNK_PLAN_SQL,
         "affinity_clusters_l2": _msf_sql(rounds=AFFINITY_LEVEL, out="clusters"),
         "kcenter_seeds": _kcenter_sql(),
+        "directed_triads": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+            "c AS (SELECT COUNT(*)::BIGINT AS n_cyclic FROM edges e1 "
+            "JOIN edges e2 ON e1.dst = e2.src "
+            "JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+            "WHERE e1.src < e1.dst AND e1.src < e2.dst), "
+            "f AS (SELECT COUNT(*)::BIGINT AS n_feedforward FROM edges e1 "
+            "JOIN edges e2 ON e1.dst = e2.src AND e1.src <> e2.dst "
+            "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+            "SELECT c.n_cyclic, f.n_feedforward FROM c CROSS JOIN f"
+        ),
         "maximal_independent_set": _mis_sql(),
         "greedy_coloring": _coloring_sql(),
         "speculative_coloring": _spec_coloring_sql(),

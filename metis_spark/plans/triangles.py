@@ -97,3 +97,43 @@ def triangle_count_per_vertex(edges: DataFrame, vertices: DataFrame | None = Non
             .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
         )
     return counts
+
+
+def directed_triad_census(edges: DataFrame) -> DataFrame:
+    """Directed 3-node motif counts over the closed triads → one row
+    (n_cyclic, n_feedforward): cyclic = u→v→w→u (counted once via the
+    min-vertex anchor u < v AND u < w), feed-forward = the transitive
+    triad u→v, v→w, u→w (counted once per role assignment, which is
+    unique given the edge directions). The cyclic/FFL ratio is the
+    classic motif signature separating feedback-heavy graphs from
+    hierarchies (Milo et al., "Network Motifs", Science 2002).
+
+    Plan: two self-join chains on the deduped directed edge table —
+    each a pair of SHJ equi-joins; Catalyst reuses the exchange of the
+    shared join key. At 10^12-edge scale the standard refinement is to
+    orient each chain hop low-degree-first (the same √m bound as
+    plans/triangles.py:_oriented) — at the gate scales the plain chain
+    is already exchange-minimal.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3c = e.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    cyc = (
+        e1.join(e2, "v")
+        .join(e3c, ["w", "u"])
+        .where((F.col("u") < F.col("v")) & (F.col("u") < F.col("w")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic"))
+    )
+    e3f = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    ffl = (
+        e1.join(e2, "v")
+        .where(F.col("u") != F.col("w"))
+        .join(e3f, ["u", "w"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_feedforward"))
+    )
+    return cyc.crossJoin(ffl)

@@ -88,3 +88,20 @@ def test_seeded_lpa_seeds_immutable(spark, tmp_path):
     )
     lab = {r["id"]: r["label"] for r in out.collect()}
     assert lab[0] == 7 and all(lab[i] == 9 for i in range(1, 6))
+
+
+def test_directed_triad_census(spark):
+    """Hand-counted motifs. Cyclic: 0→1→2→0 and 10→11→12→10.
+    Feed-forward: (5→6, 6→7, 5→7) and (11→12, 12→10, 11→10) — the
+    reciprocal edge 11→10 closes a second FFL on the 10/11/12 cycle."""
+    from metis_spark.plans.triangles import directed_triad_census
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),
+        (5, 6), (6, 7), (5, 7),
+        (10, 11), (11, 10), (11, 12), (12, 10),
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    row = directed_triad_census(df).collect()[0]
+    assert row["n_cyclic"] == 2
+    assert row["n_feedforward"] == 2
