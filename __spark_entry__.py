@@ -2097,6 +2097,27 @@ def _q_window_distinct(spark, sf_dir):
     )
 
 
+CROSS_N = 5  # threshold-crosser count
+
+
+def _q_threshold_crossers(spark, sf_dir):
+    """The event at which each user's cumulative count crosses N — the
+    batch twin of streaming_threshold_crossers (streaming/
+    incremental.py, applyInPandasWithState emit-once state machine).
+    One per-user rank window over (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == CROSS_N)
+        .select(
+            "user_id",
+            F.col("ts").alias("crossed_at"),
+            F.lit(CROSS_N).cast("long").alias("nth"),
+        )
+    )
+
+
 def _q_graph_summary(spark, sf_dir):
     """One-row global profile: sizes, degree extremes, density — the
     numbers that size every downstream decision (salting, partitions,
@@ -4012,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
+        "threshold_crossers": _q_threshold_crossers,
         "session_windows": _q_session_windows,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
@@ -4613,6 +4635,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch(date_trunc('hour', ts))::BIGINT AS w_epoch, event_type, "
             "COUNT(DISTINCT user_id)::BIGINT AS n_users, COUNT(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "threshold_crossers": (
+            "SELECT user_id, ts AS crossed_at, "
+            f"{CROSS_N}::BIGINT AS nth FROM ("
+            "SELECT user_id, ts, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events) "
+            f"WHERE rn = {CROSS_N}"
         ),
         "graph_summary": (
             f"WITH {_EDGES_SQL.strip()}, "

@@ -367,3 +367,64 @@ def streaming_windowed_distinct(
         .queryName(out_table)
         .start()
     )
+
+
+def streaming_threshold_crossers(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "crossers",
+    n: int = 5,
+):
+    """Emit each user EXACTLY ONCE, at the event where their cumulative
+    count crosses ``n`` — the arbitrary-keyed-state primitive
+    (``applyInPandasWithState``) that neither windowed aggregations nor
+    ``dropDuplicates`` can express: the emission depends on the whole
+    history of the key, not on any window.
+
+    State per live user is ONE long (the running count) — bounded by
+    #users, never #events, so the query runs forever at 100 TB/day; the
+    Arrow batch path keeps the python hop vectorized per group. Rows in
+    a micro-batch are counted in (ts, event_id) order, so with an
+    in-order feed the emitted row is the global n-th event (the batch
+    twin `threshold_crossers` pins exactly that; streamed ≡ batch is
+    pinned by tests/test_streaming_cli.py). Output rows
+    (user_id, crossed_at, nth) append to ``out_table``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        hits = []
+        for pdf in pdfs:
+            if cnt >= n:
+                cnt += len(pdf)
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                cnt += 1
+                if cnt == n:
+                    hits.append((int(key[0]), ts, n))
+        state.update((cnt,))
+        if hits:
+            yield pd.DataFrame(hits, columns=["user_id", "crossed_at", "nth"])
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, crossed_at timestamp, nth long",
+        stateStructType="cnt long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

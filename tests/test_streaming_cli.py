@@ -5,6 +5,7 @@ import os
 import subprocess
 import sys
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metis_spark.sources.corpus import corpus_ledger, generate_corpus
@@ -407,3 +408,56 @@ def test_streaming_stream_stream_attribution(spark, tmp_path):
     assert got == batch, (got, batch)
     assert (1, 0, 100) in got and (1, 1, 200) in got
     assert not any(u == 2 for u, _, _ in got)
+
+
+def test_streaming_threshold_crossers_matches_batch(spark, tmp_path):
+    """applyInPandasWithState emit-once state machine: each user emitted
+    exactly once, at their n-th event, across TWO in-order micro-batch
+    drains — equal to the batch rank-window twin on the same rows."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_threshold_crossers
+
+    drop = tmp_path / "dropc"
+    drop.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, k, t0 + timedelta(minutes=m))
+                for i, (u, k, m) in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    # user 1: 3 events in batch 1 + 3 in batch 2 (crosses n=5 in batch 2);
+    # user 2: 6 events in batch 1 (crosses in batch 1, 6th is ignored);
+    # user 3: 4 events total (never crosses)
+    b1 = [(1, "click", m) for m in (0, 1, 2)] + [(2, "view", m) for m in range(6)] \
+        + [(3, "click", m) for m in (0, 1)]
+    b2 = [(1, "click", m) for m in (10, 11, 12)] + [(3, "view", m) for m in (10, 11)]
+    _events(b1).coalesce(1).write.mode("overwrite").parquet(str(drop / "f1"))
+    _events(b2, start_id=1000).coalesce(1).write.mode("overwrite").parquet(
+        str(drop / "f2")
+    )
+    q = streaming_threshold_crossers(spark, str(drop) + "/*", out_table="crx", n=5)
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["crossed_at"], r["nth"])
+            for r in spark.sql("SELECT * FROM crx").collect()
+        }
+    finally:
+        q.stop()
+
+    allrows = _events(b1).unionByName(_events(b2, start_id=1000))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["user_id"], r["ts"], 5)
+        for r in allrows.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 5)
+        .collect()
+    }
+    assert got == want
+    assert {u for u, _, _ in got} == {1, 2}
