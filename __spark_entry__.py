@@ -2216,6 +2216,59 @@ def _dedup_clusters_sql() -> str:
     )
 
 
+def _q_embedding_dedup_clusters(spark, sf_dir):
+    """Embedding-space dedup endgame: LSH-banded near-dup pairs
+    (sim ≥ 0.40, no CartesianProduct) become an undirected similarity
+    graph; connected components assigns each vector its cluster id
+    (min vec_id) + cluster size — the vector twin of the MinHash-text
+    `dedup_clusters`. Vectors in no near-dup pair are omitted (they
+    self-represent). Composition of two verified operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.40,
+        dim=64, num_tables=NEARDUP_TABLES, num_planes=NEARDUP_PLANES,
+    )
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qedclus_")
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _embedding_dedup_clusters_sql() -> str:
+    """All-pairs threshold oracle (candidate completeness is part of the
+    gate, as for embedding_neardup) + unrolled min-label CC + sizes."""
+    ctes = [
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings)",
+        "cand AS MATERIALIZED (SELECT qid AS a, vec_id AS b FROM ("
+        f"SELECT q.qid, c.vec_id, ROUND({_COS_SQL}, 6) AS sim "
+        "FROM embeddings c JOIN q ON q.qid < c.vec_id) WHERE sim >= 0.40)",
+        "cvert AS MATERIALIZED (SELECT a AS id FROM cand UNION SELECT b FROM cand)",
+        "cund AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand "
+        "UNION ALL SELECT b, a FROM cand)",
+        "k0 AS (SELECT id, id AS label FROM cvert)",
+    ]
+    for i in range(1, DEDUP_CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"k{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM k{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM cund u "
+            f"JOIN k{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    last = f"k{DEDUP_CC_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nsizes AS (SELECT label, COUNT(*)::BIGINT AS cluster_size FROM {last} GROUP BY label)\n"
+        f"SELECT k.id AS vec_id, k.label AS cluster, s.cluster_size "
+        f"FROM {last} k JOIN sizes s ON k.label = s.label"
+    )
+
+
 def _q_neardup_keep_best(spark, sf_dir):
     """Near-dup curation ENDGAME: MinHash clusters (dedup_clusters'
     machinery) joined with quality_score, keeping the HIGHEST-quality
@@ -4074,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affinity_clusters_l2": _q_affinity_clusters,
         "kcenter_seeds": _q_kcenter,
         "directed_triads": _q_directed_triads,
+        "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4665,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM n CROSS JOIN r"
         ),
         "dedup_clusters": _dedup_clusters_sql(),
+        "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
         "neardup_keep_best": _neardup_keep_best_sql(),
         "copart_topk": (
             "WITH g AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS item FROM lineitem), "
