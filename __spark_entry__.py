@@ -1150,6 +1150,27 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{union}"
 
 
+def _q_sq8_codes(spark, sf_dir):
+    """SQ8 scalar-quantized embedding codes (operators/similarity.py:
+    scalar_quantize_codes): per-dim min/max scale, floor-coded —
+    integer-exact across engines because nothing sums floats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.scalar_quantize_codes(emb, "vec_id", "embedding")
+
+
+_SQ8_SQL = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, ix.i AS dim, embedding[ix.i + 1]::DOUBLE AS val
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) ix
+),
+stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY dim)
+SELECT e.vec_id, e.dim::BIGINT AS dim,
+  CASE WHEN s.mx = s.mn THEN 0
+       ELSE LEAST(255, FLOOR((e.val - s.mn) / (s.mx - s.mn) * 256)) END::BIGINT AS code
+FROM ex e JOIN stats s ON e.dim = s.dim
+"""
+
+
 def _q_directed_triads(spark, sf_dir):
     """Directed 3-node motif census on the sparse import graph
     (plans/triangles.py:directed_triad_census): cyclic u→v→w→u vs
@@ -4128,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_seeds": _q_kcenter,
         "directed_triads": _q_directed_triads,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
+        "sq8_codes": _q_sq8_codes,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4720,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": _dedup_clusters_sql(),
         "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
+        "sq8_codes": _SQ8_SQL,
         "neardup_keep_best": _neardup_keep_best_sql(),
         "copart_topk": (
             "WITH g AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS item FROM lineitem), "

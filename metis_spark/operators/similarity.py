@@ -443,3 +443,50 @@ def kcenter_seeds(
     return spark.createDataFrame(
         centers, "rn long, vec_id long, dist double"
     )
+
+
+def scalar_quantize_codes(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """SQ8-style scalar quantization → (vec_id, dim, code): per-dimension
+    min/max over the corpus defines the scale, code = floor((x − min) /
+    (max − min) · levels) clamped to levels−1 — the memory-4×-shrink
+    trick every at-scale vector index applies before distance compute
+    (FAISS SQ8). Constant dimensions code to 0.
+
+    Engine-exact on purpose: min/max aggregation involves NO float
+    summation, and floor of identically-derived doubles is deterministic
+    — so the codes hash-match across engines (unlike anything built on
+    Σfloat). Shape: one posexplode (dim× rows), a dim-sized stats agg
+    broadcast back, then a map-only code expression.
+    """
+    ex = points.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    ).select("vec_id", "dim", F.col("val").cast("double").alias("val"))
+    stats = ex.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(levels - 1),
+                    F.floor(
+                        (F.col("val") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * levels
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("code"),
+        )
+    )

@@ -197,3 +197,27 @@ def test_kcenter_seeds_farthest_first(spark):
     # the three orthogonal clusters are each hit before any near-dup
     assert {v for _, v, _ in got[:3]} <= {0, 1, 10, 11, 20}
     assert len({v // 10 for _, v, _ in got[:3]}) == 3
+
+
+def test_sq8_codes_contract(spark):
+    """SQ8 codes: per-dim extremes map to 0 / 255, midpoints floor
+    correctly, constant dims code to 0, all codes within [0, 255]."""
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0, 7.0]),
+            (2, [10.0, 5.0, 3.0]),
+            (3, [5.0, 5.0, 5.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["dim"]): r["code"]
+        for r in SIM.scalar_quantize_codes(df).collect()
+    }
+    # dim 0: min 0, max 10 -> codes floor(x/10*256) clamp 255
+    assert got[(1, 0)] == 0 and got[(2, 0)] == 255 and got[(3, 0)] == 128
+    # dim 1 constant -> all 0
+    assert got[(1, 1)] == got[(2, 1)] == got[(3, 1)] == 0
+    # dim 2: min 3, max 7 -> v=5 codes floor(2/4*256)=128
+    assert got[(2, 2)] == 0 and got[(1, 2)] == 255 and got[(3, 2)] == 128
+    assert all(0 <= c <= 255 for c in got.values())
