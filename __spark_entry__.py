@@ -1150,6 +1150,50 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{union}"
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty (operators/corpus_stats.py:ngram_novelty):
+    fraction of shingles first seen in this doc — the Lee et al.
+    novel-token-rate audit over the MinHash path's shingle definition."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.ngram_novelty(docs, "doc_id", "text", k=3)
+
+
+HARDNEG_K = 3
+
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for the 5 smallest vec_ids, the
+    top-3 most-cosine-similar vectors with a DIFFERENT label — the
+    standard batch-mining step for contrastive/embedding training.
+    Broadcast-query crossJoin, round-before-rank (same discipline as
+    cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("label").alias("c_label"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(SIM.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HARDNEG_K)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def _q_sq8_codes(spark, sf_dir):
     """SQ8 scalar-quantized embedding codes (operators/similarity.py:
     scalar_quantize_codes): per-dim min/max scale, floor-coded —
@@ -4150,6 +4194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_triads": _q_directed_triads,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "sq8_codes": _q_sq8_codes,
+        "ngram_novelty": _q_ngram_novelty,
+        "hard_negatives": _q_hard_negatives,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4743,6 +4789,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
         "sq8_codes": _SQ8_SQL,
+        "ngram_novelty": (
+            f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
+            "ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+            "fst AS (SELECT shingle, MIN(doc_id) AS fd FROM ex GROUP BY shingle) "
+            "SELECT e.doc_id, COUNT(*)::BIGINT AS n_grams, "
+            "SUM((f.fd = e.doc_id)::INT)::BIGINT AS n_novel, "
+            "ROUND(SUM((f.fd = e.doc_id)::INT) / COUNT(*)::DOUBLE, 6) AS novelty "
+            "FROM ex e JOIN fst f ON e.shingle = f.shingle GROUP BY e.doc_id"
+        ),
+        "hard_negatives": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql "
+            "FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id, "
+            f"ROUND({_COS_SQL}, 6) AS sim FROM embeddings c CROSS JOIN q "
+            "WHERE c.label <> q.ql) "
+            "SELECT query_id, neighbor_id, sim, rn FROM ("
+            "SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn "
+            f"FROM scored) WHERE rn <= {HARDNEG_K}"
+        ),
         "neardup_keep_best": _neardup_keep_best_sql(),
         "copart_topk": (
             "WITH g AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS item FROM lineitem), "

@@ -291,3 +291,33 @@ def boilerplate_ngrams(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document n-gram novelty → (doc_id, n_grams, n_novel, novelty):
+    the fraction of a doc's distinct k-gram shingles whose FIRST corpus
+    occurrence (min doc id) is this doc — the memorization/duplication
+    audit of Lee et al. ("Deduplicating Training Data...", ACL 2022)
+    §novel-token rate, over the same shingle definition the MinHash
+    dedup path uses (operators/dedup.py:exploded_shingles). Documents
+    with < k tokens have no shingles and are omitted.
+
+    Shape: one explode + two map-side-combining groupBys (first-owner
+    per shingle, then per-doc counts) + one equi-join — the exact
+    all-corpus novelty at the cost of one dedup-style shuffle."""
+    from metis_spark.operators.dedup import exploded_shingles
+
+    ex = exploded_shingles(df, id_col, text_col, k=k)
+    first = ex.groupBy("shingle").agg(F.min("doc").alias("fd"))
+    return (
+        ex.join(first.hint("shuffle_hash"), "shingle")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("fd") == F.col("doc")).cast("long")).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6),
+        )
+    )

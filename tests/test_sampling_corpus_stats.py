@@ -229,3 +229,26 @@ def test_temperature_mixture_sample_quotas_and_determinism(spark):
     big_ids = sorted((hb(i), i) for i in range(400))
     want_big = {i for _, i in big_ids[:169]}
     assert {i for i, g in got if g == "big"} == want_big
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    """Doc 1 owns all its shingles (first occurrence); doc 2 copies doc 1
+    exactly (novelty 0); doc 3 shares a suffix with doc 1 (partial)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zz yy beta gamma delta"),
+            (4, "xx yy"),  # < 3 tokens -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in CS.ngram_novelty(docs).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 2
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 0
+    assert got[2]["novelty"] == 0.0
+    # doc 3 shingles: "zz yy beta", "yy beta gamma", "beta gamma delta"
+    # (last one first seen in doc 1)
+    assert got[3]["n_grams"] == 3 and got[3]["n_novel"] == 2
+    assert 4 not in got
