@@ -1025,6 +1025,41 @@ def _q_csr(spark, sf_dir):
     )
 
 
+def _q_csr_gap_histogram(spark, sf_dir):
+    """Adjacency-gap histogram over the sorted sparse CSR rows: count of
+    neighbor-id deltas per floor(log2(gap)) bucket — the WebGraph/BV
+    compressibility profile (small gaps ⇒ the 100 TB adjacency encodes
+    in a few bits/edge). Integer-exact bucketing via binary-string
+    length (length(conv(gap, 10, 2)) − 1), never float log2. One
+    src-partitioned LAG window — the same partitioning the CSR build
+    itself uses, so no extra exchange shape at scale."""
+    e = derived_edges_sparse(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    gaps = und.select(
+        "src", (F.col("dst") - F.lag("dst").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.select(
+            (F.length(F.conv(F.col("gap").cast("string"), 10, 2)) - 1)
+            .cast("long").alias("gap_bucket")
+        )
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+
+
+_CSR_GAP_SQL_TMPL = """
+WITH {edges},
+gaps AS (SELECT src, dst - LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS gap
+         FROM und)
+SELECT (length(bin(gap)) - 1)::BIGINT AS gap_bucket, COUNT(*)::BIGINT AS n_gaps
+FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
 N_MEDIA = 200
 
 
@@ -4196,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_codes": _q_sq8_codes,
         "ngram_novelty": _q_ngram_novelty,
         "hard_negatives": _q_hard_negatives,
+        "csr_gap_histogram": _q_csr_gap_histogram,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4789,6 +4825,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
         "sq8_codes": _SQ8_SQL,
+        "csr_gap_histogram": _CSR_GAP_SQL_TMPL.format(
+            edges=_EDGES_SPARSE_SQL.strip()
+        ),
         "ngram_novelty": (
             f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
             "ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh), "
