@@ -1025,6 +1025,93 @@ def _q_csr(spark, sf_dir):
     )
 
 
+LP_EVAL_K = 200  # precision@k cutoff
+LP_HOLD_MOD = 4  # hold out ~25% of canonical und pairs by hash
+
+
+def _q_linkpred_eval(spark, sf_dir):
+    """Link-prediction EVALUATION harness: hold out ~25% of the sparse
+    graph's canonical edges by hash, score the remaining (train) graph
+    with Adamic-Adar (plans/metrics.py, the verified capped-wedge
+    plan), and report precision@200 against the held-out set — the
+    measurement loop a link-prediction user actually runs. One row
+    (k, n_holdout, n_hits, precision); integer counts + one rounded
+    ratio. NOTE the synthetic modular-arithmetic graph is near-random,
+    so the measured precision is honestly low (0.01 / 0.0 at the gate
+    scales) — the harness, not the number, is the deliverable."""
+    from metis_spark.plans.metrics import adamic_adar_topk
+
+    e = derived_edges_sparse(spark, sf_dir)
+    cp = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    hmod = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.lit("h"), F.col("a").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % LP_HOLD_MOD
+    )
+    cp = cp.withColumn("held", hmod == 0)
+    hold = cp.where("held").select("a", "b")
+    train = cp.where(~F.col("held")).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    top = adamic_adar_topk(train, k=LP_EVAL_K, hub_cap=HUB_CAP)
+    hits = top.join(
+        hold.select(F.col("a").alias("u"), F.col("b").alias("v")), ["u", "v"]
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .crossJoin(hold.agg(F.count(F.lit(1)).cast("long").alias("n_holdout")))
+        .select(
+            F.lit(LP_EVAL_K).cast("long").alias("k"),
+            "n_holdout",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(LP_EVAL_K)), 6).alias("precision"),
+        )
+    )
+
+
+def _linkpred_eval_sql() -> str:
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+        "cp AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und), "
+        "marked AS (SELECT a, b, "
+        "(('0x' || substr(md5('h_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        f"::BIGINT % {LP_HOLD_MOD} = 0) AS held FROM cp), "
+        "hold AS MATERIALIZED (SELECT a, b FROM marked WHERE held), "
+        "und2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM marked WHERE NOT held "
+        "UNION ALL SELECT b, a FROM marked WHERE NOT held), "
+        "deg2 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und2 GROUP BY src), "
+        "wedge2 AS (SELECT h1.dst AS u, h2.dst AS v, h1.src AS w, d.deg AS deg_w "
+        "FROM und2 h1 JOIN und2 h2 ON h1.src = h2.src AND h1.dst < h2.dst "
+        f"JOIN deg2 d ON d.id = h1.src WHERE d.deg <= {HUB_CAP}), "
+        "sc AS (SELECT u, v, ROUND(SUM(1.0 / ln(deg_w)), 6) AS score "
+        "FROM wedge2 GROUP BY u, v), "
+        "na AS (SELECT s.u, s.v, s.score FROM sc s "
+        "WHERE NOT EXISTS (SELECT 1 FROM und2 e WHERE e.src = s.u AND e.dst = s.v)), "
+        "topk AS (SELECT u, v FROM (SELECT u, v, "
+        "ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC) AS rn FROM na) "
+        f"WHERE rn <= {LP_EVAL_K}), "
+        "h AS (SELECT COUNT(*)::BIGINT AS n_hits FROM topk t "
+        "JOIN hold d ON t.u = d.a AND t.v = d.b), "
+        "nh AS (SELECT COUNT(*)::BIGINT AS n_holdout FROM hold) "
+        f"SELECT {LP_EVAL_K}::BIGINT AS k, nh.n_holdout, h.n_hits, "
+        f"ROUND(h.n_hits / {LP_EVAL_K}.0, 6) AS precision FROM h CROSS JOIN nh"
+    )
+
+
 def _q_csr_gap_histogram(spark, sf_dir):
     """Adjacency-gap histogram over the sorted sparse CSR rows: count of
     neighbor-id deltas per floor(log2(gap)) bucket — the WebGraph/BV
@@ -4232,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "hard_negatives": _q_hard_negatives,
         "csr_gap_histogram": _q_csr_gap_histogram,
+        "linkpred_eval": _q_linkpred_eval,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4828,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "csr_gap_histogram": _CSR_GAP_SQL_TMPL.format(
             edges=_EDGES_SPARSE_SQL.strip()
         ),
+        "linkpred_eval": _linkpred_eval_sql(),
         "ngram_novelty": (
             f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
             "ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh), "
