@@ -1025,6 +1025,33 @@ def _q_csr(spark, sf_dir):
     )
 
 
+WS_K = 100
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis–Spirakis weighted sample (top-100 by
+    ln(u)/w priority, w = doc length) — inclusion ∝ n_chars,
+    reproducible across engines/cluster sizes
+    (operators/sampling.py:weighted_sample_topk)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    return SAMP.weighted_sample_topk(docs, "doc_id", "w", k=WS_K)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS weight,
+    ROUND(ln((('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+      / 1152921504606846976.0) / GREATEST(n_chars, 1)::DOUBLE, 6) AS priority
+  FROM documents)
+SELECT doc_id, weight, priority, rn FROM (
+  SELECT doc_id, weight, priority,
+    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM scored)
+WHERE rn <= {WS_K}
+"""
+
+
 LP_EVAL_K = 200  # precision@k cutoff
 LP_HOLD_MOD = 4  # hold out ~25% of canonical und pairs by hash
 
@@ -4320,6 +4347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "csr_gap_histogram": _q_csr_gap_histogram,
         "linkpred_eval": _q_linkpred_eval,
+        "weighted_sample_docs": _q_weighted_sample,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "speculative_coloring": _q_spec_coloring,
@@ -4917,6 +4945,7 @@ def oracle_sql() -> dict[str, str]:
             edges=_EDGES_SPARSE_SQL.strip()
         ),
         "linkpred_eval": _linkpred_eval_sql(),
+        "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "ngram_novelty": (
             f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
             "ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh), "

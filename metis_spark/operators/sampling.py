@@ -144,3 +144,41 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo += w
     return df.withColumn("split", expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int = 100,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets priority ln(u)/w with u a hash-derived
+    uniform in (0,1]; the k largest priorities are a weighted sample —
+    inclusion probability ∝ weight, reproducible across engines,
+    cluster sizes, and reruns (the property df.sample cannot give).
+
+    Determinism discipline: u = (hash60 + 1) / 2^60 is an exact double
+    (both operands < 2^53·128, quotient correctly rounded); the priority
+    is ROUNDed to 6 decimals BEFORE ranking with (key) as tie-break —
+    collisions inside a 1e-6 bucket fall back to key order, which keeps
+    the sample well-defined and engine-identical even where libm ln
+    differs in the last ulp. Weights must be ≥ 1.
+
+    Shape: map-only priority + one TakeOrdered top-k — no shuffle of
+    the full table; the rank window sees k rows.
+    """
+    from pyspark.sql import Window
+
+    u = (hash_bucket(F.col(key_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    pri = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    scored = df.select(
+        F.col(key_col), F.col(weight_col).cast("long").alias("weight"),
+        pri.alias("priority"),
+    )
+    top = scored.orderBy(F.desc("priority"), F.asc(key_col)).limit(k)
+    w = Window.orderBy(F.desc("priority"), F.asc(key_col))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -252,3 +252,25 @@ def test_ngram_novelty_first_occurrence(spark):
     # (last one first seen in doc 1)
     assert got[3]["n_grams"] == 3 and got[3]["n_novel"] == 2
     assert 4 not in got
+
+
+def test_weighted_sample_topk_es_contract(spark):
+    """A-ES: priority replays hashlib ln(u)/w exactly; heavier keys are
+    sampled far more often than light ones at equal count."""
+    rows = [(i, 1000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = SAMP.weighted_sample_topk(df, "doc_id", "w", k=20)
+    got = [(r["doc_id"], r["priority"]) for r in out.orderBy("rn").collect()]
+
+    def pri(i, w):
+        u = (int(hashlib.md5(f"ws{i}".encode()).hexdigest()[:15], 16) + 1) / float(
+            1 << 60
+        )
+        return round(math.log(u) / w, 6)
+
+    want = sorted(
+        ((i, pri(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:20]
+    assert got == want
+    heavy = sum(1 for i, _ in got if i < 50)
+    assert heavy >= 18  # weight-1000 rows dominate the sample
