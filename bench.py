@@ -151,6 +151,9 @@ def main() -> None:
         "anf_sketch",
         "training_shards",
         "speculative_coloring",
+        "maximal_matching",
+        "temporal_reachability",
+        "minimum_spanning_forest",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
