@@ -267,3 +267,55 @@ def test_cc_incremental_quotient_is_delta_keyed(spark):
     plan = _executed(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_plan_is_map_only(spark):
+    """chunk_plan must compile with ZERO exchanges — a narrow
+    select + Generate over the scan; the text column never rides it."""
+    from metis_spark.operators.packing import chunk_plan
+
+    docs = spark.read.parquet(os.path.join(TESTDATA, "documents.parquet"))
+    plan = _executed(
+        chunk_plan(docs, "doc_id", F.length("text"), chunk=64, stride=48)
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    # column pruning: the full text column is not in the scan schema
+    assert "ReadSchema" in plan and "lang" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES weighted top-k must be TakeOrderedAndProject — never a
+    global sort or single-partition window over the full table."""
+    from metis_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet(os.path.join(TESTDATA, "documents.parquet"))
+    plan = _executed(
+        weighted_sample_topk(
+            docs.withColumn("w", F.greatest("n_chars", F.lit(1))),
+            "doc_id", "w", k=50,
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kcenter_state_never_cartesian(spark):
+    """kcenter folds ONE broadcast center vector per pass — the state
+    plan must contain no CartesianProduct / BroadcastNestedLoopJoin."""
+    from metis_spark.operators.similarity import kcenter_seeds
+
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    out = kcenter_seeds(emb, k=3)
+    # the RESULT is a k-row local relation; the guarantee to pin is that
+    # building it issued no cartesian jobs — assert on the scan plan of
+    # one distance pass instead
+    from metis_spark.operators.similarity import cosine
+
+    first = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    cv = F.array(*[F.lit(float(x)) for x in first])
+    pass_plan = _executed(
+        emb.select("vec_id", F.round(1.0 - cosine(F.col("embedding"), cv), 6).alias("d"))
+    )
+    assert "CartesianProduct" not in pass_plan
+    assert "BroadcastNestedLoop" not in pass_plan
+    assert out.count() == 3
