@@ -3919,6 +3919,69 @@ def _trussness_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS, und: str = "und") -> s
     )
 
 
+ONION_ROUNDS = 80  # onion layer-count unroll bound (measured 16 / 46 / 57
+# at sf0.001/0.01/0.1 — layer count grows with density; rounds past
+# exhaustion are no-ops — the query asserts the measured count fits)
+
+
+def _q_onion(spark, sf_dir):
+    """Onion decomposition (plans/onion.py): per-vertex (layer, core) by
+    synchronous peeling sweeps — the multi-scale refinement of coreness
+    (core column pinned equal to the h-index result by pytest)."""
+    from metis_spark.plans.onion import onion_decomposition
+
+    out, info = onion_decomposition(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qonion_"),
+    )
+    assert info["converged"] and info["layers"] <= ONION_ROUNDS, info
+    return out
+
+
+def _onion_sql(rounds: int = ONION_ROUNDS) -> str:
+    """Unrolled peeling-sweep twin: per round, live degrees (0 for
+    peeled-isolated vertices), threshold k = max(k_prev, min live deg)
+    carried as a 1-row CTE, simultaneous removal at deg ≤ k."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "g0 AS MATERIALIZED (SELECT src, dst FROM und)",
+        "kk0 AS (SELECT 0::BIGINT AS k)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT v.id, COALESCE(c.d, 0)::BIGINT AS deg "
+            f"FROM v{p} v LEFT JOIN (SELECT src AS id, COUNT(*)::BIGINT AS d "
+            f"FROM g{p} GROUP BY src) c ON v.id = c.id)"
+        )
+        ctes.append(
+            # MATERIALIZED is load-bearing: kk references its predecessor
+            # twice, so an inlined chain expands 2^rounds
+            f"kk{r} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM kk{p}), "
+            f"COALESCE((SELECT MIN(deg) FROM d{r}), (SELECT k FROM kk{p})))"
+            f"::BIGINT AS k)"
+        )
+        ctes.append(
+            f"rm{r} AS MATERIALIZED (SELECT id FROM d{r} "
+            f"WHERE deg <= (SELECT k FROM kk{r}))"
+        )
+        ctes.append(
+            f"o{r} AS (SELECT id, {r}::BIGINT AS layer, "
+            f"(SELECT k FROM kk{r})::BIGINT AS core FROM rm{r})"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT id FROM v{p} "
+            f"EXCEPT SELECT id FROM rm{r})"
+        )
+        ctes.append(
+            f"g{r} AS MATERIALIZED (SELECT e.src, e.dst FROM g{p} e "
+            f"JOIN v{r} a ON e.src = a.id JOIN v{r} b ON e.dst = b.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM o{r}" for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, layer, core FROM ({union})"
+
+
 TRUSS_DEC_MOD = 7  # deletion rule: drop sparse edges with
 # (src * 31 + dst) % 7 == 0 (~14% of the canonical directed edge set)
 
@@ -4333,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_4": _q_ktruss,
         "trussness": _q_trussness,
         "trussness_decremental": _q_trussness_decremental,
+        "onion_layers": _q_onion,
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
         "maximal_matching": _q_maximal_matching,
@@ -5019,6 +5083,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_4": _ktruss_sql(),
         "trussness": _trussness_sql(),
         "trussness_decremental": _trussness_dec_sql(),
+        "onion_layers": _onion_sql(),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
         "maximal_matching": _matching_sql(),

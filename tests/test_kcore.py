@@ -150,3 +150,40 @@ def test_coreness_decremental_warm_start(spark, tmp_path):
     w = {r["id"]: r["core"] for r in warm.collect()}
     assert c == w
     assert iw["iterations"] <= ic["iterations"]
+
+
+def test_onion_layers_refine_coreness(spark, tmp_path):
+    """Onion sweeps: the core column equals the h-index coreness
+    fixpoint; layers are monotone within a vertex's peel order (a
+    vertex's layer < any higher-core vertex's layer is NOT required,
+    but every layer's k is non-decreasing and covers all vertices)."""
+    from metis_spark.plans.coreness import coreness
+    from metis_spark.plans.onion import onion_decomposition
+
+    edges = random_graph(n=80, p=0.08, seed=61, zipf_extra=40)
+    out, info = onion_decomposition(
+        edges_df(spark, edges), checkpoint_dir=str(tmp_path / "o")
+    )
+    assert info["converged"]
+    rows = {r["id"]: (r["layer"], r["core"]) for r in out.collect()}
+    cores, ci = coreness(edges_df(spark, edges), checkpoint_dir=str(tmp_path / "c"))
+    want_core = {r["id"]: r["core"] for r in cores.collect()}
+    assert {v: c for v, (_, c) in rows.items()} == want_core
+    assert all(l >= 1 for l, _ in rows.values())
+    # k is non-decreasing along layers
+    by_layer = {}
+    for l, c in rows.values():
+        by_layer.setdefault(l, set()).add(c)
+    ks = [max(cs) for _, cs in sorted(by_layer.items())]
+    assert all(a <= b for a, b in zip(ks, ks[1:]))
+
+
+def test_onion_resume_identical(spark, tmp_path):
+    from metis_spark.plans.onion import onion_decomposition
+
+    edges = random_graph(n=50, p=0.09, seed=67, zipf_extra=20)
+    full, _ = onion_decomposition(edges_df(spark, edges), checkpoint_dir=str(tmp_path / "a"))
+    onion_decomposition(edges_df(spark, edges), max_layers=2, checkpoint_dir=str(tmp_path / "b"))
+    rest, info = onion_decomposition(edges_df(spark, edges), checkpoint_dir=str(tmp_path / "b"))
+    assert info["converged"]
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, rest.collect()))
