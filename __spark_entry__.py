@@ -4148,15 +4148,24 @@ def _q_maximal_matching(spark, sf_dir):
     return out
 
 
-def _matching_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
+def _matching_sql(
+    rounds: int = MATCHING_ORACLE_ROUNDS, prio_sql: str | None = None,
+    final: str | None = None,
+) -> str:
     """Unrolled mutual-min twin: per round, each free vertex's min
     active incident edge by (p, s, d); an edge chosen by BOTH endpoints
-    (COUNT(*) = 2 over the per-vertex argmin fan) joins the matching."""
+    (COUNT(*) = 2 over the per-vertex argmin fan) joins the matching.
+    ``prio_sql`` overrides the priority expression (over columns a, b);
+    ``final`` overrides the closing SELECT (sees s{rounds} and ce)."""
+    if prio_sql is None:
+        prio_sql = (
+            "('0x' || substr(md5('m_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+            "::BIGINT"
+        )
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
-        "ce AS MATERIALIZED (SELECT a, b, "
-        "('0x' || substr(md5('m_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
-        "::BIGINT AS p FROM (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"ce AS MATERIALIZED (SELECT a, b, {prio_sql} AS p "
+        "FROM (SELECT DISTINCT LEAST(src, dst) AS a, "
         "GREATEST(src, dst) AS b FROM und))",
         "s0 AS MATERIALIZED (SELECT id, -1::BIGINT AS mate FROM ("
         "SELECT DISTINCT a AS id FROM ce UNION SELECT b FROM ce))",
@@ -4184,10 +4193,87 @@ def _matching_sql(rounds: int = MATCHING_ORACLE_ROUNDS) -> str:
             f"COALESCE(w1.d, w2.s, st.mate)::BIGINT AS mate FROM s{p} st "
             f"LEFT JOIN w{i} w1 ON st.id = w1.s LEFT JOIN w{i} w2 ON st.id = w2.d)"
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id AS src, mate AS dst FROM s{rounds} WHERE mate > id"
+    if final is None:
+        final = f"SELECT id AS src, mate AS dst FROM s{rounds} WHERE mate > id"
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+HEC_MAXP = 1 << 60  # heavy-edge priority inversion: p = 2^60 − weight
+
+
+def _q_heavy_edge_coarsen(spark, sf_dir):
+    """One METIS-style multilevel-coarsening step: maximal matching
+    under MAX-weight-first priority (heavy-edge matching — the same
+    locally-dominant rounds with inverted priority), then contract each
+    matched pair to its min vertex and aggregate the weighted quotient
+    graph → (qa, qb, total_w, n_edges). The coarse graph a multilevel
+    partitioner/Louvain feeds forward."""
+    from metis_spark.plans.matching import maximal_matching
+
+    weighted = derived_edges_sparse(spark, sf_dir).select(
+        "src", "dst", _msf_weight_col().alias("weight")
     )
+    prio = weighted.withColumn("p", F.lit(HEC_MAXP) - F.col("weight"))
+    match, info = maximal_matching(
+        prio, priority_col="p",
+        checkpoint_dir=_tmpdir("metis_qhec_"),
+    )
+    assert info["converged"] and info["iterations"] <= MATCHING_ORACLE_ROUNDS, info
+    # label: matched vertices -> min of the pair; others -> self
+    lab = match.select(F.col("src").alias("id"), F.col("src").alias("lab")).unionByName(
+        match.select(F.col("dst").alias("id"), F.col("src").alias("lab"))
+    )
+    ce = weighted.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+        "weight",
+    ).where(F.col("a") != F.col("b")).groupBy("a", "b").agg(
+        F.min("weight").alias("w")
+    )
+    rel = (
+        ce.join(lab.select(F.col("id").alias("a"), F.col("lab").alias("la")), "a", "left")
+        .join(lab.select(F.col("id").alias("b"), F.col("lab").alias("lb")), "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("ca"),
+            F.coalesce("lb", F.col("b")).alias("cb"),
+            "w",
+        )
+        .where(F.col("ca") != F.col("cb"))
+    )
+    return (
+        rel.select(
+            F.least("ca", "cb").alias("qa"), F.greatest("ca", "cb").alias("qb"), "w"
+        )
+        .groupBy("qa", "qb")
+        .agg(
+            # decimal BEFORE the sum: 60-bit weights overflow BIGINT after
+            # ~8 rows under ANSI; HUGEINT/decimal renders as plain digits
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("string").alias("total_w"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+        )
+    )
+
+
+def _hec_sql() -> str:
+    w_sql = (
+        "('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT"
+    )
+    final = (
+        f", lab AS (SELECT s AS id, s AS lab FROM w_match UNION ALL "
+        f"SELECT d, s FROM w_match), "
+        "rel AS (SELECT COALESCE(la.lab, e.a) AS ca, COALESCE(lb.lab, e.b) AS cb, "
+        f"{HEC_MAXP} - e.p AS w "
+        "FROM ce e LEFT JOIN lab la ON e.a = la.id LEFT JOIN lab lb ON e.b = lb.id "
+        "WHERE COALESCE(la.lab, e.a) <> COALESCE(lb.lab, e.b)) "
+        "SELECT LEAST(ca, cb) AS qa, GREATEST(ca, cb) AS qb, "
+        "SUM(w)::VARCHAR AS total_w, COUNT(*)::BIGINT AS n_edges "
+        "FROM rel GROUP BY 1, 2"
+    )
+    rounds = MATCHING_ORACLE_ROUNDS
+    final = (
+        f"w_match AS (SELECT id AS s, mate AS d FROM s{rounds} WHERE mate > id)"
+        + final
+    )
+    return _matching_sql(prio_sql=f"{HEC_MAXP} - ({w_sql})", final="," + final)
 
 
 TEMPORAL_SEED_MOD = 512  # seeds: vertices with id % 512 == 0
@@ -4397,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": _q_trussness,
         "trussness_decremental": _q_trussness_decremental,
         "onion_layers": _q_onion,
+        "heavy_edge_coarsen": _q_heavy_edge_coarsen,
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
         "maximal_matching": _q_maximal_matching,
@@ -5084,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
         "trussness": _trussness_sql(),
         "trussness_decremental": _trussness_dec_sql(),
         "onion_layers": _onion_sql(),
+        "heavy_edge_coarsen": _hec_sql(),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
         "maximal_matching": _matching_sql(),

@@ -78,3 +78,18 @@ def test_matching_resume_identical(spark, tmp_path):
     maximal_matching(edges_df(spark, pairs), max_iter=1, checkpoint_dir=d)
     warm, info = run(spark, pairs, checkpoint_dir=d)
     assert warm == cold == greedy(pairs)
+
+def test_matching_priority_col_heavy_edge(spark):
+    """priority_col inversion gives HEAVY-edge matching: a star matches
+    its max-weight spoke; the mutual-max pair wins on a path."""
+    from pyspark.sql import functions as F
+
+    BIG = 1 << 30
+    rows = [(0, 1, 5), (0, 2, 9), (0, 3, 7), (10, 11, 2), (11, 12, 8)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long").withColumn(
+        "p", F.lit(BIG) - F.col("w")
+    )
+    out, info = maximal_matching(df, priority_col="p")
+    assert info["converged"]
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {(0, 2), (11, 12)}
