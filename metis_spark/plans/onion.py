@@ -96,9 +96,8 @@ def onion_decomposition(
         r += 1
         it_t0 = time.monotonic()
         live = state.where(F.col("layer") < 0).select("id")
-        if live.isEmpty():
+        if live.isEmpty():  # empty graph / everything already assigned
             converged = True
-            cm.update_meta(r - 1, {"converged": True}) if r - 1 > 0 else None
             r -= 1
             break
         deg = (
