@@ -27,6 +27,14 @@ FAST_QUERIES = [
     "quality_score",
     "doc_fingerprint",
     "ann_cosine_topk",
+    # round-3 families, one cheap representative each
+    "chunk_plan",
+    "temperature_mix_sample",
+    "weighted_sample_docs",
+    "sq8_codes",
+    "directed_triads",
+    "csr_gap_histogram",
+    "hard_negatives",
 ]
 
 
