@@ -482,6 +482,108 @@ def _q_connected_components(spark, sf_dir):
     return labels
 
 
+ROB_KS = (0, 8, 64)  # hubs removed per robustness point
+ROB_ROUNDS = 24  # min-label flood unroll for the REDUCED graphs (hub
+# removal can stretch component diameters past the intact graph's ≤4;
+# rounds past each fixpoint are no-ops)
+
+
+def _q_robustness_curve(spark, sf_dir):
+    """Targeted-attack robustness (Albert/Jeong/Barabási, Nature 2000):
+    remove the top-k highest-degree hubs (ties by id) and report the
+    component structure that survives — one row per k:
+    (k_removed, n_left, n_components, largest_cc). Singleton vertices
+    isolated by the removal count as components. Reuses the verified CC
+    spine per point; k is tiny so the hub list broadcasts. Runs on the
+    SPARSE graph (the dense mod-301 graph never fragments — measured)."""
+    e = derived_edges_sparse(spark, sf_dir)
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    n_all = deg.count()
+    out_rows = []
+    for k in ROB_KS:
+        hubs = [
+            r["id"]
+            for r in deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).collect()
+        ]
+        red = und.where(~F.col("src").isin(hubs) & ~F.col("dst").isin(hubs))
+        if red.isEmpty():
+            out_rows.append((k, n_all - k, n_all - k, 1 if n_all > k else 0))
+            continue
+        labels, info = connected_components(
+            red, checkpoint_dir=_tmpdir(f"metis_qrob{k}_")
+        )
+        agg = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+        row = agg.agg(
+            F.count(F.lit(1)).cast("long").alias("nc"),
+            F.max("n").cast("long").alias("big"),
+            F.sum("n").cast("long").alias("nv"),
+        ).collect()[0]
+        n_left = n_all - k
+        singles = n_left - int(row["nv"])
+        out_rows.append((k, n_left, int(row["nc"]) + singles, int(row["big"])))
+    return spark.createDataFrame(
+        out_rows, "k_removed long, n_left long, n_components long, largest_cc long"
+    )
+
+
+def _robustness_sql(rounds: int = ROB_ROUNDS) -> str:
+    """Per k: hub top-k by (deg DESC, id ASC), reduced symmetric edges,
+    fixed-round min-label flood, component sizes + isolated singletons."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "dg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "nall AS (SELECT COUNT(*)::BIGINT AS n FROM dg)",
+    ]
+    selects = []
+    for k in ROB_KS:
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT id FROM (SELECT id, "
+            f"ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC) AS rn FROM dg) "
+            f"WHERE rn <= {k})"
+        )
+        ctes.append(
+            f"r{k}e AS MATERIALIZED (SELECT src, dst FROM und "
+            f"WHERE src NOT IN (SELECT id FROM h{k}) "
+            f"AND dst NOT IN (SELECT id FROM h{k}))"
+        )
+        ctes.append(
+            f"r{k}l0 AS (SELECT DISTINCT src AS id, src AS label FROM r{k}e)"
+        )
+        for i in range(1, rounds + 1):
+            p = i - 1
+            ctes.append(
+                f"r{k}l{i} AS MATERIALIZED (SELECT v.id, "
+                f"LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM r{k}l{p} v LEFT JOIN (SELECT u.dst AS id, "
+                f"MIN(l.label) AS minl FROM r{k}e u "
+                f"JOIN r{k}l{p} l ON u.src = l.id GROUP BY u.dst) m "
+                f"ON v.id = m.id)"
+            )
+        ctes.append(
+            f"r{k}s AS (SELECT label, COUNT(*)::BIGINT AS n FROM r{k}l{rounds} "
+            f"GROUP BY label)"
+        )
+        selects.append(
+            f"SELECT {k}::BIGINT AS k_removed, "
+            f"((SELECT n FROM nall) - {k})::BIGINT AS n_left, "
+            f"(COALESCE((SELECT COUNT(*) FROM r{k}s), 0) "
+            f"+ ((SELECT n FROM nall) - {k} "
+            f"- COALESCE((SELECT SUM(n) FROM r{k}s), 0)))::BIGINT AS n_components, "
+            f"COALESCE((SELECT MAX(n) FROM r{k}s), "
+            f"CASE WHEN (SELECT n FROM nall) > {k} THEN 1 ELSE 0 END)::BIGINT "
+            f"AS largest_cc"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
 COMPONENT_PROFILE_ROUNDS = 12  # min-label unroll depth for the oracle;
 # ≥ the dense graph's per-component min-vertex eccentricity (≤4 measured
 # at both gate sf); extra rounds are no-ops at the fixpoint
@@ -4484,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness_decremental": _q_trussness_decremental,
         "onion_layers": _q_onion,
         "heavy_edge_coarsen": _q_heavy_edge_coarsen,
+        "robustness_curve": _q_robustness_curve,
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
         "maximal_matching": _q_maximal_matching,
@@ -5172,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
         "trussness_decremental": _trussness_dec_sql(),
         "onion_layers": _onion_sql(),
         "heavy_edge_coarsen": _hec_sql(),
+        "robustness_curve": _robustness_sql(),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
         "maximal_matching": _matching_sql(),
