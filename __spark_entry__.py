@@ -488,14 +488,12 @@ ROB_ROUNDS = 24  # min-label flood unroll for the REDUCED graphs (hub
 # rounds past each fixpoint are no-ops)
 
 
-def _q_robustness_curve(spark, sf_dir):
-    """Targeted-attack robustness (Albert/Jeong/Barabási, Nature 2000):
-    remove the top-k highest-degree hubs (ties by id) and report the
-    component structure that survives — one row per k:
-    (k_removed, n_left, n_components, largest_cc). Singleton vertices
-    isolated by the removal count as components. Reuses the verified CC
-    spine per point; k is tiny so the hub list broadcasts. Runs on the
-    SPARSE graph (the dense mod-301 graph never fragments — measured)."""
+def _robustness(spark, sf_dir, mode: str):
+    """Shared robustness engine: remove k vertices per point — the top-k
+    by degree (``attack``) or a deterministic hash-k-subset
+    (``failure``, the random-removal control) — and report the
+    surviving component structure. The attack/failure CONTRAST is the
+    Albert/Jeong/Barabási analysis."""
     e = derived_edges_sparse(spark, sf_dir)
     und = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -508,10 +506,17 @@ def _q_robustness_curve(spark, sf_dir):
     n_all = deg.count()
     out_rows = []
     for k in ROB_KS:
-        hubs = [
-            r["id"]
-            for r in deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).collect()
-        ]
+        if mode == "attack":
+            ranked = deg.orderBy(F.desc("deg"), F.asc("id"))
+        else:  # failure: uniform-by-hash removal, degree-blind
+            ranked = deg.orderBy(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("rf"), F.col("id").cast("string"))), 1, 15),
+                    16, 10,
+                ).cast("long").asc(),
+                F.asc("id"),
+            )
+        hubs = [r["id"] for r in ranked.limit(k).collect()]
         red = und.where(~F.col("src").isin(hubs) & ~F.col("dst").isin(hubs))
         if red.isEmpty():
             out_rows.append((k, n_all - k, n_all - k, 1 if n_all > k else 0))
@@ -533,20 +538,42 @@ def _q_robustness_curve(spark, sf_dir):
     )
 
 
-def _robustness_sql(rounds: int = ROB_ROUNDS) -> str:
-    """Per k: hub top-k by (deg DESC, id ASC), reduced symmetric edges,
-    fixed-round min-label flood, component sizes + isolated singletons."""
+def _q_robustness_curve(spark, sf_dir):
+    """Targeted-attack robustness (Albert/Jeong/Barabási, Nature 2000):
+    component structure after removing the top-k highest-degree hubs —
+    compare against `robustness_random` (the random-failure control) to
+    read the scale-free fragile-to-attack signature."""
+    return _robustness(spark, sf_dir, "attack")
+
+
+def _q_robustness_random(spark, sf_dir):
+    """Random-failure control: the same curve with a deterministic
+    degree-blind hash-k removal — robust where the attack curve
+    fragments."""
+    return _robustness(spark, sf_dir, "failure")
+
+
+def _robustness_sql(rounds: int = ROB_ROUNDS, mode: str = "attack") -> str:
+    """Per k: removal top-k (by (deg DESC, id ASC) or by hash), reduced
+    symmetric edges, fixed-round min-label flood, component sizes +
+    isolated singletons."""
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
         "dg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
         "FROM und GROUP BY src)",
         "nall AS (SELECT COUNT(*)::BIGINT AS n FROM dg)",
     ]
+    if mode == "attack":
+        order = "deg DESC, id ASC"
+    else:
+        order = (
+            "('0x' || substr(md5('rf' || id::VARCHAR), 1, 15))::BIGINT ASC, id ASC"
+        )
     selects = []
     for k in ROB_KS:
         ctes.append(
             f"h{k} AS MATERIALIZED (SELECT id FROM (SELECT id, "
-            f"ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC) AS rn FROM dg) "
+            f"ROW_NUMBER() OVER (ORDER BY {order}) AS rn FROM dg) "
             f"WHERE rn <= {k})"
         )
         ctes.append(
@@ -4587,6 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": _q_onion,
         "heavy_edge_coarsen": _q_heavy_edge_coarsen,
         "robustness_curve": _q_robustness_curve,
+        "robustness_random": _q_robustness_random,
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
         "maximal_matching": _q_maximal_matching,
@@ -5276,6 +5304,7 @@ def oracle_sql() -> dict[str, str]:
         "onion_layers": _onion_sql(),
         "heavy_edge_coarsen": _hec_sql(),
         "robustness_curve": _robustness_sql(),
+        "robustness_random": _robustness_sql(mode="failure"),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
         "maximal_matching": _matching_sql(),
