@@ -4506,6 +4506,77 @@ def _q_affinity_clusters(spark, sf_dir):
     return out
 
 
+def _q_temporal_latest_departure(spark, sf_dir):
+    """Backward temporal dual (plans/temporal.py:temporal_latest_
+    departure): the latest time each vertex can leave and still reach a
+    seed time-respectingly — the influence/audience set of the seeds,
+    same hash timestamps and seed rule as temporal_reachability."""
+    from metis_spark.plans.temporal import temporal_latest_departure
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_latest_departure(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_ld_")
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+
+def _temporal_ld_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
+    """Unrolled greatest-fixpoint twin: l_{k+1}(v) = greatest(l_k(v),
+    max ts over out-edges (v, u, ts) with ts <= l_k(u)); −1 = cannot
+    reach a seed, 2^60 = seed."""
+    inf = TEMPORAL_INF
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"a0 AS MATERIALIZED (SELECT id, CASE WHEN id % {TEMPORAL_SEED_MOD} = 0 "
+        f"THEN {inf} ELSE -1 END::BIGINT AS ld FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.id, "
+            f"GREATEST(v.ld, COALESCE(r.m, -1))::BIGINT AS ld FROM a{p} v "
+            f"LEFT JOIN (SELECT e.src AS id, MAX(e.ts) AS m FROM te e "
+            f"JOIN a{p} u ON e.dst = u.id WHERE e.ts <= u.ld GROUP BY e.src) r "
+            f"ON v.id = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ld AS latest_departure FROM a{rounds} WHERE ld >= 0"
+    )
+
+
 def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
     """Cold unrolled twin on the REDUCED graph (the decremental path's
     unique fixpoint): the same deletion rule applied to the canonical
@@ -4617,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness_random": _q_robustness_random,
         "minimum_spanning_forest": _q_msf,
         "temporal_reachability": _q_temporal_reachability,
+        "temporal_latest_departure": _q_temporal_latest_departure,
         "maximal_matching": _q_maximal_matching,
         "bowtie_structure": _q_bowtie,
         "chunk_plan": _q_chunk_plan,
@@ -5307,6 +5379,7 @@ def oracle_sql() -> dict[str, str]:
         "robustness_random": _robustness_sql(mode="failure"),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
+        "temporal_latest_departure": _temporal_ld_sql(),
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,

@@ -164,3 +164,135 @@ def temporal_reachability(
         "reached": n_reached,
         "n": n,
     }
+
+
+def temporal_latest_departure(
+    edges_ts: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """The backward dual of earliest arrival: ld(v) = the LATEST time
+    one can leave v and still reach a seed along a time-respecting path
+    (Wu et al.'s latest-departure problem). Greatest fixpoint of
+
+        ld(v) = +∞                                  for seeds
+        ld(v) = max{ ts : (v, u, ts) ∈ E, ts ≤ ld(u) }   otherwise
+
+    iterated from +∞ on seeds / −1 elsewhere — monotone non-decreasing,
+    converges in ≤ max-hop rounds (mirror argument of
+    temporal_reachability; as ld(u) rises, more out-edges qualify and
+    ld(v) only rises). Output lists vertices that CAN reach a seed
+    (the influence/audience set) with their departure deadline;
+    integer 2^60 marks the seeds themselves.
+
+    Same single-exchange shape per round: one SHJ join of the arrival
+    state onto the dst-keyed persisted edge table, map-side partial max,
+    one left join back — commit/lineage/resume identical to the forward
+    pass."""
+    spark = edges_ts.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges_ts)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_temporal_ld_")
+    cm = CheckpointManager(checkpoint_dir, "temporal_ld")
+
+    te = (
+        edges_ts.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("ts").cast("long"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    verts = (
+        te.select(F.col("src").alias("id"))
+        .unionByName(te.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sd = seeds.select(F.col("id").cast("long"), F.lit(INF).cast("long").alias("z"))
+    state = (
+        verts.join(sd.hint("shuffle_hash"), "id", "left")
+        .select("id", F.coalesce("z", F.lit(-1)).cast("long").alias("ld"))
+    )
+    n = verts.count()
+
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            st, meta = cm.load(spark, k0)
+            state = st.select("id", "ld")
+            start_iter = k0
+            if meta.get("converged"):
+                reach = state.where(F.col("ld") >= 0)
+                out = reach.select("id", F.col("ld").alias("latest_departure"))
+                te.unpersist()
+                return out, {
+                    "iterations": k0, "changed": 0, "converged": True,
+                    "seconds": 0.0, "reached": reach.count(), "n": n,
+                    "resumed": True,
+                }
+
+    t0 = time.monotonic()
+    converged = False
+    changed = -1
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        relax = (
+            te.join(
+                state.select(F.col("id").alias("dst"), F.col("ld").alias("lu"))
+                .hint("shuffle_hash"),
+                "dst",
+            )
+            .where(F.col("ts") <= F.col("lu"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max("ts").alias("m"))
+        )
+        nxt = (
+            state.select("id", F.col("ld").alias("old"))
+            .join(relax.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.greatest(F.col("old"), F.coalesce("m", F.lit(-1)))
+                .cast("long").alias("ld"),
+                "old",
+            )
+        )
+        st, totals = cm.commit(
+            k,
+            nxt,
+            {},
+            extra_aggs={"changed": F.sum((F.col("ld") != F.col("old")).cast("long"))},
+        )
+        changed = int(totals["changed"] or 0)
+        converged = changed == 0
+        cm.update_meta(k, {"converged": converged, "changed": changed})
+        cm.append_metrics(
+            {"iter": k, "delta": float(changed),
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+        )
+        state = st.select("id", "ld")
+        if converged:
+            break
+
+    reach = state.where(F.col("ld") >= 0)
+    out = reach.select("id", F.col("ld").alias("latest_departure"))
+    n_reached = reach.count()
+    te.unpersist()
+    return out, {
+        "iterations": k,
+        "changed": changed,
+        "converged": converged,
+        "seconds": time.monotonic() - t0,
+        "reached": n_reached,
+        "n": n,
+    }

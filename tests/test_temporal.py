@@ -82,3 +82,51 @@ def test_temporal_resume_identical(spark, tmp_path):
     )
     warm, info = run(spark, rows, {0}, checkpoint_dir=d)
     assert warm == cold == {0: 0, 1: 2, 2: 3, 3: 4, 4: 5, 5: 6}
+
+
+def test_latest_departure_dual(spark):
+    """Backward dual: ld(v) = latest departure still reaching a seed;
+    brute-force greatest-fixpoint twin + hand case (waiting allowed on
+    the way, 2^60 marks seeds)."""
+    from metis_spark.plans.temporal import INF, temporal_latest_departure
+
+    rows = [(0, 1, 5), (1, 2, 3), (1, 3, 7), (4, 0, 2)]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    s = spark.createDataFrame([(3,)], "id long")
+    out, info = temporal_latest_departure(e, s)
+    assert info["converged"]
+    got = {r["id"]: r["latest_departure"] for r in out.collect()}
+    # 3 is the seed; 1 can leave at 7 (edge 1->3@7); 0 at 5 (0->1@5 then
+    # 1->3@7, waiting 5->7 fine); 4 at 2 (4->0@2, then 5, then 7);
+    # 2 cannot reach 3 at all
+    assert got == {3: INF, 1: 7, 0: 5, 4: 2}
+
+
+def test_latest_departure_matches_bruteforce_random(spark):
+    import hashlib
+
+    from metis_spark.plans.temporal import INF, temporal_latest_departure
+    from oracles import random_graph
+
+    pairs = random_graph(n=70, p=0.07, seed=19, zipf_extra=35)
+    rows = [
+        (s, d, int(hashlib.md5(f"t_{s}_{d}".encode()).hexdigest()[:15], 16) % 50)
+        for s, d in pairs
+        if s != d
+    ]
+    verts = {v for s, d, _ in rows for v in (s, d)}
+    seeds = {v for v in verts if v % 10 == 0}
+    ld = {v: (INF if v in seeds else -1) for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in rows:
+            if t <= ld[d] and t > ld[s]:
+                ld[s] = t
+                changed = True
+    want = {v: x for v, x in ld.items() if x >= 0}
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    sdf = spark.createDataFrame([(v,) for v in seeds], "id long")
+    out, info = temporal_latest_departure(e, sdf)
+    got = {r["id"]: r["latest_departure"] for r in out.collect()}
+    assert got == want and info["converged"]
