@@ -1472,6 +1472,73 @@ def _q_hard_negatives(spark, sf_dir):
     )
 
 
+LVO_K = 200  # per-language vocabulary head size
+
+
+def _q_lang_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap: Jaccard between the top-200
+    token heads of every language pair — the cheap code-mixing /
+    shared-boilerplate signal a multilingual curation run reports
+    (high overlap between supposedly distinct langs ⇒ language-ID or
+    contamination trouble). Head selection is (freq DESC, token ASC)
+    rank per lang; all counts integer, one rounded ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("tok"))
+    head = freq.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= LVO_K
+    ).select("lang", "tok")
+    sizes = head.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+    a = head.select(F.col("lang").alias("lang_a"), "tok")
+    b = head.select(F.col("lang").alias("lang_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("lang").alias("lang_a"), F.col("sz").alias("sa")), "lang_a")
+        .join(sizes.select(F.col("lang").alias("lang_b"), F.col("sz").alias("sb")), "lang_b")
+        .select(
+            "lang_a", "lang_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa") + F.col("sb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_LANG_VOCAB_OVERLAP_SQL = f"""
+WITH toks2 AS (SELECT lang, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents),
+freq AS (SELECT lang, tok, COUNT(*)::BIGINT AS f FROM toks2 GROUP BY lang, tok),
+head AS (SELECT lang, tok FROM (SELECT lang, tok,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC) AS rn
+  FROM freq) WHERE rn <= {LVO_K}),
+sizes AS (SELECT lang, COUNT(*)::BIGINT AS sz FROM head GROUP BY lang),
+common AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*)::BIGINT AS n_common
+  FROM head a JOIN head b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang)
+SELECT c.lang_a, c.lang_b, c.n_common,
+  ROUND(c.n_common / (sa.sz + sb.sz - c.n_common)::DOUBLE, 6) AS jaccard
+FROM common c JOIN sizes sa ON c.lang_a = sa.lang
+JOIN sizes sb ON c.lang_b = sb.lang
+"""
+
+
 def _q_sq8_codes(spark, sf_dir):
     """SQ8 scalar-quantized embedding codes (operators/similarity.py:
     scalar_quantize_codes): per-dim min/max scale, floor-coded —
@@ -4698,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "sq8_codes": _q_sq8_codes,
         "ngram_novelty": _q_ngram_novelty,
+        "lang_vocab_overlap": _q_lang_vocab_overlap,
         "hard_negatives": _q_hard_negatives,
         "csr_gap_histogram": _q_csr_gap_histogram,
         "linkpred_eval": _q_linkpred_eval,
@@ -5295,6 +5363,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "embedding_dedup_clusters": _embedding_dedup_clusters_sql(),
         "sq8_codes": _SQ8_SQL,
+        "lang_vocab_overlap": _LANG_VOCAB_OVERLAP_SQL,
         "csr_gap_histogram": _CSR_GAP_SQL_TMPL.format(
             edges=_EDGES_SPARSE_SQL.strip()
         ),
