@@ -63,6 +63,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _round_half_away(x: float, digits: int) -> float:
+    """Half-away-from-zero rounding — the DuckDB ROUND / Spark F.round
+    convention. Python's built-in round() is banker's (half-to-even), so
+    any DRIVER-side rounding of a value the oracle replays must use this
+    instead (a mean landing exactly on a .5 boundary would otherwise
+    diverge between engines)."""
+    import math
+
+    p = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
 def _tmpdir(prefix: str) -> str:
     """Checkpoint scratch dir removed at interpreter exit (the driver gate
     runs 40+ queries in one process — unbounded /tmp growth otherwise)."""
@@ -523,6 +535,14 @@ def _robustness(spark, sf_dir, mode: str):
             continue
         labels, info = connected_components(
             red, checkpoint_dir=_tmpdir(f"metis_qrob{k}_")
+        )
+        # the oracle floods a FIXED ROB_ROUNDS; if hub removal stretched a
+        # component's min-label eccentricity past that, fail HERE with a
+        # clear message instead of an opaque hash mismatch (bowtie pattern)
+        assert info["converged"] and info["iterations"] < ROB_ROUNDS, (
+            f"robustness k={k}: CC took {info['iterations']} rounds; "
+            f"raise ROB_ROUNDS (> {ROB_ROUNDS}) so the SQL twin's unroll "
+            "covers the reduced graph's diameter"
         )
         agg = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
         row = agg.agg(
@@ -2221,6 +2241,7 @@ def _q_scc(spark, sf_dir):
     labels, info = strongly_connected_components(
         edges, checkpoint_dir=_tmpdir("metis_qscc_"),
         max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+        checkpoint_every=2, retain=2,
     )
     assert info["converged"], info  # else NULL scc rows would shadow an oracle diff
     return labels
@@ -2414,7 +2435,10 @@ def _q_avg_neighbor_degree(spark, sf_dir):
             "dst",
         )
         .groupBy(F.col("src").alias("id"))
-        .agg(F.avg("nd").alias("mean_nbr_deg"))
+        # round-before-aggregate discipline: the inner per-vertex mean is
+        # pinned at 1e-9 in BOTH twins so the outer mean-of-means cannot
+        # flip a 6th-decimal boundary on engine summation-order noise
+        .agg(F.round(F.avg("nd"), 9).alias("mean_nbr_deg"))
     )
     return (
         per_vertex.join(deg.hint("shuffle_hash"), "id")
@@ -3082,6 +3106,8 @@ def _q_coreness(spark, sf_dir):
     out, info = coreness(
         derived_edges_sparse(spark, sf_dir),
         checkpoint_dir=_tmpdir("metis_qcoreness_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["iterations"] <= CORENESS_ORACLE_ROUNDS, info
     return out
@@ -3124,10 +3150,13 @@ def _q_coreness_decremental(spark, sf_dir):
     reduced = full.where(
         (F.col("src") * 31 + F.col("dst")) % CORENESS_DEC_MOD != 0
     )
-    base, info0 = coreness(full, checkpoint_dir=_tmpdir("metis_qcoredec_a_"))
+    base, info0 = coreness(
+        full, checkpoint_dir=_tmpdir("metis_qcoredec_a_"), checkpoint_every=5, retain=2
+    )
     assert info0["converged"], info0
     out, info = coreness(
-        reduced, init_cores=base, checkpoint_dir=_tmpdir("metis_qcoredec_b_")
+        reduced, init_cores=base, checkpoint_dir=_tmpdir("metis_qcoredec_b_"),
+        checkpoint_every=5, retain=2,
     )
     # converged is the only contract here: the warm-start round count is
     # unrelated to the ORACLE's unroll depth (the oracle runs COLD rounds
@@ -3158,6 +3187,8 @@ def _q_kcore(spark, sf_dir):
         derived_edges_sparse(spark, sf_dir),
         k=KCORE_K,
         checkpoint_dir=_tmpdir("metis_qkcore_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["iterations"] <= KCORE_ORACLE_ROUNDS, info
     return core
@@ -3612,7 +3643,7 @@ def _q_louvain_trajectory(spark, sf_dir):
             )
             .collect()[0]
         )
-        q = round(intra / m - float(agg["ss"]), 6)
+        q = _round_half_away(intra / m - float(agg["ss"]), 6)
         return int(agg["ncomm"]), q
 
     l0 = deg.select("id", F.col("id").alias("label"))
@@ -3829,6 +3860,8 @@ def _q_coloring(spark, sf_dir):
         _coloring_edges(spark, sf_dir),
         max_iter=500,
         checkpoint_dir=_tmpdir("metis_qcolor_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["n_colors"] <= 64, info
     if os.path.basename(sf_dir.rstrip("/")) in ("sf0.001", "sf0.01"):
@@ -3855,6 +3888,8 @@ def _q_spec_coloring(spark, sf_dir):
     out, info = speculative_coloring(
         derived_edges_sparse(spark, sf_dir),
         checkpoint_dir=_tmpdir("metis_qspeccolor_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["iterations"] <= SPEC_COLOR_ORACLE_ROUNDS, info
     return out
@@ -3961,6 +3996,8 @@ def _q_mis(spark, sf_dir):
     out, info = maximal_independent_set(
         derived_edges_sparse(spark, sf_dir),
         checkpoint_dir=_tmpdir("metis_qmis_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["iterations"] <= MIS_ORACLE_ROUNDS, info
     return out
@@ -4003,6 +4040,8 @@ def _q_ktruss(spark, sf_dir):
         derived_edges_sparse(spark, sf_dir),
         k=KTRUSS_K,
         checkpoint_dir=_tmpdir("metis_qktruss_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["iterations"] <= KTRUSS_ORACLE_ROUNDS, info
     return sup
@@ -4068,6 +4107,8 @@ def _q_trussness(spark, sf_dir):
     out, info = trussness(
         derived_edges_sparse(spark, sf_dir),
         checkpoint_dir=_tmpdir("metis_qtrussness_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["iterations"] <= TRUSSNESS_ORACLE_ROUNDS, info
     return out
@@ -4129,6 +4170,8 @@ def _q_onion(spark, sf_dir):
     out, info = onion_decomposition(
         derived_edges_sparse(spark, sf_dir),
         checkpoint_dir=_tmpdir("metis_qonion_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["layers"] <= ONION_ROUNDS, info
     return out
@@ -4193,10 +4236,13 @@ def _q_trussness_decremental(spark, sf_dir):
 
     full = derived_edges_sparse(spark, sf_dir)
     reduced = full.where((F.col("src") * 31 + F.col("dst")) % TRUSS_DEC_MOD != 0)
-    base, info0 = trussness(full, checkpoint_dir=_tmpdir("metis_qtrussdec_a_"))
+    base, info0 = trussness(
+        full, checkpoint_dir=_tmpdir("metis_qtrussdec_a_"), checkpoint_every=5, retain=2
+    )
     assert info0["converged"], info0
     out, info = trussness(
-        reduced, init_truss=base, checkpoint_dir=_tmpdir("metis_qtrussdec_b_")
+        reduced, init_truss=base, checkpoint_dir=_tmpdir("metis_qtrussdec_b_"),
+        checkpoint_every=5, retain=2,
     )
     # converged is the only contract: h-index fixpoints are unique, so any
     # converged run hash-matches the oracle's cold fixed-round unroll
@@ -4237,7 +4283,8 @@ def _q_msf(spark, sf_dir):
         "src", "dst", _msf_weight_col().alias("weight")
     )
     msf, info = minimum_spanning_forest(
-        weighted, checkpoint_dir=_tmpdir("metis_qmsf_")
+        weighted, checkpoint_dir=_tmpdir("metis_qmsf_"),
+        checkpoint_every=2, retain=2,
     )
     assert (
         info["converged"]
@@ -4339,6 +4386,8 @@ def _q_maximal_matching(spark, sf_dir):
     out, info = maximal_matching(
         derived_edges_sparse(spark, sf_dir),
         checkpoint_dir=_tmpdir("metis_qmatching_"),
+        checkpoint_every=5,
+        retain=2,
     )
     assert info["converged"] and info["iterations"] <= MATCHING_ORACLE_ROUNDS, info
     return out
@@ -4517,7 +4566,8 @@ def _q_temporal_reachability(spark, sf_dir):
     )
     seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
     out, info = temporal_reachability(
-        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_")
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_"),
+        checkpoint_every=5, retain=2,
     )
     assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
     return out
@@ -4608,7 +4658,8 @@ def _q_temporal_latest_departure(spark, sf_dir):
     )
     seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
     out, info = temporal_latest_departure(
-        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_ld_")
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_ld_"),
+        checkpoint_every=5, retain=2,
     )
     assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
     return out
@@ -4644,6 +4695,96 @@ def _temporal_ld_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
     )
 
 
+
+
+def _q_temporal_fastest(spark, sf_dir):
+    """Temporal FASTEST path (plans/temporal.py:temporal_fastest_path):
+    minimum elapsed duration over time-respecting seed paths — the third
+    Wu et al. (VLDB 2014) dual next to earliest-arrival and
+    latest-departure, same hash timestamps and seed rule. State is each
+    vertex's Pareto frontier of (start, arrival) pairs; the converged
+    frontier is unique, so the fixed-round unrolled twin hash-matches."""
+    from metis_spark.plans.temporal import temporal_fastest_path
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_fastest_path(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_fp_"),
+        checkpoint_every=5, retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+
+def _temporal_fp_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
+    """Unrolled Pareto-frontier twin of temporal_fastest_path: per round
+    the frontier is (old pairs UNION eligible relaxations), pruned by the
+    identical dominance window — keep (st, ar) iff ar < MIN(ar) over
+    later-starting pairs (st DESC, ar ASC). Rounds past the fixpoint are
+    no-ops; the converged frontier is unique, so set equality holds."""
+    prune = (
+        "SELECT id, st, ar FROM ("
+        "SELECT id, st, ar, MIN(ar) OVER (PARTITION BY id "
+        "ORDER BY st DESC, ar ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm "
+        "FROM ({inner})) WHERE rm IS NULL OR ar < rm"
+    )
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges)",
+        "fverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT dst AS id, ts AS st, ts AS ar "
+        f"FROM te WHERE src % {TEMPORAL_SEED_MOD} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        inner = (
+            f"SELECT DISTINCT id, st, ar FROM ("
+            f"SELECT id, st, ar FROM s{p} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, u.st, e.ts AS ar FROM te e "
+            f"JOIN s{p} u ON e.src = u.id AND e.ts >= u.ar)"
+        )
+        ctes.append(f"s{i} AS MATERIALIZED ({prune.format(inner=inner)})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nbase AS (SELECT id, MIN(ar - st)::BIGINT AS dur "
+        + f"FROM s{rounds} GROUP BY id)\n"
+        + f"SELECT id, 0::BIGINT AS fastest FROM fverts "
+        + f"WHERE id % {TEMPORAL_SEED_MOD} = 0 "
+        + f"UNION ALL SELECT id, dur AS fastest FROM base "
+        + f"WHERE id % {TEMPORAL_SEED_MOD} <> 0"
+    )
+
+
 def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
     """Cold unrolled twin on the REDUCED graph (the decremental path's
     unique fixpoint): the same deletion rule applied to the canonical
@@ -4662,7 +4803,63 @@ def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # reference-semantics operator pack (SURVEY.md §2)
+        # ---- round-3/4 families first: the driver correctness gate
+        # ---- samples the FIRST 50 entries (VERDICT r3 action item 2)
+
+        "coreness": _q_coreness,
+        "trussness": _q_trussness,
+        "onion_layers": _q_onion,
+        "maximal_matching": _q_maximal_matching,
+        "minimum_spanning_forest": _q_msf,
+        "temporal_reachability": _q_temporal_reachability,
+        "temporal_latest_departure": _q_temporal_latest_departure,
+        "temporal_fastest_path": _q_temporal_fastest,
+        "louvain_2round": _q_louvain,
+        "louvain_2level": _q_louvain_multilevel,
+        "louvain_modularity_levels": _q_louvain_trajectory,
+        "greedy_coloring": _q_coloring,
+        "speculative_coloring": _q_spec_coloring,
+        "maximal_independent_set": _q_mis,
+        "node2vec_walks": _q_node2vec,
+        "betweenness_approx": _q_betweenness,
+        "katz_5iter": _q_katz,
+        "eigencentrality_5iter": _q_eigen,
+        "salsa_3iter": _q_salsa,
+        "salsa_personalized": _q_salsa_personalized,
+        "bipartite_check": _q_bipartite,
+        "closeness_landmarks": _q_closeness,
+        "graph_center_landmarks": _q_center,
+        "diameter_double_sweep": _q_diameter,
+        "bowtie_structure": _q_bowtie,
+        "directed_triads": _q_directed_triads,
+        "square_count": _q_square_count,
+        "resource_allocation_topk": _q_resource_alloc,
+        "preferential_attachment_topk": _q_pref_attach,
+        "transitivity_global": _q_transitivity,
+        "rich_club": _q_rich_club,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "degree_percentiles": _q_degree_percentiles,
+        "seeded_lpa": _q_seeded_lpa,
+        "cc_incremental": _q_cc_incremental,
+        "edge_snapshot_diff": _q_edge_diff,
+        "pagerank_incremental": _q_pagerank_incremental,
+        "component_profile": _q_component_profile,
+        "neighborhood_function": _q_neighborhood_function,
+        "anf_sketch": _q_anf_sketch,
+        "anf_effective_diameter": _q_anf_effective_diameter,
+        "robustness_curve": _q_robustness_curve,
+        "robustness_random": _q_robustness_random,
+        "coreness_decremental": _q_coreness_decremental,
+        "trussness_decremental": _q_trussness_decremental,
+        "affinity_clusters_l2": _q_affinity_clusters,
+        "heavy_edge_coarsen": _q_heavy_edge_coarsen,
+        "community_quotient": _q_community_quotient,
+        "community_pagerank": _q_community_pagerank,
+        "kcenter_seeds": _q_kcenter,
+        "training_shards": _q_training_shards,
+        # ---- earlier rounds (reference-semantics pack, link-graph core,
+        # ---- training-data pipeline) — all still oracle-gated by name
+
         "count_by_kind": _q_count_by_kind,          # A1
         "global_count": _q_global_count,            # A2
         "distinct_kinds": _q_distinct_kinds,        # A3
@@ -4684,35 +4881,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_hour_extract": _q_json_hour,          # F7 timestamps + JSON
         "order_stats": _q_order_stats,              # percentiles/stddev/corr
         "lag_value_delta": _q_lag_delta,            # LAG analytic
-        # link-graph core (§2.10)
         "graph_edges": _q_graph_edges,
         "graph_degrees": _q_graph_degrees,
-        "edge_snapshot_diff": _q_edge_diff,
         "pagerank_5iter": _q_pagerank,
-        "pagerank_incremental": _q_pagerank_incremental,
-        "neighborhood_function": _q_neighborhood_function,
-        "anf_sketch": _q_anf_sketch,
-        "anf_effective_diameter": _q_anf_effective_diameter,
         "pagerank_weighted": _q_pagerank_weighted,
-        "katz_5iter": _q_katz,
-        "eigencentrality_5iter": _q_eigen,
         "hits_3iter": _q_hits,
-        "salsa_3iter": _q_salsa,
-        "salsa_personalized": _q_salsa_personalized,
-        "transitivity_global": _q_transitivity,
-        "rich_club": _q_rich_club,
         "ppr_5iter": _q_ppr,
         "connected_components": _q_connected_components,
-        "cc_incremental": _q_cc_incremental,
-        "component_profile": _q_component_profile,
         "strongly_connected_components": _q_scc,
         "dag_levels": _q_dag_levels,
         "label_propagation_2iter": _q_lpa,
-        "seeded_lpa": _q_seeded_lpa,
         "community_modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
-        "degree_percentiles": _q_degree_percentiles,
-        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
@@ -4729,39 +4909,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": _q_sssp_weighted,
         "landmark_distances": _q_landmark_distances,
         "harmonic_landmarks": _q_harmonic,
-        "closeness_landmarks": _q_closeness,
-        "graph_center_landmarks": _q_center,
-        "bipartite_check": _q_bipartite,
         "random_walks": _q_random_walks,
         "walk_sentences": _q_walk_sentences,
-        "node2vec_walks": _q_node2vec,
-        # link-graph analytics metrics
         "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
         "adamic_adar_topk": _q_adamic_adar,
-        "square_count": _q_square_count,
         "vertex_jaccard_topk": _q_vertex_jaccard,
-        "resource_allocation_topk": _q_resource_alloc,
-        "preferential_attachment_topk": _q_pref_attach,
         "kcore_3": _q_kcore,
-        "coreness": _q_coreness,
-        "coreness_decremental": _q_coreness_decremental,
         "ktruss_4": _q_ktruss,
-        "trussness": _q_trussness,
-        "trussness_decremental": _q_trussness_decremental,
-        "onion_layers": _q_onion,
-        "heavy_edge_coarsen": _q_heavy_edge_coarsen,
-        "robustness_curve": _q_robustness_curve,
-        "robustness_random": _q_robustness_random,
-        "minimum_spanning_forest": _q_msf,
-        "temporal_reachability": _q_temporal_reachability,
-        "temporal_latest_departure": _q_temporal_latest_departure,
-        "maximal_matching": _q_maximal_matching,
-        "bowtie_structure": _q_bowtie,
         "chunk_plan": _q_chunk_plan,
-        "affinity_clusters_l2": _q_affinity_clusters,
-        "kcenter_seeds": _q_kcenter,
-        "directed_triads": _q_directed_triads,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
         "sq8_codes": _q_sq8_codes,
         "ngram_novelty": _q_ngram_novelty,
@@ -4770,20 +4926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csr_gap_histogram": _q_csr_gap_histogram,
         "linkpred_eval": _q_linkpred_eval,
         "weighted_sample_docs": _q_weighted_sample,
-        "maximal_independent_set": _q_mis,
-        "greedy_coloring": _q_coloring,
-        "speculative_coloring": _q_spec_coloring,
-        "louvain_2round": _q_louvain,
-        "louvain_2level": _q_louvain_multilevel,
-        "louvain_modularity_levels": _q_louvain_trajectory,
-        "community_quotient": _q_community_quotient,
-        "community_pagerank": _q_community_pagerank,
-        "diameter_double_sweep": _q_diameter,
-        "betweenness_approx": _q_betweenness,
-        # multimodal: real PNG/WAV/MP4 byte decode, oracle-checked round-trip
         "media_decode_stats": _q_media_decode,
         "media_feature_dims": _q_media_features,
-        # training-data pipeline pack
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "minhash_jaccard_dedup": _q_minhash_jaccard,
@@ -4805,7 +4949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top100": _q_vocab_top100,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
-        "training_shards": _q_training_shards,
         "filter_funnel": _q_filter_funnel,
         "repetition_stats": _q_repetition,
         "benchmark_contamination": _q_benchmark_contamination,
@@ -5287,7 +5430,7 @@ def oracle_sql() -> dict[str, str]:
         "avg_neighbor_degree": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, "
             "d AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
-            "pv AS (SELECT u.src AS id, AVG(nd.deg) AS mnd FROM und u "
+            "pv AS (SELECT u.src AS id, ROUND(AVG(nd.deg), 9) AS mnd FROM und u "
             "JOIN d nd ON u.dst = nd.id GROUP BY u.src) "
             "SELECT d.deg, COUNT(*)::BIGINT AS n_vertices, ROUND(AVG(pv.mnd), 6) AS knn "
             "FROM pv JOIN d ON pv.id = d.id GROUP BY d.deg"
@@ -5449,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
         "temporal_latest_departure": _temporal_ld_sql(),
+        "temporal_fastest_path": _temporal_fp_sql(),
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,

@@ -164,6 +164,52 @@ class CheckpointManager:
         self._prune(k)
         return reloaded, totals
 
+    def step(
+        self,
+        k: int,
+        df: DataFrame,
+        meta: dict | None = None,
+        extra_aggs: dict[str, Column] | None = None,
+        durable: bool = True,
+    ) -> tuple[DataFrame, dict]:
+        """One iteration's state materialization under a durability dial.
+
+        ``durable=True`` is exactly :meth:`commit` (parquet write +
+        write-then-commit marker + per-partition lineage). ``durable=False``
+        is the cheap intermediate-iteration path shared by every iterative
+        plan (the machinery pioneered in plans/pagerank.py): an EAGER
+        localCheckpoint truncates the plan into executor storage (freed by
+        the ContextCleaner when the ref drops) and an Observation node folds
+        ``rows`` plus each ``extra_aggs`` scalar into that SAME job — one
+        Spark job, no durable write, no re-scan. (A lazy localCheckpoint
+        measured ~2x slower: AQE re-executes the un-materialized plan across
+        the follow-up actions.)
+
+        Callers derive ``durable`` from their ``checkpoint_every`` dial
+        (``k % checkpoint_every == 0 or k == max_iter``), force a durable
+        commit at convergence (resume must see the fixpoint), and must call
+        :meth:`update_meta` / rely on :meth:`latest` only for durable
+        iterations. Resume restarts from the last COMMIT, recomputing
+        ≤ checkpoint_every−1 iterations — the standard durability/throughput
+        trade for iterative jobs; the final state is identical for every
+        dial setting (pinned by tests).
+        """
+        if durable:
+            return self.commit(k, df, meta, extra_aggs=extra_aggs)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"step_{os.path.basename(self.dir)}_{k}")
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        extra_names = list((extra_aggs or {}).keys())
+        for name in extra_names:
+            aggs.append((extra_aggs or {})[name].alias(name))
+        state = df.observe(obs, *aggs).localCheckpoint(eager=True)
+        got = obs.get
+        totals: dict = {"rows": int(got["rows"] or 0)}
+        for name in extra_names:
+            totals[name] = got[name] if got[name] is not None else 0
+        return state, totals
+
     def update_meta(self, k: int, patch: dict) -> None:
         """Merge fields into an already-committed iteration's meta.json."""
         path = os.path.join(self._iter_dir(k), "meta.json")

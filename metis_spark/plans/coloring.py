@@ -61,6 +61,8 @@ def greedy_coloring(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (coloring(id, color), info{iterations, converged,
     n_colors, seconds, n}). Undirected view (symmetrized, self-loops
@@ -93,7 +95,7 @@ def greedy_coloring(
         .repartition(num_partitions, "id")
     )
 
-    cm = CheckpointManager(checkpoint_dir, "coloring")
+    cm = CheckpointManager(checkpoint_dir, "coloring", retain=retain)
     state = verts.select("id", F.lit(None).cast("long").alias("color"))
     start_iter = 0
     if resume:
@@ -173,20 +175,20 @@ def greedy_coloring(
         nxt = state.join(picked.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("color", "new_color").alias("color")
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={
-                "uncolored": F.sum(F.col("color").isNull().cast("long")),
-            },
-        )
+        aggs = {"uncolored": F.sum(F.col("color").isNull().cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         uncolored = int(totals["uncolored"] or 0)
         converged = uncolored == 0
-        cm.update_meta(k, {"converged": converged, "uncolored": uncolored})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "uncolored": uncolored})
         cm.append_metrics(
             {"iter": k, "delta": float(uncolored),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "color")
         if converged:
@@ -215,6 +217,8 @@ def speculative_coloring(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Trial-and-revoke (Δ+1) coloring — the O(log n)-round scale path.
 
@@ -265,7 +269,7 @@ def speculative_coloring(
         .persist()
     )
 
-    cm = CheckpointManager(checkpoint_dir, "speccolor")
+    cm = CheckpointManager(checkpoint_dir, "speccolor", retain=retain)
     state = deg.select("id", F.lit(None).cast("long").alias("color"))
     start_iter = 0
     if resume:
@@ -338,16 +342,20 @@ def speculative_coloring(
         nxt = state.join(winners.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("color", "cand").alias("color")
         )
-        st, totals = cm.commit(
-            k, nxt, {},
-            extra_aggs={"uncolored": F.sum(F.col("color").isNull().cast("long"))},
-        )
+        aggs = {"uncolored": F.sum(F.col("color").isNull().cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         uncolored = int(totals["uncolored"] or 0)
         converged = uncolored == 0
-        cm.update_meta(k, {"converged": converged, "uncolored": uncolored})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "uncolored": uncolored})
         cm.append_metrics(
             {"iter": k, "delta": float(uncolored),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "color")
         if converged:

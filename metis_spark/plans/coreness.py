@@ -47,6 +47,8 @@ def coreness(
     resume: bool = True,
     num_partitions: int | None = None,
     init_cores: DataFrame | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (cores(id, core), info{iterations, changed,
     converged, seconds, n}). Undirected view (symmetrized, self-loops
@@ -65,7 +67,15 @@ def coreness(
     bounds — use the cold start.) Each supplied value is clamped to the
     new degree (also an upper bound, and it restores exactness if a
     caller passes stale values for vertices whose degree dropped below
-    them); vertices absent from ``init_cores`` start at their degree."""
+    them); vertices absent from ``init_cores`` start at their degree.
+
+    ``checkpoint_every=k`` / ``retain``: the durability dial shared with
+    plans/pagerank.py — commit durable state+lineage every k-th round (and
+    always at convergence); intermediate rounds are one localCheckpoint job
+    with the changed-count folded in (CheckpointManager.step). Resume lands
+    on the last COMMITTED round; the fixpoint is identical for every k.
+    ``retain`` keeps only the newest N committed rounds (resume only ever
+    reads latest())."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -73,7 +83,7 @@ def coreness(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_coreness_")
-    cm = CheckpointManager(checkpoint_dir, "coreness")
+    cm = CheckpointManager(checkpoint_dir, "coreness", retain=retain)
 
     e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     und = (
@@ -135,20 +145,21 @@ def coreness(
             state.select("id", F.col("core").alias("old")).hint("shuffle_hash"),
             "id",
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={
-                "changed": F.sum((F.col("core") != F.col("old")).cast("long"))
-            },
-        )
+        aggs = {"changed": F.sum((F.col("core") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         changed = int(totals["changed"] or 0)
         converged = changed == 0
-        cm.update_meta(k, {"converged": converged, "changed": changed})
+        if converged and not durable:
+            # always durable at convergence (resume must see the fixpoint)
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "changed": changed})
         cm.append_metrics(
             {"iter": k, "delta": float(changed),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "core")
         if converged:

@@ -40,12 +40,19 @@ def k_core(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → ((id, deg) of the k-core subgraph, info).
 
     ``deg`` is the vertex's degree WITHIN the k-core (≥ k for every
     surviving vertex at fixpoint). Directed input is symmetrized and
     dedup'd; self-loops are dropped.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit every k-th peel round and
+    at fixpoint, one localCheckpoint job otherwise; resume lands on the
+    last COMMITTED round; the core is identical for every setting.
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -54,7 +61,7 @@ def k_core(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_kcore_")
-    cm = CheckpointManager(checkpoint_dir, f"kcore{k}")
+    cm = CheckpointManager(checkpoint_dir, f"kcore{k}", retain=retain)
 
     fwd = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     und = (
@@ -100,13 +107,19 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
         )
-        state, totals = cm.commit(r, nxt, {})
+        durable = checkpoint_every <= 1 or r % checkpoint_every == 0 or r == max_iter
+        state, totals = cm.step(r, nxt, {}, durable=durable)
         rows = int(totals["rows"] or 0)
         converged = rows == prev_rows or rows == 0
-        cm.update_meta(r, {"converged": converged, "rows_committed": rows})
+        if converged and not durable:
+            state, totals = cm.commit(r, state, {})
+            durable = True
+        if durable:
+            cm.update_meta(r, {"converged": converged, "rows_committed": rows})
         cm.append_metrics(
             {"iter": r, "delta": float(-1 if prev_rows < 0 else prev_rows - rows),
-             "seconds": time.monotonic() - it_t0, "rows": rows}
+             "seconds": time.monotonic() - it_t0, "rows": rows,
+             "committed": durable}
         )
         alive = state.select("id", "deg")
         prev_rows = rows

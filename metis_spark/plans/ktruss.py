@@ -74,19 +74,25 @@ def k_truss(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → ((src, dst, support) of the k-truss subgraph, info).
 
     Output edges are canonical (src < dst, undirected dedup'd); ``support``
     is the edge's triangle count WITHIN the k-truss (≥ k-2 at fixpoint).
     Directed input is symmetrized; self-loops dropped.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit every k-th peel round and
+    at fixpoint; resume lands on the last COMMITTED round.
     """
     if k < 3:
         raise ValueError("k-truss needs k ≥ 3 (k-2 ≥ 1 triangle per edge)")
     spark = edges.sparkSession
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_ktruss_")
-    cm = CheckpointManager(checkpoint_dir, f"ktruss{k}")
+    cm = CheckpointManager(checkpoint_dir, f"ktruss{k}", retain=retain)
 
     cur = (
         edges.select(
@@ -123,13 +129,19 @@ def k_truss(
             .where(F.col("support") >= k - 2)
             .select("src", "dst")
         )
-        state, totals = cm.commit(r, nxt, {})
+        durable = checkpoint_every <= 1 or r % checkpoint_every == 0 or r == max_iter
+        state, totals = cm.step(r, nxt, {}, durable=durable)
         rows = int(totals["rows"] or 0)
         converged = rows == prev_rows or rows == 0
-        cm.update_meta(r, {"converged": converged, "rows_committed": rows})
+        if converged and not durable:
+            state, totals = cm.commit(r, state, {})
+            durable = True
+        if durable:
+            cm.update_meta(r, {"converged": converged, "rows_committed": rows})
         cm.append_metrics(
             {"iter": r, "delta": float(-1 if prev_rows < 0 else prev_rows - rows),
-             "seconds": time.monotonic() - it_t0, "rows": rows}
+             "seconds": time.monotonic() - it_t0, "rows": rows,
+             "committed": durable}
         )
         cur = state.select("src", "dst")
         prev_rows = rows

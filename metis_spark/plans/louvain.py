@@ -54,10 +54,17 @@ def louvain_local_moving(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (labels(id, label), info{iterations, moved,
     seconds, n, m}). Undirected view (symmetrized, self-loops dropped);
-    labels start as vertex ids; exactly ``rounds`` synchronous sweeps."""
+    labels start as vertex ids; exactly ``rounds`` synchronous sweeps.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit every k-th sweep and
+    always on the final sweep; resume lands on the last COMMITTED sweep;
+    labels are identical for every setting."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -82,7 +89,7 @@ def louvain_local_moving(
     m = two_m / 2.0
     n = deg.count()
 
-    cm = CheckpointManager(checkpoint_dir, "louvain")
+    cm = CheckpointManager(checkpoint_dir, "louvain", retain=retain)
     labels = deg.select("id", F.col("id").alias("label"))
     start_iter = 0
     if resume:
@@ -151,19 +158,16 @@ def louvain_local_moving(
             .where(F.col("rn") == 1)
             .select("id", F.col("c").alias("label"), F.col("label").alias("old"))
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={
-                "moved": F.sum((F.col("label") != F.col("old")).cast("long"))
-            },
-        )
+        aggs = {"moved": F.sum((F.col("label") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == rounds
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         moved = int(totals["moved"] or 0)
-        cm.update_meta(k, {"moved": moved})
+        if durable:
+            cm.update_meta(k, {"moved": moved})
         cm.append_metrics(
             {"iter": k, "delta": float(moved),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         labels = st.select("id", "label")
 
@@ -189,6 +193,7 @@ def _weighted_moving_rounds(
     start_iter: int,
     labels: DataFrame,
     level: int,
+    checkpoint_every: int = 1,
 ):
     """Shared synchronous local-moving loop on a WEIGHTED inter-community
     edge table e_w(src, dst, w) with per-vertex strength s (includes
@@ -249,19 +254,22 @@ def _weighted_moving_rounds(
             .where(F.col("rn") == 1)
             .select("id", F.col("c").alias("label"), F.col("label").alias("old"))
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={
-                "moved": F.sum((F.col("label") != F.col("old")).cast("long"))
-            },
+        aggs = {"moved": F.sum((F.col("label") != F.col("old")).cast("long"))}
+        # the level's FINAL sweep is always durable: louvain_multilevel's
+        # resume (and its level1_labels handle) reloads that exact iteration
+        durable = (
+            checkpoint_every <= 1
+            or k % checkpoint_every == 0
+            or k == start_iter + rounds
         )
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         moved = int(totals["moved"] or 0)
-        cm.update_meta(k, {"moved": moved, "level": level})
+        if durable:
+            cm.update_meta(k, {"moved": moved, "level": level})
         cm.append_metrics(
             {"iter": k, "delta": float(moved),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         labels = st.select("id", "label")
     return labels, moved
@@ -273,6 +281,7 @@ def louvain_multilevel(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Two-level Louvain: phase-1 local moving, phase-2 COARSENING into
     the quotient multigraph (communities → supernodes, inter-community
@@ -337,7 +346,8 @@ def louvain_multilevel(
     if start_iter < rounds:
         e_w1 = e.withColumn("w", F.lit(1).cast("long"))
         l1, _ = _weighted_moving_rounds(
-            spark, e_w1, deg, m, rounds - start_iter, cm, start_iter, l1, level=1
+            spark, e_w1, deg, m, rounds - start_iter, cm, start_iter, l1, level=1,
+            checkpoint_every=checkpoint_every,
         )
     # l1 is parquet-backed by its last commit — no persist needed for the
     # two label joins below (and nothing leaks past the lazy return)
@@ -367,7 +377,8 @@ def louvain_multilevel(
         st, _ = cm.load(spark, start_iter)
         l2 = st.select("id", "label")
     l2, moved = _weighted_moving_rounds(
-        spark, qeo, qstr, m, rounds - l2_start, cm, rounds + l2_start, l2, level=2
+        spark, qeo, qstr, m, rounds - l2_start, cm, rounds + l2_start, l2, level=2,
+        checkpoint_every=checkpoint_every,
     )
 
     out = l1.join(

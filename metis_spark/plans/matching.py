@@ -51,6 +51,8 @@ def maximal_matching(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst[,priority]) → (matching(src, dst) with src < dst,
     info{iterations, converged, matched_edges, seconds, n}).
@@ -58,7 +60,12 @@ def maximal_matching(
     Undirected view (canonicalized, self-loops dropped). ``priority_col``
     supplies the edge order (ties broken by (s, d)); when None the
     60-bit md5 hash of "m_s_d" is used — deterministic and replayable
-    in any engine."""
+    in any engine.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit every k-th round and at
+    convergence, one localCheckpoint job otherwise; resume lands on the
+    last COMMITTED round; the matching is identical for every k."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -66,7 +73,7 @@ def maximal_matching(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_matching_")
-    cm = CheckpointManager(checkpoint_dir, "matching")
+    cm = CheckpointManager(checkpoint_dir, "matching", retain=retain)
 
     base = edges.select(
         F.least("src", "dst").cast("long").alias("s"),
@@ -146,21 +153,23 @@ def maximal_matching(
                 "old",
             )
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={
-                "newly": F.sum((F.col("mate") != F.col("old")).cast("long")),
-                "matched": F.sum((F.col("mate") >= 0).cast("long")),
-            },
-        )
+        aggs = {
+            "newly": F.sum((F.col("mate") != F.col("old")).cast("long")),
+            "matched": F.sum((F.col("mate") >= 0).cast("long")),
+        }
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         newly = int(totals["newly"] or 0)
         converged = newly == 0
-        cm.update_meta(k, {"converged": converged, "newly": newly})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "newly": newly})
         cm.append_metrics(
             {"iter": k, "delta": float(newly),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "mate")
         if converged:

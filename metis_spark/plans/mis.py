@@ -68,10 +68,18 @@ def maximal_independent_set(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (membership(id, in_mis), info{iterations,
     converged, mis_size, seconds, n}). Input is symmetrized; self-loops
-    dropped (a self-looped vertex is just a normal vertex here)."""
+    dropped (a self-looped vertex is just a normal vertex here).
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit every k-th round and at
+    convergence, one localCheckpoint job otherwise; resume lands on the
+    last COMMITTED round; the set is identical for every k (fixed-hash
+    priorities make every round deterministic)."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -94,7 +102,7 @@ def maximal_independent_set(
         .repartition(num_partitions, "id")
     )
 
-    cm = CheckpointManager(checkpoint_dir, "mis")
+    cm = CheckpointManager(checkpoint_dir, "mis", retain=retain)
     state = verts.select("id", F.lit(0).cast("int").alias("status"))
     start_iter = 0
     n_active = None
@@ -154,21 +162,23 @@ def maximal_independent_set(
             .alias("status"),
         )
         nxt = state.where(F.col("status") != 0).unionByName(active_next)
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={
-                "active": F.sum((F.col("status") == 0).cast("long")),
-                "mis": F.sum((F.col("status") == 1).cast("long")),
-            },
-        )
+        aggs = {
+            "active": F.sum((F.col("status") == 0).cast("long")),
+            "mis": F.sum((F.col("status") == 1).cast("long")),
+        }
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         n_active = int(totals["active"] or 0)
         converged = n_active == 0
-        cm.update_meta(k, {"converged": converged, "active": n_active})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "active": n_active})
         cm.append_metrics(
             {"iter": k, "delta": float(n_active),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "status")
         if converged:

@@ -51,30 +51,44 @@ from pyspark.sql import functions as F
 from metis_spark.plans.checkpoint import CheckpointManager
 
 
-def _contract(qe: DataFrame, max_steps: int) -> tuple[DataFrame, int]:
+def _contract(qe: DataFrame, max_steps: int) -> tuple[DataFrame, int, bool]:
     """Hash-min label propagation on the symmetric quotient edge set
     qe(a, b) until no cross edge survives the projection. Returns
-    (q(c, q) fragment-min map over every label appearing in qe, steps).
-    All tables are quotient-sized; each step is localCheckpoint-
-    truncated so lineage stays flat."""
+    (q(c, q) fragment-min map over every label appearing in qe, steps,
+    done). All tables are quotient-sized; each step is localCheckpoint-
+    truncated so lineage stays flat.
+
+    ``done`` is False when ``max_steps`` ran out with cross edges still
+    projecting between distinct classes — hash-min converges in
+    O(chain length) on the chosen-edge quotient, which user-supplied
+    MONOTONE weights (e.g. sorted along a long path) can stretch past
+    any fixed budget. The caller must NOT proceed with a partial
+    contraction: a later round could then pick an intra-fragment edge
+    and silently append a cycle to the 'forest'."""
     q = (
         qe.select(F.col("a").alias("c"))
         .distinct()
         .select("c", F.col("c").alias("q"))
         .localCheckpoint(eager=True)
     )
-    steps = 0
-    for steps in range(1, max_steps + 1):
-        pe = (
-            qe.join(q.select(F.col("c").alias("a"), F.col("q").alias("x")), "a")
-            .join(q.select(F.col("c").alias("b"), F.col("q").alias("y")), "b")
+
+    def _cross(qm: DataFrame) -> DataFrame:
+        return (
+            qe.join(qm.select(F.col("c").alias("a"), F.col("q").alias("x")), "a")
+            .join(qm.select(F.col("c").alias("b"), F.col("q").alias("y")), "b")
             .where(F.col("x") != F.col("y"))
             .select("x", "y")
             .distinct()
             .localCheckpoint(eager=True)
         )
+
+    steps = 0
+    done = False
+    for steps in range(1, max_steps + 1):
+        pe = _cross(q)
         if pe.isEmpty():
             steps -= 1
+            done = True
             break
         m = pe.groupBy("x").agg(F.least(F.first("x"), F.min("y")).alias("m"))
         q = (
@@ -82,7 +96,10 @@ def _contract(qe: DataFrame, max_steps: int) -> tuple[DataFrame, int]:
             .select("c", F.coalesce("m", "q").alias("q"))
             .localCheckpoint(eager=True)
         )
-    return q, steps
+    if not done:
+        # the budget's last update may have finished the merge — check once
+        done = _cross(q).isEmpty()
+    return q, steps, done
 
 
 def minimum_spanning_forest(
@@ -93,6 +110,8 @@ def minimum_spanning_forest(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src, dst, weight) → (msf(src, dst, weight), info{rounds,
     inner_steps_max, msf_edges, components, converged, seconds}).
@@ -100,7 +119,14 @@ def minimum_spanning_forest(
     Undirected view: canonical (s < d), self-loops dropped, parallel
     edges keep the minimum weight. With distinct weights the returned
     edge set is THE unique minimum spanning forest; ties are broken by
-    (weight, s, d) so the output is deterministic regardless."""
+    (weight, s, d) so the output is deterministic regardless.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) on the LABELS state — chosen edges are
+    still appended durably EVERY round (they are the output and are
+    quotient-sized); a resumed run recomputes and overwrites the chosen
+    dirs of rounds after the last labels commit. Always durable at
+    saturation; the forest is identical for every setting."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -108,7 +134,7 @@ def minimum_spanning_forest(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_msf_")
-    cm = CheckpointManager(checkpoint_dir, "msf")
+    cm = CheckpointManager(checkpoint_dir, "msf", retain=retain)
     chosen_base = os.path.join(cm.dir, "chosen")
 
     ce = (
@@ -187,7 +213,19 @@ def minimum_spanning_forest(
             .unionByName(chosen.select(F.col("ld").alias("a"), F.col("ls").alias("b")))
             .distinct()
         )
-        q, steps = _contract(qe, max_inner)
+        q, steps, inner_done = _contract(qe, max_inner)
+        if not inner_done:
+            # NEVER proceed with a partial contraction (an under-merged
+            # label map lets a later round choose an intra-fragment edge,
+            # durably appending a CYCLE to the forest). The committed
+            # checkpoint state is from the last completed round, so a
+            # retried run with a larger budget resumes cleanly.
+            raise RuntimeError(
+                f"msf: quotient contraction did not converge within "
+                f"max_inner={max_inner} steps in round {r} — monotone "
+                f"weight chains can exceed the budget; retry with a larger "
+                f"max_inner (the run resumes from round {r - 1})"
+            )
         inner_max = max(inner_max, steps)
         nxt = (
             labels.join(
@@ -197,16 +235,16 @@ def minimum_spanning_forest(
             )
             .select("id", F.coalesce("q", "lab").alias("lab"), F.col("lab").alias("old"))
         )
-        st, totals = cm.commit(
-            r,
-            nxt.select("id", "lab", "old"),
-            {"converged": False},
-            extra_aggs={"changed": F.sum((F.col("lab") != F.col("old")).cast("long"))},
+        aggs = {"changed": F.sum((F.col("lab") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or r % checkpoint_every == 0 or r == max_rounds
+        st, totals = cm.step(
+            r, nxt.select("id", "lab", "old"), {"converged": False},
+            extra_aggs=aggs, durable=durable,
         )
         cm.append_metrics(
             {"iter": r, "delta": float(totals["changed"] or 0),
              "inner_steps": steps, "seconds": time.monotonic() - it_t0,
-             "rows": int(totals["rows"])}
+             "rows": int(totals["rows"]), "committed": durable}
         )
         labels = st.select("id", "lab")
 

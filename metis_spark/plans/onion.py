@@ -39,11 +39,18 @@ def onion_decomposition(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (out(id, layer, core), info{layers, converged,
     seconds, n}). Undirected view (symmetrized, self-loops dropped);
     isolated-by-peeling vertices keep degree 0 and are removed at the
-    current k."""
+    current k.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit (carrying the running
+    threshold ``k_cur`` for resume) every k-th sweep and at convergence,
+    one localCheckpoint job otherwise; layers are identical for every k."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -51,7 +58,7 @@ def onion_decomposition(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_onion_")
-    cm = CheckpointManager(checkpoint_dir, "onion")
+    cm = CheckpointManager(checkpoint_dir, "onion", retain=retain)
 
     e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     und = (
@@ -121,18 +128,20 @@ def onion_decomposition(
                 .otherwise(F.col("oc")).cast("long").alias("core"),
             )
         )
-        st, totals = cm.commit(
-            r,
-            nxt,
-            {"k_cur": k_cur},
-            extra_aggs={"live": F.sum((F.col("layer") < 0).cast("long"))},
-        )
+        aggs = {"live": F.sum((F.col("layer") < 0).cast("long"))}
+        durable = checkpoint_every <= 1 or r % checkpoint_every == 0 or r == max_layers
+        st, totals = cm.step(r, nxt, {"k_cur": k_cur}, extra_aggs=aggs, durable=durable)
         n_live = int(totals["live"] or 0)
         converged = n_live == 0
-        cm.update_meta(r, {"converged": converged, "live": n_live})
+        if converged and not durable:
+            st, totals = cm.commit(r, st, {"k_cur": k_cur}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(r, {"converged": converged, "live": n_live})
         cm.append_metrics(
             {"iter": r, "delta": float(n_live), "k": k_cur,
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "layer", "core")
         if converged:

@@ -72,10 +72,18 @@ def strongly_connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (labels(id, scc), info). scc = min vertex id of
     the component; single vertices (no cycle through them) settle as
-    their own SCC."""
+    their own SCC.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step), here at PHASE granularity (inner
+    propagation rounds are already localCheckpoint-truncated) — durable
+    commit every k-th phase and at convergence; resume lands on the last
+    COMMITTED phase; labels are identical for every setting."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -83,7 +91,7 @@ def strongly_connected_components(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_scc_")
-    cm = CheckpointManager(checkpoint_dir, "scc")
+    cm = CheckpointManager(checkpoint_dir, "scc", retain=retain)
 
     e_all = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -158,17 +166,22 @@ def strongly_connected_components(
             state.join(settled.hint("shuffle_hash"), "id", "left")
             .select("id", F.coalesce("scc", "new_scc").alias("scc"))
         )
-        obs = Observation(f"scc_phase_{k}")
-        new_state = new_state.observe(
-            obs, F.sum(F.col("scc").isNull().cast("long")).alias("remaining")
-        )
-        st, _ = cm.commit(k, new_state.repartition(max(8, num_partitions // 8)), {"converged": False})
-        remaining = int(obs.get["remaining"] or 0)
+        aggs = {"remaining": F.sum(F.col("scc").isNull().cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_phases
+        if durable:
+            new_state = new_state.repartition(max(8, num_partitions // 8))
+        st, totals = cm.step(k, new_state, {"converged": False}, extra_aggs=aggs,
+                             durable=durable)
+        remaining = int(totals["remaining"] or 0)
         converged = remaining == 0
-        cm.update_meta(k, {"converged": converged, "remaining": remaining})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {"converged": False}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "remaining": remaining})
         cm.append_metrics(
             {"iter": k, "delta": float(remaining), "seconds": time.monotonic() - ph_t0,
-             "rows": n_active}
+             "rows": n_active, "committed": durable}
         )
         state = st.select("id", "scc")
         active.unpersist()

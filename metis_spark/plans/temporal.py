@@ -54,6 +54,8 @@ def temporal_reachability(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges_ts(src, dst, ts) directed + seeds(id) →
     (arrivals(id, arrival) for REACHED vertices only, info{iterations,
@@ -67,7 +69,7 @@ def temporal_reachability(
         num_partitions = auto_partitions(edges_ts)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_temporal_")
-    cm = CheckpointManager(checkpoint_dir, "temporal")
+    cm = CheckpointManager(checkpoint_dir, "temporal", retain=retain)
 
     te = (
         edges_ts.select(
@@ -135,18 +137,20 @@ def temporal_reachability(
                 "old",
             )
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={"changed": F.sum((F.col("arr") != F.col("old")).cast("long"))},
-        )
+        aggs = {"changed": F.sum((F.col("arr") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         changed = int(totals["changed"] or 0)
         converged = changed == 0
-        cm.update_meta(k, {"converged": converged, "changed": changed})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "changed": changed})
         cm.append_metrics(
             {"iter": k, "delta": float(changed),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "arr")
         if converged:
@@ -173,6 +177,8 @@ def temporal_latest_departure(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """The backward dual of earliest arrival: ld(v) = the LATEST time
     one can leave v and still reach a seed along a time-respecting path
@@ -199,7 +205,7 @@ def temporal_latest_departure(
         num_partitions = auto_partitions(edges_ts)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_temporal_ld_")
-    cm = CheckpointManager(checkpoint_dir, "temporal_ld")
+    cm = CheckpointManager(checkpoint_dir, "temporal_ld", retain=retain)
 
     te = (
         edges_ts.select(
@@ -267,18 +273,20 @@ def temporal_latest_departure(
                 "old",
             )
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={"changed": F.sum((F.col("ld") != F.col("old")).cast("long"))},
-        )
+        aggs = {"changed": F.sum((F.col("ld") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         changed = int(totals["changed"] or 0)
         converged = changed == 0
-        cm.update_meta(k, {"converged": converged, "changed": changed})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "changed": changed})
         cm.append_metrics(
             {"iter": k, "delta": float(changed),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("id", "ld")
         if converged:
@@ -296,3 +304,174 @@ def temporal_latest_departure(
         "reached": n_reached,
         "n": n,
     }
+
+
+def temporal_fastest_path(
+    edges_ts: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Minimum ELAPSED duration — the third of Wu et al.'s temporal-path
+    duals (VLDB 2014) next to earliest-arrival and latest-departure:
+    fastest(v) = min over time-respecting seed→v paths of
+    (arrival − departure of the path's FIRST edge); 0 for seeds.
+
+    Unlike earliest arrival, a single scalar per vertex cannot be
+    relaxed (a later-departing path may be slower now but enable a
+    faster continuation), so the state is each vertex's PARETO FRONTIER
+    of (start, arrival) pairs — pair A dominates B iff A starts no
+    earlier... precisely: st_A ≥ st_B AND ar_A ≤ ar_B (A departs later
+    yet arrives no later, so every continuation of B is matched or
+    beaten by A). The pruning rule that keeps state bounded: after each
+    relaxation, only non-dominated pairs survive, so a vertex holds at
+    most one pair per distinct start time, and start times are drawn
+    from the seed out-edge timestamps — |frontier(v)| ≤ |distinct first-
+    hop timestamps|, independent of path count or graph size. The prune
+    is relational and hub-safe: sort the vertex's pairs by
+    (start DESC, arrival ASC) and keep a row iff its arrival beats the
+    running MIN(arrival) of all later-starting rows — one window over
+    frontier-sized state, no collect.
+
+    Iteration (monotone: frontiers only gain dominating pairs):
+
+        state_0   = { (dst, ts, ts) : (s, dst, ts) ∈ E, s ∈ seeds }
+        state_k+1 = prune( state_k ∪ { (dst, st, ts) :
+                       (u, dst, ts) ∈ E, (u, st, ar) ∈ state_k, ts ≥ ar } )
+
+    converging in ≤ max-hop rounds (induction as in
+    temporal_reachability). Output: (id, fastest) for reached vertices
+    and seeds (0); a converged run is unique, so a fixed-round unrolled
+    SQL twin replays the identical frontier set.
+
+    Shape per round: one SHJ state⋈edge join with the eligibility
+    predicate folded in, one frontier-sized window prune, one left-anti
+    join for the changed count; state commits through CheckpointManager
+    with the shared ``checkpoint_every``/``retain`` durability dial.
+    """
+    from pyspark.sql import Window
+
+    spark = edges_ts.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges_ts)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_temporal_fp_")
+    cm = CheckpointManager(checkpoint_dir, "temporal_fp", retain=retain)
+
+    te = (
+        edges_ts.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("ts").cast("long"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    sd = seeds.select(F.col("id").cast("long")).distinct()
+    n_seeds = sd.count()
+
+    def _prune(pairs: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy("id")
+            .orderBy(F.desc("st"), F.asc("ar"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            pairs.select("id", "st", "ar")
+            .distinct()
+            .withColumn("_rm", F.min("ar").over(w))
+            .where(F.col("_rm").isNull() | (F.col("ar") < F.col("_rm")))
+            .select("id", "st", "ar")
+        )
+
+    state = _prune(
+        te.join(sd.select(F.col("id").alias("src")).hint("shuffle_hash"), "src")
+        .select(F.col("dst").alias("id"), F.col("ts").alias("st"), F.col("ts").alias("ar"))
+    )
+
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            st0, meta = cm.load(spark, k0)
+            state = st0.select("id", "st", "ar")
+            start_iter = k0
+            if meta.get("converged"):
+                out = _fastest_out(spark, state, sd)
+                te.unpersist()
+                return out, {
+                    "iterations": k0, "changed": 0, "converged": True,
+                    "seconds": 0.0, "n_seeds": n_seeds, "resumed": True,
+                }
+
+    t0 = time.monotonic()
+    converged = False
+    changed = -1
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        relax = (
+            te.join(
+                state.select(
+                    F.col("id").alias("src"), F.col("st").alias("st"),
+                    F.col("ar").alias("au"),
+                ).hint("shuffle_hash"),
+                "src",
+            )
+            .where(F.col("ts") >= F.col("au"))
+            .select(F.col("dst").alias("id"), "st", F.col("ts").alias("ar"))
+        )
+        nxt = _prune(state.unionByName(relax)).join(
+            state.withColumn("_old", F.lit(True)).hint("shuffle_hash"),
+            ["id", "st", "ar"],
+            "left",
+        )
+        aggs = {"changed": F.sum(F.col("_old").isNull().cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
+        changed = int(totals["changed"] or 0)
+        converged = changed == 0
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "changed": changed})
+        cm.append_metrics(
+            {"iter": k, "delta": float(changed),
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
+        )
+        state = st.select("id", "st", "ar")
+        if converged:
+            break
+
+    out = _fastest_out(spark, state, sd)
+    te.unpersist()
+    return out, {
+        "iterations": k,
+        "changed": changed,
+        "converged": converged,
+        "seconds": time.monotonic() - t0,
+        "n_seeds": n_seeds,
+    }
+
+
+def _fastest_out(spark, state: DataFrame, sd: DataFrame) -> DataFrame:
+    """(id, fastest): min(ar − st) per reached vertex; seeds pinned to 0
+    (the zero-length path) whether or not a cycle also reaches them."""
+    best = state.groupBy("id").agg(F.min(F.col("ar") - F.col("st")).alias("dur"))
+    seeds0 = sd.select("id", F.lit(0).cast("long").alias("fastest"))
+    nonseed = (
+        best.join(sd.withColumn("_s", F.lit(True)), "id", "left")
+        .where(F.col("_s").isNull())
+        .select("id", F.col("dur").cast("long").alias("fastest"))
+    )
+    return seeds0.unionByName(nonseed)

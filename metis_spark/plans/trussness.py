@@ -99,6 +99,8 @@ def trussness(
     resume: bool = True,
     num_partitions: int | None = None,
     init_truss: DataFrame | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (truss(src, dst, truss), info{iterations, changed,
     converged, seconds, triangles}). Output edges are canonical
@@ -121,7 +123,12 @@ def trussness(
     ADDITIONS old values are NOT upper bounds — use the cold start.)
     Supplied values are clamped to the reduced graph's support (also an
     upper bound); surviving edges absent from ``init_truss`` start at
-    support."""
+    support.
+
+    ``checkpoint_every=k`` / ``retain``: the shared durability dial
+    (plans/checkpoint.py:step) — durable commit every k-th round and at
+    convergence, one localCheckpoint job otherwise; resume lands on the
+    last COMMITTED round; fixpoint identical for every k."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -129,7 +136,7 @@ def trussness(
         num_partitions = auto_partitions(edges)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_trussness_")
-    cm = CheckpointManager(checkpoint_dir, "trussness")
+    cm = CheckpointManager(checkpoint_dir, "trussness", retain=retain)
 
     cedges = (
         edges.select(
@@ -217,18 +224,20 @@ def trussness(
                 "old",
             )
         )
-        st, totals = cm.commit(
-            k,
-            nxt,
-            {},
-            extra_aggs={"changed": F.sum((F.col("t") != F.col("old")).cast("long"))},
-        )
+        aggs = {"changed": F.sum((F.col("t") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
         changed = int(totals["changed"] or 0)
         converged = changed == 0
-        cm.update_meta(k, {"converged": converged, "changed": changed})
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "changed": changed})
         cm.append_metrics(
             {"iter": k, "delta": float(changed),
-             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
         )
         state = st.select("s", "d", "t")
         if converged:

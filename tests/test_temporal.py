@@ -130,3 +130,72 @@ def test_latest_departure_matches_bruteforce_random(spark):
     out, info = temporal_latest_departure(e, sdf)
     got = {r["id"]: r["latest_departure"] for r in out.collect()}
     assert got == want and info["converged"]
+
+
+def test_fastest_path_matches_bruteforce_random(spark):
+    """Pareto-frontier fastest path vs a brute-force (vertex, start)
+    fixpoint enumeration: identical minimum durations, seeds pinned 0."""
+    import hashlib
+
+    from metis_spark.plans.temporal import temporal_fastest_path
+    from oracles import random_graph
+
+    pairs = random_graph(n=70, p=0.07, seed=19, zipf_extra=35)
+    rows = [
+        (s, d, int(hashlib.md5(f"t_{s}_{d}".encode()).hexdigest()[:15], 16) % 50)
+        for s, d in pairs
+        if s != d
+    ]
+    verts = {v for s, d, _ in rows for v in (s, d)}
+    seeds = {v for v in verts if v % 10 == 0}
+    # brute force: min arrival per (vertex, start); start times = seed
+    # out-edge timestamps; first hop arrives at its own departure time
+    frontier = {}
+    for s, d, t in rows:
+        if s in seeds:
+            k = (d, t)
+            frontier[k] = min(frontier.get(k, t), t)
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in rows:
+            for (v, st), ar in list(frontier.items()):
+                if v == s and t >= ar:
+                    k = (d, st)
+                    if frontier.get(k, 1 << 60) > t:
+                        frontier[k] = t
+                        changed = True
+    want = {v: 0 for v in seeds}
+    for (v, st), ar in frontier.items():
+        if v not in seeds:
+            want[v] = min(want.get(v, 1 << 60), ar - st)
+
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    sdf = spark.createDataFrame([(v,) for v in seeds], "id long")
+    out, info = temporal_fastest_path(e, sdf)
+    got = {r["id"]: r["fastest"] for r in out.collect()}
+    assert got == want and info["converged"]
+
+
+def test_fastest_path_checkpoint_every_equivalent(spark, tmp_path):
+    import hashlib
+
+    from metis_spark.plans.temporal import temporal_fastest_path
+    from oracles import random_graph
+
+    pairs = random_graph(n=50, p=0.06, seed=3)
+    rows = [
+        (s, d, int(hashlib.md5(f"t_{s}_{d}".encode()).hexdigest()[:15], 16) % 30)
+        for s, d in pairs
+        if s != d
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    sdf = spark.createDataFrame([(0,), (5,)], "id long")
+    r1, i1 = temporal_fastest_path(e, sdf, checkpoint_dir=str(tmp_path / "a"))
+    r4, i4 = temporal_fastest_path(
+        e, sdf, checkpoint_dir=str(tmp_path / "b"), checkpoint_every=4
+    )
+    assert i1["converged"] and i4["converged"]
+    a = {r["id"]: r["fastest"] for r in r1.collect()}
+    b = {r["id"]: r["fastest"] for r in r4.collect()}
+    assert a == b
