@@ -3134,6 +3134,90 @@ def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> str
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM c{rounds}"
 
 
+WCORE_W_MOD = 7  # md5-hash edge weights in 1..7 — small integer
+# multiplicities keep the multigraph core values (and so the h-index
+# round count) in the same regime as the unweighted decomposition
+WCORENESS_ORACLE_ROUNDS = 32  # measured weighted fixpoint: 27 / 23
+# rounds at sf0.001 / sf0.01 (weights stretch the h-index descent past
+# the unweighted 8/14); rounds past the fixpoint are no-ops
+
+
+def _q_score_weighted(spark, sf_dir):
+    """WEIGHTED s-core decomposition (plans/coreness.py weight_col=):
+    integer weights are parallel-edge multiplicities, the fixpoint is
+    the multigraph core number, reached by the same h-index iteration
+    over the running-weight rank (max(least(val, cw))). Weights are
+    md5-derived per canonical undirected pair so both engines replay
+    them bit-exactly."""
+    from metis_spark.plans.coreness import coreness
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    wedges = canon.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("w"),
+                            F.col("a").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % WCORE_W_MOD
+            + 1
+        ).alias("weight"),
+    )
+    out, info = coreness(
+        wedges,
+        weight_col="weight",
+        checkpoint_dir=_tmpdir("metis_qwcore_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= WCORENESS_ORACLE_ROUNDS, info
+    return out
+
+
+def _score_weighted_sql(rounds: int = WCORENESS_ORACLE_ROUNDS) -> str:
+    """Unrolled weighted h-index twin: per round rank neighbour values
+    DESC, running-sum the edge weights, keep MAX(LEAST(val, cw)) — the
+    block maximum sits at each tie-block's last row where the running
+    sum is order-invariant, so no tie-break column is needed (same
+    argument as the unweighted rn form)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "cpair AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges)",
+        "wedges AS MATERIALIZED (SELECT a, b, "
+        "('0x' || substr(md5('w_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        f"::BIGINT % {WCORE_W_MOD} + 1 AS w FROM cpair)",
+        "wund AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM wedges "
+        "UNION ALL SELECT b AS src, a AS dst, w FROM wedges)",
+        "w0 AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS core "
+        "FROM wund GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT id, MAX(LEAST(val, cw))::BIGINT AS core "
+            f"FROM (SELECT u.src AS id, s.core AS val, "
+            f"SUM(u.w) OVER (PARTITION BY u.src ORDER BY s.core DESC "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw "
+            f"FROM wund u JOIN w{p} s ON u.dst = s.id) GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM w{rounds}"
+
+
 CORENESS_DEC_MOD = 5  # deletion rule: drop sparse edges with
 # (src*31 + dst) % 5 == 0 (~20% of the canonical edge set)
 
@@ -4807,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- samples the FIRST 50 entries (VERDICT r3 action item 2)
 
         "coreness": _q_coreness,
+        "score_weighted": _q_score_weighted,
         "trussness": _q_trussness,
         "onion_layers": _q_onion,
         "maximal_matching": _q_maximal_matching,
@@ -5581,6 +5666,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_check": _bipartite_sql(),
         "kcore_3": _kcore_sql(),
         "coreness": _coreness_sql(),
+        "score_weighted": _score_weighted_sql(),
         "coreness_decremental": _coreness_dec_sql(),
         "ktruss_4": _ktruss_sql(),
         "trussness": _trussness_sql(),

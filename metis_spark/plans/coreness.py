@@ -49,6 +49,7 @@ def coreness(
     init_cores: DataFrame | None = None,
     checkpoint_every: int = 1,
     retain: int | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """edges(src,dst) → (cores(id, core), info{iterations, changed,
     converged, seconds, n}). Undirected view (symmetrized, self-loops
@@ -75,7 +76,31 @@ def coreness(
     with the changed-count folded in (CheckpointManager.step). Resume lands
     on the last COMMITTED round; the fixpoint is identical for every k.
     ``retain`` keeps only the newest N committed rounds (resume only ever
-    reads latest())."""
+    reads latest()).
+
+    ``weight_col``: WEIGHTED s-core decomposition. Positive integer
+    weights are parallel-edge multiplicities, so the weighted core
+    number is the core number of the expanded multigraph and the same
+    h-index theorem applies verbatim (a multigraph is a graph to the
+    theorem; the start value is the weighted degree — the strength —
+    which is the trivial upper bound). The relational h-index of the
+    weighted multiset { val(u) × w(u,v) } is
+
+        max over neighbours, ranked by val DESC, of least(val, cw)
+
+    with cw the running weight sum — the block-maximum of least(val, cw)
+    sits at each tie-block's last row where cw is order-invariant, so
+    the twin replays it without a tie-break column, exactly like the
+    unweighted rn form (which is the w ≡ 1 special case). Parallel input
+    edges and both orientations of a pair are combined by SUMMING their
+    weights on the canonical (min, max) pair before mirroring. Running
+    sums ride decimal(38,0) — ANSI mode raises on a long-sum overflow of
+    60-bit weights otherwise (the heavy_edge_coarsen lesson) — and only
+    the final h (≤ the long-ranged strength) is cast back. Unit weights
+    on a one-row-per-undirected-pair input reproduce the unweighted
+    decomposition bit-for-bit (pinned by pytest; note the combine rules
+    differ on duplicated pairs — unweighted DEDUPS them, weighted SUMS
+    them, the multigraph reading of a repeated edge)."""
     spark = edges.sparkSession
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
@@ -85,17 +110,44 @@ def coreness(
         checkpoint_dir = tempfile.mkdtemp(prefix="metis_coreness_")
     cm = CheckpointManager(checkpoint_dir, "coreness", retain=retain)
 
-    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    und = (
-        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(num_partitions, "src")
-        .persist()
-    )
-    state = und.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("core")
-    )
+    if weight_col is None:
+        e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        und = (
+            e0.unionByName(
+                e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        state = und.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("core")
+        )
+    else:
+        canon = (
+            edges.select(
+                F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("a"),
+                F.greatest(
+                    F.col("src").cast("long"), F.col("dst").cast("long")
+                ).alias("b"),
+                F.col(weight_col).cast("decimal(38,0)").alias("w"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+        und = (
+            canon.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+            .unionByName(
+                canon.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+            )
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        state = und.groupBy(F.col("src").alias("id")).agg(
+            F.sum("w").cast("long").alias("core")
+        )
     if init_cores is not None:
         state = (
             state.withColumnRenamed("core", "deg")
@@ -130,17 +182,42 @@ def coreness(
     k = start_iter
     for k in range(start_iter + 1, max_iter + 1):
         it_t0 = time.monotonic()
-        nv = und.join(
-            state.select(F.col("id").alias("dst"), F.col("core").alias("val"))
-            .hint("shuffle_hash"),
-            "dst",
-        ).select(F.col("src").alias("id"), "val")
-        w = Window.partitionBy("id").orderBy(F.desc("val"))
-        h = (
-            nv.withColumn("rn", F.row_number().over(w))
-            .groupBy("id")
-            .agg(F.max(F.least(F.col("val"), F.col("rn"))).cast("long").alias("core"))
-        )
+        if weight_col is None:
+            nv = und.join(
+                state.select(F.col("id").alias("dst"), F.col("core").alias("val"))
+                .hint("shuffle_hash"),
+                "dst",
+            ).select(F.col("src").alias("id"), "val")
+            w = Window.partitionBy("id").orderBy(F.desc("val"))
+            h = (
+                nv.withColumn("rn", F.row_number().over(w))
+                .groupBy("id")
+                .agg(
+                    F.max(F.least(F.col("val"), F.col("rn")))
+                    .cast("long")
+                    .alias("core")
+                )
+            )
+        else:
+            nv = und.join(
+                state.select(F.col("id").alias("dst"), F.col("core").alias("val"))
+                .hint("shuffle_hash"),
+                "dst",
+            ).select(F.col("src").alias("id"), "val", "w")
+            w = (
+                Window.partitionBy("id")
+                .orderBy(F.desc("val"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            h = (
+                nv.withColumn("cw", F.sum("w").over(w))
+                .groupBy("id")
+                .agg(
+                    F.max(F.least(F.col("val").cast("decimal(38,0)"), F.col("cw")))
+                    .cast("long")
+                    .alias("core")
+                )
+            )
         nxt = h.join(
             state.select("id", F.col("core").alias("old")).hint("shuffle_hash"),
             "id",

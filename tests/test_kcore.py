@@ -152,6 +152,113 @@ def test_coreness_decremental_warm_start(spark, tmp_path):
     assert iw["iterations"] <= ic["iterations"]
 
 
+def _coreness_oracle_peel(wedges):
+    """Textbook min-degree peel with the running-k floor (Batagelj–
+    Zaveršnik generalized to weighted degrees)."""
+    deg = {}
+    adj = {}
+    for a, b, w in wedges:
+        if a == b:
+            continue
+        deg[a] = deg.get(a, 0) + w
+        deg[b] = deg.get(b, 0) + w
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    alive = dict(deg)
+    core = {}
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (alive[x], x))
+        k = max(k, alive[v])
+        core[v] = k
+        del alive[v]
+        for u, w in adj.get(v, []):
+            if u in alive:
+                alive[u] -= w
+    return core
+
+
+def _wedges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "src long, dst long, weight long",
+    )
+
+
+def test_weighted_coreness_unit_weights_match_unweighted(spark, tmp_path):
+    """w ≡ 1 on one-row-per-undirected-pair input reproduces the
+    unweighted decomposition bit-for-bit."""
+    from metis_spark.plans.coreness import coreness
+
+    edges = random_graph(n=70, p=0.08, seed=99, zipf_extra=40)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    unw, iu = coreness(edges_df(spark, canon), checkpoint_dir=str(tmp_path / "u"))
+    wtd, iw = coreness(
+        _wedges_df(spark, [(a, b, 1) for a, b in canon]),
+        weight_col="weight",
+        checkpoint_dir=str(tmp_path / "w"),
+    )
+    assert iu["converged"] and iw["converged"]
+    assert {r["id"]: r["core"] for r in unw.collect()} == {
+        r["id"]: r["core"] for r in wtd.collect()
+    }
+
+
+def test_weighted_coreness_golden_doubled_triangle(spark, tmp_path):
+    """Triangle with multiplicity-2 edges is a 4-core multigraph; a
+    pendant of weight 3 has core 3 (its single edge's multiplicity)."""
+    from metis_spark.plans.coreness import coreness
+
+    out, info = coreness(
+        _wedges_df(spark, [(0, 1, 2), (1, 2, 2), (0, 2, 2), (2, 9, 3)]),
+        weight_col="weight",
+        checkpoint_dir=str(tmp_path),
+    )
+    assert info["converged"]
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 9: 3}
+
+
+def test_weighted_coreness_vs_peel_oracle(spark, tmp_path):
+    """h-index fixpoint on md5-style integer weights equals the
+    sequential weighted peel."""
+    import random
+
+    from metis_spark.plans.coreness import coreness
+
+    rng = random.Random(17)
+    edges = random_graph(n=60, p=0.07, seed=31, zipf_extra=30)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    wedges = [(a, b, rng.randint(1, 7)) for a, b in canon]
+    out, info = coreness(
+        _wedges_df(spark, wedges),
+        weight_col="weight",
+        checkpoint_dir=str(tmp_path),
+    )
+    assert info["converged"]
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert got == _coreness_oracle_peel(wedges)
+
+
+def test_weighted_coreness_sums_parallel_edges(spark, tmp_path):
+    """Duplicated pairs and reversed orientations SUM their weights
+    (multigraph reading) before the decomposition."""
+    from metis_spark.plans.coreness import coreness
+
+    # (0,1) appears as 0→1 w=1 and 1→0 w=1 → combined multiplicity 2
+    out, info = coreness(
+        _wedges_df(
+            spark,
+            [(0, 1, 1), (1, 0, 1), (1, 2, 2), (0, 2, 2)],
+        ),
+        weight_col="weight",
+        checkpoint_dir=str(tmp_path),
+    )
+    assert info["converged"]
+    got = {r["id"]: r["core"] for r in out.collect()}
+    assert got == _coreness_oracle_peel([(0, 1, 2), (1, 2, 2), (0, 2, 2)])
+
+
 def test_onion_layers_refine_coreness(spark, tmp_path):
     """Onion sweeps: the core column equals the h-index coreness
     fixpoint; layers are monotone within a vertex's peel order (a
