@@ -1288,6 +1288,148 @@ def _linkpred_eval_sql() -> str:
     )
 
 
+LP_NEG_VSAMP_MOD = 16  # vertex-sample modulus for negative-pair generation
+
+
+def _q_linkpred_auc(spark, sf_dir):
+    """Link-prediction AUC (Mann-Whitney rank-sum) — the discriminative
+    twin of `linkpred_eval` (VERDICT r3 item 4): precision@k on the
+    near-random synthetic graph is honestly ~0, so AUC over held-out
+    positives vs sampled non-edge negatives is the metric that makes the
+    harness informative. Positives = the same hash-held ~25% of canonical
+    sparse-graph pairs; negatives = all non-edge pairs inside a
+    deterministic md5-sampled vertex subset (1/16 of vertices), so both
+    sides are engine-replayable with no RNG. Scores = Adamic-Adar over the
+    TRAIN graph computed per eval pair (two adjacency joins + hub-capped
+    1/ln(deg) sum — never materializing all-pairs). AUC is tie-aware and
+    integer-exact until the final division: rank2 = 2*RANK + |tie block|-1
+    doubles the average rank, U2 = sum(rank2 over positives) -
+    n_pos*(n_pos+1), AUC = U2 / (2*n_pos*n_neg). The single global rank
+    window runs over the BOUNDED eval set (holdout + sampled-subset
+    non-edges, ~1e4 rows by construction) — an eval harness, not a
+    data-path shuffle. Scores rounded to 6dp in both engines BEFORE
+    ranking (round-before-rank discipline)."""
+    e = derived_edges_sparse(spark, sf_dir)
+    cp = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def _h60(prefix, *cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(prefix), *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    cp = cp.withColumn(
+        "held",
+        _h60("h", F.col("a").cast("string"), F.col("b").cast("string"))
+        % LP_HOLD_MOD == 0,
+    ).persist()
+    hold = cp.where("held").select("a", "b")
+    train = cp.where(~F.col("held")).select("a", "b")
+    und2 = train.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        train.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = und2.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+
+    verts = (
+        cp.select(F.col("a").alias("v"))
+        .unionByName(cp.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    vsamp = verts.where(
+        _h60("nv", F.col("v").cast("string")) % LP_NEG_VSAMP_MOD == 0
+    )
+    negs = (
+        vsamp.alias("x")
+        .crossJoin(F.broadcast(vsamp.alias("y")))
+        .where(F.col("x.v") < F.col("y.v"))
+        .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .join(cp.select("a", "b"), ["a", "b"], "left_anti")
+    )
+    ev = hold.withColumn("is_pos", F.lit(1)).unionByName(
+        negs.withColumn("is_pos", F.lit(0))
+    )
+
+    # Adamic-Adar per eval pair: wedge via two adjacency joins, hub-capped
+    t1 = und2.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    t2 = und2.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    wed = (
+        ev.select("a", "b")
+        .join(t1, "a")
+        .join(t2, ["b", "w"])
+        .join(deg.where(F.col("deg") <= HUB_CAP).withColumnRenamed("id", "w"), "w")
+    )
+    sc = wed.groupBy("a", "b").agg(
+        F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("score")
+    )
+    scored = ev.join(sc, ["a", "b"], "left").select(
+        "is_pos", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
+    )
+    rank2 = (
+        2 * F.rank().over(Window.orderBy("score"))
+        + F.count(F.lit(1)).over(Window.partitionBy("score"))
+        - 1
+    ).cast("long")
+    ranked = scored.select("is_pos", rank2.alias("rank2"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("is_pos") == 1, F.col("rank2")).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(F.col("is_pos")).cast("long").alias("n_pos"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("n_neg"),
+    )
+    out = agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        F.round(
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+    cp.unpersist()
+    return out
+
+
+def _linkpred_auc_sql() -> str:
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+        "cp AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und), "
+        "marked AS MATERIALIZED (SELECT a, b, "
+        "(('0x' || substr(md5('h_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        f"::BIGINT % {LP_HOLD_MOD} = 0) AS held FROM cp), "
+        "hold AS MATERIALIZED (SELECT a, b FROM marked WHERE held), "
+        "und2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM marked WHERE NOT held "
+        "UNION ALL SELECT b, a FROM marked WHERE NOT held), "
+        "deg2 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und2 GROUP BY src), "
+        "verts AS (SELECT a AS v FROM marked UNION SELECT b FROM marked), "
+        "vsamp AS MATERIALIZED (SELECT v FROM verts WHERE "
+        "('0x' || substr(md5('nv_' || v::VARCHAR), 1, 15))::BIGINT "
+        f"% {LP_NEG_VSAMP_MOD} = 0), "
+        "negs AS (SELECT x.v AS a, y.v AS b FROM vsamp x JOIN vsamp y ON x.v < y.v "
+        "WHERE NOT EXISTS (SELECT 1 FROM marked m WHERE m.a = x.v AND m.b = y.v)), "
+        "ev AS MATERIALIZED (SELECT a, b, 1 AS is_pos FROM hold "
+        "UNION ALL SELECT a, b, 0 FROM negs), "
+        "sc AS (SELECT e.a, e.b, ROUND(SUM(1.0 / ln(d.deg)), 6) AS score "
+        "FROM ev e JOIN und2 t1 ON t1.src = e.a JOIN und2 t2 "
+        "ON t2.src = e.b AND t2.dst = t1.dst "
+        f"JOIN deg2 d ON d.id = t1.dst AND d.deg <= {HUB_CAP} GROUP BY e.a, e.b), "
+        "scored AS (SELECT e.is_pos, COALESCE(s.score, 0.0) AS score "
+        "FROM ev e LEFT JOIN sc s ON s.a = e.a AND s.b = e.b), "
+        "ranked AS (SELECT is_pos, 2 * RANK() OVER (ORDER BY score) "
+        "+ COUNT(*) OVER (PARTITION BY score) - 1 AS rank2 FROM scored), "
+        "agg AS (SELECT SUM(CASE WHEN is_pos = 1 THEN rank2 ELSE 0 END)::BIGINT AS s2, "
+        "SUM(is_pos)::BIGINT AS n_pos, SUM(1 - is_pos)::BIGINT AS n_neg FROM ranked) "
+        "SELECT n_pos, n_neg, (s2 - n_pos * (n_pos + 1))::BIGINT AS u2, "
+        "ROUND((s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6) AS auc FROM agg"
+    )
+
+
 def _q_csr_gap_histogram(spark, sf_dir):
     """Adjacency-gap histogram over the sorted sparse CSR rows: count of
     neighbor-id deltas per floor(log2(gap)) bucket — the WebGraph/BV
@@ -4899,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": _q_temporal_reachability,
         "temporal_latest_departure": _q_temporal_latest_departure,
         "temporal_fastest_path": _q_temporal_fastest,
+        "linkpred_auc": _q_linkpred_auc,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -5679,6 +5822,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reachability": _temporal_sql(),
         "temporal_latest_departure": _temporal_ld_sql(),
         "temporal_fastest_path": _temporal_fp_sql(),
+        "linkpred_auc": _linkpred_auc_sql(),
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,

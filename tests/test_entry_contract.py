@@ -35,7 +35,18 @@ FAST_QUERIES = [
     "directed_triads",
     "csr_gap_histogram",
     "hard_negatives",
+    # round-4 additions
+    "linkpred_auc",
 ]
+
+
+def test_linkpred_auc_invariants(spark):
+    """Mann-Whitney identities: U2 in [0, 2*n_pos*n_neg] (so AUC in [0,1])
+    and both classes non-empty at the gate scale."""
+    row = E.queries()["linkpred_auc"](spark, SF_DIR).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    assert 0 <= row.u2 <= 2 * row.n_pos * row.n_neg
+    assert 0.0 <= row.auc <= 1.0
 
 
 @pytest.fixture(scope="module")
