@@ -4747,6 +4747,166 @@ def _hec_sql() -> str:
     return _matching_sql(prio_sql=f"{HEC_MAXP} - ({w_sql})", final="," + final)
 
 
+PARTITION_K = 8  # balanced k-way partition fan-out
+PARTITION_EPS10 = 1  # balance slack in tenths: cap = floor(1.1 * n / k)
+
+
+def _q_partition_assignment(spark, sf_dir):
+    """Balanced k-way partition (plans/partition.py): one multilevel
+    V-cycle — heavy-edge coarsen (the heavy_edge_coarsen matching),
+    md5-hash initial partition of the QUOTIENT, project, then one greedy
+    boundary-refinement pass (two parity-staged sub-rounds, moves to the
+    neighbor-majority part under the hard cap floor(1.1*n/k),
+    deterministic tie-breaks). Per-vertex (id, part) — the full
+    assignment hash-matches the unrolled twin."""
+    from metis_spark.plans.partition import kway_partition
+
+    parts, info = kway_partition(
+        derived_edges_sparse(spark, sf_dir),
+        k=PARTITION_K,
+        eps=PARTITION_EPS10 / 10.0,
+        checkpoint_dir=_tmpdir("metis_qpart_"),
+    )
+    assert (
+        info["match_converged"]
+        and info["match_iterations"] <= MATCHING_ORACLE_ROUNDS
+    ), info
+    return parts
+
+
+def _q_partition_quality(spark, sf_dir):
+    """Partition quality report (VERDICT r3 item 5 'reported edge-cut'):
+    the refined V-cycle cut vs the fine-level hash-partition baseline
+    (SAME md5 hash family, so like-for-like), plus balance extrema vs
+    the cap. Asserts the multilevel cut strictly beats hash
+    partitioning at the gate scales."""
+    from metis_spark.plans.partition import edge_cut, hash_partition, kway_partition
+
+    e = derived_edges_sparse(spark, sf_dir)
+    parts, info = kway_partition(
+        e, k=PARTITION_K, eps=PARTITION_EPS10 / 10.0,
+        checkpoint_dir=_tmpdir("metis_qpartq_"),
+    )
+    assert (
+        info["match_converged"]
+        and info["match_iterations"] <= MATCHING_ORACLE_ROUNDS
+    ), info
+    sz = parts.groupBy("part").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.max("c").cast("long").alias("max_part"),
+        F.min("c").cast("long").alias("min_part"),
+    )
+    out = (
+        sz.crossJoin(
+            edge_cut(e, hash_partition(e, PARTITION_K)).select(
+                F.col("cut").alias("cut_hash")
+            )
+        )
+        .crossJoin(edge_cut(e, parts).select(F.col("cut").alias("cut_refined")))
+        .select(
+            F.lit(PARTITION_K).cast("long").alias("k"),
+            F.lit(info["n"]).cast("long").alias("n_vertices"),
+            F.lit(info["cap"]).cast("long").alias("cap"),
+            "max_part",
+            "min_part",
+            "cut_hash",
+            "cut_refined",
+        )
+    )
+    row = out.first()
+    assert row.cut_refined < row.cut_hash, (row.cut_refined, row.cut_hash)
+    return out
+
+
+def _partition_sql(out: str = "assign") -> str:
+    """Unrolled twin of kway_partition: _matching_sql coarsening under
+    the heavy-edge priority, md5 quotient init, two parity sub-rounds of
+    capped majority moves. ``out='assign'`` emits (id, part);
+    ``out='quality'`` the one-row cut/balance report."""
+    k = PARTITION_K
+    w_sql = "('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT"
+    cap_sql = f"(n * {10 + PARTITION_EPS10}) // {10 * k}"
+    ctes = [
+        f"w_match AS (SELECT id AS s, mate AS d FROM s{MATCHING_ORACLE_ROUNDS} "
+        "WHERE mate > id)",
+        "lab AS (SELECT s AS id, s AS lab FROM w_match UNION ALL "
+        "SELECT d, s FROM w_match)",
+        "vv AS MATERIALIZED (SELECT id FROM s0)",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM vv)",
+        "p0 AS MATERIALIZED (SELECT v.id, "
+        "('0x' || substr(md5('part_' || COALESCE(l.lab, v.id)::VARCHAR), 1, 15))"
+        f"::BIGINT % {k} AS part FROM vv v LEFT JOIN lab l ON v.id = l.id)",
+    ]
+    for r in (1, 2):
+        p, parity = r - 1, r - 1
+        ctes.append(
+            f"hist{r} AS MATERIALIZED (SELECT e.src AS v, p.part AS pu, "
+            f"COUNT(*)::BIGINT AS cnt FROM und e JOIN p{p} p ON e.dst = p.id "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best{r} AS (SELECT v, pu AS dest, cnt AS best_cnt FROM ("
+            "SELECT v, pu, cnt, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY cnt DESC, pu ASC) AS rn FROM hist{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cand{r} AS (SELECT b.v, b.dest, "
+            "b.best_cnt - COALESCE(o.cnt, 0) AS gain "
+            f"FROM best{r} b JOIN p{p} c ON c.id = b.v "
+            f"LEFT JOIN hist{r} o ON o.v = b.v AND o.pu = c.part "
+            "WHERE b.dest <> c.part AND b.best_cnt - COALESCE(o.cnt, 0) > 0 "
+            "AND ('0x' || substr(md5('mv_' || b.v::VARCHAR), 1, 15))::BIGINT % 2 "
+            f"= {parity})"
+        )
+        ctes.append(
+            f"size{r} AS (SELECT part AS dest, COUNT(*)::BIGINT AS sz "
+            f"FROM p{p} GROUP BY part)"
+        )
+        ctes.append(
+            f"acc{r} AS (SELECT v, dest FROM (SELECT c.v, c.dest, "
+            "ROW_NUMBER() OVER (PARTITION BY c.dest "
+            "ORDER BY c.gain DESC, c.v ASC) AS rn, "
+            f"(SELECT {cap_sql} FROM nn) - COALESCE(s.sz, 0) AS slots "
+            f"FROM cand{r} c LEFT JOIN size{r} s ON s.dest = c.dest) "
+            "WHERE rn <= slots)"
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT p.id, "
+            "COALESCE(a.dest, p.part)::BIGINT AS part "
+            f"FROM p{p} p LEFT JOIN acc{r} a ON a.v = p.id)"
+        )
+    if out == "assign":
+        final_sel = "SELECT id, part FROM p2"
+    else:
+        ctes.append(
+            "ph AS (SELECT id, "
+            "('0x' || substr(md5('part_' || id::VARCHAR), 1, 15))::BIGINT "
+            f"% {k} AS part FROM vv)"
+        )
+        ctes.append(
+            "qh AS (SELECT COUNT(*)::BIGINT AS cut_hash FROM ce e "
+            "JOIN ph x ON e.a = x.id JOIN ph y ON e.b = y.id "
+            "WHERE x.part <> y.part)"
+        )
+        ctes.append(
+            "qr AS (SELECT COUNT(*)::BIGINT AS cut_refined FROM ce e "
+            "JOIN p2 x ON e.a = x.id JOIN p2 y ON e.b = y.id "
+            "WHERE x.part <> y.part)"
+        )
+        ctes.append(
+            "szq AS (SELECT MAX(c)::BIGINT AS max_part, MIN(c)::BIGINT AS min_part "
+            "FROM (SELECT COUNT(*) AS c FROM p2 GROUP BY part))"
+        )
+        final_sel = (
+            f"SELECT {k}::BIGINT AS k, nn.n AS n_vertices, "
+            f"({cap_sql})::BIGINT AS cap, szq.max_part, szq.min_part, "
+            "qh.cut_hash, qr.cut_refined FROM nn, szq, qh, qr"
+        )
+    return _matching_sql(
+        prio_sql=f"{HEC_MAXP} - ({w_sql})",
+        final="," + ",\n".join(ctes) + "\n" + final_sel,
+    )
+
+
 TEMPORAL_SEED_MOD = 512  # seeds: vertices with id % 512 == 0
 TEMPORAL_TS_MOD = 1000  # hash-derived edge timestamps in [0, 1000)
 TEMPORAL_ORACLE_ROUNDS = 24  # Bellman-Ford unroll ≥ max hop count of an
@@ -5042,6 +5202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_latest_departure": _q_temporal_latest_departure,
         "temporal_fastest_path": _q_temporal_fastest,
         "linkpred_auc": _q_linkpred_auc,
+        "partition_assignment": _q_partition_assignment,
+        "partition_quality": _q_partition_quality,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -5823,6 +5985,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_latest_departure": _temporal_ld_sql(),
         "temporal_fastest_path": _temporal_fp_sql(),
         "linkpred_auc": _linkpred_auc_sql(),
+        "partition_assignment": _partition_sql("assign"),
+        "partition_quality": _partition_sql("quality"),
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,
