@@ -85,18 +85,32 @@ def _burn(n: int) -> int:
     return x
 
 
-def host_calibration(n: int, n4: int, work: int = 20_000_000) -> dict:
-    """Pure-CPU (no JVM) throughput at n vs 4n processes — the host ceiling."""
-    out = {}
-    for procs in (n, n4):
-        t0 = time.monotonic()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [work] * procs)
-        dt = time.monotonic() - t0
-        out[procs] = procs * work / dt
+def host_calibration(
+    n: int, n4: int, work: int = 20_000_000, repeats: int = 5
+) -> dict:
+    """Pure-CPU (no JVM) throughput at n vs 4n processes — the host
+    ceiling. Median of ``repeats`` ALTERNATING runs per level: a single
+    sample at 2 procs is itself several percent noisy on this shared VM
+    (ADVICE r3: one depressed local[2] sample produced a >1.0 'ceiling'),
+    and superlinear pure-CPU scaling is impossible — any ceiling reading
+    >1.0 is calibration noise, never headroom, and is flagged as such."""
+    samples: dict[int, list[float]] = {n: [], n4: []}
+    for _ in range(repeats):
+        for procs in (n, n4):
+            t0 = time.monotonic()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [work] * procs)
+            dt = time.monotonic() - t0
+            samples[procs].append(procs * work / dt)
+    med = {k: statistics.median(v) for k, v in samples.items()}
+    eff = round(med[n4] / (4 * med[n]), 3)
     return {
-        "ops_per_sec": {str(k): round(v) for k, v in out.items()},
-        "host_efficiency": round(out[n4] / (4 * out[n]), 3),
+        "ops_per_sec": {str(k): round(v) for k, v in med.items()},
+        "all_runs_ops_per_sec": {
+            str(k): [round(x) for x in v] for k, v in samples.items()
+        },
+        "host_efficiency": eff,
+        "superlinear_reading_is_noise": eff > 1.0,
     }
 
 
@@ -181,12 +195,15 @@ JVM per level, warm-up run discarded (JIT/codegen), median of
 **Host calibration.** The sandbox VM's vCPUs are not linear across the
 whole range: a pure-arithmetic multiprocessing busy-loop (no JVM)
 measures ~{cal['host_efficiency']:.2f} efficiency across this N->4N
-span, and separately ~0.71 from 8->32 processes — i.e. above ~8 busy
-cores the hypervisor stops delivering proportional compute to ANY
-workload. The measurement below therefore uses the host's linear
-region (N={n}, 4N={n4}); the quantity under test is whether the job
-STRUCTURE scales with parallelism, not the hypervisor's
-oversubscription policy.
+span (median of 5 alternating runs per level), and separately ~0.71
+from 8->32 processes — i.e. above ~8 busy cores the hypervisor stops
+delivering proportional compute to ANY workload. Superlinear pure-CPU
+scaling is impossible, so any single-run ceiling reading >1.0 is
+calibration noise (a depressed small-N sample), never real headroom —
+the median-of-5 protocol exists to absorb exactly that. The measurement
+below therefore uses the host's linear region (N={n}, 4N={n4}); the
+quantity under test is whether the job STRUCTURE scales with
+parallelism, not the hypervisor's oversubscription policy.
 
 Timed quantity: the iteration loop (join+agg+checkpoint+lineage ×
 {args.iters}) — the north-rule metric is per-ITERATION throughput; the
@@ -205,8 +222,9 @@ over a full run at scale and is reported as full-run wall below.
 
 - input: {edges_path} — {n_edges:,} edges (deterministic xxhash64
   power-law generator, BENCH/gen_graph.py)
-- host pure-CPU calibration (ops/s): {cal['ops_per_sec']} ->
-  host ceiling {cal['host_efficiency']:.3f} over this span
+- host pure-CPU calibration (median-of-5 ops/s): {cal['ops_per_sec']} ->
+  host ceiling {cal['host_efficiency']:.3f} over this span; all runs:
+  {cal['all_runs_ops_per_sec']}
 - storage held constant: /dev/shm-backed shuffle dirs + checkpoints
   (shared-VM disk I/O variance otherwise swings identical runs by 1.7x;
   a real cluster's local disks scale WITH executor count)
@@ -218,6 +236,10 @@ over a full run at scale and is reported as full-run wall below.
   = **{eff:.3f}** on medians, **{eff_best:.3f}** on best-of-{args.runs}
   (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"} on medians,
   {"MET" if eff_best >= 0.8 else "NOT MET"} on best)
+{'''- a reading > 1.0 is, exactly like the host-calibration case above, a
+  noise-depressed local[2] sample, never real superlinearity — the
+  honest claim is "comfortably >= 0.8", not "> 1.0"
+''' if max(eff, eff_best) > 1.0 else ''}
 
 At 10^12-file scale the same job structure shards the rank<->edge
 shuffle across machines: the edge table is bucketed by src (shuffle-

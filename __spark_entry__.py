@@ -1972,6 +1972,32 @@ def _q_vocab_top100(spark, sf_dir):
     return CS.vocab_topk(docs, "doc_id", "text", k=100)
 
 
+def _q_unigram_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal (the CCNet/Gopher LM-quality
+    filter with the corpus's own unigram stats as the LM): per-token
+    -ln(freq/T) quantized to integer micro-nats BEFORE summation so
+    cross-engine addition order is irrelevant
+    (operators/corpus_stats.py:unigram_surprisal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.unigram_surprisal(docs, "doc_id", "text")
+
+
+_UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS MATERIALIZED (SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term FROM documents),
+freq AS MATERIALIZED (SELECT term, COUNT(*)::BIGINT AS freq FROM toks GROUP BY term),
+tot AS (SELECT SUM(freq)::BIGINT AS t FROM freq),
+lp AS (SELECT f.term,
+       CAST(ROUND(ln(t.t * 1.0 / f.freq) * 1000000.0) AS BIGINT) AS lp
+       FROM freq f CROSS JOIN tot t)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_tokens,
+       SUM(l.lp)::BIGINT AS surprisal_micro,
+       ROUND(SUM(l.lp)::BIGINT / COUNT(*) / 1000000.0, 6) AS avg_surprisal
+FROM toks s JOIN lp l ON s.term = l.term GROUP BY s.doc_id
+"""
+
+
 def _q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -3418,6 +3444,134 @@ def _q_kcore(spark, sf_dir):
     )
     assert info["iterations"] <= KCORE_ORACLE_ROUNDS, info
     return core
+
+
+DENSEST_EPS_TENTHS = 5  # eps=0.5: the standard 3-approx threshold 3e/n
+DENSEST_ORACLE_ROUNDS = 26  # >= log_{1.5}(n) at the gate scales (each
+# round keeps < n/(1+eps) vertices); rounds past the empty fixpoint are
+# no-ops — the query asserts the measured count fits
+
+
+def _q_densest(spark, sf_dir):
+    """Densest subgraph by greedy threshold peeling (plans/densest.py,
+    Bahmani et al. PVLDB'12): per round drop vertices with
+    deg < 2(1+eps)*|E|/|V|, emit the integer-exact density trajectory —
+    its running max is the 2(1+eps)-approx densest subgraph. Trajectory
+    scalars ride the commit scan (n = rows, e = sum(deg)/2)."""
+    from metis_spark.plans.densest import densest_subgraph
+
+    traj, info = densest_subgraph(
+        derived_edges_sparse(spark, sf_dir),
+        eps_tenths=DENSEST_EPS_TENTHS,
+        checkpoint_dir=_tmpdir("metis_qdensest_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["rounds"] <= DENSEST_ORACLE_ROUNDS, info
+    return traj
+
+
+def _densest_sql(rounds: int = DENSEST_ORACLE_ROUNDS) -> str:
+    """Unrolled peeling twin: per round the degree table, the (n, e)
+    snapshot, the integer threshold keep-set (deg*10*n >= C*e avoids
+    rational division), and the induced edge set. Snapshots with n = 0
+    (past the fixpoint) are filtered — identical to the Spark loop's
+    stop condition."""
+    c = 2 * (10 + DENSEST_EPS_TENTHS)
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und)",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT id, COUNT(*)::BIGINT AS deg FROM ("
+            f"SELECT a AS id FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY id)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT (SELECT COUNT(*) FROM d{r})::BIGINT AS n, "
+            f"(SELECT COUNT(*) FROM e{p})::BIGINT AS e)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT d.id FROM d{r} d, s{r} s "
+            f"WHERE d.deg * 10 * s.n >= {c} * s.e)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e "
+            f"JOIN k{r} ka ON e.a = ka.id JOIN k{r} kb ON e.b = kb.id)"
+        )
+        sel.append(
+            f"SELECT {p}::BIGINT AS peel_round, n AS n_vertices, e AS n_edges, "
+            f"ROUND(e * 1.0 / n, 6) AS density FROM s{r} WHERE n > 0"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel)
+
+
+WL_ROUNDS = 3
+
+
+def _q_wl_colors(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement, 3 rounds (plans/wl.py):
+    order-independent hash-WL — the neighbor multiset enters as an exact
+    integer SUM(rehash(color)) mod 2^60, so the per-round aggregation
+    map-side-combines and the colors are bit-identical across engines
+    and cluster sizes."""
+    from metis_spark.plans.wl import wl_colors
+
+    colors, info = wl_colors(derived_edges_sparse(spark, sf_dir), rounds=WL_ROUNDS)
+    assert info["rounds"] == WL_ROUNDS and len(info["n_colors_per_round"]) == WL_ROUNDS + 1
+    return colors
+
+
+def _q_wl_class_histogram(spark, sf_dir):
+    """WL color-class size distribution — the graph's structural
+    fingerprint signature (two graphs with different histograms are
+    provably non-isomorphic): (class_size, n_classes) from the round-3
+    colors."""
+    from metis_spark.plans.wl import wl_colors
+
+    colors, _ = wl_colors(derived_edges_sparse(spark, sf_dir), rounds=WL_ROUNDS)
+    cls = colors.groupBy("color").agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    return cls.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes")
+    )
+
+
+def _wl_sql(out: str = "colors", rounds: int = WL_ROUNDS) -> str:
+    """Unrolled hash-WL twin: degree colors, then per round the exact
+    HUGEINT neighbor-sum mod 2^60 and the md5 recombination."""
+    mod = 1 << 60
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "wdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
+        "c0 AS MATERIALIZED (SELECT id, "
+        "('0x' || substr(md5('wl0_' || deg::VARCHAR), 1, 15))::BIGINT AS color "
+        "FROM wdeg)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"wm{r} AS (SELECT e.src AS id, CAST(SUM("
+            "('0x' || substr(md5('wlh_' || c.color::VARCHAR), 1, 15))::BIGINT) "
+            f"% {mod} AS BIGINT) AS m "
+            f"FROM und e JOIN c{p} c ON e.dst = c.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT c.id, ('0x' || substr(md5("
+            "'wl_' || c.color::VARCHAR || '_' || m.m::VARCHAR), 1, 15))::BIGINT "
+            f"AS color FROM c{p} c JOIN wm{r} m ON c.id = m.id)"
+        )
+    if out == "colors":
+        final = f"SELECT id, color FROM c{rounds}"
+    else:
+        final = (
+            "SELECT class_size, COUNT(*)::BIGINT AS n_classes FROM ("
+            f"SELECT color, COUNT(*)::BIGINT AS class_size FROM c{rounds} "
+            "GROUP BY color) GROUP BY class_size"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 N_BETW_SOURCES = 8
@@ -5204,6 +5358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_auc": _q_linkpred_auc,
         "partition_assignment": _q_partition_assignment,
         "partition_quality": _q_partition_quality,
+        "densest_subgraph": _q_densest,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "wl_colors_3": _q_wl_colors,
+        "wl_class_histogram": _q_wl_class_histogram,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -5987,6 +6145,10 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_auc": _linkpred_auc_sql(),
         "partition_assignment": _partition_sql("assign"),
         "partition_quality": _partition_sql("quality"),
+        "densest_subgraph": _densest_sql(),
+        "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
+        "wl_colors_3": _wl_sql("colors"),
+        "wl_class_histogram": _wl_sql("histogram"),
         "maximal_matching": _matching_sql(),
         "bowtie_structure": _bowtie_sql(),
         "chunk_plan": _CHUNK_PLAN_SQL,

@@ -154,6 +154,11 @@ def main() -> None:
         "maximal_matching",
         "temporal_reachability",
         "minimum_spanning_forest",
+        # round-4 families
+        "partition_assignment",
+        "densest_subgraph",
+        "wl_colors_3",
+        "unigram_surprisal",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -321,3 +321,45 @@ def ngram_novelty(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 6),
         )
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_tokens, surprisal_micro, avg_surprisal): per-document
+    mean unigram surprisal — the language-model quality filter of the
+    CCNet / Gopher pipelines with the LM reduced to the corpus's own
+    unigram distribution (no external model): a document of rare tokens
+    scores high, boilerplate of stopwords scores low.
+
+    Cross-engine float discipline: each token's -ln(freq/T) is quantized
+    to integer MICRO-NATS before summation (round(ln(T/freq)*1e6)), so
+    the per-document sum is integer arithmetic — addition order across
+    partitions/engines cannot flip a bit. The only floats are one
+    correctly-rounded division and one ln per DISTINCT term, computed
+    once in the |vocab|-sized frequency table and broadcast back to the
+    token stream; T is a single driver scalar (one count job). At 100 TB
+    the explode partial-aggregates map-side into |vocab| rows, and the
+    scored stream is one broadcast join + one map-side-combined groupBy —
+    no full-corpus shuffle carries text."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq")).collect()[0][0] or 0
+    lp = F.round(
+        F.log(F.lit(float(total)) / F.col("freq")) * F.lit(1e6)
+    ).cast("long")
+    scored = tok.join(F.broadcast(freq.withColumn("lp", lp)), "term")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp").cast("long").alias("surprisal_micro"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.round(F.col("surprisal_micro") / F.col("n_tokens") / F.lit(1e6), 6),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Densest-subgraph greedy peeling (plans/densest.py) vs a brute-force
+python peel under the identical integer threshold rule, plus the
+unigram-surprisal scorer vs a float oracle."""
+
+import math
+
+import pytest
+from oracles import random_graph
+
+from metis_spark.plans.densest import densest_subgraph
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from metis_spark.session import get_spark
+
+    return get_spark("test_densest", master="local[4]", shuffle_partitions=4)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def peel(pairs, eps_tenths=5):
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    c = 2 * (10 + eps_tenths)
+    traj = []
+    r = 0
+    while edges:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        n, e = len(deg), len(edges)
+        traj.append((r, n, e))
+        keep = {v for v, d in deg.items() if d * 10 * n >= c * e}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        r += 1
+    return traj
+
+
+def test_trajectory_matches_python_peel(spark, tmp_path):
+    pairs = random_graph(n=120, p=0.07, seed=5, zipf_extra=90)
+    traj, info = densest_subgraph(
+        edges_df(spark, pairs), checkpoint_dir=str(tmp_path / "d1")
+    )
+    got = sorted(
+        (r["peel_round"], r["n_vertices"], r["n_edges"]) for r in traj.collect()
+    )
+    want = peel(pairs)
+    assert got == want
+    assert info["converged"]
+    # best round maximizes e/n exactly
+    best = max(want, key=lambda t: (t[2] / t[1], -t[0]))
+    assert (info["best_round"], info["best_n"], info["best_e"]) == best
+
+
+def test_dense_core_survives(spark, tmp_path):
+    """A planted K8 inside a sparse periphery: the best snapshot's density
+    must reach at least the clique's density (the 3-approx guarantee is
+    much weaker; the greedy peel typically isolates the clique exactly)."""
+    k8 = [(a, b) for a in range(8) for b in range(8) if a < b]
+    periphery = [(10 + i, 10 + i + 1) for i in range(40)] + [(7, 10)]
+    traj, info = densest_subgraph(
+        edges_df(spark, k8 + periphery), checkpoint_dir=str(tmp_path / "d2")
+    )
+    assert info["best_e"] / info["best_n"] >= 28 / 8 - 1e-9, info
+
+
+def test_checkpoint_every_identical(spark, tmp_path):
+    pairs = random_graph(n=80, p=0.08, seed=9, zipf_extra=60)
+    t1, i1 = densest_subgraph(
+        edges_df(spark, pairs), checkpoint_dir=str(tmp_path / "a"),
+        checkpoint_every=1,
+    )
+    t5, i5 = densest_subgraph(
+        edges_df(spark, pairs), checkpoint_dir=str(tmp_path / "b"),
+        checkpoint_every=5, retain=2,
+    )
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t5.collect()))
+    assert (i1["best_round"], i1["best_n"], i1["best_e"]) == (
+        i5["best_round"], i5["best_n"], i5["best_e"],
+    )
+
+
+def test_unigram_surprisal_matches_float_oracle(spark):
+    from metis_spark.operators.corpus_stats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the the"),
+            (3, "quantum chromodynamics perturbation"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    toks = {
+        1: ["the", "cat", "sat", "on", "the", "mat"],
+        2: ["the", "the", "the", "the"],
+        3: ["quantum", "chromodynamics", "perturbation"],
+    }
+    freq = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    total = sum(freq.values())
+    assert 4 not in got  # empty doc has no tokens
+    for d, ts in toks.items():
+        micro = sum(round(math.log(total / freq[t]) * 1e6) for t in ts)
+        assert got[d]["n_tokens"] == len(ts)
+        assert got[d]["surprisal_micro"] == micro
+    # rare-token doc outscores the stopword doc
+    assert got[3]["avg_surprisal"] > got[2]["avg_surprisal"]
