@@ -2341,6 +2341,21 @@ def _q_square_count(spark, sf_dir):
     return square_count(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
 
 
+SCANSTAT_K = 100
+
+
+def _q_scan_statistic(spark, sf_dir):
+    """Top-k scan statistic Λ(v) = deg(v) + triangles(v) = |E(N[v])|
+    (plans/metrics.py scan_statistic, Priebe et al. 2005): the
+    locality statistic whose outliers flag anomalously dense
+    neighborhoods. All-integer ranking key — engine-exact with no
+    rounding discipline; top-k is TakeOrderedAndProject, never a
+    single-partition window over |V|."""
+    from metis_spark.plans.metrics import scan_statistic
+
+    return scan_statistic(derived_edges_sparse(spark, sf_dir), k=SCANSTAT_K)
+
+
 def _q_resource_alloc(spark, sf_dir):
     """Resource-allocation link predictor (plans/metrics.py): Adamic-Adar
     with the log dropped — completes the classic predictor quartet."""
@@ -5362,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "wl_colors_3": _q_wl_colors,
         "wl_class_histogram": _q_wl_class_histogram,
+        "scan_statistic": _q_scan_statistic,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6225,6 +6241,21 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT u, v, COUNT(*)::BIGINT AS c FROM wedge GROUP BY u, v) "
             "SELECT COUNT(*)::BIGINT AS pairs_common, "
             "(SUM(c * (c - 1) // 2) // 2)::BIGINT AS squares FROM c"
+        ),
+        "scan_statistic": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
+            "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1 "
+            "JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "members AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "cnt AS (SELECT id, COUNT(*)::BIGINT AS n FROM members GROUP BY id), "
+            "sc AS (SELECT d.id, d.deg, COALESCE(c.n, 0)::BIGINT AS triangles, "
+            "(d.deg + COALESCE(c.n, 0))::BIGINT AS scan_stat "
+            "FROM deg d LEFT JOIN cnt c ON d.id = c.id) "
+            "SELECT id, deg, triangles, scan_stat, rn FROM ("
+            "SELECT id, deg, triangles, scan_stat, "
+            "ROW_NUMBER() OVER (ORDER BY scan_stat DESC, id ASC)::BIGINT AS rn FROM sc) "
+            f"WHERE rn <= {SCANSTAT_K}"
         ),
         "adamic_adar_topk": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, {_WEDGE_SQL}, "

@@ -315,3 +315,36 @@ def square_count(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
             F.sum(F.shiftright(F.col("c") * (F.col("c") - 1), 1)), 1
         ).cast("long").alias("squares"),
     )
+
+
+def scan_statistic(edges: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k vertices by scan statistic → (id, deg, triangles, scan_stat, rn).
+
+    Λ(v) = |E(N[v])|, the edge count of the CLOSED 1-hop neighborhood
+    (Priebe et al., "Scan Statistics on Enron Graphs", Comput. Math.
+    Organ. Theory 2005) — the locality statistic whose outliers flag
+    anomalously dense neighborhoods (spam farms / link rings in a web
+    corpus). Exactly Λ(v) = deg(v) + T(v): the deg(v) edges incident to
+    v plus the T(v) edges among its neighbors (each neighbor-neighbor
+    edge closes one triangle through v, bijectively).
+
+    Scale shape: composes the two verified single-shuffle aggregates
+    (undirected degree + degree-oriented triangle counts, O(m^1.5) with
+    O(√m) adjacency rows) and takes the global top-k via orderBy+limit —
+    Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows), never a single-partition window over |V|. The
+    ranking key is all-integer, so the rank is engine-exact with no
+    rounding discipline needed; rn is assigned on the k collected rows.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    tri = triangle_count_per_vertex(edges, vertices=deg.select("id"))
+    scored = deg.join(tri, "id").select(
+        "id",
+        F.col("deg").cast("long").alias("deg"),
+        "triangles",
+        (F.col("deg") + F.col("triangles")).cast("long").alias("scan_stat"),
+    )
+    top = scored.orderBy(F.desc("scan_stat"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("scan_stat"), F.asc("id"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

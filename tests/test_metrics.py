@@ -200,3 +200,26 @@ def test_square_count_vs_bruteforce(spark):
     assert row["squares"] == expected
     capped = square_count(edges_df(spark, edges), hub_cap=3).collect()[0]
     assert capped["squares"] <= row["squares"]
+
+
+def test_scan_statistic_vs_bruteforce(spark):
+    from metis_spark.plans.metrics import scan_statistic
+
+    edges = random_graph(n=60, p=0.08, seed=41, zipf_extra=40)
+    nbrs = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lam = {
+        v: len(ns)
+        + sum(1 for u in ns for w in ns if u < w and w in nbrs[u])
+        for v, ns in nbrs.items()
+    }
+    want = sorted(lam.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = scan_statistic(edges_df(spark, edges), k=10).collect()
+    assert [(r["id"], r["scan_stat"]) for r in got] == want
+    assert [r["rn"] for r in got] == list(range(1, 11))
+    for r in got:
+        assert r["deg"] + r["triangles"] == r["scan_stat"]
