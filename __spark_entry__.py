@@ -1972,6 +1972,47 @@ def _q_vocab_top100(spark, sf_dir):
     return CS.vocab_topk(docs, "doc_id", "text", k=100)
 
 
+def _q_corpus_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between the per-lang unigram
+    distributions (operators/corpus_stats.py:corpus_divergence) — the
+    training-mixture drift monitor. Per-term log-ratios have only exact
+    integer products inside the ln and are quantized to integer
+    micro-nats before the exact-decimal accumulation; the only floats
+    are two final divisions per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.corpus_divergence(docs, slice_col="lang")
+
+
+_CORPUS_DIVERGENCE_SQL = """
+WITH stok AS MATERIALIZED (SELECT lang AS s,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term FROM documents),
+cnt AS MATERIALIZED (SELECT s, term, COUNT(*)::BIGINT AS n FROM stok GROUP BY s, term),
+tot AS (SELECT s, SUM(n)::BIGINT AS t FROM cnt GROUP BY s),
+pr AS (SELECT ta.s AS sa, tb.s AS sb, ta.t AS ta, tb.t AS tb
+       FROM tot ta JOIN tot tb ON ta.s < tb.s),
+u AS (SELECT p.sa, p.sb, c.term FROM pr p JOIN cnt c ON c.s = p.sa OR c.s = p.sb
+      GROUP BY p.sa, p.sb, c.term),
+m AS (SELECT u.sa, u.sb, u.term, COALESCE(ca.n, 0) AS a, COALESCE(cb.n, 0) AS b,
+             p.ta, p.tb
+      FROM u JOIN pr p ON u.sa = p.sa AND u.sb = p.sb
+      LEFT JOIN cnt ca ON ca.s = u.sa AND ca.term = u.term
+      LEFT JOIN cnt cb ON cb.s = u.sb AND cb.term = u.term),
+lam AS (SELECT sa, sb, ta, tb,
+  CASE WHEN a > 0 THEN a * CAST(ROUND(ln(2.0 * a * tb /
+       CAST(a * tb + b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END AS ap,
+  CASE WHEN b > 0 THEN b * CAST(ROUND(ln(2.0 * b * ta /
+       CAST(a * tb + b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END AS bq
+  FROM m)
+SELECT sa AS slice_a, sb AS slice_b, COUNT(*)::BIGINT AS n_terms,
+  ROUND(SUM(ap)::DOUBLE / ANY_VALUE(ta) / 1000000.0, 6) AS kl_pm,
+  ROUND(SUM(bq)::DOUBLE / ANY_VALUE(tb) / 1000000.0, 6) AS kl_qm,
+  ROUND((SUM(ap)::DOUBLE / ANY_VALUE(ta) / 1000000.0
+       + SUM(bq)::DOUBLE / ANY_VALUE(tb) / 1000000.0) / 2.0, 6) AS js
+FROM lam GROUP BY sa, sb
+"""
+
+
 def _q_unigram_surprisal(spark, sf_dir):
     """Per-document mean unigram surprisal (the CCNet/Gopher LM-quality
     filter with the corpus's own unigram stats as the LM): per-token
@@ -5378,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors_3": _q_wl_colors,
         "wl_class_histogram": _q_wl_class_histogram,
         "scan_statistic": _q_scan_statistic,
+        "corpus_js_divergence": _q_corpus_divergence,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6163,6 +6205,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_quality": _partition_sql("quality"),
         "densest_subgraph": _densest_sql(),
         "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
+        "corpus_js_divergence": _CORPUS_DIVERGENCE_SQL,
         "wl_colors_3": _wl_sql("colors"),
         "wl_class_histogram": _wl_sql("histogram"),
         "maximal_matching": _matching_sql(),

@@ -363,3 +363,86 @@ def unigram_surprisal(
             F.round(F.col("surprisal_micro") / F.col("n_tokens") / F.lit(1e6), 6),
         )
     )
+
+
+def corpus_divergence(
+    docs: DataFrame, slice_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """→ one row per unordered slice pair (slice_a < slice_b):
+    (slice_a, slice_b, n_terms, kl_pm, kl_qm, js) — Jensen-Shannon
+    divergence between the two slices' unigram distributions, the
+    training-mixture drift monitor (is the "en" slice of this crawl the
+    same distribution as last month's? how far apart are two sources
+    before mixing?). JS = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2 — symmetric,
+    bounded by ln 2, and defined without smoothing since M > 0 wherever
+    either slice has the term.
+
+    Cross-engine float discipline: with integer counts a,b and totals
+    TA,TB, the per-term log-ratio is ln(2·a·TB / (a·TB + b·TA)) — every
+    operand inside the ln is an exact integer product, so both engines
+    evaluate the identical double. That ln is quantized to integer
+    micro-nats ONCE per (pair, term), and KL numerators Σ a·λ accumulate
+    in exact decimal — addition order can never flip a bit; the only
+    per-pair floats are two final divisions by the totals. (The integer
+    products a·TB stay under 2^53 up to ~10^8-token slices; past that
+    the same expressions lift to decimal unchanged.)
+
+    Scale shape: one explode → map-side-combined (slice, term) count;
+    the pair table is k(k-1)/2 rows (k = #slices) and is broadcast; the
+    full-outer term alignment is a |vocab|-keyed shuffle of COUNT rows —
+    text never rides any exchange past the first tokenize-aggregate."""
+    tok = docs.select(
+        F.col(slice_col).alias("s"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    cnt = tok.groupBy("s", "term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("s").agg(F.sum("n").cast("long").alias("t"))
+    pairs = (
+        tot.select(F.col("s").alias("sa"), F.col("t").alias("ta"))
+        .join(tot.select(F.col("s").alias("sb"), F.col("t").alias("tb")))
+        .where(F.col("sa") < F.col("sb"))
+    )
+    a_side = cnt.join(
+        F.broadcast(pairs.select("sa", "sb")), cnt["s"] == F.col("sa")
+    ).select("sa", "sb", "term", F.col("n").alias("a"))
+    b_side = cnt.join(
+        F.broadcast(pairs.select("sa", "sb")), cnt["s"] == F.col("sb")
+    ).select("sa", "sb", "term", F.col("n").alias("b"))
+    m = (
+        a_side.join(b_side, ["sa", "sb", "term"], "full_outer")
+        .select(
+            "sa",
+            "sb",
+            "term",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+        .join(F.broadcast(pairs), ["sa", "sb"])
+    )
+    den = (F.col("a") * F.col("tb") + F.col("b") * F.col("ta")).cast("double")
+    lam_p = F.round(F.log(F.lit(2.0) * F.col("a") * F.col("tb") / den) * F.lit(1e6)).cast("long")
+    lam_q = F.round(F.log(F.lit(2.0) * F.col("b") * F.col("ta") / den) * F.lit(1e6)).cast("long")
+    terms = m.select(
+        "sa",
+        "sb",
+        "ta",
+        "tb",
+        F.when(F.col("a") > 0, F.col("a") * lam_p).otherwise(F.lit(0)).cast("decimal(38,0)").alias("ap"),
+        F.when(F.col("b") > 0, F.col("b") * lam_q).otherwise(F.lit(0)).cast("decimal(38,0)").alias("bq"),
+    )
+    agg = terms.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("ap").alias("sap"),
+        F.sum("bq").alias("sbq"),
+        F.first("ta").alias("ta"),
+        F.first("tb").alias("tb"),
+    )
+    kl_pm = F.col("sap").cast("double") / F.col("ta") / F.lit(1e6)
+    kl_qm = F.col("sbq").cast("double") / F.col("tb") / F.lit(1e6)
+    return agg.select(
+        F.col("sa").alias("slice_a"),
+        F.col("sb").alias("slice_b"),
+        "n_terms",
+        F.round(kl_pm, 6).alias("kl_pm"),
+        F.round(kl_qm, 6).alias("kl_qm"),
+        F.round((kl_pm + kl_qm) / F.lit(2.0), 6).alias("js"),
+    )

@@ -113,3 +113,44 @@ def test_unigram_surprisal_matches_float_oracle(spark):
         assert got[d]["surprisal_micro"] == micro
     # rare-token doc outscores the stopword doc
     assert got[3]["avg_surprisal"] > got[2]["avg_surprisal"]
+
+
+def test_corpus_divergence_matches_float_oracle(spark):
+    from metis_spark.operators.corpus_stats import corpus_divergence
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the mat the cat"),
+            ("en", "the dog ran"),
+            ("de", "der hund lief the dog"),
+            ("fr", "le chat le chat le chat"),
+        ],
+        "lang string, text string",
+    )
+    got = {(r["slice_a"], r["slice_b"]): r for r in
+           corpus_divergence(docs, slice_col="lang", text_col="text").collect()}
+    assert set(got) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+
+    # python replay of the exact quantized arithmetic for (de, en)
+    cnt = {
+        "de": {"der": 1, "hund": 1, "lief": 1, "the": 1, "dog": 1},
+        "en": {"the": 4, "cat": 2, "sat": 1, "on": 1, "mat": 1, "dog": 1, "ran": 1},
+    }
+    ta, tb = sum(cnt["de"].values()), sum(cnt["en"].values())
+    sap = sbq = 0
+    terms = set(cnt["de"]) | set(cnt["en"])
+    for t in terms:
+        a, b = cnt["de"].get(t, 0), cnt["en"].get(t, 0)
+        den = a * tb + b * ta
+        if a:
+            sap += a * round(math.log(2.0 * a * tb / den) * 1e6)
+        if b:
+            sbq += b * round(math.log(2.0 * b * ta / den) * 1e6)
+    r = got[("de", "en")]
+    assert r["n_terms"] == len(terms)
+    assert r["kl_pm"] == round(sap / ta / 1e6, 6)
+    assert r["kl_qm"] == round(sbq / tb / 1e6, 6)
+    assert r["js"] == round((sap / ta / 1e6 + sbq / tb / 1e6) / 2, 6)
+    # JS is bounded by ln 2 and disjoint-vocabulary slices sit at the bound
+    assert all(0 < v["js"] <= round(math.log(2), 6) for v in got.values())
+    assert got[("de", "fr")]["js"] == round(math.log(2), 6)  # no shared terms
