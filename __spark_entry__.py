@@ -2382,6 +2382,33 @@ def _q_square_count(spark, sf_dir):
     return square_count(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
 
 
+def _q_four_cliques(spark, sf_dir):
+    """Exact global 4-clique count next to the triangle count
+    (plans/triangles.py:four_clique_count, kClist ordered enumeration on
+    the degree-oriented DAG — every clique generated exactly once from
+    its two lowest-order vertices). The 4-clique/triangle ratio is the
+    motif signature that flags link-ring neighborhoods before they
+    dominate triangles."""
+    from metis_spark.plans.triangles import four_clique_count
+
+    return four_clique_count(derived_edges_sparse(spark, sf_dir))
+
+
+_FOUR_CLIQUE_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT COUNT(*)::BIGINT AS t FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+quad AS (SELECT COUNT(*)::BIGINT AS fc FROM u ab
+  JOIN u ac ON ac.a = ab.a AND ac.b > ab.b
+  JOIN u ad ON ad.a = ab.a AND ad.b > ac.b
+  JOIN u bc ON bc.a = ab.b AND bc.b = ac.b
+  JOIN u bd ON bd.a = ab.b AND bd.b = ad.b
+  JOIN u cd ON cd.a = ac.b AND cd.b = ad.b)
+SELECT tri.t AS triangles, quad.fc AS four_cliques FROM tri, quad
+"""
+
+
 SCANSTAT_K = 100
 
 
@@ -5420,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_class_histogram": _q_wl_class_histogram,
         "scan_statistic": _q_scan_statistic,
         "corpus_js_divergence": _q_corpus_divergence,
+        "four_clique_count": _q_four_cliques,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6285,6 +6313,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*)::BIGINT AS pairs_common, "
             "(SUM(c * (c - 1) // 2) // 2)::BIGINT AS squares FROM c"
         ),
+        "four_clique_count": _FOUR_CLIQUE_SQL,
         "scan_statistic": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "

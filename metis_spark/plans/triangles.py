@@ -137,3 +137,48 @@ def directed_triad_census(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_feedforward"))
     )
     return cyc.crossJoin(ffl)
+
+
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """Global exact 4-clique count → one row (triangles, four_cliques).
+
+    kClist-style ordered enumeration (Danisch, Balalau & Sozio, WWW
+    2018) on the same degree-oriented DAG the triangle counter uses:
+    orient by (degree, id), so each 4-clique {u,v,w,x} with DAG order
+    u→v→w→x is generated exactly once — base edge (u,v) (its two
+    lowest-order vertices), third vertex w ∈ C_uv = N+(u) ∩ N+(v),
+    fourth x ∈ C_uv ∩ N+(w). No other base edge regenerates it: for any
+    later pair the intersection of OUT-neighborhoods excludes the
+    earlier vertices by construction.
+
+    Scale shape: reuses the per-edge common-neighbor arrays (O(√m)
+    oriented out-degree bound holds for every array carried, including
+    the C_uv copy each exploded triangle row keeps for the final
+    intersection), one extra adjacency join past the triangle plan —
+    total work Σ_triangles |C_uv|, the sequential kClist bound.
+    4-clique density vs the triangle count is the next motif signature
+    past transitivity (spam-farm / link-ring neighborhoods are
+    4-clique-dense long before they dominate triangles)."""
+    per_edge = _per_edge_commons(edges).persist()
+    tri_total = per_edge.agg(
+        F.coalesce(F.sum("n_common"), F.lit(0)).cast("long").alias("t")
+    )
+    tris = per_edge.where(F.col("n_common") > 0).select(
+        "common", F.explode("common").alias("w")
+    )
+    adj = _oriented_adj(_oriented(edges)).select(
+        F.col("src").alias("w"), F.col("nbrs").alias("nbrs_w")
+    )
+    # sort-merge friendly: both sides carry arrays, same rationale as
+    # _per_edge_commons for omitting the shuffle_hash hint
+    quads = tris.join(adj, "w").select(
+        F.size(F.array_intersect("common", "nbrs_w")).alias("q")
+    )
+    quad_total = quads.agg(F.coalesce(F.sum("q"), F.lit(0)).cast("long").alias("fc"))
+    out = tri_total.join(quad_total).select(
+        F.col("t").alias("triangles"), F.col("fc").alias("four_cliques")
+    )
+    rows = out.collect()
+    per_edge.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "triangles long, four_cliques long")

@@ -105,3 +105,29 @@ def test_directed_triad_census(spark):
     row = directed_triad_census(df).collect()[0]
     assert row["n_cyclic"] == 2
     assert row["n_feedforward"] == 2
+
+
+def test_four_cliques_k5_and_sparse(spark):
+    from itertools import combinations
+
+    from metis_spark.plans.triangles import four_clique_count
+
+    k5 = [(a, b) for a, b in combinations(range(5), 2)]
+    row = four_clique_count(edges_df(spark, k5)).collect()[0]
+    assert (row["triangles"], row["four_cliques"]) == (10, 5)
+
+    edges = random_graph(n=45, p=0.15, seed=17, zipf_extra=30)
+    nbrs = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    verts = sorted(nbrs)
+    want = sum(
+        1
+        for q in combinations(verts, 4)
+        if all(y in nbrs[x] for x, y in combinations(q, 2))
+    )
+    row = four_clique_count(edges_df(spark, edges)).collect()[0]
+    assert row["four_cliques"] == want
