@@ -3680,9 +3680,33 @@ def _q_betweenness(spark, sf_dir):
     return bc
 
 
-def _betweenness_sql(rounds: int = BETW_ROUNDS) -> str:
+def _q_edge_betweenness(spark, sf_dir):
+    """Girvan–Newman edge betweenness restricted to the same 8 landmark
+    sources (plans/betweenness.py:edge_betweenness_approx): the backward
+    dependency summands grouped by DAG edge instead of predecessor —
+    shares the forward σ pass and edge partitions with the vertex
+    variant."""
+    from metis_spark.plans.betweenness import edge_betweenness_approx
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [r["id"] for r in verts.orderBy("id").limit(N_BETW_SOURCES).collect()]
+    ebc, info = edge_betweenness_approx(edges, srcs, max_depth=BETW_ROUNDS + 2)
+    assert info["depth"] <= BETW_ROUNDS, info
+    return ebc
+
+
+def _betweenness_sql(rounds: int = BETW_ROUNDS, out: str = "vertices") -> str:
     """Unrolled Brandes twin: forward BFS with σ accumulation (first
-    discovery via NOT EXISTS), backward per-level dependency fold."""
+    discovery via NOT EXISTS), backward per-level dependency fold.
+    ``out='edges'`` emits the Girvan–Newman edge scores instead: the
+    per-level dependency summands (the rows BEFORE the predecessor
+    groupBy) unioned across levels and grouped by (src, dst) — the same
+    set of doubles the Spark edge variant sums."""
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
         f"srcs AS (SELECT id FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) "
@@ -3709,6 +3733,18 @@ def _betweenness_sql(rounds: int = BETW_ROUNDS) -> str:
             f"FROM edges e JOIN dl{t} pw ON pw.id = e.dst AND pw.dist = {t} "
             f"JOIN dl{t} pv ON pv.id = e.src AND pv.source = pw.source AND pv.dist = {t - 1} "
             f"GROUP BY pv.id, pv.source) c ON c.id = v.id AND c.source = v.source)"
+        )
+    if out == "edges":
+        parts = [
+            f"SELECT e.src, e.dst, pv.sigma / pw.sigma * (1.0 + pw.delta) AS c "
+            f"FROM edges e JOIN dl{t} pw ON pw.id = e.dst AND pw.dist = {t} "
+            f"JOIN dl{t} pv ON pv.id = e.src AND pv.source = pw.source AND pv.dist = {t - 1}"
+            for t in range(rounds, 0, -1)
+        ]
+        return (
+            "WITH " + ",\n".join(ctes)
+            + ", eb AS (" + " UNION ALL ".join(parts) + ") "
+            "SELECT src, dst, ROUND(SUM(c), 6) AS betweenness FROM eb GROUP BY src, dst"
         )
     return (
         "WITH " + ",\n".join(ctes)
@@ -5448,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_statistic": _q_scan_statistic,
         "corpus_js_divergence": _q_corpus_divergence,
         "four_clique_count": _q_four_cliques,
+        "edge_betweenness": _q_edge_betweenness,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6267,6 +6304,7 @@ def oracle_sql() -> dict[str, str]:
         "community_pagerank": _community_pagerank_sql(),
         "diameter_double_sweep": _diameter_sql(),
         "betweenness_approx": _betweenness_sql(),
+        "edge_betweenness": _betweenness_sql(out="edges"),
         "local_clustering": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "

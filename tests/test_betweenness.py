@@ -85,3 +85,59 @@ def test_random_subset_sources(spark):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(round(want[v], 6), abs=1e-6), v
+
+
+def py_brandes_edges(edges, sources):
+    """Edge-betweenness twin of py_brandes (directed DAG edges)."""
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    ebc = collections.defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        preds = collections.defaultdict(list)
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] = sigma.get(v, 0.0) + sigma[u]
+                    preds[v].append(u)
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] += c
+                ebc[(v, w)] += c
+    return dict(ebc)
+
+
+def test_edge_betweenness_path_golden(spark):
+    """P5 from source 0: edge (i,i+1) carries the 4-i downstream targets."""
+    from metis_spark.plans.betweenness import edge_betweenness_approx
+
+    edges = [(i, i + 1) for i in range(4)]
+    ebc, _ = edge_betweenness_approx(edges_df(spark, edges), [0])
+    got = {(r["src"], r["dst"]): r["betweenness"] for r in ebc.collect()}
+    assert got == {(0, 1): 4.0, (1, 2): 3.0, (2, 3): 2.0, (3, 4): 1.0}
+
+
+def test_edge_betweenness_vs_python_oracle(spark):
+    from metis_spark.plans.betweenness import edge_betweenness_approx
+
+    edges = random_graph(n=40, p=0.08, seed=61, zipf_extra=30)
+    sources = sorted({a for a, _ in edges})[:8]
+    ebc, _ = edge_betweenness_approx(edges_df(spark, edges), sources)
+    want = py_brandes_edges(edges, sources)
+    got = {(r["src"], r["dst"]): r["betweenness"] for r in ebc.collect()}
+    assert set(got) == set(want)
+    for e in want:
+        assert got[e] == pytest.approx(round(want[e], 6), abs=1e-6), e
+    # multi-edge parity: duplicate raw edges must not double-count (the
+    # DAG edge set is over the distinct derived edge table)
