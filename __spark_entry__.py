@@ -2409,6 +2409,95 @@ SELECT tri.t AS triangles, quad.fc AS four_cliques FROM tri, quad
 """
 
 
+SWEEP_L = 64
+SWEEP_SEED_MOD = 97
+SWEEP_ITERS = 5
+
+
+def _q_ppr_sweep_cut(spark, sf_dir):
+    """ACL local community detection (plans/sweep.py): personalized
+    PageRank from the deterministic seed set id % 97 == 0 on the
+    symmetric sparse graph, degree-normalized sweep order
+    (round-before-rank at 9 decimals), conductance of every prefix
+    S_1..S_64 via the difference-histogram cut — the only window in the
+    plan runs over exactly 64 rows."""
+    from metis_spark.plans.sweep import ppr_sweep_cut
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % SWEEP_SEED_MOD == 0)
+    )
+    out, info = ppr_sweep_cut(
+        edges,
+        seeds,
+        n_iters=SWEEP_ITERS,
+        sweep_l=SWEEP_L,
+        checkpoint_dir=_tmpdir("metis_qsweep_"),
+    )
+    assert info["best_phi"] <= 1.0 and 1 <= info["best_k"] <= SWEEP_L, info
+    return out
+
+
+def _ppr_sweep_sql() -> str:
+    """Unrolled twin of _q_ppr_sweep_cut: seeded PageRank on the
+    symmetric sparse graph (no dangling mass by construction — the dm
+    terms are kept and evaluate to 0), then the sweep with the identical
+    round-before-rank discipline and integer cut/vol arithmetic."""
+    d = 0.85
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "sverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"ns AS (SELECT COUNT(*)::DOUBLE AS s FROM sverts WHERE id % {SWEEP_SEED_MOD} = 0)",
+        f"p AS MATERIALIZED (SELECT id, CASE WHEN id % {SWEEP_SEED_MOD} = 0 "
+        "THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS pm FROM sverts)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS deg FROM und GROUP BY src)",
+        "r0 AS (SELECT id, pm AS rank FROM p)",
+    ]
+    for i in range(1, SWEEP_ITERS + 1):
+        pv = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"FROM und u JOIN r{pv} r ON u.src = r.id JOIN outdeg o ON u.src = o.src GROUP BY u.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{pv} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT p.id, p.pm*((1-{d}) + {d}*(SELECT dm FROM dm{i})) "
+            f"+ {d}*COALESCE(c.contrib,0) AS rank FROM p LEFT JOIN c{i} c ON p.id = c.id)"
+        )
+    ctes += [
+        f"score AS (SELECT r.id, CAST(o.deg AS BIGINT) AS deg, "
+        f"ROUND(ROUND(r.rank, 6) / CAST(o.deg AS BIGINT), 9) AS s "
+        f"FROM r{SWEEP_ITERS} r JOIN outdeg o ON r.id = o.src)",
+        "tk AS MATERIALIZED (SELECT id, deg, k FROM (SELECT id, deg, "
+        "ROW_NUMBER() OVER (ORDER BY s DESC, id ASC)::BIGINT AS k FROM score) "
+        f"WHERE k <= {SWEEP_L})",
+        "m2 AS (SELECT COUNT(*)::BIGINT AS c2 FROM und)",
+        "uu AS (SELECT src AS a, dst AS b FROM und WHERE src < dst)",
+        f"er AS (SELECT LEAST(COALESCE(ta.k, {SWEEP_L + 1}), COALESCE(tb.k, {SWEEP_L + 1})) AS lo, "
+        f"GREATEST(COALESCE(ta.k, {SWEEP_L + 1}), COALESCE(tb.k, {SWEEP_L + 1})) AS hi "
+        "FROM uu LEFT JOIN tk ta ON uu.a = ta.id LEFT JOIN tk tb ON uu.b = tb.id)",
+        f"st AS (SELECT lo AS k, COUNT(*)::BIGINT AS n_open FROM er WHERE lo <= {SWEEP_L} GROUP BY lo)",
+        f"en AS (SELECT hi AS k, COUNT(*)::BIGINT AS n_close FROM er WHERE hi <= {SWEEP_L} GROUP BY hi)",
+        "ax AS (SELECT t.k, t.id, t.deg, COALESCE(st.n_open, 0) AS o, "
+        "COALESCE(en.n_close, 0) AS c FROM tk t "
+        "LEFT JOIN st ON st.k = t.k LEFT JOIN en ON en.k = t.k)",
+        "fin AS (SELECT k, id, deg, CAST(SUM(deg) OVER (ORDER BY k) AS BIGINT) AS vol, "
+        "CAST(SUM(o - c) OVER (ORDER BY k) AS BIGINT) AS cut FROM ax)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT k, id, deg, vol, cut, "
+        "CASE WHEN LEAST(vol, (SELECT c2 FROM m2) - vol) > 0 THEN "
+        "ROUND(cut / LEAST(vol, (SELECT c2 FROM m2) - vol), 6) END AS phi FROM fin"
+    )
+
+
 SCANSTAT_K = 100
 
 
@@ -5485,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_js_divergence": _q_corpus_divergence,
         "four_clique_count": _q_four_cliques,
         "edge_betweenness": _q_edge_betweenness,
+        "ppr_sweep_cut": _q_ppr_sweep_cut,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6352,6 +6442,7 @@ def oracle_sql() -> dict[str, str]:
             "(SUM(c * (c - 1) // 2) // 2)::BIGINT AS squares FROM c"
         ),
         "four_clique_count": _FOUR_CLIQUE_SQL,
+        "ppr_sweep_cut": _ppr_sweep_sql(),
         "scan_statistic": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, {_DEG_SQL}, "
             "u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "

@@ -159,6 +159,9 @@ def main() -> None:
         "densest_subgraph",
         "wl_colors_3",
         "unigram_surprisal",
+        "ppr_sweep_cut",
+        "edge_betweenness",
+        "corpus_js_divergence",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
