@@ -2013,6 +2013,36 @@ FROM lam GROUP BY sa, sb
 """
 
 
+def _q_bigram_surprisal(spark, sf_dir):
+    """Per-document mean conditional bigram surprisal — the fluency
+    filter next to unigram_surprisal (shuffled/keyword-stuffed text
+    scores high even when every token is common). Same integer
+    micro-nat quantization before summation
+    (operators/corpus_stats.py:bigram_surprisal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.bigram_surprisal(docs, "doc_id", "text")
+
+
+_BIGRAM_SURPRISAL_SQL = """
+WITH btoks AS MATERIALIZED (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t FROM documents),
+bgs AS MATERIALIZED (SELECT doc_id,
+    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM btoks WHERE len(t) >= 2),
+c2 AS MATERIALIZED (SELECT bg, COUNT(*)::BIGINT AS c2 FROM bgs GROUP BY bg),
+c1 AS MATERIALIZED (SELECT term, COUNT(*)::BIGINT AS c1 FROM
+    (SELECT unnest(t) AS term FROM btoks) GROUP BY term),
+lp AS (SELECT c2.bg,
+       CAST(ROUND(ln(c1.c1 / c2.c2) * 1000000.0) AS BIGINT) AS lp
+       FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.term)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       SUM(l.lp)::BIGINT AS surprisal_micro,
+       ROUND(SUM(l.lp)::BIGINT / COUNT(*) / 1000000.0, 6) AS avg_surprisal
+FROM bgs s JOIN lp l ON s.bg = l.bg GROUP BY s.doc_id
+"""
+
+
 def _q_unigram_surprisal(spark, sf_dir):
     """Per-document mean unigram surprisal (the CCNet/Gopher LM-quality
     filter with the corpus's own unigram stats as the LM): per-token
@@ -5575,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_clique_count": _q_four_cliques,
         "edge_betweenness": _q_edge_betweenness,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "bigram_surprisal": _q_bigram_surprisal,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6361,6 +6392,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": _densest_sql(),
         "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
         "corpus_js_divergence": _CORPUS_DIVERGENCE_SQL,
+        "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
         "wl_colors_3": _wl_sql("colors"),
         "wl_class_histogram": _wl_sql("histogram"),
         "maximal_matching": _matching_sql(),

@@ -446,3 +446,58 @@ def corpus_divergence(
         F.round(kl_qm, 6).alias("kl_qm"),
         F.round((kl_pm + kl_qm) / F.lit(2.0), 6).alias("js"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_bigrams, surprisal_micro, avg_surprisal): per-document
+    mean CONDITIONAL bigram surprisal −ln(c(w1 w2)/c(w1)) under the
+    corpus's own MLE bigram model — the fluency complement to
+    unigram_surprisal: a document of individually common but
+    never-adjacent tokens (shuffled text, keyword stuffing) scores high
+    where the unigram filter passes it.
+
+    Same discipline as unigram_surprisal: c(w1 w2) ≤ c(w1) holds by
+    construction so every surprisal is ≥ 0; each distinct bigram's
+    −ln ratio is quantized to integer micro-nats once in the
+    |bigram-vocab|-sized table (one BIGINT-exact division inside the ln)
+    and broadcast back; per-document sums are integer arithmetic. At
+    100 TB the bigram explode partial-aggregates map-side into the
+    bigram vocabulary, and the scored stream is one broadcast join —
+    text never rides a shuffle past tokenization."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", (i + 1).cast("int")), F.element_at("t", (i + 2).cast("int"))
+        ),
+    )
+    bg = toks.select("doc_id", F.explode(grams).alias("bg"))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    uni = docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    lp = (
+        c2.withColumn("w1", F.split("bg", " ")[0])
+        .join(c1, F.col("w1") == F.col("term"))
+        .select(
+            "bg",
+            F.round(F.log(F.col("c1") / F.col("c2")) * F.lit(1e6))
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("long").alias("surprisal_micro"),
+        )
+        .withColumn(
+            "avg_surprisal",
+            F.round(F.col("surprisal_micro") / F.col("n_bigrams") / F.lit(1e6), 6),
+        )
+    )

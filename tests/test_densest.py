@@ -154,3 +154,34 @@ def test_corpus_divergence_matches_float_oracle(spark):
     # JS is bounded by ln 2 and disjoint-vocabulary slices sit at the bound
     assert all(0 < v["js"] <= round(math.log(2), 6) for v in got.values())
     assert got[("de", "fr")]["js"] == round(math.log(2), 6)  # no shared terms
+
+
+def test_bigram_surprisal_matches_float_oracle(spark):
+    from metis_spark.operators.corpus_stats import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "cat the mat sat"),  # common tokens, rare transitions
+            (3, "onlyone"),  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert 3 not in got
+    toks = {1: ["the", "cat", "sat", "on", "the", "mat"], 2: ["cat", "the", "mat", "sat"]}
+    c1, c2 = {}, {}
+    c1["onlyone"] = 1
+    for ts in toks.values():
+        for t in ts:
+            c1[t] = c1.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    for d, ts in toks.items():
+        micro = sum(
+            round(math.log(c1[a] / c2[(a, b)]) * 1e6) for a, b in zip(ts, ts[1:])
+        )
+        assert got[d]["n_bigrams"] == len(ts) - 1
+        assert got[d]["surprisal_micro"] == micro
+    # every bigram of doc 2 is unique -> each surprisal = ln(c1(w1)) >= 0
+    assert got[2]["surprisal_micro"] >= 0
