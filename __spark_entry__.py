@@ -2528,6 +2528,52 @@ def _ppr_sweep_sql() -> str:
     )
 
 
+def _q_attr_assortativity(spark, sf_dir):
+    """Newman's nominal assortativity (homophily coefficient) on the
+    sparse graph with brand labels from the part dimension — "do parts
+    of the same brand co-purchase?" (plans/metrics.py:
+    attribute_assortativity). Vertex label = MIN(p_brand) over the parts
+    folding onto the vertex id (deterministic), 'none' for pure
+    order-side vertices. Integer-exact mixing-matrix identity; the one
+    float is the final division."""
+    from metis_spark.plans.metrics import attribute_assortativity
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    labels = (
+        part.select(
+            (F.col("p_partkey") % SPARSE_MOD).alias("id"), F.col("p_brand").alias("lab")
+        )
+        .groupBy("id")
+        .agg(F.min("lab").alias("lab"))
+    )
+    return attribute_assortativity(edges, labels)
+
+
+_ATTR_ASSORT_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+attr AS MATERIALIZED (SELECT p_partkey % {SPARSE_MOD} AS id, MIN(p_brand) AS lab
+    FROM part GROUP BY 1),
+pairs AS (SELECT COALESCE(la.lab, 'none') AS la, COALESCE(lb.lab, 'none') AS lb
+    FROM und u LEFT JOIN attr la ON u.src = la.id LEFT JOIN attr lb ON u.dst = lb.id),
+mix AS (SELECT la, lb, COUNT(*)::BIGINT AS n FROM pairs GROUP BY la, lb),
+tot AS (SELECT SUM(n)::BIGINT AS n FROM mix),
+rows_m AS (SELECT la AS lab, SUM(n)::BIGINT AS r FROM mix GROUP BY la),
+cols_m AS (SELECT lb AS lab, SUM(n)::BIGINT AS c FROM mix GROUP BY lb),
+labs AS (SELECT lab FROM rows_m UNION SELECT lab FROM cols_m),
+marg AS (SELECT l.lab, COALESCE(r.r, 0) AS r, COALESCE(c.c, 0) AS c FROM labs l
+    LEFT JOIN rows_m r ON l.lab = r.lab LEFT JOIN cols_m c ON l.lab = c.lab),
+sums AS (SELECT (SELECT COUNT(*)::BIGINT FROM labs) AS n_labels,
+    (SELECT COALESCE(SUM(n), 0)::BIGINT FROM mix WHERE la = lb) AS diag,
+    SUM(r::HUGEINT * c::HUGEINT) AS prod FROM marg)
+SELECT t.n AS n_pairs, s.n_labels, s.diag AS sum_diag, s.prod::BIGINT AS sum_prod,
+    CASE WHEN t.n::HUGEINT * t.n::HUGEINT - s.prod <> 0 THEN
+        ROUND((t.n::HUGEINT * s.diag::HUGEINT - s.prod) /
+              (t.n::HUGEINT * t.n::HUGEINT - s.prod), 6) END AS assortativity
+FROM tot t, sums s
+"""
+
+
 SCANSTAT_K = 100
 
 
@@ -5606,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness": _q_edge_betweenness,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "bigram_surprisal": _q_bigram_surprisal,
+        "attribute_assortativity": _q_attr_assortativity,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6393,6 +6440,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
         "corpus_js_divergence": _CORPUS_DIVERGENCE_SQL,
         "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+        "attribute_assortativity": _ATTR_ASSORT_SQL,
         "wl_colors_3": _wl_sql("colors"),
         "wl_class_histogram": _wl_sql("histogram"),
         "maximal_matching": _matching_sql(),

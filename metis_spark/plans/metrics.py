@@ -348,3 +348,63 @@ def scan_statistic(edges: DataFrame, k: int = 100) -> DataFrame:
     top = scored.orderBy(F.desc("scan_stat"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("scan_stat"), F.asc("id"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def attribute_assortativity(
+    edges: DataFrame, labels: DataFrame, default: str = "none"
+) -> DataFrame:
+    """edges(src,dst) + labels(id, lab) → one row (n_pairs, n_labels,
+    sum_diag, sum_prod, assortativity).
+
+    Newman's nominal (categorical) assortativity — the homophily
+    coefficient (Newman, "Mixing patterns in networks", PRE 2003):
+    r = (Σ_i e_ii − Σ_i a_i b_i) / (1 − Σ_i a_i b_i) over the label
+    mixing matrix. Computed integer-exactly from raw counts: with n_ij
+    the directed-symmetric pair counts, n = Σ n_ij, row/col marginals
+    r_i/c_i, the identity r = (n·Σ n_ii − Σ r_i c_i)/(n² − Σ r_i c_i)
+    makes the single final division the only float (Python-bigint safe
+    at any scale). r = 1 is perfect homophily, 0 random mixing, < 0
+    disassortative; NULL when one label covers the graph (undefined).
+
+    Scale shape: the label table broadcasts to both endpoints, one
+    map-side-combined groupBy to the ≤k² mixing matrix (k = label
+    domain), and the O(k²) finish runs driver-side on those counts —
+    the same bounded-collect pattern as the sketch operators. Vertices
+    without a label take ``default``.
+    """
+    und = _und(edges)
+    la = labels.select(F.col("id").alias("src"), F.col("lab").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lab").alias("lb"))
+    mix = (
+        und.join(F.broadcast(la), "src", "left")
+        .join(F.broadcast(lb), "dst", "left")
+        .select(
+            F.coalesce("la", F.lit(default)).alias("la"),
+            F.coalesce("lb", F.lit(default)).alias("lb"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    n = sum(r["n"] for r in mix)
+    labs = sorted({r["la"] for r in mix} | {r["lb"] for r in mix})
+    cnt = {(r["la"], r["lb"]): r["n"] for r in mix}
+    row = {l: sum(v for (a, _), v in cnt.items() if a == l) for l in labs}
+    col = {l: sum(v for (_, b), v in cnt.items() if b == l) for l in labs}
+    diag = sum(cnt.get((l, l), 0) for l in labs)
+    prod = sum(row[l] * col[l] for l in labs)
+    denom = n * n - prod
+    if denom:
+        # half-away-from-zero, matching DuckDB ROUND (python round() is
+        # banker's and would diverge on exact .5 boundaries)
+        import math
+
+        x = (n * diag - prod) / denom
+        r_val = math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+    else:
+        r_val = None
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n, len(labs), diag, prod, r_val)],
+        "n_pairs long, n_labels long, sum_diag long, sum_prod long, assortativity double",
+    )

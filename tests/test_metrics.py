@@ -223,3 +223,52 @@ def test_scan_statistic_vs_bruteforce(spark):
     assert [r["rn"] for r in got] == list(range(1, 11))
     for r in got:
         assert r["deg"] + r["triangles"] == r["scan_stat"]
+
+
+def test_attribute_assortativity_golden_and_random(spark):
+    from metis_spark.plans.metrics import attribute_assortativity
+
+    def run(edges, labmap):
+        labels = spark.createDataFrame(
+            [(int(k), v) for k, v in labmap.items()], "id long, lab string"
+        )
+        return attribute_assortativity(edges_df(spark, edges), labels).collect()[0]
+
+    # two same-label cliques, no cross edges -> perfect homophily r = 1
+    tri_a = [(0, 1), (1, 2), (0, 2)]
+    tri_b = [(10, 11), (11, 12), (10, 12)]
+    r = run(tri_a + tri_b, {i: "x" for i in range(3)} | {i: "y" for i in (10, 11, 12)})
+    assert r["assortativity"] == 1.0
+
+    # complete bipartite between labels -> disassortative (r < 0)
+    kb = [(a, b) for a in range(3) for b in range(10, 13)]
+    r = run(kb, {0: "x", 1: "x", 2: "x", 10: "y", 11: "y", 12: "y"})
+    assert r["assortativity"] == -1.0
+
+    # random graph vs numpy-free python oracle over the mixing matrix
+    edges = random_graph(n=50, p=0.1, seed=53, zipf_extra=30)
+    labmap = {v: f"l{v % 4}" for e in edges for v in e}
+    got = run(edges, labmap)
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    cnt = {}
+    for a, b in und:
+        k = (labmap[a], labmap[b])
+        cnt[k] = cnt.get(k, 0) + 1
+    n = sum(cnt.values())
+    labs = sorted({x for k in cnt for x in k})
+    row = {l: sum(v for (a, _), v in cnt.items() if a == l) for l in labs}
+    col = {l: sum(v for (_, b), v in cnt.items() if b == l) for l in labs}
+    diag = sum(cnt.get((l, l), 0) for l in labs)
+    prod = sum(row[l] * col[l] for l in labs)
+    assert got["n_pairs"] == n and got["sum_diag"] == diag and got["sum_prod"] == prod
+    import math
+    x = (n * diag - prod) / (n * n - prod)
+    assert got["assortativity"] == math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    # one label everywhere -> undefined
+    r = run(tri_a, {0: "x", 1: "x", 2: "x"})
+    assert r["assortativity"] is None
