@@ -897,6 +897,48 @@ def _q_sssp_weighted(spark, sf_dir):
     return dists
 
 
+WIDEST_ROUNDS = 12  # max-min fixpoint horizon; the query asserts the
+# measured convergence fits (rounds past the fixpoint are no-ops)
+
+
+def _q_widest_path(spark, sf_dir):
+    """Maximum-bottleneck (widest) paths from the least vertex
+    (plans/sssp.py:widest_paths): the max-min semiring dual of
+    sssp_weighted on the identical deterministic weights — integer-exact
+    monotone fixpoint, source carries the 2^60 sentinel."""
+    from metis_spark.plans.sssp import widest_paths
+
+    edges = derived_edges(spark, sf_dir).withColumn("w", F.expr(_W_EXPR))
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    caps, info = widest_paths(
+        edges, sources=[int(src)],
+        weight_col="w",
+        checkpoint_dir=_tmpdir("metis_qwidest_"),
+        max_iter=WIDEST_ROUNDS,
+    )
+    assert info["converged"] and info["iterations"] <= WIDEST_ROUNDS, info
+    return caps
+
+
+def _widest_sql(rounds: int = WIDEST_ROUNDS) -> str:
+    """Unrolled max-min twin of _q_widest_path."""
+    inf = 1 << 60
+    relax_w = _W_EXPR.replace("src", "e.src").replace("dst", "e.dst")
+    ctes = [_EDGES_SQL.strip(),
+            "srcv AS (SELECT LEAST(MIN(src), MIN(dst)) AS s FROM edges)",
+            f"b0 AS (SELECT (SELECT s FROM srcv) AS id, {inf}::BIGINT AS cap)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MAX(cap)::BIGINT AS cap FROM ("
+            f"SELECT id, cap FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, LEAST(d.cap, ({relax_w})) AS cap "
+            f"FROM edges e JOIN b{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, cap FROM b{rounds}"
+
+
 N_LANDMARKS = 3
 
 
@@ -5653,6 +5695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "bigram_surprisal": _q_bigram_surprisal,
         "attribute_assortativity": _q_attr_assortativity,
+        "widest_path": _q_widest_path,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6441,6 +6484,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_js_divergence": _CORPUS_DIVERGENCE_SQL,
         "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
         "attribute_assortativity": _ATTR_ASSORT_SQL,
+        "widest_path": _widest_sql(),
         "wl_colors_3": _wl_sql("colors"),
         "wl_class_histogram": _wl_sql("histogram"),
         "maximal_matching": _matching_sql(),

@@ -410,3 +410,104 @@ def diameter_double_sweep(
         "diameter_lb": int(ecc2),
         "seconds": time.monotonic() - t0,
     }
+
+
+WIDEST_INF = 1 << 60  # integer +inf sentinel (the temporal.py convention)
+
+
+def widest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    weight_col: str,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    directed: bool = True,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst,weight) + source ids → (caps(id, cap), info).
+
+    Maximum-bottleneck (widest) paths: cap(v) = max over paths s→v of
+    the minimum edge weight along the path — the max–min semiring dual
+    of weighted shortest paths (network reliability / maximum-capacity
+    routing). Same Bellman-Ford-shaped spine as shortest_paths with the
+    fold flipped: candidate = LEAST(cap(u), w), combine = MAX; the
+    iteration is a monotone ascending fixpoint on integer weights, so
+    the unrolled twin replays it exactly (rounds past convergence are
+    no-ops). Source rows carry the integer +inf sentinel 2^60 (the
+    plans/temporal.py convention — avoids tri-valued NULL logic in both
+    engines).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_widest_")
+    cm = CheckpointManager(checkpoint_dir, "widest")
+
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w"))
+        )
+    e = e.repartition(num_partitions, "src").persist()
+    e.count()
+
+    caps = spark.createDataFrame(
+        [(int(s), WIDEST_INF) for s in sources], "id long, cap long"
+    )
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            state, meta = cm.load(spark, k0)
+            caps = state.select("id", "cap")
+            start_iter = k0
+            if meta.get("converged"):
+                e.unpersist()
+                return caps, {"iterations": k0, "converged": True, "seconds": 0.0,
+                              "resumed": True}
+
+    t0 = time.monotonic()
+    converged = False
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        relaxed = e.join(caps.hint("shuffle_hash"), e["src"] == caps["id"]).select(
+            F.col("dst").alias("id"), F.least("cap", "w").alias("cap")
+        )
+        nxt = caps.unionByName(relaxed).groupBy("id").agg(F.max("cap").alias("cap"))
+        with_old = nxt.join(
+            caps.select("id", F.col("cap").alias("old_cap")).hint("shuffle_hash"),
+            "id",
+            "left",
+        )
+        state, totals = cm.commit(
+            k,
+            with_old,
+            {},
+            extra_aggs={
+                "changed": F.sum(
+                    (F.col("old_cap").isNull() | (F.col("cap") > F.col("old_cap"))).cast("long")
+                )
+            },
+        )
+        changed = int(totals["changed"] or 0)
+        converged = changed == 0
+        cm.update_meta(k, {"converged": converged, "changed": changed})
+        cm.append_metrics(
+            {"iter": k, "delta": float(changed), "seconds": time.monotonic() - it_t0,
+             "rows": int(totals["rows"])}
+        )
+        caps = state.select("id", "cap")
+        if converged:
+            break
+
+    e.unpersist()
+    return caps, {"iterations": k, "converged": converged, "seconds": time.monotonic() - t0}

@@ -195,3 +195,43 @@ def test_center_landmarks_vs_python(spark, tmp_path):
     )
     got = [(r["id"], r["ecc_lb"]) for r in out.orderBy("rn").collect()]
     assert got == want
+
+
+def test_widest_paths_golden_and_oracle(spark, tmp_path):
+    import heapq
+
+    from metis_spark.plans.sssp import WIDEST_INF, widest_paths
+
+    # golden: two routes 0->3, bottlenecks 2 (via 1) and 5 (via 4,5)
+    golden = [(0, 1, 2), (1, 3, 9), (0, 4, 5), (4, 5, 7), (5, 3, 6)]
+    e = spark.createDataFrame(golden, "src long, dst long, w long")
+    caps, info = widest_paths(
+        e, sources=[0], weight_col="w", checkpoint_dir=str(tmp_path / "g")
+    )
+    got = {r["id"]: r["cap"] for r in caps.collect()}
+    assert info["converged"]
+    assert got == {0: WIDEST_INF, 1: 2, 4: 5, 5: 5, 3: 5}
+
+    # random graph vs max-min Dijkstra oracle
+    g = random_graph(n=60, p=0.05, seed=81)
+    wedges = [(s, d, (s * 7 + d * 13) % 10 + 1) for s, d in g]
+    best = {0: WIDEST_INF}
+    pq = [(-WIDEST_INF, 0)]
+    adj = collections.defaultdict(list)
+    for s, d, w in wedges:
+        adj[s].append((d, w))
+    while pq:
+        ncap, u = heapq.heappop(pq)
+        if -ncap < best.get(u, -1):
+            continue
+        for v, w in adj[u]:
+            c = min(-ncap, w)
+            if c > best.get(v, -1):
+                best[v] = c
+                heapq.heappush(pq, (-c, v))
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    caps, info = widest_paths(
+        e, sources=[0], weight_col="w", checkpoint_dir=str(tmp_path / "r")
+    )
+    assert info["converged"]
+    assert {r["id"]: r["cap"] for r in caps.collect()} == best
