@@ -2616,6 +2616,39 @@ FROM tot t, sums s
 """
 
 
+EMB_K = 100
+
+
+def _q_edge_embeddedness(spark, sf_dir):
+    """Top-100 edges by embeddedness |N(a) ∩ N(b)| with neighborhood
+    Jaccard (plans/metrics.py:edge_embeddedness) — the tie-strength /
+    strong-triadic-closure signal; all-integer ranking key."""
+    from metis_spark.plans.metrics import edge_embeddedness
+
+    return edge_embeddedness(derived_edges_sparse(spark, sf_dir), k=EMB_K)
+
+
+_EDGE_EMB_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+sides AS (SELECT x AS a, y AS b FROM tri UNION ALL
+          SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri),
+emb AS (SELECT a, b, COUNT(*)::BIGINT AS emb FROM sides GROUP BY a, b),
+scored AS (SELECT u.a, u.b, COALESCE(e.emb, 0)::BIGINT AS emb,
+  CASE WHEN da.deg + db.deg - COALESCE(e.emb, 0) - 2 > 0 THEN
+    ROUND(COALESCE(e.emb, 0) / (da.deg + db.deg - COALESCE(e.emb, 0) - 2), 6)
+  END AS jaccard
+  FROM u LEFT JOIN emb e ON u.a = e.a AND u.b = e.b
+  JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id)
+SELECT a, b, emb, jaccard, rn FROM (SELECT a, b, emb, jaccard,
+  ROW_NUMBER() OVER (ORDER BY emb DESC, a ASC, b ASC)::BIGINT AS rn FROM scored)
+WHERE rn <= {EMB_K}
+"""
+
+
 SCANSTAT_K = 100
 
 
@@ -5439,9 +5472,54 @@ def _q_temporal_reachability(spark, sf_dir):
     return out
 
 
-def _temporal_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
+def _q_temporal_shortest(spark, sf_dir):
+    """Minimum-hop time-respecting paths (plans/temporal.py:
+    temporal_shortest_path — the Wu et al. "shortest" dual completing
+    the quartet): the first earliest-arrival round at which a vertex
+    becomes finite IS its minimum hop count, so the operator is the
+    reachability loop with one extra first-reached-round column."""
+    from metis_spark.plans.temporal import temporal_shortest_path
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_shortest_path(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtshort_"),
+        checkpoint_every=5, retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+
+def _temporal_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS, out: str = "arrival") -> str:
     """Unrolled relaxation twin: a_{k+1}(v) = least(a_k(v), min ts over
-    in-edges (u, v, ts) with ts >= a_k(u)); integer 2^60 = unreached."""
+    in-edges (u, v, ts) with ts >= a_k(u)); integer 2^60 = unreached.
+    ``out='shortest'`` additionally reports hops = the first round with
+    a finite arrival (MIN over the per-round finite snapshots)."""
     inf = TEMPORAL_INF
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
@@ -5461,6 +5539,17 @@ def _temporal_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
             f"LEFT JOIN (SELECT e.dst AS id, MIN(e.ts) AS m FROM te e "
             f"JOIN a{p} u ON e.src = u.id WHERE e.ts >= u.arr GROUP BY e.dst) r "
             f"ON v.id = r.id)"
+        )
+    if out == "shortest":
+        parts = " UNION ALL ".join(
+            f"SELECT id, {i}::BIGINT AS r FROM a{i} WHERE arr < {inf}"
+            for i in range(rounds + 1)
+        )
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f", h AS (SELECT id, MIN(r) AS hops FROM ({parts}) GROUP BY id)"
+            + f"\nSELECT a.id, h.hops, a.arr AS arrival FROM a{rounds} a "
+            f"JOIN h ON a.id = h.id WHERE a.arr < {inf}"
         )
     return (
         "WITH " + ",\n".join(ctes)
@@ -5696,6 +5785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "attribute_assortativity": _q_attr_assortativity,
         "widest_path": _q_widest_path,
+        "temporal_shortest_path": _q_temporal_shortest,
+        "edge_embeddedness": _q_edge_embeddedness,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -6474,6 +6565,7 @@ def oracle_sql() -> dict[str, str]:
         "robustness_random": _robustness_sql(mode="failure"),
         "minimum_spanning_forest": _msf_sql(),
         "temporal_reachability": _temporal_sql(),
+        "temporal_shortest_path": _temporal_sql(out="shortest"),
         "temporal_latest_departure": _temporal_ld_sql(),
         "temporal_fastest_path": _temporal_fp_sql(),
         "linkpred_auc": _linkpred_auc_sql(),
@@ -6485,6 +6577,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
         "attribute_assortativity": _ATTR_ASSORT_SQL,
         "widest_path": _widest_sql(),
+        "edge_embeddedness": _EDGE_EMB_SQL,
         "wl_colors_3": _wl_sql("colors"),
         "wl_class_histogram": _wl_sql("histogram"),
         "maximal_matching": _matching_sql(),

@@ -408,3 +408,63 @@ def attribute_assortativity(
         [(n, len(labs), diag, prod, r_val)],
         "n_pairs long, n_labels long, sum_diag long, sum_prod long, assortativity double",
     )
+
+
+def edge_embeddedness(edges: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k edges by embeddedness → (a, b, emb, jaccard, rn).
+
+    Embeddedness of an edge = |N(a) ∩ N(b)|, its triangle support — the
+    classic tie-strength / strong-triadic-closure signal (Granovetter;
+    Easley & Kleinberg ch. 3): high-embeddedness edges are intra-
+    community, embeddedness-0 edges are bridges (and exactly the k-truss
+    peel candidates). ``jaccard`` = emb / (deg(a)+deg(b)−emb−2), the
+    edge-neighborhood overlap with the endpoints excluded (NULL for a
+    bridge between two pendant vertices where the union is empty).
+
+    Scale shape: each triangle from the degree-oriented counter is
+    redistributed to its three edges via one explode + map-side-combined
+    groupBy (the per-EDGE twin of triangle_count_per_vertex); degrees
+    broadcast-join onto the ≤|E| support rows; the all-integer ranking
+    key (emb desc, a, b) is taken with TakeOrderedAndProject and rn is
+    assigned on the k collected rows."""
+    from metis_spark.plans.triangles import _per_edge_commons
+
+    und = _und(edges)
+    deg = _und_degrees(und)
+    per = _per_edge_commons(edges).where(F.col("n_common") > 0)
+    tri = per.select("src", "dst", F.explode("common").alias("w"))
+    sides = (
+        tri.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .unionByName(
+            tri.select(F.least("src", "w").alias("a"), F.greatest("src", "w").alias("b"))
+        )
+        .unionByName(
+            tri.select(F.least("dst", "w").alias("a"), F.greatest("dst", "w").alias("b"))
+        )
+    )
+    emb = sides.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("emb"))
+    u = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    scored = (
+        u.join(emb, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("emb", F.lit(0)).alias("emb"))
+        .join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            "a",
+            "b",
+            "emb",
+            F.when(
+                (F.col("dega") + F.col("degb") - F.col("emb") - 2) > 0,
+                F.round(
+                    F.col("emb") / (F.col("dega") + F.col("degb") - F.col("emb") - 2), 6
+                ),
+            ).alias("jaccard"),
+        )
+    )
+    top = scored.orderBy(F.desc("emb"), F.asc("a"), F.asc("b")).limit(k)
+    w = Window.orderBy(F.desc("emb"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -475,3 +475,142 @@ def _fastest_out(spark, state: DataFrame, sd: DataFrame) -> DataFrame:
         .select("id", F.col("dur").cast("long").alias("fastest"))
     )
     return seeds0.unionByName(nonseed)
+
+
+def temporal_shortest_path(
+    edges_ts: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+    retain: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """edges_ts(src, dst, ts) + seeds(id) → (out(id, hops, arrival) for
+    REACHED vertices, info) — the minimum NUMBER OF EDGES of any
+    time-respecting path (Wu et al. VLDB 2014 "shortest" dual, next to
+    earliest-arrival / latest-departure / fastest).
+
+    Identity making one pass suffice: after k rounds of the
+    earliest-arrival relaxation, arr_k(v) is the earliest arrival over
+    time-respecting paths of ≤ k edges, and the earliest-arrival
+    frontier is reachability-SUFFICIENT (an edge usable after a later
+    arrival is usable after an earlier one), so the first round at
+    which arr(v) becomes finite IS the minimum hop count. The loop is
+    temporal_reachability's with one extra integer column recording
+    that first round; ``arrival`` is the converged earliest arrival.
+    """
+    spark = edges_ts.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges_ts)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_tshort_")
+    cm = CheckpointManager(checkpoint_dir, "tshortest", retain=retain)
+
+    te = (
+        edges_ts.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("ts").cast("long"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = (
+        te.select(F.col("src").alias("id"))
+        .unionByName(te.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sd = seeds.select(F.col("id").cast("long"), F.lit(0).cast("long").alias("z"))
+    state = verts.join(sd.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        F.coalesce("z", F.lit(INF)).cast("long").alias("arr"),
+        F.when(F.col("z").isNotNull(), F.lit(0)).cast("long").alias("hops"),
+    )
+    n = verts.count()
+
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            st, meta = cm.load(spark, k0)
+            state = st.select("id", "arr", "hops")
+            start_iter = k0
+            if meta.get("converged"):
+                out = state.where(F.col("arr") < INF).select(
+                    "id", "hops", F.col("arr").alias("arrival")
+                )
+                te.unpersist()
+                return out, {
+                    "iterations": k0, "changed": 0, "converged": True,
+                    "seconds": 0.0, "n": n, "resumed": True,
+                }
+
+    t0 = time.monotonic()
+    converged = False
+    changed = -1
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        relax = (
+            te.join(
+                state.select(F.col("id").alias("src"), F.col("arr").alias("au"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .where(F.col("ts") >= F.col("au"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("ts").alias("m"))
+        )
+        nxt = (
+            state.select("id", F.col("arr").alias("old"), "hops")
+            .join(relax.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("old"), F.coalesce("m", F.lit(INF)))
+                .cast("long").alias("arr"),
+                "old",
+                F.coalesce(
+                    "hops",
+                    F.when(
+                        F.least(F.col("old"), F.coalesce("m", F.lit(INF))) < INF,
+                        F.lit(k),
+                    ),
+                ).cast("long").alias("hops"),
+            )
+        )
+        aggs = {"changed": F.sum((F.col("arr") != F.col("old")).cast("long"))}
+        durable = checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter
+        st, totals = cm.step(k, nxt, {}, extra_aggs=aggs, durable=durable)
+        changed = int(totals["changed"] or 0)
+        converged = changed == 0
+        if converged and not durable:
+            st, totals = cm.commit(k, st, {}, extra_aggs=aggs)
+            durable = True
+        if durable:
+            cm.update_meta(k, {"converged": converged, "changed": changed})
+        cm.append_metrics(
+            {"iter": k, "delta": float(changed),
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"]),
+             "committed": durable}
+        )
+        state = st.select("id", "arr", "hops")
+        if converged:
+            break
+
+    out = state.where(F.col("arr") < INF).select(
+        "id", "hops", F.col("arr").alias("arrival")
+    )
+    te.unpersist()
+    return out, {
+        "iterations": k,
+        "changed": changed,
+        "converged": converged,
+        "seconds": time.monotonic() - t0,
+        "n": n,
+    }

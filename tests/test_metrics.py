@@ -272,3 +272,32 @@ def test_attribute_assortativity_golden_and_random(spark):
     # one label everywhere -> undefined
     r = run(tri_a, {0: "x", 1: "x", 2: "x"})
     assert r["assortativity"] is None
+
+
+def test_edge_embeddedness_golden_and_bruteforce(spark):
+    from itertools import combinations
+
+    from metis_spark.plans.metrics import edge_embeddedness
+
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    rows = edge_embeddedness(edges_df(spark, k4), k=10).collect()
+    assert len(rows) == 6
+    assert all(r["emb"] == 2 and r["jaccard"] == 1.0 for r in rows)
+
+    edges = random_graph(n=50, p=0.1, seed=59, zipf_extra=30)
+    nbrs = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for a in nbrs:
+        for b in nbrs[a]:
+            if a < b:
+                emb = len(nbrs[a] & nbrs[b])
+                den = len(nbrs[a]) + len(nbrs[b]) - emb - 2
+                want[(a, b)] = (emb, round(emb / den, 6) if den > 0 else None)
+    got = edge_embeddedness(edges_df(spark, edges), k=30).collect()
+    order = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:30]
+    assert [((r["a"], r["b"]), (r["emb"], r["jaccard"])) for r in got] == order

@@ -199,3 +199,52 @@ def test_fastest_path_checkpoint_every_equivalent(spark, tmp_path):
     a = {r["id"]: r["fastest"] for r in r1.collect()}
     b = {r["id"]: r["fastest"] for r in r4.collect()}
     assert a == b
+
+
+def brute_shortest(rows, seed_ids):
+    """Round-synchronous earliest-arrival relaxation recording the first
+    round each vertex turns finite — the min time-respecting hop count."""
+    INF = float("inf")
+    verts = {v for s, d, t in rows if s != d for v in (s, d)}
+    arr = {v: (0 if v in seed_ids else INF) for v in verts}
+    hops = {v: 0 for v in verts if v in seed_ids}
+    r = 0
+    while True:
+        r += 1
+        nxt = dict(arr)
+        for s, d, t in rows:
+            if s != d and t >= arr[s] and t < nxt[d]:
+                nxt[d] = min(nxt[d], t)
+        if nxt == arr:
+            break
+        for v in verts:
+            if nxt[v] < INF and v not in hops:
+                hops[v] = r
+        arr = nxt
+    return {v: (hops[v], arr[v]) for v in verts if arr[v] < INF}
+
+
+def test_temporal_shortest_golden(spark):
+    from metis_spark.plans.temporal import temporal_shortest_path
+
+    # direct late edge (1 hop, arrival 9) vs two early hops (arrival 2)
+    rows = [(0, 2, 9), (0, 1, 1), (1, 2, 2)]
+    e, s = dfs(spark, rows, [0])
+    out, info = temporal_shortest_path(e, s)
+    assert info["converged"]
+    got = {r["id"]: (r["hops"], r["arrival"]) for r in out.collect()}
+    # min hops = 1 (the late direct edge) but earliest arrival = 2
+    assert got == {0: (0, 0), 1: (1, 1), 2: (1, 2)}
+
+
+def test_temporal_shortest_matches_bruteforce_random(spark):
+    from metis_spark.plans.temporal import temporal_shortest_path
+
+    g = random_graph(n=60, p=0.06, seed=73, zipf_extra=40)
+    rows = [(s, d, (s * 11 + d * 5) % 40) for s, d in g if s != d]
+    seeds = sorted({s for s, _, _ in rows})[:3]
+    e, s = dfs(spark, rows, seeds)
+    out, info = temporal_shortest_path(e, s)
+    assert info["converged"]
+    got = {r["id"]: (r["hops"], r["arrival"]) for r in out.collect()}
+    assert got == brute_shortest(rows, set(seeds))
