@@ -1,0 +1,2176 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import ANF_MASKS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+
+
+_EDGE_DIFF_SQL = f"""
+WITH olde AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_linenumber % 2 = 0
+    AND l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+),
+newe AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {GRAPH_MOD} AS src, l_partkey % {GRAPH_MOD} AS dst
+  FROM lineitem WHERE l_quantity <= 40
+    AND l_orderkey % {GRAPH_MOD} <> l_partkey % {GRAPH_MOD}
+)
+SELECT n.src, n.dst, 'added' AS change FROM newe n
+WHERE NOT EXISTS (SELECT 1 FROM olde o WHERE o.src = n.src AND o.dst = n.dst)
+UNION ALL
+SELECT o.src, o.dst, 'removed' AS change FROM olde o
+WHERE NOT EXISTS (SELECT 1 FROM newe n WHERE n.src = o.src AND n.dst = o.dst)
+"""
+
+def _robustness_sql(rounds: int = ROB_ROUNDS, mode: str = "attack") -> str:
+    """Per k: removal top-k (by (deg DESC, id ASC) or by hash), reduced
+    symmetric edges, fixed-round min-label flood, component sizes +
+    isolated singletons."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "dg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "nall AS (SELECT COUNT(*)::BIGINT AS n FROM dg)",
+    ]
+    if mode == "attack":
+        order = "deg DESC, id ASC"
+    else:
+        order = (
+            "('0x' || substr(md5('rf' || id::VARCHAR), 1, 15))::BIGINT ASC, id ASC"
+        )
+    selects = []
+    for k in ROB_KS:
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT id FROM (SELECT id, "
+            f"ROW_NUMBER() OVER (ORDER BY {order}) AS rn FROM dg) "
+            f"WHERE rn <= {k})"
+        )
+        ctes.append(
+            f"r{k}e AS MATERIALIZED (SELECT src, dst FROM und "
+            f"WHERE src NOT IN (SELECT id FROM h{k}) "
+            f"AND dst NOT IN (SELECT id FROM h{k}))"
+        )
+        ctes.append(
+            f"r{k}l0 AS (SELECT DISTINCT src AS id, src AS label FROM r{k}e)"
+        )
+        for i in range(1, rounds + 1):
+            p = i - 1
+            ctes.append(
+                f"r{k}l{i} AS MATERIALIZED (SELECT v.id, "
+                f"LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM r{k}l{p} v LEFT JOIN (SELECT u.dst AS id, "
+                f"MIN(l.label) AS minl FROM r{k}e u "
+                f"JOIN r{k}l{p} l ON u.src = l.id GROUP BY u.dst) m "
+                f"ON v.id = m.id)"
+            )
+        ctes.append(
+            f"r{k}s AS (SELECT label, COUNT(*)::BIGINT AS n FROM r{k}l{rounds} "
+            f"GROUP BY label)"
+        )
+        selects.append(
+            f"SELECT {k}::BIGINT AS k_removed, "
+            f"((SELECT n FROM nall) - {k})::BIGINT AS n_left, "
+            f"(COALESCE((SELECT COUNT(*) FROM r{k}s), 0) "
+            f"+ ((SELECT n FROM nall) - {k} "
+            f"- COALESCE((SELECT SUM(n) FROM r{k}s), 0)))::BIGINT AS n_components, "
+            f"COALESCE((SELECT MAX(n) FROM r{k}s), "
+            f"CASE WHEN (SELECT n FROM nall) > {k} THEN 1 ELSE 0 END)::BIGINT "
+            f"AS largest_cc"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+def _component_profile_sql(rounds: int = COMPONENT_PROFILE_ROUNDS) -> str:
+    """Min-label flood to the fixpoint, then per-component aggregation."""
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "c0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, MIN(lab)::BIGINT AS lab FROM ("
+            f"SELECT id, lab FROM c{p} UNION ALL "
+            f"SELECT e.src AS id, c.lab FROM und e JOIN c{p} c ON e.dst = c.id"
+            f") GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        "cedges AS (SELECT src, dst FROM und WHERE src < dst),\n"
+        f"sizes AS (SELECT lab, COUNT(*)::BIGINT AS n FROM c{rounds} GROUP BY lab),\n"
+        f"ie AS (SELECT c.lab, COUNT(*)::BIGINT AS e FROM cedges x "
+        f"JOIN c{rounds} c ON x.src = c.id GROUP BY c.lab)\n"
+        "SELECT s.lab AS component, s.n AS n_vertices, "
+        "COALESCE(ie.e, 0)::BIGINT AS intra_edges, "
+        "CASE WHEN s.n >= 2 THEN ROUND(COALESCE(ie.e, 0) / (s.n * (s.n - 1) / 2.0), 6) END AS density "
+        "FROM sizes s LEFT JOIN ie ON s.lab = ie.lab"
+    )
+
+def _seeded_lpa_sql(rounds: int = SLPA_ROUNDS) -> str:
+    """Unrolled twin of seeded_label_propagation on the sparse und graph."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "sverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"sd AS MATERIALIZED (SELECT id, id AS slabel FROM sverts "
+        f"WHERE id % {SLPA_SEED_MOD} = 0)",
+        "s0 AS MATERIALIZED (SELECT v.id, sd.slabel AS label FROM sverts v "
+        "LEFT JOIN sd ON v.id = sd.id)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"lab{i} AS MATERIALIZED (SELECT id, label FROM s{p} "
+            f"WHERE label IS NOT NULL)"
+        )
+        ctes.append(
+            f"cnt{i} AS MATERIALIZED (SELECT id, label, COUNT(*)::BIGINT AS cnt FROM ("
+            f"SELECT u.dst AS id, l.label FROM und u JOIN lab{i} l ON u.src = l.id "
+            f"UNION ALL SELECT id, label FROM lab{i}) GROUP BY id, label)"
+        )
+        ctes.append(
+            f"nl{i} AS MATERIALIZED (SELECT id, label AS nl FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM cnt{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, "
+            f"COALESCE(sd.slabel, n.nl, s.label) AS label FROM s{p} s "
+            f"LEFT JOIN nl{i} n ON s.id = n.id LEFT JOIN sd ON s.id = sd.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM s{rounds}"
+
+def _widest_sql(rounds: int = WIDEST_ROUNDS) -> str:
+    """Unrolled max-min twin of _q_widest_path."""
+    inf = 1 << 60
+    relax_w = _W_EXPR.replace("src", "e.src").replace("dst", "e.dst")
+    ctes = [_EDGES_SQL.strip(),
+            "srcv AS (SELECT LEAST(MIN(src), MIN(dst)) AS s FROM edges)",
+            f"b0 AS (SELECT (SELECT s FROM srcv) AS id, {inf}::BIGINT AS cap)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MAX(cap)::BIGINT AS cap FROM ("
+            f"SELECT id, cap FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, LEAST(d.cap, ({relax_w})) AS cap "
+            f"FROM edges e JOIN b{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, cap FROM b{rounds}"
+
+def _walks_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, v FROM w{t}" for t in range(WALK_LEN + 1)
+    )
+    return f"WITH {_walks_ctes()} {union}"
+
+def _walk_sentences_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, v FROM w{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        f"WITH {_walks_ctes()}, allsteps AS ({union}) "
+        f"SELECT walk_id, COUNT(*)::BIGINT AS length, "
+        f"string_agg(v::VARCHAR, ' ' ORDER BY step) AS sentence "
+        f"FROM allsteps GROUP BY walk_id"
+    )
+
+def _node2vec_sql() -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        f"n0 AS MATERIALIZED (SELECT id AS walk_id, 0::BIGINT AS step, id AS v, "
+        f"NULL::BIGINT AS prev FROM (SELECT id FROM verts ORDER BY id LIMIT {N_WALKS}))",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT walk_id, {t}::BIGINT AS step, dst AS v, v AS prev FROM ("
+            f"SELECT w.walk_id, e.dst, w.v, ROW_NUMBER() OVER (PARTITION BY w.walk_id "
+            f"ORDER BY ((w.walk_id*1000003 + {t}*10007 + e.dst*31337) % 1000000007) * "
+            f"(CASE WHEN w.prev IS NULL THEN 1 WHEN e.dst = w.prev THEN {N2V_P} "
+            f"WHEN e2.src IS NOT NULL THEN 1 ELSE {N2V_Q} END), e.dst) AS rn "
+            f"FROM n{t - 1} w JOIN edges e ON e.src = w.v "
+            f"LEFT JOIN edges e2 ON e2.src = w.prev AND e2.dst = e.dst"
+            f") WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, v FROM n{t}" for t in range(WALK_LEN + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f" {union}"
+
+def _bipartite_sql() -> str:
+    """DuckDB twin of _q_bipartite: min-label CC (CC_ROUNDS unroll) →
+    BFS dist from each component root → same-parity canonical-edge audit."""
+    ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM l{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM und u "
+            f"JOIN l{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    ctes.append(f"lab AS MATERIALIZED (SELECT id, label FROM l{CC_ROUNDS})")
+    bfs_rounds = SSSP_ROUNDS + 2  # matches the Spark query's max_iter
+    ctes.append("bd0 AS (SELECT DISTINCT label AS id, 0::BIGINT AS dist FROM lab)")
+    for i in range(1, bfs_rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"bd{i} AS MATERIALIZED (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM bd{p} UNION ALL "
+            f"SELECT u.dst AS id, d.dist + 1 AS dist FROM und u JOIN bd{p} d ON u.src = d.id"
+            f") GROUP BY id)"
+        )
+    last = f"bd{bfs_rounds}"
+    ctes.append(
+        "cu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM und)"
+    )
+    ctes.append(
+        f"odd AS (SELECT l.label AS component, COUNT(*)::BIGINT AS n_odd FROM cu "
+        f"JOIN {last} da ON cu.a = da.id JOIN {last} db ON cu.b = db.id "
+        f"JOIN lab l ON l.id = cu.a WHERE da.dist % 2 = db.dist % 2 GROUP BY l.label)"
+    )
+    ctes.append(
+        "percomp AS (SELECT l.label AS component, COUNT(*)::BIGINT AS n_vertices, "
+        "COALESCE(MAX(o.n_odd), 0)::BIGINT AS n_odd FROM lab l "
+        "LEFT JOIN odd o ON o.component = l.label GROUP BY l.label)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + " SELECT COUNT(*)::BIGINT AS n_components, "
+        "SUM(CASE WHEN n_odd = 0 THEN 1 ELSE 0 END)::BIGINT AS n_bipartite, "
+        "SUM(n_odd)::BIGINT AS n_odd_edges FROM percomp"
+    )
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, GREATEST(n_chars, 1)::BIGINT AS weight,
+    ROUND(ln((('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+      / 1152921504606846976.0) / GREATEST(n_chars, 1)::DOUBLE, 6) AS priority
+  FROM documents)
+SELECT doc_id, weight, priority, rn FROM (
+  SELECT doc_id, weight, priority,
+    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM scored)
+WHERE rn <= {WS_K}
+"""
+
+def _linkpred_eval_sql() -> str:
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+        "cp AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und), "
+        "marked AS (SELECT a, b, "
+        "(('0x' || substr(md5('h_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        f"::BIGINT % {LP_HOLD_MOD} = 0) AS held FROM cp), "
+        "hold AS MATERIALIZED (SELECT a, b FROM marked WHERE held), "
+        "und2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM marked WHERE NOT held "
+        "UNION ALL SELECT b, a FROM marked WHERE NOT held), "
+        "deg2 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und2 GROUP BY src), "
+        "wedge2 AS (SELECT h1.dst AS u, h2.dst AS v, h1.src AS w, d.deg AS deg_w "
+        "FROM und2 h1 JOIN und2 h2 ON h1.src = h2.src AND h1.dst < h2.dst "
+        f"JOIN deg2 d ON d.id = h1.src WHERE d.deg <= {HUB_CAP}), "
+        "sc AS (SELECT u, v, ROUND(SUM(1.0 / ln(deg_w)), 6) AS score "
+        "FROM wedge2 GROUP BY u, v), "
+        "na AS (SELECT s.u, s.v, s.score FROM sc s "
+        "WHERE NOT EXISTS (SELECT 1 FROM und2 e WHERE e.src = s.u AND e.dst = s.v)), "
+        "topk AS (SELECT u, v FROM (SELECT u, v, "
+        "ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC) AS rn FROM na) "
+        f"WHERE rn <= {LP_EVAL_K}), "
+        "h AS (SELECT COUNT(*)::BIGINT AS n_hits FROM topk t "
+        "JOIN hold d ON t.u = d.a AND t.v = d.b), "
+        "nh AS (SELECT COUNT(*)::BIGINT AS n_holdout FROM hold) "
+        f"SELECT {LP_EVAL_K}::BIGINT AS k, nh.n_holdout, h.n_hits, "
+        f"ROUND(h.n_hits / {LP_EVAL_K}.0, 6) AS precision FROM h CROSS JOIN nh"
+    )
+
+def _linkpred_auc_sql() -> str:
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+        "cp AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und), "
+        "marked AS MATERIALIZED (SELECT a, b, "
+        "(('0x' || substr(md5('h_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        f"::BIGINT % {LP_HOLD_MOD} = 0) AS held FROM cp), "
+        "hold AS MATERIALIZED (SELECT a, b FROM marked WHERE held), "
+        "und2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM marked WHERE NOT held "
+        "UNION ALL SELECT b, a FROM marked WHERE NOT held), "
+        "deg2 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und2 GROUP BY src), "
+        "verts AS (SELECT a AS v FROM marked UNION SELECT b FROM marked), "
+        "vsamp AS MATERIALIZED (SELECT v FROM verts WHERE "
+        "('0x' || substr(md5('nv_' || v::VARCHAR), 1, 15))::BIGINT "
+        f"% {LP_NEG_VSAMP_MOD} = 0), "
+        "negs AS (SELECT x.v AS a, y.v AS b FROM vsamp x JOIN vsamp y ON x.v < y.v "
+        "WHERE NOT EXISTS (SELECT 1 FROM marked m WHERE m.a = x.v AND m.b = y.v)), "
+        "ev AS MATERIALIZED (SELECT a, b, 1 AS is_pos FROM hold "
+        "UNION ALL SELECT a, b, 0 FROM negs), "
+        "sc AS (SELECT e.a, e.b, ROUND(SUM(1.0 / ln(d.deg)), 6) AS score "
+        "FROM ev e JOIN und2 t1 ON t1.src = e.a JOIN und2 t2 "
+        "ON t2.src = e.b AND t2.dst = t1.dst "
+        f"JOIN deg2 d ON d.id = t1.dst AND d.deg <= {HUB_CAP} GROUP BY e.a, e.b), "
+        "scored AS (SELECT e.is_pos, COALESCE(s.score, 0.0) AS score "
+        "FROM ev e LEFT JOIN sc s ON s.a = e.a AND s.b = e.b), "
+        "ranked AS (SELECT is_pos, 2 * RANK() OVER (ORDER BY score) "
+        "+ COUNT(*) OVER (PARTITION BY score) - 1 AS rank2 FROM scored), "
+        "agg AS (SELECT SUM(CASE WHEN is_pos = 1 THEN rank2 ELSE 0 END)::BIGINT AS s2, "
+        "SUM(is_pos)::BIGINT AS n_pos, SUM(1 - is_pos)::BIGINT AS n_neg FROM ranked) "
+        "SELECT n_pos, n_neg, (s2 - n_pos * (n_pos + 1))::BIGINT AS u2, "
+        "ROUND((s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6) AS auc FROM agg"
+    )
+
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    """Unrolled farthest-first twin: per step, fold the new center's
+    rounded cosine distance into the running min, then argmax by
+    (dist DESC, vec_id ASC)."""
+    ctes = [
+        "p0 AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v, 2.0::DOUBLE AS dist FROM p0 "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM p0))",
+    ]
+    for i in range(2, k + 1):
+        p = "p0 p" if i == 2 else f"d{i-2} p"
+        prev_dist = "2.0::DOUBLE" if i == 2 else "p.dist"
+        ctes.append(
+            f"d{i-1} AS MATERIALIZED (SELECT p.vec_id, p.v, "
+            f"LEAST({prev_dist}, ROUND(1.0 - {_kcenter_cos('p.v', 'c.v')}, 6)) AS dist "
+            f"FROM {p} CROSS JOIN c{i-1} c WHERE p.vec_id <> c.vec_id)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, v, dist FROM ("
+            f"SELECT vec_id, v, dist, ROW_NUMBER() OVER "
+            f"(ORDER BY dist DESC, vec_id ASC) AS rn FROM d{i-1}) WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rn, vec_id, dist FROM c{i}" for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union}"
+
+_LANG_VOCAB_OVERLAP_SQL = f"""
+WITH toks2 AS (SELECT lang, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents),
+freq AS (SELECT lang, tok, COUNT(*)::BIGINT AS f FROM toks2 GROUP BY lang, tok),
+head AS (SELECT lang, tok FROM (SELECT lang, tok,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC) AS rn
+  FROM freq) WHERE rn <= {LVO_K}),
+sizes AS (SELECT lang, COUNT(*)::BIGINT AS sz FROM head GROUP BY lang),
+common AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*)::BIGINT AS n_common
+  FROM head a JOIN head b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang)
+SELECT c.lang_a, c.lang_b, c.n_common,
+  ROUND(c.n_common / (sa.sz + sb.sz - c.n_common)::DOUBLE, 6) AS jaccard
+FROM common c JOIN sizes sa ON c.lang_a = sa.lang
+JOIN sizes sb ON c.lang_b = sb.lang
+"""
+
+_SQ8_SQL = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, ix.i AS dim, embedding[ix.i + 1]::DOUBLE AS val
+  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) ix
+),
+stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY dim)
+SELECT e.vec_id, e.dim::BIGINT AS dim,
+  CASE WHEN s.mx = s.mn THEN 0
+       ELSE LEAST(255, FLOOR((e.val - s.mn) / (s.mx - s.mn) * 256)) END::BIGINT AS code
+FROM ex e JOIN stats s ON e.dim = s.dim
+"""
+
+_TEMPERATURE_MIX_SQL = """
+WITH counts AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, FLOOR(SQRT(n))::BIGINT AS wt FROM counts),
+tot AS (SELECT SUM(n)::BIGINT AS nn, SUM(wt)::BIGINT AS s FROM w),
+plan AS (SELECT lang, LEAST(n, ((nn * 1 // 2) * wt) // s)::BIGINT AS target
+         FROM w, tot),
+ranked AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+  ('0x' || substr(md5('mix_' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang FROM ranked r JOIN plan p ON r.lang = p.lang
+WHERE r.rn <= p.target
+"""
+
+def _kgram_sql(toks_cte: str, k: int) -> str:
+    """DuckDB distinct-k-gram list from a toks CTE (twin of
+    functions/text.py shingles(k))."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return (
+        f"CASE WHEN len(t) >= {k} THEN list_distinct(list_transform("
+        f"range(1, len(t) - {k - 2}), i -> {joined})) ELSE []::VARCHAR[] END"
+    )
+
+def _contamination_sql() -> str:
+    bench = f"doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_REM}"
+    g = _kgram_sql("t", CONTAM_K)
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {g} AS s FROM toks), "
+        f"bg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE {bench}), "
+        f"ex AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE NOT ({bench})) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+        "SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit, "
+        "ROUND(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE "
+        "/ COUNT(*)::DOUBLE, 6) AS contamination "
+        "FROM ex LEFT JOIN bg USING (gram) GROUP BY doc_id"
+    )
+
+def _boilerplate_sql() -> str:
+    return (
+        f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
+        "ex AS (SELECT doc_id, unnest(s) AS gram FROM sh), "
+        "boiler AS (SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM ex "
+        f"GROUP BY gram) WHERE df >= {BOILER_MIN_DOCS}) "
+        "SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+        "SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler, "
+        "ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE "
+        "/ COUNT(*)::DOUBLE, 6) AS boilerplate_frac "
+        "FROM ex LEFT JOIN boiler b USING (gram) GROUP BY doc_id"
+    )
+
+_CORPUS_DIVERGENCE_SQL = """
+WITH stok AS MATERIALIZED (SELECT lang AS s,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term FROM documents),
+cnt AS MATERIALIZED (SELECT s, term, COUNT(*)::BIGINT AS n FROM stok GROUP BY s, term),
+tot AS (SELECT s, SUM(n)::BIGINT AS t FROM cnt GROUP BY s),
+pr AS (SELECT ta.s AS sa, tb.s AS sb, ta.t AS ta, tb.t AS tb
+       FROM tot ta JOIN tot tb ON ta.s < tb.s),
+u AS (SELECT p.sa, p.sb, c.term FROM pr p JOIN cnt c ON c.s = p.sa OR c.s = p.sb
+      GROUP BY p.sa, p.sb, c.term),
+m AS (SELECT u.sa, u.sb, u.term, COALESCE(ca.n, 0) AS a, COALESCE(cb.n, 0) AS b,
+             p.ta, p.tb
+      FROM u JOIN pr p ON u.sa = p.sa AND u.sb = p.sb
+      LEFT JOIN cnt ca ON ca.s = u.sa AND ca.term = u.term
+      LEFT JOIN cnt cb ON cb.s = u.sb AND cb.term = u.term),
+lam AS (SELECT sa, sb, ta, tb,
+  CASE WHEN a > 0 THEN a * CAST(ROUND(ln(2.0 * a * tb /
+       CAST(a * tb + b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END AS ap,
+  CASE WHEN b > 0 THEN b * CAST(ROUND(ln(2.0 * b * ta /
+       CAST(a * tb + b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END AS bq
+  FROM m)
+SELECT sa AS slice_a, sb AS slice_b, COUNT(*)::BIGINT AS n_terms,
+  ROUND(SUM(ap)::DOUBLE / ANY_VALUE(ta) / 1000000.0, 6) AS kl_pm,
+  ROUND(SUM(bq)::DOUBLE / ANY_VALUE(tb) / 1000000.0, 6) AS kl_qm,
+  ROUND((SUM(ap)::DOUBLE / ANY_VALUE(ta) / 1000000.0
+       + SUM(bq)::DOUBLE / ANY_VALUE(tb) / 1000000.0) / 2.0, 6) AS js
+FROM lam GROUP BY sa, sb
+"""
+
+_BIGRAM_SURPRISAL_SQL = """
+WITH btoks AS MATERIALIZED (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t FROM documents),
+bgs AS MATERIALIZED (SELECT doc_id,
+    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM btoks WHERE len(t) >= 2),
+c2 AS MATERIALIZED (SELECT bg, COUNT(*)::BIGINT AS c2 FROM bgs GROUP BY bg),
+c1 AS MATERIALIZED (SELECT term, COUNT(*)::BIGINT AS c1 FROM
+    (SELECT unnest(t) AS term FROM btoks) GROUP BY term),
+lp AS (SELECT c2.bg,
+       CAST(ROUND(ln(c1.c1 / c2.c2) * 1000000.0) AS BIGINT) AS lp
+       FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.term)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       SUM(l.lp)::BIGINT AS surprisal_micro,
+       ROUND(SUM(l.lp)::BIGINT / COUNT(*) / 1000000.0, 6) AS avg_surprisal
+FROM bgs s JOIN lp l ON s.bg = l.bg GROUP BY s.doc_id
+"""
+
+_UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS MATERIALIZED (SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term FROM documents),
+freq AS MATERIALIZED (SELECT term, COUNT(*)::BIGINT AS freq FROM toks GROUP BY term),
+tot AS (SELECT SUM(freq)::BIGINT AS t FROM freq),
+lp AS (SELECT f.term,
+       CAST(ROUND(ln(t.t * 1.0 / f.freq) * 1000000.0) AS BIGINT) AS lp
+       FROM freq f CROSS JOIN tot t)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_tokens,
+       SUM(l.lp)::BIGINT AS surprisal_micro,
+       ROUND(SUM(l.lp)::BIGINT / COUNT(*) / 1000000.0, 6) AS avg_surprisal
+FROM toks s JOIN lp l ON s.term = l.term GROUP BY s.doc_id
+"""
+
+_CHUNK_PLAN_SQL = f"""
+WITH t AS (SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n
+  FROM documents),
+k AS (SELECT doc_id, n, CASE WHEN n <= 0 THEN 0 WHEN n <= {CHUNK_TOK} THEN 1
+  ELSE (n - {CHUNK_TOK} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1 END AS nk
+  FROM t)
+SELECT doc_id, unnest(range(0, nk))::BIGINT AS chunk_idx,
+  (unnest(range(0, nk)) * {CHUNK_STRIDE})::BIGINT AS start_tok,
+  LEAST(unnest(range(0, nk)) * {CHUNK_STRIDE} + {CHUNK_TOK}, n)::BIGINT AS end_tok,
+  (LEAST(unnest(range(0, nk)) * {CHUNK_STRIDE} + {CHUNK_TOK}, n)
+   - unnest(range(0, nk)) * {CHUNK_STRIDE})::BIGINT AS chunk_tokens
+FROM k WHERE nk > 0
+"""
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) || '.1'"
+)
+
+def _pii_scrub_sql() -> str:
+    """DuckDB twin built from the SAME TX.PII_PATTERNS constants — one
+    source of truth for the regexes (RE2-safe by construction)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS {name}_hits"
+        for name, pat in TX.PII_PATTERNS
+    )
+    redacted = "t"
+    for _, pat in TX.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{TX.PII_TOKEN}', 'g')"
+    return (
+        f"WITH aug AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents) "
+        f"SELECT doc_id, {counts}, length({redacted})::BIGINT AS clean_len FROM aug"
+    )
+
+_FOUR_CLIQUE_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT COUNT(*)::BIGINT AS t FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+quad AS (SELECT COUNT(*)::BIGINT AS fc FROM u ab
+  JOIN u ac ON ac.a = ab.a AND ac.b > ab.b
+  JOIN u ad ON ad.a = ab.a AND ad.b > ac.b
+  JOIN u bc ON bc.a = ab.b AND bc.b = ac.b
+  JOIN u bd ON bd.a = ab.b AND bd.b = ad.b
+  JOIN u cd ON cd.a = ac.b AND cd.b = ad.b)
+SELECT tri.t AS triangles, quad.fc AS four_cliques FROM tri, quad
+"""
+
+def _ppr_sweep_sql() -> str:
+    """Unrolled twin of _q_ppr_sweep_cut: seeded PageRank on the
+    symmetric sparse graph (no dangling mass by construction — the dm
+    terms are kept and evaluate to 0), then the sweep with the identical
+    round-before-rank discipline and integer cut/vol arithmetic."""
+    d = 0.85
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "sverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"ns AS (SELECT COUNT(*)::DOUBLE AS s FROM sverts WHERE id % {SWEEP_SEED_MOD} = 0)",
+        f"p AS MATERIALIZED (SELECT id, CASE WHEN id % {SWEEP_SEED_MOD} = 0 "
+        "THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS pm FROM sverts)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS deg FROM und GROUP BY src)",
+        "r0 AS (SELECT id, pm AS rank FROM p)",
+    ]
+    for i in range(1, SWEEP_ITERS + 1):
+        pv = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"FROM und u JOIN r{pv} r ON u.src = r.id JOIN outdeg o ON u.src = o.src GROUP BY u.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{pv} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT p.id, p.pm*((1-{d}) + {d}*(SELECT dm FROM dm{i})) "
+            f"+ {d}*COALESCE(c.contrib,0) AS rank FROM p LEFT JOIN c{i} c ON p.id = c.id)"
+        )
+    ctes += [
+        f"score AS (SELECT r.id, CAST(o.deg AS BIGINT) AS deg, "
+        f"ROUND(ROUND(r.rank, 6) / CAST(o.deg AS BIGINT), 9) AS s "
+        f"FROM r{SWEEP_ITERS} r JOIN outdeg o ON r.id = o.src)",
+        "tk AS MATERIALIZED (SELECT id, deg, k FROM (SELECT id, deg, "
+        "ROW_NUMBER() OVER (ORDER BY s DESC, id ASC)::BIGINT AS k FROM score) "
+        f"WHERE k <= {SWEEP_L})",
+        "m2 AS (SELECT COUNT(*)::BIGINT AS c2 FROM und)",
+        "uu AS (SELECT src AS a, dst AS b FROM und WHERE src < dst)",
+        f"er AS (SELECT LEAST(COALESCE(ta.k, {SWEEP_L + 1}), COALESCE(tb.k, {SWEEP_L + 1})) AS lo, "
+        f"GREATEST(COALESCE(ta.k, {SWEEP_L + 1}), COALESCE(tb.k, {SWEEP_L + 1})) AS hi "
+        "FROM uu LEFT JOIN tk ta ON uu.a = ta.id LEFT JOIN tk tb ON uu.b = tb.id)",
+        f"st AS (SELECT lo AS k, COUNT(*)::BIGINT AS n_open FROM er WHERE lo <= {SWEEP_L} GROUP BY lo)",
+        f"en AS (SELECT hi AS k, COUNT(*)::BIGINT AS n_close FROM er WHERE hi <= {SWEEP_L} GROUP BY hi)",
+        "ax AS (SELECT t.k, t.id, t.deg, COALESCE(st.n_open, 0) AS o, "
+        "COALESCE(en.n_close, 0) AS c FROM tk t "
+        "LEFT JOIN st ON st.k = t.k LEFT JOIN en ON en.k = t.k)",
+        "fin AS (SELECT k, id, deg, CAST(SUM(deg) OVER (ORDER BY k) AS BIGINT) AS vol, "
+        "CAST(SUM(o - c) OVER (ORDER BY k) AS BIGINT) AS cut FROM ax)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT k, id, deg, vol, cut, "
+        "CASE WHEN LEAST(vol, (SELECT c2 FROM m2) - vol) > 0 THEN "
+        "ROUND(cut / LEAST(vol, (SELECT c2 FROM m2) - vol), 6) END AS phi FROM fin"
+    )
+
+_ATTR_ASSORT_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+attr AS MATERIALIZED (SELECT p_partkey % {SPARSE_MOD} AS id, MIN(p_brand) AS lab
+    FROM part GROUP BY 1),
+pairs AS (SELECT COALESCE(la.lab, 'none') AS la, COALESCE(lb.lab, 'none') AS lb
+    FROM und u LEFT JOIN attr la ON u.src = la.id LEFT JOIN attr lb ON u.dst = lb.id),
+mix AS (SELECT la, lb, COUNT(*)::BIGINT AS n FROM pairs GROUP BY la, lb),
+tot AS (SELECT SUM(n)::BIGINT AS n FROM mix),
+rows_m AS (SELECT la AS lab, SUM(n)::BIGINT AS r FROM mix GROUP BY la),
+cols_m AS (SELECT lb AS lab, SUM(n)::BIGINT AS c FROM mix GROUP BY lb),
+labs AS (SELECT lab FROM rows_m UNION SELECT lab FROM cols_m),
+marg AS (SELECT l.lab, COALESCE(r.r, 0) AS r, COALESCE(c.c, 0) AS c FROM labs l
+    LEFT JOIN rows_m r ON l.lab = r.lab LEFT JOIN cols_m c ON l.lab = c.lab),
+sums AS (SELECT (SELECT COUNT(*)::BIGINT FROM labs) AS n_labels,
+    (SELECT COALESCE(SUM(n), 0)::BIGINT FROM mix WHERE la = lb) AS diag,
+    SUM(r::HUGEINT * c::HUGEINT) AS prod FROM marg)
+SELECT t.n AS n_pairs, s.n_labels, s.diag AS sum_diag, s.prod::BIGINT AS sum_prod,
+    CASE WHEN t.n::HUGEINT * t.n::HUGEINT - s.prod <> 0 THEN
+        ROUND((t.n::HUGEINT * s.diag::HUGEINT - s.prod) /
+              (t.n::HUGEINT * t.n::HUGEINT - s.prod), 6) END AS assortativity
+FROM tot t, sums s
+"""
+
+_EDGE_EMB_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+sides AS (SELECT x AS a, y AS b FROM tri UNION ALL
+          SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri),
+emb AS (SELECT a, b, COUNT(*)::BIGINT AS emb FROM sides GROUP BY a, b),
+scored AS (SELECT u.a, u.b, COALESCE(e.emb, 0)::BIGINT AS emb,
+  CASE WHEN da.deg + db.deg - COALESCE(e.emb, 0) - 2 > 0 THEN
+    ROUND(COALESCE(e.emb, 0) / (da.deg + db.deg - COALESCE(e.emb, 0) - 2), 6)
+  END AS jaccard
+  FROM u LEFT JOIN emb e ON u.a = e.a AND u.b = e.b
+  JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id)
+SELECT a, b, emb, jaccard, rn FROM (SELECT a, b, emb, jaccard,
+  ROW_NUMBER() OVER (ORDER BY emb DESC, a ASC, b ASC)::BIGINT AS rn FROM scored)
+WHERE rn <= {EMB_K}
+"""
+
+def _scc_sql() -> str:
+    """Unrolled FW-BW phases: per phase, fwd/bwd min propagation over the
+    active-induced edge subset; settle fwd==bwd; shrink the active set."""
+    ctes = [_EDGES_SQL.strip(), "a1 AS MATERIALIZED (SELECT id FROM verts)"]
+    for p in range(1, SCC_PHASES + 1):
+        ctes.append(
+            f"ea{p} AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
+            f"JOIN a{p} x ON e.src = x.id JOIN a{p} y ON e.dst = y.id)"
+        )
+        ctes.append(f"f{p}_0 AS (SELECT id, id AS label FROM a{p})")
+        ctes.append(f"b{p}_0 AS (SELECT id, id AS label FROM a{p})")
+        for r in range(1, SCC_ROUNDS + 1):
+            ctes.append(
+                f"f{p}_{r} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM f{p}_{r-1} v LEFT JOIN (SELECT e.dst AS id, MIN(l.label) AS minl "
+                f"FROM ea{p} e JOIN f{p}_{r-1} l ON e.src = l.id GROUP BY e.dst) m ON v.id = m.id)"
+            )
+            ctes.append(
+                f"b{p}_{r} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM b{p}_{r-1} v LEFT JOIN (SELECT e.src AS id, MIN(l.label) AS minl "
+                f"FROM ea{p} e JOIN b{p}_{r-1} l ON e.dst = l.id GROUP BY e.src) m ON v.id = m.id)"
+            )
+        ctes.append(
+            f"s{p} AS MATERIALIZED (SELECT f.id, f.label AS scc "
+            f"FROM f{p}_{SCC_ROUNDS} f JOIN b{p}_{SCC_ROUNDS} b "
+            f"ON f.id = b.id AND f.label = b.label)"
+        )
+        ctes.append(
+            f"a{p+1} AS MATERIALIZED (SELECT id FROM a{p} EXCEPT SELECT id FROM s{p})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, scc FROM s{p}" for p in range(1, SCC_PHASES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union}"
+
+def _bowtie_sql(rr: int = BOWTIE_REACH_ROUNDS) -> str:
+    """SCC twin + five unrolled reach fixpoints + the CASE ladder."""
+    scc = _scc_sql()
+    head, union = scc.rsplit("\n", 1)
+    ctes = [head[len("WITH "):]]
+    ctes.append(f"sccall AS MATERIALIZED ({union})")
+    ctes.append(
+        "corelab AS MATERIALIZED (SELECT scc FROM (SELECT scc, COUNT(*) AS n "
+        "FROM sccall GROUP BY scc ORDER BY n DESC, scc ASC LIMIT 1))"
+    )
+    ctes.append(
+        "cv AS MATERIALIZED (SELECT id FROM sccall "
+        "WHERE scc = (SELECT scc FROM corelab))"
+    )
+
+    def reach(name, seed_sql, step_sql):
+        ctes.append(f"{name}0 AS ({seed_sql})")
+        for r in range(1, rr + 1):
+            ctes.append(
+                f"{name}{r} AS MATERIALIZED (SELECT id FROM {name}{r-1} "
+                f"UNION {step_sql.format(prev=f'{name}{r-1}')})"
+            )
+
+    reach("f", "SELECT id FROM cv",
+          "SELECT e.dst FROM edges e JOIN {prev} x ON e.src = x.id")
+    reach("b", "SELECT id FROM cv",
+          "SELECT e.src FROM edges e JOIN {prev} x ON e.dst = x.id")
+    ctes.append(
+        f"outs AS MATERIALIZED (SELECT id FROM f{rr} EXCEPT SELECT id FROM cv)"
+    )
+    ctes.append(
+        f"ins AS MATERIALIZED (SELECT id FROM b{rr} EXCEPT SELECT id FROM cv)"
+    )
+    ctes.append(
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        "WHERE src NOT IN (SELECT id FROM cv) AND dst NOT IN (SELECT id FROM cv))"
+    )
+    reach("tf", "SELECT id FROM ins",
+          "SELECT e.dst FROM e2 e JOIN {prev} x ON e.src = x.id")
+    reach("tb", "SELECT id FROM outs",
+          "SELECT e.src FROM e2 e JOIN {prev} x ON e.dst = x.id")
+    ctes.append(
+        "und2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst, src FROM edges)"
+    )
+    reach("w", "SELECT id FROM cv",
+          "SELECT e.dst FROM und2 e JOIN {prev} x ON e.src = x.id")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT region, COUNT(*)::BIGINT AS n_vertices FROM (
+  SELECT CASE
+    WHEN id IN (SELECT id FROM cv) THEN 'CORE'
+    WHEN id IN (SELECT id FROM ins) THEN 'IN'
+    WHEN id IN (SELECT id FROM outs) THEN 'OUT'
+    WHEN id IN (SELECT id FROM tf{rr}) AND id IN (SELECT id FROM tb{rr}) THEN 'TUBE'
+    WHEN id IN (SELECT id FROM tf{rr}) OR id IN (SELECT id FROM tb{rr}) THEN 'TENDRIL'
+    WHEN id IN (SELECT id FROM w{rr}) THEN 'OTHER'
+    ELSE 'DISCONNECTED' END AS region
+  FROM verts) GROUP BY region"""
+    )
+
+def _dag_levels_sql() -> str:
+    scc = _scc_sql()
+    head, union = scc.rsplit("\n", 1)
+    ctes = [head[len("WITH "):]]
+    ctes.append(f"sccall AS MATERIALIZED ({union})")
+    ctes.append(
+        "cedges AS MATERIALIZED (SELECT DISTINCT a.scc AS cs, b.scc AS cd "
+        "FROM edges e JOIN sccall a ON e.src = a.id JOIN sccall b ON e.dst = b.id "
+        "WHERE a.scc <> b.scc)"
+    )
+    ctes.append("v0 AS (SELECT DISTINCT scc AS c, 0::BIGINT AS level FROM sccall)")
+    for r in range(1, DAG_ROUNDS + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT v.c, GREATEST(v.level, COALESCE(m.il, v.level))::BIGINT AS level "
+            f"FROM v{r-1} v LEFT JOIN (SELECT e.cd AS c, MAX(l.level) + 1 AS il "
+            f"FROM cedges e JOIN v{r-1} l ON e.cs = l.c GROUP BY e.cd) m ON v.c = m.c)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s.id, s.scc, v.level FROM sccall s JOIN v{DAG_ROUNDS} v ON s.scc = v.c"
+    )
+
+def _dedup_clusters_sql() -> str:
+    ctes = [
+        _MINHASH_CTES,
+        # MATERIALIZED: cund feeds every propagation round — without it the
+        # whole minhash pipeline re-inlines per round
+        "cvert AS MATERIALIZED (SELECT doc_a AS id FROM cand UNION SELECT doc_b FROM cand)",
+        "cund AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand)",
+        "k0 AS (SELECT id, id AS label FROM cvert)",
+    ]
+    for i in range(1, DEDUP_CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"k{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM k{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM cund u "
+            f"JOIN k{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    last = f"k{DEDUP_CC_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nsizes AS (SELECT label, COUNT(*)::BIGINT AS cluster_size FROM {last} GROUP BY label)\n"
+        f"SELECT k.id AS doc_id, k.label AS cluster, s.cluster_size "
+        f"FROM {last} k JOIN sizes s ON k.label = s.label"
+    )
+
+def _embedding_dedup_clusters_sql() -> str:
+    """All-pairs threshold oracle (candidate completeness is part of the
+    gate, as for embedding_neardup) + unrolled min-label CC + sizes."""
+    ctes = [
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings)",
+        "cand AS MATERIALIZED (SELECT qid AS a, vec_id AS b FROM ("
+        f"SELECT q.qid, c.vec_id, ROUND({_COS_SQL}, 6) AS sim "
+        "FROM embeddings c JOIN q ON q.qid < c.vec_id) WHERE sim >= 0.40)",
+        "cvert AS MATERIALIZED (SELECT a AS id FROM cand UNION SELECT b FROM cand)",
+        "cund AS MATERIALIZED (SELECT a AS src, b AS dst FROM cand "
+        "UNION ALL SELECT b, a FROM cand)",
+        "k0 AS (SELECT id, id AS label FROM cvert)",
+    ]
+    for i in range(1, DEDUP_CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"k{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM k{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM cund u "
+            f"JOIN k{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    last = f"k{DEDUP_CC_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nsizes AS (SELECT label, COUNT(*)::BIGINT AS cluster_size FROM {last} GROUP BY label)\n"
+        f"SELECT k.id AS vec_id, k.label AS cluster, s.cluster_size "
+        f"FROM {last} k JOIN sizes s ON k.label = s.label"
+    )
+
+def _neardup_keep_best_sql() -> str:
+    """dedup_clusters' CTE chain + the quality formula + per-cluster
+    argmax — the oracle composes the same two verified pieces."""
+    dc = _dedup_clusters_sql()
+    ctes = dc[len("WITH "): dc.rindex("\nSELECT")].rstrip().rstrip(",")
+    last = f"k{DEDUP_CC_ROUNDS}"
+    return (
+        "WITH " + ctes + ",\n"
+        "qsc AS (SELECT doc_id, ROUND("
+        "0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - n_punct / greatest(n_chars2, 1.0)) "
+        "+ 0.2 * least((n_stop / greatest(n_tok, 1.0)) * 5.0, 1.0) + 0.1 * least(n_chars2 / 500.0, 1.0)"
+        ", 6) AS score FROM (SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok, "
+        "length(text)::DOUBLE AS n_chars2, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct, "
+        "len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
+        "FROM documents)),\n"
+        f"wcl AS (SELECT q.doc_id, COALESCE(k.label, q.doc_id) AS cluster, q.score "
+        f"FROM qsc q LEFT JOIN {last} k ON q.doc_id = k.id)\n"
+        "SELECT doc_id, cluster, score FROM (SELECT doc_id, cluster, score, "
+        "ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn "
+        "FROM wcl) WHERE rn = 1"
+    )
+
+def _modularity_sql() -> str:
+    """LPA label CTEs + per-community modularity arithmetic."""
+    lpa = _lpa_sql()
+    ctes = lpa[len("WITH "): lpa.rindex("\nSELECT")]
+    return (
+        "WITH " + ctes + ",\n"
+        "und2 AS (SELECT src, dst FROM und WHERE src < dst),\n"
+        "mm AS (SELECT COUNT(*)::DOUBLE AS m FROM und2),\n"
+        "mdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+        f"lab AS (SELECT id, label FROM l{LPA_ROUNDS}),\n"
+        "intra AS (SELECT a.label AS label, COUNT(*)::BIGINT AS intra_edges "
+        "FROM und2 u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id "
+        "WHERE a.label = b.label GROUP BY a.label),\n"
+        "comm AS (SELECT l.label, COUNT(*)::BIGINT AS n_vertices, "
+        "SUM(COALESCE(d.deg, 0))::BIGINT AS deg_sum "
+        "FROM lab l LEFT JOIN mdeg d ON l.id = d.id GROUP BY l.label)\n"
+        "SELECT c.label, c.n_vertices, COALESCE(i.intra_edges, 0)::BIGINT AS intra_edges, "
+        "c.deg_sum, ROUND(COALESCE(i.intra_edges, 0) / (SELECT m FROM mm) "
+        "- pow(c.deg_sum / (2 * (SELECT m FROM mm)), 2), 6) AS contribution "
+        "FROM comm c LEFT JOIN intra i ON c.label = i.label"
+    )
+
+_RICH_CLUB_SQL = f"""
+WITH {{edges}},
+degs AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS d FROM und GROUP BY src),
+cpairs AS MATERIALIZED (
+  SELECT u.src, u.dst, a.d AS da, b.d AS db FROM und u
+  JOIN degs a ON u.src = a.id JOIN degs b ON u.dst = b.id WHERE u.src < u.dst
+),
+spine(k) AS (VALUES {", ".join(f"({k}::BIGINT)" for k in RICH_CLUB_KS)}),
+nk AS (SELECT s.k, COUNT(*)::BIGINT AS n_k FROM spine s JOIN degs d ON d.d > s.k GROUP BY s.k),
+ek AS (SELECT s.k, COUNT(*)::BIGINT AS e_k FROM spine s JOIN cpairs p
+       ON p.da > s.k AND p.db > s.k GROUP BY s.k)
+SELECT s.k, COALESCE(n.n_k, 0)::BIGINT AS n_k, COALESCE(e.e_k, 0)::BIGINT AS e_k,
+       CASE WHEN COALESCE(n.n_k, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(e.e_k, 0) / (n.n_k * (n.n_k - 1)), 6) END AS phi
+FROM spine s LEFT JOIN nk n ON s.k = n.k LEFT JOIN ek e ON s.k = e.k
+"""
+
+def _salsa_sql(seed_mod: int | None = None) -> str:
+    """Unrolled SALSA twin: a = Σ h/outdeg over in-edges, then
+    h = Σ a/indeg over out-edges, h_0 uniform over hub vertices
+    (or over seed hubs ``src % seed_mod == 0`` in personalized mode)."""
+    seed_where = f" WHERE src % {seed_mod} = 0" if seed_mod is not None else ""
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS od FROM edges GROUP BY src)",
+        "indeg AS MATERIALIZED (SELECT dst, COUNT(*)::DOUBLE AS idg FROM edges GROUP BY dst)",
+        f"nh AS (SELECT COUNT(*)::DOUBLE AS c FROM outdeg{seed_where})",
+        f"sh0 AS MATERIALIZED (SELECT src AS id, 1.0/(SELECT c FROM nh) AS hub FROM outdeg{seed_where})",
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"sa{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub / o.od) AS auth "
+            f"FROM edges e JOIN sh{p} h ON e.src = h.id "
+            f"JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"sh{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth / d.idg) AS hub "
+            f"FROM edges e JOIN sa{i} a ON e.dst = a.id "
+            f"JOIN indeg d ON e.dst = d.dst GROUP BY e.src)"
+        )
+    k = SALSA_ITERS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.id, ROUND(COALESCE(h.hub, 0), 6) AS hub, "
+        f"ROUND(COALESCE(a.auth, 0), 6) AS auth FROM verts v "
+        f"LEFT JOIN sh{k} h ON v.id = h.id LEFT JOIN sa{k} a ON v.id = a.id"
+    )
+
+def _hits_sql() -> str:
+    """Unrolled HITS twin: a_raw = Aᵀh_prev ; h_raw = A·a_raw ; L2-normalize."""
+    n_iters = HITS_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "h0 AS (SELECT id, 1.0 AS h FROM verts)",
+    ]
+    for i in range(1, n_iters + 1):
+        pv = i - 1
+        ctes.append(
+            f"ar{i} AS (SELECT v.id, COALESCE(s.ar, 0) AS ar FROM verts v LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM(h.h) AS ar FROM edges e JOIN h{pv} h ON e.src = h.id "
+            f"GROUP BY e.dst) s ON v.id = s.id)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT v.id, COALESCE(s.hr, 0) AS hr FROM verts v LEFT JOIN "
+            f"(SELECT e.src AS id, SUM(a.ar) AS hr FROM edges e JOIN ar{i} a ON e.dst = a.id "
+            f"GROUP BY e.src) s ON v.id = s.id)"
+        )
+        ctes.append(f"na{i} AS (SELECT sqrt(SUM(ar*ar)) AS s FROM ar{i})")
+        ctes.append(f"nh{i} AS (SELECT sqrt(SUM(hr*hr)) AS s FROM hr{i})")
+        ctes.append(
+            f"a{i} AS (SELECT id, ar / (SELECT s FROM na{i}) AS a FROM ar{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT id, hr / (SELECT s FROM nh{i}) AS h FROM hr{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.id, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS auth "
+        f"FROM h{n_iters} h JOIN a{n_iters} a ON h.id = a.id"
+    )
+
+def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> str:
+    """Unrolled h-index iteration twin on the sparse und graph:
+    c_{t+1}(v) = max over desc-ranked neighbour values of
+    least(value, rank). ``und`` names the symmetric edge CTE so the
+    decremental twin can run the identical rounds on a reduced set."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        f"c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core "
+        f"FROM {und} GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, MAX(LEAST(val, rn))::BIGINT AS core "
+            f"FROM (SELECT u.src AS id, s.core AS val, "
+            f"ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY s.core DESC) AS rn "
+            f"FROM {und} u JOIN c{p} s ON u.dst = s.id) GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM c{rounds}"
+
+def _score_weighted_sql(rounds: int = WCORENESS_ORACLE_ROUNDS) -> str:
+    """Unrolled weighted h-index twin: per round rank neighbour values
+    DESC, running-sum the edge weights, keep MAX(LEAST(val, cw)) — the
+    block maximum sits at each tie-block's last row where the running
+    sum is order-invariant, so no tie-break column is needed (same
+    argument as the unweighted rn form)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "cpair AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges)",
+        "wedges AS MATERIALIZED (SELECT a, b, "
+        "('0x' || substr(md5('w_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+        f"::BIGINT % {WCORE_W_MOD} + 1 AS w FROM cpair)",
+        "wund AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM wedges "
+        "UNION ALL SELECT b AS src, a AS dst, w FROM wedges)",
+        "w0 AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS core "
+        "FROM wund GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT id, MAX(LEAST(val, cw))::BIGINT AS core "
+            f"FROM (SELECT u.src AS id, s.core AS val, "
+            f"SUM(u.w) OVER (PARTITION BY u.src ORDER BY s.core DESC "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw "
+            f"FROM wund u JOIN w{p} s ON u.dst = s.id) GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM w{rounds}"
+
+def _coreness_dec_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+    """Cold unrolled twin on the REDUCED graph (the decremental path's
+    unique fixpoint): the same deletion rule applied to the canonical
+    directed sparse edges, re-symmetrized."""
+    base = _coreness_sql(rounds, und="und2")
+    extra = (
+        f"edges2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE (src * 31 + dst) % {CORENESS_DEC_MOD} <> 0),\n"
+        "und2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges2 UNION ALL "
+        "SELECT dst AS src, src AS dst FROM edges2) WHERE src <> dst),\n"
+        "c0 AS"
+    )
+    return base.replace("c0 AS", extra, 1)
+
+def _densest_sql(rounds: int = DENSEST_ORACLE_ROUNDS) -> str:
+    """Unrolled peeling twin: per round the degree table, the (n, e)
+    snapshot, the integer threshold keep-set (deg*10*n >= C*e avoids
+    rational division), and the induced edge set. Snapshots with n = 0
+    (past the fixpoint) are filtered — identical to the Spark loop's
+    stop condition."""
+    c = 2 * (10 + DENSEST_EPS_TENTHS)
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und)",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT id, COUNT(*)::BIGINT AS deg FROM ("
+            f"SELECT a AS id FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY id)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT (SELECT COUNT(*) FROM d{r})::BIGINT AS n, "
+            f"(SELECT COUNT(*) FROM e{p})::BIGINT AS e)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT d.id FROM d{r} d, s{r} s "
+            f"WHERE d.deg * 10 * s.n >= {c} * s.e)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e "
+            f"JOIN k{r} ka ON e.a = ka.id JOIN k{r} kb ON e.b = kb.id)"
+        )
+        sel.append(
+            f"SELECT {p}::BIGINT AS peel_round, n AS n_vertices, e AS n_edges, "
+            f"ROUND(e * 1.0 / n, 6) AS density FROM s{r} WHERE n > 0"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel)
+
+def _wl_sql(out: str = "colors", rounds: int = WL_ROUNDS) -> str:
+    """Unrolled hash-WL twin: degree colors, then per round the exact
+    HUGEINT neighbor-sum mod 2^60 and the md5 recombination."""
+    mod = 1 << 60
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "wdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
+        "c0 AS MATERIALIZED (SELECT id, "
+        "('0x' || substr(md5('wl0_' || deg::VARCHAR), 1, 15))::BIGINT AS color "
+        "FROM wdeg)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"wm{r} AS (SELECT e.src AS id, CAST(SUM("
+            "('0x' || substr(md5('wlh_' || c.color::VARCHAR), 1, 15))::BIGINT) "
+            f"% {mod} AS BIGINT) AS m "
+            f"FROM und e JOIN c{p} c ON e.dst = c.id GROUP BY e.src)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT c.id, ('0x' || substr(md5("
+            "'wl_' || c.color::VARCHAR || '_' || m.m::VARCHAR), 1, 15))::BIGINT "
+            f"AS color FROM c{p} c JOIN wm{r} m ON c.id = m.id)"
+        )
+    if out == "colors":
+        final = f"SELECT id, color FROM c{rounds}"
+    else:
+        final = (
+            "SELECT class_size, COUNT(*)::BIGINT AS n_classes FROM ("
+            f"SELECT color, COUNT(*)::BIGINT AS class_size FROM c{rounds} "
+            "GROUP BY color) GROUP BY class_size"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+def _betweenness_sql(rounds: int = BETW_ROUNDS, out: str = "vertices") -> str:
+    """Unrolled Brandes twin: forward BFS with σ accumulation (first
+    discovery via NOT EXISTS), backward per-level dependency fold.
+    ``out='edges'`` emits the Girvan–Newman edge scores instead: the
+    per-level dependency summands (the rows BEFORE the predecessor
+    groupBy) unioned across levels and grouped by (src, dst) — the same
+    set of doubles the Spark edge variant sums."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        f"srcs AS (SELECT id FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) "
+        f"ORDER BY id LIMIT {N_BETW_SOURCES})",
+        "f0 AS (SELECT id, id AS source, 0::BIGINT AS dist, 1.0::DOUBLE AS sigma FROM srcs)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT id, source, dist, sigma FROM f{p} "
+            f"UNION ALL SELECT n.id, n.source, {t}::BIGINT AS dist, n.sigma FROM ("
+            f"SELECT e.dst AS id, d.source, SUM(d.sigma) AS sigma FROM edges e "
+            f"JOIN f{p} d ON e.src = d.id AND d.dist = {p} GROUP BY e.dst, d.source) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM f{p} x WHERE x.id = n.id AND x.source = n.source))"
+        )
+    ctes.append(
+        f"dl{rounds} AS MATERIALIZED (SELECT id, source, dist, sigma, 0.0::DOUBLE AS delta FROM f{rounds})"
+    )
+    for t in range(rounds, 0, -1):
+        ctes.append(
+            f"dl{t - 1} AS MATERIALIZED (SELECT v.id, v.source, v.dist, v.sigma, "
+            f"v.delta + COALESCE(c.c, 0.0) AS delta FROM dl{t} v LEFT JOIN ("
+            f"SELECT pv.id, pv.source, SUM(pv.sigma / pw.sigma * (1.0 + pw.delta)) AS c "
+            f"FROM edges e JOIN dl{t} pw ON pw.id = e.dst AND pw.dist = {t} "
+            f"JOIN dl{t} pv ON pv.id = e.src AND pv.source = pw.source AND pv.dist = {t - 1} "
+            f"GROUP BY pv.id, pv.source) c ON c.id = v.id AND c.source = v.source)"
+        )
+    if out == "edges":
+        parts = [
+            f"SELECT e.src, e.dst, pv.sigma / pw.sigma * (1.0 + pw.delta) AS c "
+            f"FROM edges e JOIN dl{t} pw ON pw.id = e.dst AND pw.dist = {t} "
+            f"JOIN dl{t} pv ON pv.id = e.src AND pv.source = pw.source AND pv.dist = {t - 1}"
+            for t in range(rounds, 0, -1)
+        ]
+        return (
+            "WITH " + ",\n".join(ctes)
+            + ", eb AS (" + " UNION ALL ".join(parts) + ") "
+            "SELECT src, dst, ROUND(SUM(c), 6) AS betweenness FROM eb GROUP BY src, dst"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + " SELECT id, ROUND(SUM(delta), 6) AS betweenness FROM dl0 "
+        "WHERE id <> source GROUP BY id"
+    )
+
+def _anf_sketch_out_sql() -> str:
+    """UNION ALL of the per-horizon (t, id, sum_r, est) projections."""
+    sels = []
+    for t in range(ANF_ROUNDS + 1):
+        sels.append(
+            f"SELECT {t}::BIGINT AS t, id, "
+            f"SUM(bit_count(xor(mask, mask + 1)) - 1)::BIGINT AS sum_r, "
+            f"ROUND(2 ** (SUM(bit_count(xor(mask, mask + 1)) - 1)::DOUBLE / {ANF_MASKS}) "
+            f"/ 0.77351, 4) AS est FROM mk{t} GROUP BY id"
+        )
+    return " UNION ALL ".join(sels)
+
+def _anf_sketch_sql() -> str:
+    return "WITH " + ",\n".join(_anf_masks_ctes()) + "\n" + _anf_sketch_out_sql()
+
+def _anf_eff_diam_sql() -> str:
+    ctes = _anf_masks_ctes()
+    ctes.append("sk AS MATERIALIZED (" + _anf_sketch_out_sql() + ")")
+    ctes.append("curve AS MATERIALIZED (SELECT t, SUM(est) AS nf FROM sk GROUP BY t)")
+    ctes.append(
+        f"fin AS (SELECT nf AS f FROM curve WHERE t = {ANF_ROUNDS})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT MIN(t)::BIGINT AS eff_diameter, "
+        "ROUND((SELECT f FROM fin), 1) AS nf_final_est "
+        "FROM curve WHERE nf >= 0.9 * (SELECT f FROM fin)"
+    )
+
+def _anf_exact_sql() -> str:
+    """Unrolled distinct reach-pair counts — the twin of plans/anf.py
+    neighborhood_function."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "averts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "re0 AS MATERIALIZED (SELECT id, id AS v FROM averts)",
+    ]
+    for i in range(1, ANF_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"re{i} AS MATERIALIZED (SELECT DISTINCT id, v FROM ("
+            f"SELECT id, v FROM re{p} UNION ALL "
+            f"SELECT e.src AS id, r.v FROM edges e JOIN re{p} r ON e.dst = r.id))"
+        )
+    sels = [
+        f"SELECT {t}::BIGINT AS t, COUNT(*)::BIGINT AS pairs FROM re{t}"
+        for t in range(ANF_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+def _diameter_sql(rounds: int = DIAM_ROUNDS) -> str:
+    """Unrolled double-sweep twin of plans/sssp.py diameter_double_sweep
+    on the sparse und graph: two min-folded BFS chains, the second's
+    source picked from the first's argmax (dist DESC, id ASC)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "sdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "s0 AS (SELECT id FROM sdeg ORDER BY deg DESC, id LIMIT 1)",
+        "b0 AS (SELECT (SELECT id FROM s0) AS id, 0::BIGINT AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + 1 AS dist FROM und e JOIN b{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    ctes.append(
+        f"far AS (SELECT id, dist FROM b{rounds} ORDER BY dist DESC, id LIMIT 1)"
+    )
+    ctes.append("c0 AS (SELECT (SELECT id FROM far) AS id, 0::BIGINT AS dist)")
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM c{p} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + 1 AS dist FROM und e JOIN c{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT (SELECT id FROM s0) AS start_id, "
+        f"(SELECT dist FROM far) AS ecc_start, "
+        f"(SELECT id FROM far) AS far_id, "
+        f"(SELECT MAX(dist) FROM c{rounds}) AS diameter_lb"
+    )
+
+def _community_pagerank_sql(n_iters: int = PR_ITERS) -> str:
+    """Quotient-weighted PR twin: louvain level-1 CTEs → qeo edges with
+    integer weights → unrolled weighted power iteration (dangling mass
+    redistributed uniformly, d=0.85), same shape as _pagerank_sql."""
+    d = 0.85
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    r = LOUVAIN_ROUNDS
+    ctes += [
+        f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
+        f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
+        f"JOIN l{r} lb ON e.dst = lb.id WHERE la.label <> lb.label "
+        f"GROUP BY la.label, lb.label)",
+        "qverts AS MATERIALIZED (SELECT src AS id FROM qe UNION SELECT dst FROM qe)",
+        "qn AS (SELECT COUNT(*)::DOUBLE AS n FROM qverts)",
+        "qoutdeg AS MATERIALIZED (SELECT src, SUM(w)::DOUBLE AS deg FROM qe GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM qn) AS rank FROM qverts)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"pc{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"SUM(x.rank * e.w / o.deg) AS contrib FROM qe e "
+            f"JOIN p{p} x ON e.src = x.id JOIN qoutdeg o ON e.src = o.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pdm{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank),0) AS dm FROM p{p} x "
+            f"WHERE NOT EXISTS (SELECT 1 FROM qoutdeg o WHERE o.src = x.id))"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v.id, (1-{d})/(SELECT n FROM qn) "
+            f"+ {d}*(COALESCE(c.contrib,0) + (SELECT dm FROM pdm{i})/(SELECT n FROM qn)) AS rank "
+            f"FROM qverts v LEFT JOIN pc{i} c ON v.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM p{n_iters}"
+    )
+
+def _louvain_trajectory_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Trajectory twin: the shared level-1 + level-2 CTE chains, then
+    Q(labels) = intra/m − Σ_c (D_c/(2m))² per level over a 3-row union."""
+    r = rounds
+    ctes = _louvain_level1_ctes(rounds) + _louvain_level2_ctes(rounds)
+    ctes.append(
+        f"lev2 AS MATERIALIZED (SELECT a.id, q.label "
+        f"FROM l{r} a JOIN q{r} q ON a.label = q.id)"
+    )
+
+    def _q(lab: str, lvl: int) -> str:
+        return (
+            f"SELECT {lvl}::BIGINT AS level, "
+            f"(SELECT COUNT(DISTINCT label) FROM {lab})::BIGINT AS communities, "
+            f"ROUND((SELECT COUNT(*) FROM und e JOIN {lab} a ON e.src = a.id "
+            f"JOIN {lab} b ON e.dst = b.id "
+            f"WHERE a.label = b.label AND e.src < e.dst) / (SELECT m FROM mm) - "
+            f"(SELECT SUM(POWER(t.tot / (2.0 * (SELECT m FROM mm)), 2)) FROM "
+            f"(SELECT label, SUM(d.deg) AS tot FROM {lab} l "
+            f"JOIN ldeg d ON l.id = d.id GROUP BY label) t), 6) AS modularity"
+        )
+
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n{_q('l0', 0)} UNION ALL {_q(f'l{r}', 1)} UNION ALL {_q('lev2', 2)}"
+    )
+
+def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled TWO-LEVEL twin: level-1 chain, quotient multigraph in
+    integer und-row space (strength = Σ all incident rows, self rows are
+    2·w_self), then ``rounds`` weighted sweeps on the quotient."""
+    r = rounds
+    ctes = _louvain_level1_ctes(rounds) + _louvain_level2_ctes(rounds)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, q.label FROM l{r} a JOIN q{r} q ON a.label = q.id"
+    )
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous local-moving twin of plans/louvain.py on the
+    sparse und graph."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "ldeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "mm AS (SELECT COUNT(*)/2.0 AS m FROM und)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM ldeg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"tot{i} AS MATERIALIZED (SELECT l.label, SUM(d.deg)::BIGINT AS tot "
+            f"FROM l{p} l JOIN ldeg d ON l.id = d.id GROUP BY l.label)"
+        )
+        ctes.append(
+            f"kvc{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"COUNT(*)::BIGINT AS kvc FROM und e JOIN l{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)"
+        )
+        ctes.append(
+            f"cand{i} AS MATERIALIZED (SELECT id, c, MAX(kvc)::BIGINT AS kvc FROM ("
+            f"SELECT id, c, kvc FROM kvc{i} UNION ALL "
+            f"SELECT id, label AS c, 0::BIGINT AS kvc FROM l{p}) GROUP BY id, c)"
+        )
+        ctes.append(
+            f"sc{i} AS MATERIALIZED (SELECT x.id, x.c, "
+            f"ROUND(x.kvc / (SELECT m FROM mm) - (d.deg * (t.tot - "
+            f"CASE WHEN x.c = l.label THEN d.deg ELSE 0 END)) "
+            f"/ (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
+            f"FROM cand{i} x JOIN l{p} l ON x.id = l.id "
+            f"JOIN ldeg d ON x.id = d.id JOIN tot{i} t ON x.c = t.label)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY g9 DESC, c ASC) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+def _spec_coloring_sql(rounds: int = SPEC_COLOR_ORACLE_ROUNDS) -> str:
+    """Unrolled trial-and-revoke twin on the full sparse und graph:
+    avail = sorted [0..deg] minus colored-neighbour colors, candidate =
+    avail[h_k mod |avail|], keep unless a same-candidate neighbour has
+    smaller h_k."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "cdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        "s0 AS MATERIALIZED (SELECT id, CAST(NULL AS BIGINT) AS color FROM cdeg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        hk = f"((v.id * 2654435761 + {i * 40503}) % 4294967296)"
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"list_sort(list_distinct(list(s.color))) AS used FROM und e "
+            f"JOIN s{p} s ON e.src = s.id AND s.color IS NOT NULL "
+            f"JOIN s{p} v ON e.dst = v.id AND v.color IS NULL GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT id, hk, "
+            f"avail[(hk % len(avail))::INT + 1] AS cand FROM ("
+            f"SELECT v.id, {hk} AS hk, "
+            f"list_sort(list_filter(range(0, d.deg + 1), "
+            f"x -> NOT list_contains(COALESCE(u.used, []), x))) AS avail "
+            f"FROM s{p} v JOIN cdeg d ON v.id = d.id "
+            f"LEFT JOIN u{i} u ON v.id = u.id WHERE v.color IS NULL))"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM und e "
+            f"JOIN c{i} a ON e.src = a.id JOIN c{i} b ON e.dst = b.id "
+            f"WHERE a.cand = b.cand AND a.hk < b.hk)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, COALESCE(s.color, "
+            f"CASE WHEN bl.id IS NULL THEN c.cand END)::BIGINT AS color "
+            f"FROM s{p} s LEFT JOIN c{i} c ON s.id = c.id "
+            f"LEFT JOIN b{i} bl ON s.id = bl.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM s{rounds}"
+
+def _coloring_sql(rounds: int = COLOR_ORACLE_ROUNDS) -> str:
+    """Unrolled Jones–Plassmann twin of plans/coloring.py on the thinned
+    sparse und graph. Per round: ready = uncolored vertices whose
+    uncolored neighbours all hash larger; each picks the smallest color
+    absent from its colored neighbourhood (MIN over range(0,64) minus
+    used — 64 > the asserted color bound)."""
+    hv = "((({v}) * 2654435761) % 4294967296)"
+    m, t = SPARSE_MOD, COLOR_THIN
+    ctes = [
+        f"cedges AS MATERIALIZED (SELECT DISTINCT l_orderkey % {m} AS src, "
+        f"l_partkey % {m} AS dst FROM lineitem "
+        f"WHERE l_orderkey % {m} <> l_partkey % {m} "
+        f"AND (l_orderkey % {m} + l_partkey % {m}) % {t} = 0)",
+        "cund AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM cedges UNION ALL SELECT dst AS src, src AS dst "
+        "FROM cedges) WHERE src <> dst)",
+        "s0 AS MATERIALIZED (SELECT src AS id, CAST(NULL AS BIGINT) AS color "
+        "FROM cund GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id FROM s{p} v WHERE v.color IS NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM cund e JOIN s{p} u ON e.src = u.id "
+            f"WHERE e.dst = v.id AND u.color IS NULL "
+            f"AND {hv.format(v='u.id')} < {hv.format(v='v.id')}))"
+        )
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT e.dst AS id, s.color FROM cund e "
+            f"JOIN s{p} s ON e.src = s.id AND s.color IS NOT NULL "
+            f"JOIN r{i} r ON e.dst = r.id GROUP BY e.dst, s.color)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, COALESCE(s.color, "
+            f"CASE WHEN r.id IS NULL THEN NULL ELSE ("
+            f"SELECT MIN(g.c) FROM (SELECT UNNEST(range(0, 64)) AS c) g "
+            f"WHERE g.c NOT IN (SELECT u.color FROM u{i} u WHERE u.id = s.id)"
+            f") END) AS color FROM s{p} s LEFT JOIN r{i} r ON s.id = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM s{rounds}"
+    )
+
+def _mis_sql(rounds: int = MIS_ORACLE_ROUNDS) -> str:
+    """Unrolled Luby twin of plans/mis.py on the sparse und graph."""
+    hv = "((({v}) * 2654435761) % 4294967296)"
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "sverts AS MATERIALIZED (SELECT src AS id FROM und GROUP BY src)",
+        "a0 AS MATERIALIZED (SELECT id FROM sverts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT v.id FROM a{p} v WHERE NOT EXISTS ("
+            f"SELECT 1 FROM und e JOIN a{p} u ON e.src = u.id "
+            f"WHERE e.dst = v.id AND {hv.format(v='u.id')} < {hv.format(v='v.id')}))"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id FROM a{p} WHERE id NOT IN "
+            f"(SELECT id FROM w{i}) AND id NOT IN "
+            f"(SELECT e.dst FROM und e JOIN w{i} w ON e.src = w.id))"
+        )
+    mis_union = " UNION ALL ".join(f"SELECT id FROM w{i}" for i in range(1, rounds + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nmis AS MATERIALIZED ({mis_union})\n"
+        "SELECT v.id, v.id IN (SELECT id FROM mis) AS in_mis FROM sverts v"
+    )
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
+    """Unrolled support peeling: per round, enumerate triangles x<y<z over
+    the canonical surviving edges, per-edge support = triangles containing
+    it, keep support ≥ k-2. Final select recomputes support on the fixpoint
+    set (matching plans/ktruss.py's returned ``support`` column)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "t0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM und)",
+    ]
+
+    def _sup(r: int) -> str:
+        return (
+            f"(SELECT a, b, COUNT(*)::BIGINT AS s FROM ("
+            f"SELECT tr.x AS a, tr.y AS b FROM tri{r} tr "
+            f"UNION ALL SELECT tr.y, tr.z FROM tri{r} tr "
+            f"UNION ALL SELECT tr.x, tr.z FROM tri{r} tr) GROUP BY a, b)"
+        )
+
+    for r in range(rounds):
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM t{r} e1 JOIN t{r} e2 ON e1.b = e2.a "
+            f"JOIN t{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        ctes.append(
+            f"t{r + 1} AS MATERIALIZED (SELECT t.a, t.b FROM t{r} t "
+            f"JOIN {_sup(r)} s ON s.a = t.a AND s.b = t.b WHERE s.s >= {k - 2})"
+        )
+    ctes.append(
+        f"trif AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        f"FROM t{rounds} e1 JOIN t{rounds} e2 ON e1.b = e2.a "
+        f"JOIN t{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT t.a AS src, t.b AS dst, COUNT(*)::BIGINT AS support FROM t{rounds} t "
+        "JOIN (SELECT x AS a, y AS b FROM trif UNION ALL SELECT y, z FROM trif "
+        "UNION ALL SELECT x, z FROM trif) s ON s.a = t.a AND s.b = t.b "
+        "GROUP BY t.a, t.b"
+    )
+
+def _trussness_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS, und: str = "und") -> str:
+    """Unrolled edge-h-index twin: triangles x<y<z enumerated once,
+    fanned to (edge, other1, other2) rows; per round
+    t(e) = least(t(e), H({min(t(o1), t(o2))})) with the same relational
+    h-index (desc rank, max(least(value, rank))) as plans/trussness.py.
+    ``und`` names the symmetric edge CTE so the decremental twin can run
+    the identical rounds on a reduced set."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        f"GREATEST(src, dst) AS b FROM {und})",
+        "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM ce e1 JOIN ce e2 ON e1.b = e2.a "
+        "JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)",
+        "te AS MATERIALIZED ("
+        "SELECT x AS s, y AS d, x AS s1, z AS d1, y AS s2, z AS d2 FROM tri "
+        "UNION ALL SELECT x, z, x, y, y, z FROM tri "
+        "UNION ALL SELECT y, z, x, y, x, z FROM tri)",
+        "t0 AS MATERIALIZED (SELECT e.a AS s, e.b AS d, "
+        "COALESCE(c.c, 0)::BIGINT AS t FROM ce e LEFT JOIN "
+        "(SELECT s, d, COUNT(*)::BIGINT AS c FROM te GROUP BY s, d) c "
+        "ON c.s = e.a AND c.d = e.b)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT e.s, e.d, "
+            f"LEAST(e.t, COALESCE(h.h, 0))::BIGINT AS t FROM t{p} e LEFT JOIN ("
+            f"SELECT s, d, MAX(LEAST(m, rn))::BIGINT AS h FROM ("
+            f"SELECT te.s, te.d, LEAST(a.t, b.t) AS m, "
+            f"ROW_NUMBER() OVER (PARTITION BY te.s, te.d "
+            f"ORDER BY LEAST(a.t, b.t) DESC) AS rn "
+            f"FROM te JOIN t{p} a ON te.s1 = a.s AND te.d1 = a.d "
+            f"JOIN t{p} b ON te.s2 = b.s AND te.d2 = b.d) GROUP BY s, d) h "
+            f"ON e.s = h.s AND e.d = h.d)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s AS src, d AS dst, (t + 2)::BIGINT AS truss FROM t{rounds}"
+    )
+
+def _onion_sql(rounds: int = ONION_ROUNDS) -> str:
+    """Unrolled peeling-sweep twin: per round, live degrees (0 for
+    peeled-isolated vertices), threshold k = max(k_prev, min live deg)
+    carried as a 1-row CTE, simultaneous removal at deg ≤ k."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "g0 AS MATERIALIZED (SELECT src, dst FROM und)",
+        "kk0 AS (SELECT 0::BIGINT AS k)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT v.id, COALESCE(c.d, 0)::BIGINT AS deg "
+            f"FROM v{p} v LEFT JOIN (SELECT src AS id, COUNT(*)::BIGINT AS d "
+            f"FROM g{p} GROUP BY src) c ON v.id = c.id)"
+        )
+        ctes.append(
+            # MATERIALIZED is load-bearing: kk references its predecessor
+            # twice, so an inlined chain expands 2^rounds
+            f"kk{r} AS MATERIALIZED (SELECT GREATEST((SELECT k FROM kk{p}), "
+            f"COALESCE((SELECT MIN(deg) FROM d{r}), (SELECT k FROM kk{p})))"
+            f"::BIGINT AS k)"
+        )
+        ctes.append(
+            f"rm{r} AS MATERIALIZED (SELECT id FROM d{r} "
+            f"WHERE deg <= (SELECT k FROM kk{r}))"
+        )
+        ctes.append(
+            f"o{r} AS (SELECT id, {r}::BIGINT AS layer, "
+            f"(SELECT k FROM kk{r})::BIGINT AS core FROM rm{r})"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT id FROM v{p} "
+            f"EXCEPT SELECT id FROM rm{r})"
+        )
+        ctes.append(
+            f"g{r} AS MATERIALIZED (SELECT e.src, e.dst FROM g{p} e "
+            f"JOIN v{r} a ON e.src = a.id JOIN v{r} b ON e.dst = b.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM o{r}" for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, layer, core FROM ({union})"
+
+def _msf_sql(
+    rounds: int = MSF_ORACLE_ROUNDS, inner: int = MSF_INNER_J,
+    out: str = "forest",
+) -> str:
+    """Unrolled Borůvka twin: per round, min cross edge per fragment
+    label (ROW_NUMBER over (w, s, d) — the same total order as Spark's
+    min_by struct), then ``inner`` hash-min steps on the chosen-edge
+    quotient graph (q(c) ← least(q, min over projected neighbours),
+    re-projected each step — fixpoint is the fragment-min label), then
+    one vertex relabel. Rounds past convergence are no-ops.
+    ``out="forest"`` emits the chosen edges (the MSF); ``out="clusters"``
+    emits the round-``rounds`` fragment labels (affinity clustering)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "ce AS MATERIALIZED (SELECT a, b, "
+        "('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT AS w "
+        "FROM (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM und))",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM (SELECT DISTINCT a AS id "
+        "FROM ce UNION SELECT b FROM ce))",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"cand{r} AS MATERIALIZED (SELECT la.lab AS c, e.a AS s, e.b AS d, e.w, "
+            f"la.lab AS ls, lb.lab AS ld "
+            f"FROM ce e JOIN l{p} la ON e.a = la.id JOIN l{p} lb ON e.b = lb.id "
+            f"WHERE la.lab <> lb.lab "
+            f"UNION ALL SELECT lb.lab, e.a, e.b, e.w, la.lab, lb.lab "
+            f"FROM ce e JOIN l{p} la ON e.a = la.id JOIN l{p} lb ON e.b = lb.id "
+            f"WHERE la.lab <> lb.lab)"
+        )
+        ctes.append(
+            f"chosen{r} AS MATERIALIZED (SELECT DISTINCT s, d, w, ls, ld FROM ("
+            f"SELECT s, d, w, ls, ld, "
+            f"ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, s, d) AS rn "
+            f"FROM cand{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"qe{r} AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+            f"SELECT ls AS a, ld AS b FROM chosen{r} "
+            f"UNION ALL SELECT ld, ls FROM chosen{r}))"
+        )
+        ctes.append(
+            f"q{r}_0 AS MATERIALIZED (SELECT DISTINCT a AS c, a AS q FROM qe{r})"
+        )
+        for j in range(1, inner + 1):
+            jp = j - 1
+            ctes.append(
+                f"m{r}_{j} AS MATERIALIZED (SELECT x, LEAST(x, MIN(y)) AS m FROM ("
+                f"SELECT DISTINCT qa.q AS x, qb.q AS y "
+                f"FROM qe{r} e JOIN q{r}_{jp} qa ON e.a = qa.c "
+                f"JOIN q{r}_{jp} qb ON e.b = qb.c WHERE qa.q <> qb.q) GROUP BY x)"
+            )
+            ctes.append(
+                f"q{r}_{j} AS MATERIALIZED (SELECT qq.c, COALESCE(m.m, qq.q) AS q "
+                f"FROM q{r}_{jp} qq LEFT JOIN m{r}_{j} m ON qq.q = m.x)"
+            )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT l.id, COALESCE(q.q, l.lab) AS lab "
+            f"FROM l{p} l LEFT JOIN q{r}_{inner} q ON l.lab = q.c)"
+        )
+    if out == "clusters":
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, lab AS cluster FROM l{rounds}"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, d, w FROM chosen{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT s AS src, d AS dst, w AS weight FROM ({union})"
+    )
+
+def _matching_sql(
+    rounds: int = MATCHING_ORACLE_ROUNDS, prio_sql: str | None = None,
+    final: str | None = None,
+) -> str:
+    """Unrolled mutual-min twin: per round, each free vertex's min
+    active incident edge by (p, s, d); an edge chosen by BOTH endpoints
+    (COUNT(*) = 2 over the per-vertex argmin fan) joins the matching.
+    ``prio_sql`` overrides the priority expression (over columns a, b);
+    ``final`` overrides the closing SELECT (sees s{rounds} and ce)."""
+    if prio_sql is None:
+        prio_sql = (
+            "('0x' || substr(md5('m_' || a::VARCHAR || '_' || b::VARCHAR), 1, 15))"
+            "::BIGINT"
+        )
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        f"ce AS MATERIALIZED (SELECT a, b, {prio_sql} AS p "
+        "FROM (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und))",
+        "s0 AS MATERIALIZED (SELECT id, -1::BIGINT AS mate FROM ("
+        "SELECT DISTINCT a AS id FROM ce UNION SELECT b FROM ce))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"mn{i} AS MATERIALIZED (SELECT s, d FROM ("
+            f"SELECT id, s, d, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY p, s, d) AS rn FROM ("
+            f"SELECT e.a AS id, e.a AS s, e.b AS d, e.p FROM ce e "
+            f"JOIN s{p} x ON e.a = x.id AND x.mate = -1 "
+            f"JOIN s{p} y ON e.b = y.id AND y.mate = -1 "
+            f"UNION ALL "
+            f"SELECT e.b, e.a, e.b, e.p FROM ce e "
+            f"JOIN s{p} x ON e.a = x.id AND x.mate = -1 "
+            f"JOIN s{p} y ON e.b = y.id AND y.mate = -1)) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT s, d FROM mn{i} "
+            f"GROUP BY s, d HAVING COUNT(*) = 2)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT st.id, "
+            f"COALESCE(w1.d, w2.s, st.mate)::BIGINT AS mate FROM s{p} st "
+            f"LEFT JOIN w{i} w1 ON st.id = w1.s LEFT JOIN w{i} w2 ON st.id = w2.d)"
+        )
+    if final is None:
+        final = f"SELECT id AS src, mate AS dst FROM s{rounds} WHERE mate > id"
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+def _hec_sql() -> str:
+    w_sql = (
+        "('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT"
+    )
+    final = (
+        f", lab AS (SELECT s AS id, s AS lab FROM w_match UNION ALL "
+        f"SELECT d, s FROM w_match), "
+        "rel AS (SELECT COALESCE(la.lab, e.a) AS ca, COALESCE(lb.lab, e.b) AS cb, "
+        f"{HEC_MAXP} - e.p AS w "
+        "FROM ce e LEFT JOIN lab la ON e.a = la.id LEFT JOIN lab lb ON e.b = lb.id "
+        "WHERE COALESCE(la.lab, e.a) <> COALESCE(lb.lab, e.b)) "
+        "SELECT LEAST(ca, cb) AS qa, GREATEST(ca, cb) AS qb, "
+        "SUM(w)::VARCHAR AS total_w, COUNT(*)::BIGINT AS n_edges "
+        "FROM rel GROUP BY 1, 2"
+    )
+    rounds = MATCHING_ORACLE_ROUNDS
+    final = (
+        f"w_match AS (SELECT id AS s, mate AS d FROM s{rounds} WHERE mate > id)"
+        + final
+    )
+    return _matching_sql(prio_sql=f"{HEC_MAXP} - ({w_sql})", final="," + final)
+
+def _partition_sql(out: str = "assign") -> str:
+    """Unrolled twin of kway_partition: _matching_sql coarsening under
+    the heavy-edge priority, md5 quotient init, two parity sub-rounds of
+    capped majority moves. ``out='assign'`` emits (id, part);
+    ``out='quality'`` the one-row cut/balance report."""
+    k = PARTITION_K
+    w_sql = "('0x' || substr(md5(a::VARCHAR || '_' || b::VARCHAR), 1, 15))::BIGINT"
+    cap_sql = f"(n * {10 + PARTITION_EPS10}) // {10 * k}"
+    ctes = [
+        f"w_match AS (SELECT id AS s, mate AS d FROM s{MATCHING_ORACLE_ROUNDS} "
+        "WHERE mate > id)",
+        "lab AS (SELECT s AS id, s AS lab FROM w_match UNION ALL "
+        "SELECT d, s FROM w_match)",
+        "vv AS MATERIALIZED (SELECT id FROM s0)",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM vv)",
+        "p0 AS MATERIALIZED (SELECT v.id, "
+        "('0x' || substr(md5('part_' || COALESCE(l.lab, v.id)::VARCHAR), 1, 15))"
+        f"::BIGINT % {k} AS part FROM vv v LEFT JOIN lab l ON v.id = l.id)",
+    ]
+    for r in (1, 2):
+        p, parity = r - 1, r - 1
+        ctes.append(
+            f"hist{r} AS MATERIALIZED (SELECT e.src AS v, p.part AS pu, "
+            f"COUNT(*)::BIGINT AS cnt FROM und e JOIN p{p} p ON e.dst = p.id "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best{r} AS (SELECT v, pu AS dest, cnt AS best_cnt FROM ("
+            "SELECT v, pu, cnt, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY cnt DESC, pu ASC) AS rn FROM hist{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cand{r} AS (SELECT b.v, b.dest, "
+            "b.best_cnt - COALESCE(o.cnt, 0) AS gain "
+            f"FROM best{r} b JOIN p{p} c ON c.id = b.v "
+            f"LEFT JOIN hist{r} o ON o.v = b.v AND o.pu = c.part "
+            "WHERE b.dest <> c.part AND b.best_cnt - COALESCE(o.cnt, 0) > 0 "
+            "AND ('0x' || substr(md5('mv_' || b.v::VARCHAR), 1, 15))::BIGINT % 2 "
+            f"= {parity})"
+        )
+        ctes.append(
+            f"size{r} AS (SELECT part AS dest, COUNT(*)::BIGINT AS sz "
+            f"FROM p{p} GROUP BY part)"
+        )
+        ctes.append(
+            f"acc{r} AS (SELECT v, dest FROM (SELECT c.v, c.dest, "
+            "ROW_NUMBER() OVER (PARTITION BY c.dest "
+            "ORDER BY c.gain DESC, c.v ASC) AS rn, "
+            f"(SELECT {cap_sql} FROM nn) - COALESCE(s.sz, 0) AS slots "
+            f"FROM cand{r} c LEFT JOIN size{r} s ON s.dest = c.dest) "
+            "WHERE rn <= slots)"
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT p.id, "
+            "COALESCE(a.dest, p.part)::BIGINT AS part "
+            f"FROM p{p} p LEFT JOIN acc{r} a ON a.v = p.id)"
+        )
+    if out == "assign":
+        final_sel = "SELECT id, part FROM p2"
+    else:
+        ctes.append(
+            "ph AS (SELECT id, "
+            "('0x' || substr(md5('part_' || id::VARCHAR), 1, 15))::BIGINT "
+            f"% {k} AS part FROM vv)"
+        )
+        ctes.append(
+            "qh AS (SELECT COUNT(*)::BIGINT AS cut_hash FROM ce e "
+            "JOIN ph x ON e.a = x.id JOIN ph y ON e.b = y.id "
+            "WHERE x.part <> y.part)"
+        )
+        ctes.append(
+            "qr AS (SELECT COUNT(*)::BIGINT AS cut_refined FROM ce e "
+            "JOIN p2 x ON e.a = x.id JOIN p2 y ON e.b = y.id "
+            "WHERE x.part <> y.part)"
+        )
+        ctes.append(
+            "szq AS (SELECT MAX(c)::BIGINT AS max_part, MIN(c)::BIGINT AS min_part "
+            "FROM (SELECT COUNT(*) AS c FROM p2 GROUP BY part))"
+        )
+        final_sel = (
+            f"SELECT {k}::BIGINT AS k, nn.n AS n_vertices, "
+            f"({cap_sql})::BIGINT AS cap, szq.max_part, szq.min_part, "
+            "qh.cut_hash, qr.cut_refined FROM nn, szq, qh, qr"
+        )
+    return _matching_sql(
+        prio_sql=f"{HEC_MAXP} - ({w_sql})",
+        final="," + ",\n".join(ctes) + "\n" + final_sel,
+    )
+
+def _temporal_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS, out: str = "arrival") -> str:
+    """Unrolled relaxation twin: a_{k+1}(v) = least(a_k(v), min ts over
+    in-edges (u, v, ts) with ts >= a_k(u)); integer 2^60 = unreached.
+    ``out='shortest'`` additionally reports hops = the first round with
+    a finite arrival (MIN over the per-round finite snapshots)."""
+    inf = TEMPORAL_INF
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"a0 AS MATERIALIZED (SELECT id, CASE WHEN id % {TEMPORAL_SEED_MOD} = 0 "
+        f"THEN 0 ELSE {inf} END::BIGINT AS arr FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.id, "
+            f"LEAST(v.arr, COALESCE(r.m, {inf}))::BIGINT AS arr FROM a{p} v "
+            f"LEFT JOIN (SELECT e.dst AS id, MIN(e.ts) AS m FROM te e "
+            f"JOIN a{p} u ON e.src = u.id WHERE e.ts >= u.arr GROUP BY e.dst) r "
+            f"ON v.id = r.id)"
+        )
+    if out == "shortest":
+        parts = " UNION ALL ".join(
+            f"SELECT id, {i}::BIGINT AS r FROM a{i} WHERE arr < {inf}"
+            for i in range(rounds + 1)
+        )
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f", h AS (SELECT id, MIN(r) AS hops FROM ({parts}) GROUP BY id)"
+            + f"\nSELECT a.id, h.hops, a.arr AS arrival FROM a{rounds} a "
+            f"JOIN h ON a.id = h.id WHERE a.arr < {inf}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, arr AS arrival FROM a{rounds} WHERE arr < {inf}"
+    )
+
+def _temporal_ld_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
+    """Unrolled greatest-fixpoint twin: l_{k+1}(v) = greatest(l_k(v),
+    max ts over out-edges (v, u, ts) with ts <= l_k(u)); −1 = cannot
+    reach a seed, 2^60 = seed."""
+    inf = TEMPORAL_INF
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"a0 AS MATERIALIZED (SELECT id, CASE WHEN id % {TEMPORAL_SEED_MOD} = 0 "
+        f"THEN {inf} ELSE -1 END::BIGINT AS ld FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT v.id, "
+            f"GREATEST(v.ld, COALESCE(r.m, -1))::BIGINT AS ld FROM a{p} v "
+            f"LEFT JOIN (SELECT e.src AS id, MAX(e.ts) AS m FROM te e "
+            f"JOIN a{p} u ON e.dst = u.id WHERE e.ts <= u.ld GROUP BY e.src) r "
+            f"ON v.id = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ld AS latest_departure FROM a{rounds} WHERE ld >= 0"
+    )
+
+def _temporal_fp_sql(rounds: int = TEMPORAL_ORACLE_ROUNDS) -> str:
+    """Unrolled Pareto-frontier twin of temporal_fastest_path: per round
+    the frontier is (old pairs UNION eligible relaxations), pruned by the
+    identical dominance window — keep (st, ar) iff ar < MIN(ar) over
+    later-starting pairs (st DESC, ar ASC). Rounds past the fixpoint are
+    no-ops; the converged frontier is unique, so set equality holds."""
+    prune = (
+        "SELECT id, st, ar FROM ("
+        "SELECT id, st, ar, MIN(ar) OVER (PARTITION BY id "
+        "ORDER BY st DESC, ar ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm "
+        "FROM ({inner})) WHERE rm IS NULL OR ar < rm"
+    )
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges)",
+        "fverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT dst AS id, ts AS st, ts AS ar "
+        f"FROM te WHERE src % {TEMPORAL_SEED_MOD} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        inner = (
+            f"SELECT DISTINCT id, st, ar FROM ("
+            f"SELECT id, st, ar FROM s{p} "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, u.st, e.ts AS ar FROM te e "
+            f"JOIN s{p} u ON e.src = u.id AND e.ts >= u.ar)"
+        )
+        ctes.append(f"s{i} AS MATERIALIZED ({prune.format(inner=inner)})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nbase AS (SELECT id, MIN(ar - st)::BIGINT AS dur "
+        + f"FROM s{rounds} GROUP BY id)\n"
+        + f"SELECT id, 0::BIGINT AS fastest FROM fverts "
+        + f"WHERE id % {TEMPORAL_SEED_MOD} = 0 "
+        + f"UNION ALL SELECT id, dur AS fastest FROM base "
+        + f"WHERE id % {TEMPORAL_SEED_MOD} <> 0"
+    )
+
+def _trussness_dec_sql(rounds: int = TRUSSNESS_ORACLE_ROUNDS) -> str:
+    """Cold unrolled twin on the REDUCED graph (the decremental path's
+    unique fixpoint): the same deletion rule applied to the canonical
+    directed sparse edges, re-symmetrized."""
+    base = _trussness_sql(rounds, und="und2")
+    extra = (
+        f"edges2 AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE (src * 31 + dst) % {TRUSS_DEC_MOD} <> 0),\n"
+        "und2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges2 UNION ALL "
+        "SELECT dst AS src, src AS dst FROM edges2) WHERE src <> dst),\n"
+        "ce AS"
+    )
+    return base.replace("ce AS", extra, 1)
+
+_DEG_SQL = "deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)"
+
+_WEDGE_SQL = (
+    "wedge AS (SELECT h1.dst AS u, h2.dst AS v, h1.src AS w, d.deg AS deg_w "
+    "FROM und h1 JOIN und h2 ON h1.src = h2.src AND h1.dst < h2.dst "
+    "JOIN deg d ON d.id = h1.src WHERE d.deg <= {cap})"
+).format(cap=HUB_CAP)
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        f"a0 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und "
+        f"GROUP BY src HAVING COUNT(*) >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS (SELECT e.src AS id, COUNT(*)::BIGINT AS deg FROM und e "
+            f"JOIN a{p} x ON e.src = x.id JOIN a{p} y ON e.dst = y.id "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, deg FROM a{rounds}"
+
+def _pagerank_sql(weighted: bool = False, n_iters: int = PR_ITERS) -> str:
+    d = 0.85
+    w_expr = "((e.src * 7 + e.dst * 13) % 10 + 1)"  # _W_EXPR on aliased edges
+    deg_expr = (
+        "SUM((src * 7 + dst * 13) % 10 + 1)::DOUBLE" if weighted else "COUNT(*)::DOUBLE"
+    )
+    contrib_expr = f"SUM(r.rank * {w_expr} / o.deg)" if weighted else "SUM(r.rank/o.deg)"
+    ctes = [_EDGES_SQL.strip().rstrip(),
+            "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+            f"outdeg AS MATERIALIZED (SELECT src, {deg_expr} AS deg FROM edges GROUP BY src)",
+            "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)"]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, {contrib_expr} AS contrib "
+            f"FROM edges e JOIN r{p} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank),0) AS dm FROM r{p} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, (1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
+            f"+ (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+
+def _katz_sql() -> str:
+    """Unrolled Katz twin of plans/spectral.py: x_k = β + α·Σ_in x_{k-1},
+    x_0 = β."""
+    a, b, n_iters = KATZ_ALPHA, 1.0, KATZ_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        f"x0 AS MATERIALIZED (SELECT id, {b} AS katz FROM verts)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.katz) AS c "
+            f"FROM edges e JOIN x{p} x ON e.src = x.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT v.id, {b} + {a}*COALESCE(c.c, 0) AS katz "
+            f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(katz, 6) AS katz FROM x{n_iters}"
+    )
+
+def _eigen_sql() -> str:
+    """Unrolled eigenvector-centrality twin of plans/spectral.py:
+    y_k = A·x̂_{k-1} over und, x̂_k = y_k/‖y_k‖₂, x̂_0 = 1/√n."""
+    n_iters = PR_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0/SQRT((SELECT n FROM nn)) AS x FROM verts)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"y{i} AS MATERIALIZED (SELECT v.id, COALESCE(c.c, 0) AS y FROM verts v "
+            f"LEFT JOIN (SELECT u.dst AS id, SUM(x.x) AS c FROM und u "
+            f"JOIN x{p} x ON u.src = x.id GROUP BY u.dst) c ON v.id = c.id)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT SQRT(SUM(y*y)) AS nrm FROM y{i})"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT id, y/(SELECT nrm FROM n{i}) AS x FROM y{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(x, 6) AS score FROM x{n_iters}"
+    )
+
+def _ppr_sql() -> str:
+    """Unrolled personalized PageRank twin of plans/pagerank.py seeded mode:
+    rank'(v) = p(v)·((1−d) + d·dm) + d·Σ contribs, p = uniform over seeds."""
+    d, n_iters = 0.85, PR_ITERS
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "ns AS (SELECT COUNT(*)::DOUBLE AS s FROM verts WHERE id % 10 = 0)",
+        "p AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1.0/(SELECT s FROM ns) "
+        "ELSE 0.0 END AS pm FROM verts)",
+        "outdeg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, pm AS rank FROM p)",
+    ]
+    for i in range(1, n_iters + 1):
+        pv = i - 1
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"FROM edges e JOIN r{pv} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{pv} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT p.id, p.pm*((1-{d}) + {d}*(SELECT dm FROM dm{i})) "
+            f"+ {d}*COALESCE(c.contrib,0) AS rank FROM p LEFT JOIN c{i} c ON p.id = c.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+
+def _cc_sql() -> str:
+    ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, CC_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM l{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM und u "
+            f"JOIN l{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label AS component FROM l{CC_ROUNDS}"
+    )
+
+def _sssp_sql(weighted: bool = False) -> str:
+    rounds = SSSP_W_ROUNDS if weighted else SSSP_ROUNDS
+    relax_w = _W_EXPR.replace("src", "e.src").replace("dst", "e.dst") if weighted else "1"
+    ctes = [_EDGES_SQL.strip(),
+            "srcv AS (SELECT LEAST(MIN(src), MIN(dst)) AS s FROM edges)",
+            "d0 AS (SELECT (SELECT s FROM srcv) AS id, 0::BIGINT AS dist)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS (SELECT id, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT id, dist FROM d{p} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + ({relax_w}) AS dist FROM edges e JOIN d{p} d ON e.src = d.id"
+            f") GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{rounds}"
+
+def _lpa_sql() -> str:
+    ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, LPA_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"cand{i} AS (SELECT u.dst AS id, l.label FROM und u JOIN l{p} l ON u.src = l.id "
+            f"UNION ALL SELECT id, label FROM l{p})"
+        )
+        ctes.append(
+            f"cnt{i} AS (SELECT id, label, COUNT(*) AS c FROM cand{i} GROUP BY id, label)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT id, label FROM (SELECT id, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{i}) "
+            f"WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{LPA_ROUNDS}"
+
+def _media_decode_sql() -> str:
+    """Closed-form ground truth of the media synthesis recipe (multimodal.py):
+    the Spark side parses actual PNG/WAV/MP4 bytes; this recomputes what the
+    parse must return per media_id — a full round-trip decode oracle."""
+    return f"""
+WITH m AS (SELECT unnest(range(0, {N_MEDIA})) AS mid),
+img AS (SELECT mid, 8 + mid % 24 AS w, 8 + (7*mid) % 24 AS h FROM m WHERE mid % 3 = 0),
+aud AS (SELECT mid, 1 + mid % 2 AS ch, 8000*(1 + mid % 4) AS rate, 50 + mid % 200 AS frames
+        FROM m WHERE mid % 3 = 1)
+SELECT mid::BIGINT AS media_id, 'image' AS kind, TRUE AS ok, 'png' AS format,
+  (68 + h*(3*w+1))::BIGINT AS n_bytes, w::BIGINT AS width, h::BIGINT AS height,
+  8::BIGINT AS bit_depth,
+  list_sum(list_transform(range(0, w*h*3), i -> (mid + i) % 256))::BIGINT AS pixel_sum,
+  -1::BIGINT AS channels, -1::BIGINT AS sample_rate, -1::BIGINT AS n_samples,
+  -1::BIGINT AS sample_sum, -1::BIGINT AS duration_ms
+FROM img
+UNION ALL
+SELECT mid::BIGINT, 'audio', TRUE, 'wav', (44 + 2*frames*ch)::BIGINT,
+  -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT,
+  ch::BIGINT, rate::BIGINT, (frames*ch)::BIGINT,
+  list_sum(list_transform(range(0, frames*ch), i -> (31*mid + 17*i) % 4096 - 2048))::BIGINT,
+  (frames*1000 // rate)::BIGINT
+FROM aud
+UNION ALL
+SELECT mid::BIGINT, 'video', TRUE, 'mp4', (208 + mid % 256)::BIGINT,
+  -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT, -1::BIGINT,
+  -1::BIGINT, -1::BIGINT, (1000 + (13*mid) % 5000)::BIGINT
+FROM m WHERE mid % 3 = 2
+"""
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+)

@@ -1,0 +1,418 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import BOILER_MIN_DOCS, CHUNK_STRIDE, CHUNK_TOK, DEDUP_CC_ROUNDS, LVO_K, OOV_VOCAB_K, SHARD_BUCKET, SHARD_BUDGET, ZIPF_TOPN, _LANG_MARKERS, _PII_SUFFIX_SPARK, _t, _tmpdir  # noqa: E501,F401
+
+
+def _q_dedup_sha(spark, sf_dir):
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, min_jaccard=0.8)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+def _q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+
+def _q_minhash_jaccard(spark, sf_dir):
+    """The enforced at-scale dedup composition: MinHash-LSH candidates →
+    exact Jaccard verification via array_intersect (no shingle self-join).
+    This is the query a 100 TB pipeline ships; ngram_jaccard_dedup is the
+    all-pairs baseline it is checked against."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    verified = DD.jaccard_verify_pairs(docs, cands, "doc_id", "text", k=3, min_jaccard=0.8)
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+def _q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", TX.simhash60(TX.tokens(F.col("text"))).alias("simhash")
+    )
+
+def _q_simhash_neardup(spark, sf_dir):
+    """Hamming≤3 simhash near-dup via 4×15-bit banding (exact recall by
+    pigeonhole — no all-pairs scan; verify is one JVM-side bit_count(xor))."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty (operators/corpus_stats.py:ngram_novelty):
+    fraction of shingles first seen in this doc — the Lee et al.
+    novel-token-rate audit over the MinHash path's shingle definition."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.ngram_novelty(docs, "doc_id", "text", k=3)
+
+def _q_lang_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap: Jaccard between the top-200
+    token heads of every language pair — the cheap code-mixing /
+    shared-boilerplate signal a multilingual curation run reports
+    (high overlap between supposedly distinct langs ⇒ language-ID or
+    contamination trouble). Head selection is (freq DESC, token ASC)
+    rank per lang; all counts integer, one rounded ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("tok"))
+    head = freq.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= LVO_K
+    ).select("lang", "tok")
+    sizes = head.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+    a = head.select(F.col("lang").alias("lang_a"), "tok")
+    b = head.select(F.col("lang").alias("lang_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("lang").alias("lang_a"), F.col("sz").alias("sa")), "lang_a")
+        .join(sizes.select(F.col("lang").alias("lang_b"), F.col("sz").alias("sb")), "lang_b")
+        .select(
+            "lang_a", "lang_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa") + F.col("sb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli-by-hash sample of documents — same row
+    set on every run/engine/cluster size (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SAMP.hash_sample(docs, "doc_id", 10, 100).select("doc_id", "lang")
+
+def _q_stratified_sample(spark, sf_dir):
+    """Corpus rebalancing: downsample the dominant language (en → 10%),
+    keep 50% of the long tail — deterministic per doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.stratified_sample(
+        docs, "lang", "doc_id", {"en": (1, 10)}, default=(1, 2), salt="strat"
+    )
+    return out.select("doc_id", "lang")
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-rebalanced (α = 0.5) half-corpus sample: per-language
+    quotas ∝ sqrt(n_lang) — upsamples the long tail vs proportional
+    draw; integer-exact quotas + hash-rank membership
+    (operators/sampling.py:temperature_mixture_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.temperature_mixture_sample(docs, "lang", "doc_id")
+    return out.select("doc_id", "lang")
+
+def _q_boilerplate_ngrams(spark, sf_dir):
+    """CCNet/C4-style boilerplate signal: fraction of a doc's distinct
+    3-grams occurring in ≥ BOILER_MIN_DOCS documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.boilerplate_ngrams(docs, k=3, min_docs=BOILER_MIN_DOCS)
+
+def _q_tfidf_top3(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·ln(N/df)
+    (operators/corpus_stats.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.tfidf_topk(docs, "doc_id", "text", k=3)
+
+def _q_vocab_top100(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: top-100 terms by frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.vocab_topk(docs, "doc_id", "text", k=100)
+
+def _q_corpus_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between the per-lang unigram
+    distributions (operators/corpus_stats.py:corpus_divergence) — the
+    training-mixture drift monitor. Per-term log-ratios have only exact
+    integer products inside the ln and are quantized to integer
+    micro-nats before the exact-decimal accumulation; the only floats
+    are two final divisions per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.corpus_divergence(docs, slice_col="lang")
+
+def _q_bigram_surprisal(spark, sf_dir):
+    """Per-document mean conditional bigram surprisal — the fluency
+    filter next to unigram_surprisal (shuffled/keyword-stuffed text
+    scores high even when every token is common). Same integer
+    micro-nat quantization before summation
+    (operators/corpus_stats.py:bigram_surprisal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.bigram_surprisal(docs, "doc_id", "text")
+
+def _q_unigram_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal (the CCNet/Gopher LM-quality
+    filter with the corpus's own unigram stats as the LM): per-token
+    -ln(freq/T) quantized to integer micro-nats BEFORE summation so
+    cross-engine addition order is irrelevant
+    (operators/corpus_stats.py:unigram_surprisal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.unigram_surprisal(docs, "doc_id", "text")
+
+def _q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count(t).alias("n_ws"),
+        TX.bpe_ish_token_count(t).alias("n_bpe"),
+        TX.stopword_count(t).alias("n_stop"),
+        TX.punct_count(t).alias("n_punct"),
+    )
+
+def _q_chunk_plan(spark, sf_dir):
+    """Sliding-window chunk plan (operators/packing.py:chunk_plan): one
+    row per (doc, context window) with token offsets — the pretraining/
+    RAG slicing step as a map-only plan; same whitespace token
+    definition as token_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    from metis_spark.operators.packing import chunk_plan
+
+    return chunk_plan(
+        docs, "doc_id", TX.whitespace_token_count(F.col("text")),
+        chunk=CHUNK_TOK, stride=CHUNK_STRIDE,
+    )
+
+def _q_zipf_fit(spark, sf_dir):
+    """Lexical-health check: least-squares slope/intercept of
+    ln(freq) ~ ln(rank) over the top-100 vocabulary — natural corpora
+    sit near slope −1 (Zipf); synthetic/templated corpora are flatter.
+    Global top-k is a distributed sort-limit; the ranking window and the
+    regression see only the surviving 100 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("term")).limit(ZIPF_TOPN)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log("rank").alias("lr"), F.log("freq").alias("lf")
+    )
+    return pts.agg(
+        F.round(F.expr("regr_slope(lf, lr)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(lf, lr)"), 6).alias("zipf_intercept"),
+    )
+
+def _q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score"))
+
+def _q_training_shards(spark, sf_dir):
+    """Concat-and-split training-shard assignment: documents in doc_id
+    order, whitespace token counts, shard = start_offset // budget
+    (operators/packing.py — two-phase prefix sums, plan-pinned to never
+    produce the single-partition global window)."""
+    from metis_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.whitespace_token_count(F.col("text")).alias("tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "tokens", budget=SHARD_BUDGET, bucket_size=SHARD_BUCKET
+    )
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per doc (top-word fraction,
+    duplicate-bigram fraction) — the boilerplate/spam filter inputs
+    (operators/corpus_stats.py:repetition_stats)."""
+    return CS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction audit (functions/text.py:pii_redact/pii_counts):
+    per-doc match counts per pattern class + post-redaction length, over
+    deterministically PII-augmented text."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = _PII_SUFFIX_SPARK()
+    return docs.select(
+        "doc_id",
+        *TX.pii_counts(aug),
+        F.length(TX.pii_redact(aug)).cast("long").alias("clean_len"),
+    )
+
+def _q_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = {lg: TX.lang_score(t, pat) for lg, pat in _LANG_MARKERS.items()}
+    m = F.greatest(*scores.values())
+    pred = F.when(m == 0, "und")
+    for lg in sorted(scores):  # alphabetical tie-break
+        pred = pred.when(scores[lg] == m, lg)
+    sel = [F.col("doc_id"), pred.alias("predicted")]
+    sel += [F.round(scores[lg], 6).alias(f"s_{lg}") for lg in sorted(scores)]
+    return docs.select(*sel)
+
+def _q_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage audit: per-doc fraction of token OCCURRENCES
+    outside the corpus top-K vocabulary — the number that decides
+    whether a candidate tokenizer vocabulary is big enough. The K-term
+    head is a TakeOrdered result broadcast into an anti-membership
+    check; per-doc math stays in one explode + map-side-combining
+    groupBy. Docs with zero tokens report NULL."""
+    from metis_spark.operators.corpus_stats import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = F.broadcast(
+        vocab_topk(docs, k=OOV_VOCAB_K).select(F.col("term").alias("tok"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    flagged = toks.join(
+        vocab.withColumn("in_v", F.lit(1)), "tok", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.col("n_tok") > 0, F.round(F.col("n_oov") / F.col("n_tok"), 6)
+            ).alias("oov_frac"),
+        )
+    )
+
+def _q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: stored ``lang`` label × the n-gram
+    heuristic's prediction, with counts — the accuracy audit run before
+    trusting the classifier as a corpus filter. One groupBy over the
+    scored docs (same pinned score expressions as ``lang_id``)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = {lg: TX.lang_score(t, pat) for lg, pat in _LANG_MARKERS.items()}
+    m = F.greatest(*scores.values())
+    pred = F.when(m == 0, "und")
+    for lg in sorted(scores):
+        pred = pred.when(scores[lg] == m, lg)
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+def _q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation: exact-dedup (keep lowest doc_id)
+    → quality gate (score ≥ 0.5) → per-doc BPE-ish token counts.
+
+    The composition a 100 TB pre-training pipeline runs nightly: one
+    hash shuffle for the dedup, then narrow scoring expressions — no
+    joins wider than the corpus itself.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", "text", F.md5("text").alias("h"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(keep, ["h", "doc_id"]).select("doc_id", "text")
+    t = F.col("text")
+    scored = kept.select(
+        "doc_id",
+        F.round(TX.quality_score(t), 6).alias("score"),
+        TX.bpe_ish_token_count(t).alias("n_tokens"),
+    )
+    return scored.where(F.col("score") >= 0.5)
+
+def _q_dedup_clusters(spark, sf_dir):
+    """The at-scale dedup ENDGAME: MinHash-LSH candidate pairs become an
+    undirected similarity graph, connected components gives each document
+    its duplicate-cluster id (min doc_id), plus the cluster size — the
+    table a training pipeline joins against to keep one representative
+    per cluster. Composition of two already-verified operators."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    edges = cands.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qdclus_")
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+def _q_neardup_keep_best(spark, sf_dir):
+    """Near-dup curation ENDGAME: MinHash clusters (dedup_clusters'
+    machinery) joined with quality_score, keeping the HIGHEST-quality
+    representative per cluster (score desc, doc_id asc ties); documents
+    in no cluster represent themselves. This is the row a 100 TB
+    pipeline actually writes — dedup that keeps the best copy, not an
+    arbitrary one. One extra broadcast-size join + a per-cluster window
+    over ≤cluster_size rows on top of two verified operators."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2
+    )
+    edges = cands.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qnkb_")
+    )
+    scored = docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("score")
+    )
+    joined = scored.join(
+        labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cl")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("cl", "doc_id").alias("cluster"), "score")
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster", "score")
+    )

@@ -1,0 +1,658 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import ANF_MASKS, ANF_ROUNDS, BOWTIE_REACH_ROUNDS, DAG_ROUNDS, DIAM_ROUNDS, GRAPH_MOD, HITS_ITERS, KATZ_ALPHA, KATZ_ITERS, LPA_ROUNDS, PR_CONV_ORACLE_ITERS, PR_CONV_TOL, PR_ITERS, PSALSA_SEED_MOD, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, WIDEST_ROUNDS, _W_EXPR, _landmark_sources, _robustness, _t, _tmpdir, derived_edges, derived_edges_sparse  # noqa: E501,F401
+
+
+def _q_pagerank(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    ranks, _ = pagerank(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qpr_"),
+        tol=0.0,  # run exactly PR_ITERS iterations to mirror the unrolled SQL
+        max_iter=PR_ITERS,
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+def _q_pagerank_incremental(spark, sf_dir):
+    """Incremental re-rank after a corpus drain — the full maintenance
+    story end-to-end: snapshot T's edge table is patched to snapshot T+1
+    by applying the ``edge_diff`` delta (never rebuilt from content), and
+    PageRank warm-starts from T's scores (``init_ranks``) instead of
+    uniform. The fixpoint is unique, so the result is bit-independent of
+    the warm start — the oracle runs a COLD unrolled power iteration on
+    the T+1 table and must agree; the warm start only buys iterations
+    (asserted below: strictly fewer than the cold oracle budget).
+    Mirrors the reference's re-import-then-recompute flow
+    (/root/reference/Metis/python/metis_sink.py:163-166) with
+    increment-scoped work."""
+    from metis_spark.operators.edge_maintenance import edge_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    old = (
+        li.where(F.col("l_linenumber") % 2 == 0)
+        .select(
+            (F.col("l_orderkey") % GRAPH_MOD).alias("src"),
+            (F.col("l_partkey") % GRAPH_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    new = derived_edges(spark, sf_dir)
+    diff = edge_diff(old, new)
+    removed = diff.where(F.col("change") == "removed").select("src", "dst")
+    added = diff.where(F.col("change") == "added").select("src", "dst")
+    patched = old.join(removed, ["src", "dst"], "left_anti").unionByName(added)
+
+    # cheap warm-start vector: snapshot T's 5-iteration scores
+    ranks_old, _ = pagerank(
+        old, checkpoint_dir=_tmpdir("metis_qpri_a_"), tol=0.0, max_iter=PR_ITERS
+    )
+    ranks, info = pagerank(
+        patched,
+        checkpoint_dir=_tmpdir("metis_qpri_b_"),
+        tol=PR_CONV_TOL,
+        max_iter=100,
+        init_ranks=ranks_old,
+    )
+    assert info["converged"], info
+    assert info["iterations"] <= PR_CONV_ORACLE_ITERS, info
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+def _q_connected_components(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qcc_")
+    )
+    return labels
+
+def _q_robustness_curve(spark, sf_dir):
+    """Targeted-attack robustness (Albert/Jeong/Barabási, Nature 2000):
+    component structure after removing the top-k highest-degree hubs —
+    compare against `robustness_random` (the random-failure control) to
+    read the scale-free fragile-to-attack signature."""
+    return _robustness(spark, sf_dir, "attack")
+
+def _q_robustness_random(spark, sf_dir):
+    """Random-failure control: the same curve with a deterministic
+    degree-blind hash-k removal — robust where the attack curve
+    fragments."""
+    return _robustness(spark, sf_dir, "failure")
+
+def _q_cc_incremental(spark, sf_dir):
+    """Incremental CC maintenance (plans/components.py
+    connected_components_incremental): snapshot T = the even-(src+dst)
+    subset of the derived edges, delta = the rest. Added edges contract
+    to their endpoint components, the delta-sized quotient runs ordinary
+    star CC, one |V| re-map join composes — no full-graph rescan. The
+    min-label fixpoint is unique, so the oracle is the COLD cc on the
+    full table: a strict equality check of the incremental path."""
+    from metis_spark.plans.components import connected_components_incremental
+
+    new = derived_edges(spark, sf_dir)
+    old = new.where((F.col("src") + F.col("dst")) % 2 == 0)
+    added = new.join(old, ["src", "dst"], "left_anti")
+    base, _ = connected_components(old, checkpoint_dir=_tmpdir("metis_qcci_a_"))
+    labels, info = connected_components_incremental(
+        base, added, checkpoint_dir=_tmpdir("metis_qcci_b_")
+    )
+    assert info["converged"], info
+    return labels
+
+def _q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised label spreading (plans/lpa.py
+    seeded_label_propagation): seeds id%97==0 pin label=id, everyone
+    else adopts the most frequent non-null neighbour label (smallest-
+    label ties); unreached vertices stay NULL."""
+    from metis_spark.plans.lpa import seeded_label_propagation
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % SLPA_SEED_MOD == 0).select(
+        "id", F.col("id").alias("label")
+    )
+    labels, info = seeded_label_propagation(
+        edges,
+        seeds,
+        max_iter=SLPA_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qslpa_"),
+        stop_when_stable=False,
+    )
+    assert info["iterations"] == SLPA_ROUNDS, info
+    return labels
+
+def _q_lpa(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qlpa_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return labels
+
+def _q_sssp(spark, sf_dir):
+    from metis_spark.plans.sssp import shortest_hops
+
+    edges = derived_edges(spark, sf_dir)
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    dists, _ = shortest_hops(
+        edges, sources=[int(src)],
+        checkpoint_dir=_tmpdir("metis_qsssp_"),
+        max_iter=SSSP_ROUNDS,
+    )
+    return dists
+
+def _q_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford relaxation on
+    the shared checkpoint spine); weights derived deterministically so the
+    unrolled-CTE DuckDB twin reproduces them."""
+    from metis_spark.plans.sssp import shortest_paths
+
+    edges = derived_edges(spark, sf_dir).withColumn("w", F.expr(_W_EXPR))
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    dists, _ = shortest_paths(
+        edges, sources=[int(src)],
+        checkpoint_dir=_tmpdir("metis_qssspw_"),
+        max_iter=SSSP_W_ROUNDS,
+        weight_col="w",
+    )
+    return dists
+
+def _q_widest_path(spark, sf_dir):
+    """Maximum-bottleneck (widest) paths from the least vertex
+    (plans/sssp.py:widest_paths): the max-min semiring dual of
+    sssp_weighted on the identical deterministic weights — integer-exact
+    monotone fixpoint, source carries the 2^60 sentinel."""
+    from metis_spark.plans.sssp import widest_paths
+
+    edges = derived_edges(spark, sf_dir).withColumn("w", F.expr(_W_EXPR))
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    caps, info = widest_paths(
+        edges, sources=[int(src)],
+        weight_col="w",
+        checkpoint_dir=_tmpdir("metis_qwidest_"),
+        max_iter=WIDEST_ROUNDS,
+    )
+    assert info["converged"] and info["iterations"] <= WIDEST_ROUNDS, info
+    return caps
+
+def _q_landmark_distances(spark, sf_dir):
+    """Per-source BFS from the 3 smallest vertex ids — the landmark
+    sketch behind approximate centrality (plans/sssp.py)."""
+    from metis_spark.plans.sssp import landmark_distances
+
+    edges = derived_edges(spark, sf_dir)
+    dists, _ = landmark_distances(
+        edges, _landmark_sources(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qlmd_"), max_iter=SSSP_ROUNDS,
+    )
+    return dists
+
+def _q_harmonic(spark, sf_dir):
+    """Landmark harmonic-centrality estimate h(v) = Σ 1/d(s,v)."""
+    from metis_spark.plans.sssp import harmonic_landmarks
+
+    edges = derived_edges(spark, sf_dir)
+    return harmonic_landmarks(
+        edges, _landmark_sources(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qharm_"), max_iter=SSSP_ROUNDS,
+    )
+
+def _q_closeness(spark, sf_dir):
+    """Landmark closeness-centrality estimate c(v) = r/Σd(s,v) with the
+    reached-count correction r (plans/sssp.py:closeness_landmarks)."""
+    from metis_spark.plans.sssp import closeness_landmarks
+
+    edges = derived_edges(spark, sf_dir)
+    return closeness_landmarks(
+        edges, _landmark_sources(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qclo_"), max_iter=SSSP_ROUNDS,
+    )
+
+def _q_ppr_sweep_cut(spark, sf_dir):
+    """ACL local community detection (plans/sweep.py): personalized
+    PageRank from the deterministic seed set id % 97 == 0 on the
+    symmetric sparse graph, degree-normalized sweep order
+    (round-before-rank at 9 decimals), conductance of every prefix
+    S_1..S_64 via the difference-histogram cut — the only window in the
+    plan runs over exactly 64 rows."""
+    from metis_spark.plans.sweep import ppr_sweep_cut
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % SWEEP_SEED_MOD == 0)
+    )
+    out, info = ppr_sweep_cut(
+        edges,
+        seeds,
+        n_iters=SWEEP_ITERS,
+        sweep_l=SWEEP_L,
+        checkpoint_dir=_tmpdir("metis_qsweep_"),
+    )
+    assert info["best_phi"] <= 1.0 and 1 <= info["best_k"] <= SWEEP_L, info
+    return out
+
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank from the deterministic seed set id % 10 == 0.
+
+    Seeds are passed as a DataFrame — the distributed path: the seed set
+    never touches the driver, so "rank relative to MY packages" works
+    even when MY packages is a 10M-row predicate at 100 TB scale."""
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks, _ = pagerank(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qppr_"),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        seeds=verts.where(F.col("id") % 10 == 0),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+def _q_scc(spark, sf_dir):
+    """Directed strongly connected components (import cycles) via
+    min-label FW-BW phases (plans/scc.py)."""
+    from metis_spark.plans.scc import strongly_connected_components
+
+    edges = derived_edges(spark, sf_dir)
+    labels, info = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qscc_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+        checkpoint_every=2, retain=2,
+    )
+    assert info["converged"], info  # else NULL scc rows would shadow an oracle diff
+    return labels
+
+def _q_bowtie(spark, sf_dir):
+    """Broder bow-tie macro-structure of the directed import graph
+    (plans/bowtie.py): CORE / IN / OUT / TUBE / TENDRIL / OTHER /
+    DISCONNECTED region sizes, composed from the SCC spine + five
+    monotone reach fixpoints."""
+    from metis_spark.plans.bowtie import bowtie_decomposition
+
+    out, info = bowtie_decomposition(
+        derived_edges(spark, sf_dir),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+        reach_rounds=BOWTIE_REACH_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qbowtie_"),
+    )
+    # strictly less ⇒ every reach hit its fixpoint before the cap, so the
+    # fixed-round oracle unroll is complete too
+    assert info["reach_rounds_max"] < BOWTIE_REACH_ROUNDS, info
+    return out
+
+def _q_dag_levels(spark, sf_dir):
+    """Build-order levels of the SCC condensation DAG: level(v) = longest
+    path from any root — everything at level k can build once levels < k
+    are done (plans/scc.py:condensation_levels)."""
+    from metis_spark.plans.scc import (
+        condensation_levels,
+        strongly_connected_components,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    labels, info = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qdag_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+    )
+    assert info["converged"], info  # else NULL scc rows would shadow an oracle diff
+    return condensation_levels(edges, labels, max_rounds=DAG_ROUNDS)
+
+def _q_katz(spark, sf_dir):
+    """Katz centrality, KATZ_ITERS fixed power steps (plans/spectral.py)
+    — walk-counting centrality over the directed derived graph."""
+    from metis_spark.plans.spectral import katz_centrality
+
+    scores, _ = katz_centrality(
+        derived_edges(spark, sf_dir),
+        alpha=KATZ_ALPHA,
+        beta=1.0,
+        tol=0.0,
+        max_iter=KATZ_ITERS,
+        checkpoint_dir=_tmpdir("metis_qkatz_"),
+    )
+    return scores.select("id", F.round("katz", 6).alias("katz"))
+
+def _q_eigen(spark, sf_dir):
+    """Eigenvector centrality, PR_ITERS normalized power steps over the
+    undirected view (plans/spectral.py)."""
+    from metis_spark.plans.spectral import eigenvector_centrality
+
+    scores, _ = eigenvector_centrality(
+        derived_edges(spark, sf_dir),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        checkpoint_dir=_tmpdir("metis_qeig_"),
+    )
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank: rank distributes over out-edges proportionally
+    to the deterministic per-edge weight (_W_EXPR, shared with
+    sssp_weighted so both engines reproduce it)."""
+    edges = derived_edges(spark, sf_dir).withColumn("w", F.expr(_W_EXPR))
+    ranks, _ = pagerank(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qprw_"),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        weight_col="w",
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+def _q_salsa(spark, sf_dir):
+    """SALSA hubs & authorities (plans/salsa.py): HITS with random-walk
+    (degree-normalized) transitions — stochastic updates conserve mass,
+    so unlike HITS there is no normalization pass at all."""
+    from metis_spark.plans.salsa import salsa
+
+    scores, info = salsa(
+        derived_edges(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qsalsa_"),
+        tol=0.0,
+        max_iter=SALSA_ITERS,
+    )
+    assert info["converged"], info
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+def _q_salsa_personalized(spark, sf_dir):
+    """Personalized SALSA (plans/salsa.py salsa(seeds=)): initial hub
+    mass uniform over the SEED hubs only (id % 10 == 0 — the same seed
+    rule as ppr_5iter), the WTF-recommender variant; the transition
+    operators are unchanged so mass is still conserved."""
+    from metis_spark.plans.salsa import salsa
+
+    edges = derived_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("id")).where(
+        F.col("id") % PSALSA_SEED_MOD == 0
+    )
+    scores, info = salsa(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qpsalsa_"),
+        tol=0.0,
+        max_iter=SALSA_ITERS,
+        seeds=seeds,
+    )
+    assert info["converged"], info
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+def _q_hits(spark, sf_dir):
+    """HITS hubs & authorities, fixed 3 iterations, L2-normalized each
+    round (plans/hits.py — unrolled-CTE DuckDB twin)."""
+    from metis_spark.plans.hits import hits
+
+    edges = derived_edges(spark, sf_dir)
+    scores, _ = hits(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qhits_"),
+        tol=0.0,
+        max_iter=HITS_ITERS,
+    )
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+def _q_neighborhood_function(spark, sf_dir):
+    """EXACT neighborhood function N(t) on the sparse directed graph
+    (plans/anf.py) — the quadratic-state baseline/oracle twin of the
+    ANF sketch, same contract as ngram_jaccard_dedup vs MinHash."""
+    from metis_spark.plans.anf import neighborhood_function
+
+    return neighborhood_function(
+        derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS
+    )
+
+def _q_anf_sketch(spark, sf_dir):
+    """Flajolet-Martin ANF ball sketches per vertex (plans/anf.py — the
+    100 TB path: 256 B/vertex state, one PageRank-shaped join+bit_or
+    groupBy per round). md5-seeded masks are reproduced bit-exactly in
+    DuckDB, so sum_r hash-matches as an exact integer."""
+    from metis_spark.plans.anf import anf_sketch
+
+    return anf_sketch(
+        derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS, num_masks=ANF_MASKS
+    )
+
+def _q_anf_effective_diameter(spark, sf_dir):
+    """Effective diameter (smallest t with N̂(t) ≥ 0.9·N̂(horizon)) off
+    the sketch curve — the one-row graph-profile summary a web-graph
+    operator actually reads."""
+    from metis_spark.plans.anf import effective_diameter
+
+    return effective_diameter(
+        derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS, num_masks=ANF_MASKS
+    )
+
+def _q_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound of the sparse graph
+    (plans/sssp.py): BFS from the max-degree vertex, BFS again from the
+    farthest vertex reached — usually the exact diameter on web-shaped
+    graphs, always ≥ half of it."""
+    from metis_spark.plans.sssp import diameter_double_sweep
+
+    out, info = diameter_double_sweep(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qdiam_"),
+    )
+    assert info["converged"] and info["diameter_lb"] <= DIAM_ROUNDS, info
+    return out
+
+def _q_temporal_reachability(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability (plans/temporal.py):
+    directed sparse edges carry hash-derived timestamps; seeds (id %
+    512 == 0) start at t=0; a path may only traverse edges in
+    non-decreasing timestamp order. Iterated edge relaxation — the
+    monotone least fixpoint, so the fixed-round oracle hash-matches any
+    converged run."""
+    from metis_spark.plans.temporal import temporal_reachability
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_reachability(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_"),
+        checkpoint_every=5, retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+def _q_temporal_shortest(spark, sf_dir):
+    """Minimum-hop time-respecting paths (plans/temporal.py:
+    temporal_shortest_path — the Wu et al. "shortest" dual completing
+    the quartet): the first earliest-arrival round at which a vertex
+    becomes finite IS its minimum hop count, so the operator is the
+    reachability loop with one extra first-reached-round column."""
+    from metis_spark.plans.temporal import temporal_shortest_path
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_shortest_path(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtshort_"),
+        checkpoint_every=5, retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+def _q_temporal_latest_departure(spark, sf_dir):
+    """Backward temporal dual (plans/temporal.py:temporal_latest_
+    departure): the latest time each vertex can leave and still reach a
+    seed time-respectingly — the influence/audience set of the seeds,
+    same hash timestamps and seed rule as temporal_reachability."""
+    from metis_spark.plans.temporal import temporal_latest_departure
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_latest_departure(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_ld_"),
+        checkpoint_every=5, retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+def _q_temporal_fastest(spark, sf_dir):
+    """Temporal FASTEST path (plans/temporal.py:temporal_fastest_path):
+    minimum elapsed duration over time-respecting seed paths — the third
+    Wu et al. (VLDB 2014) dual next to earliest-arrival and
+    latest-departure, same hash timestamps and seed rule. State is each
+    vertex's Pareto frontier of (start, arrival) pairs; the converged
+    frontier is unique, so the fixed-round unrolled twin hash-matches."""
+    from metis_spark.plans.temporal import temporal_fastest_path
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src", "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TEMPORAL_SEED_MOD == 0)
+    out, info = temporal_fastest_path(
+        ets, seeds, checkpoint_dir=_tmpdir("metis_qtemporal_fp_"),
+        checkpoint_every=5, retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out

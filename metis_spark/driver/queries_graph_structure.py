@@ -1,0 +1,1130 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
+
+
+def _q_graph_edges(spark, sf_dir):
+    return derived_edges(spark, sf_dir)
+
+def _q_component_profile(spark, sf_dir):
+    """Per-component profile: size, intra-edge count, density — the
+    partition-sizing numbers for per-component downstream work (which
+    components broadcast, which need salting). Spark side reuses the
+    converged star CC (fixpoint = min member id); the oracle replays a
+    fixed-depth min-label flood, which reaches the same fixpoint on
+    this graph's diameter."""
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = connected_components(edges, checkpoint_dir=_tmpdir("metis_qcp_"))
+    und = derived_und(spark, sf_dir).where(F.col("src") < F.col("dst"))
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    # both endpoints share a component by definition — one join suffices
+    intra = (
+        und.join(
+            labels.select(F.col("id").alias("src"), "component").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    return (
+        sizes.join(intra, "component", "left")
+        .select(
+            "component",
+            "n_vertices",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.when(
+                F.col("n_vertices") >= 2,
+                F.round(
+                    F.coalesce("intra_edges", F.lit(0))
+                    / (F.col("n_vertices") * (F.col("n_vertices") - 1) / 2.0),
+                    6,
+                ),
+            ).alias("density"),
+        )
+    )
+
+def _q_triangles(spark, sf_dir):
+    n = triangle_count(derived_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "triangles long")
+
+def _q_triangles_per_vertex(spark, sf_dir):
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return triangle_count_per_vertex(edges, vertices=verts)
+
+def _q_bipartite(spark, sf_dir):
+    """Bipartiteness / odd-cycle audit per component (plans/bipartite.py):
+    CC roots → multi-source BFS parity → same-parity edge count. One
+    summary row: component count, bipartite count, odd-edge total."""
+    from metis_spark.plans.bipartite import bipartite_check
+
+    per_comp, info = bipartite_check(
+        derived_edges(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qbip_"), max_iter=SSSP_ROUNDS + 2,
+    )
+    assert info["converged"], info
+    return per_comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(F.col("is_bipartite").cast("long")).cast("long").alias("n_bipartite"),
+        F.sum("n_odd_edges").cast("long").alias("n_odd_edges"),
+    )
+
+def _q_node2vec(spark, sf_dir):
+    """Second-order node2vec-style walks (plans/walks.py:node2vec_walks):
+    deterministic hash-arg-min with integer p/q key multipliers — return
+    ×3, common-neighbor ×1, outward ×2 — replayable bit-exactly by the
+    unrolled SQL twin."""
+    from metis_spark.plans.walks import node2vec_walks
+
+    edges = derived_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(N_WALKS)
+    )
+    return node2vec_walks(edges, starts, length=WALK_LEN, p=N2V_P, q=N2V_Q)
+
+def _q_csr(spark, sf_dir):
+    """Bucketed sorted CSR adjacency (north_rule), rendered comparable:
+    neighbor arrays as comma-joined strings so DuckDB string_agg matches."""
+    from metis_spark.operators.csr import build_csr
+
+    csr = build_csr(derived_edges(spark, sf_dir), num_buckets=8)
+    return csr.select(
+        "src",
+        F.col("deg").cast("long").alias("deg"),
+        F.concat_ws(",", F.transform(F.col("nbrs"), lambda x: x.cast("string"))).alias("nbrs"),
+    )
+
+def _q_linkpred_eval(spark, sf_dir):
+    """Link-prediction EVALUATION harness: hold out ~25% of the sparse
+    graph's canonical edges by hash, score the remaining (train) graph
+    with Adamic-Adar (plans/metrics.py, the verified capped-wedge
+    plan), and report precision@200 against the held-out set — the
+    measurement loop a link-prediction user actually runs. One row
+    (k, n_holdout, n_hits, precision); integer counts + one rounded
+    ratio. NOTE the synthetic modular-arithmetic graph is near-random,
+    so the measured precision is honestly low (0.01 / 0.0 at the gate
+    scales) — the harness, not the number, is the deliverable."""
+    from metis_spark.plans.metrics import adamic_adar_topk
+
+    e = derived_edges_sparse(spark, sf_dir)
+    cp = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    hmod = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.lit("h"), F.col("a").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % LP_HOLD_MOD
+    )
+    cp = cp.withColumn("held", hmod == 0)
+    hold = cp.where("held").select("a", "b")
+    train = cp.where(~F.col("held")).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    top = adamic_adar_topk(train, k=LP_EVAL_K, hub_cap=HUB_CAP)
+    hits = top.join(
+        hold.select(F.col("a").alias("u"), F.col("b").alias("v")), ["u", "v"]
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .crossJoin(hold.agg(F.count(F.lit(1)).cast("long").alias("n_holdout")))
+        .select(
+            F.lit(LP_EVAL_K).cast("long").alias("k"),
+            "n_holdout",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(LP_EVAL_K)), 6).alias("precision"),
+        )
+    )
+
+def _q_linkpred_auc(spark, sf_dir):
+    """Link-prediction AUC (Mann-Whitney rank-sum) — the discriminative
+    twin of `linkpred_eval` (VERDICT r3 item 4): precision@k on the
+    near-random synthetic graph is honestly ~0, so AUC over held-out
+    positives vs sampled non-edge negatives is the metric that makes the
+    harness informative. Positives = the same hash-held ~25% of canonical
+    sparse-graph pairs; negatives = all non-edge pairs inside a
+    deterministic md5-sampled vertex subset (1/16 of vertices), so both
+    sides are engine-replayable with no RNG. Scores = Adamic-Adar over the
+    TRAIN graph computed per eval pair (two adjacency joins + hub-capped
+    1/ln(deg) sum — never materializing all-pairs). AUC is tie-aware and
+    integer-exact until the final division: rank2 = 2*RANK + |tie block|-1
+    doubles the average rank, U2 = sum(rank2 over positives) -
+    n_pos*(n_pos+1), AUC = U2 / (2*n_pos*n_neg). The single global rank
+    window runs over the BOUNDED eval set (holdout + sampled-subset
+    non-edges, ~1e4 rows by construction) — an eval harness, not a
+    data-path shuffle. Scores rounded to 6dp in both engines BEFORE
+    ranking (round-before-rank discipline)."""
+    e = derived_edges_sparse(spark, sf_dir)
+    cp = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def _h60(prefix, *cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(prefix), *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    cp = cp.withColumn(
+        "held",
+        _h60("h", F.col("a").cast("string"), F.col("b").cast("string"))
+        % LP_HOLD_MOD == 0,
+    ).persist()
+    hold = cp.where("held").select("a", "b")
+    train = cp.where(~F.col("held")).select("a", "b")
+    und2 = train.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        train.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = und2.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+
+    verts = (
+        cp.select(F.col("a").alias("v"))
+        .unionByName(cp.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    vsamp = verts.where(
+        _h60("nv", F.col("v").cast("string")) % LP_NEG_VSAMP_MOD == 0
+    )
+    negs = (
+        vsamp.alias("x")
+        .crossJoin(F.broadcast(vsamp.alias("y")))
+        .where(F.col("x.v") < F.col("y.v"))
+        .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        .join(cp.select("a", "b"), ["a", "b"], "left_anti")
+    )
+    ev = hold.withColumn("is_pos", F.lit(1)).unionByName(
+        negs.withColumn("is_pos", F.lit(0))
+    )
+
+    # Adamic-Adar per eval pair: wedge via two adjacency joins, hub-capped
+    t1 = und2.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    t2 = und2.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    wed = (
+        ev.select("a", "b")
+        .join(t1, "a")
+        .join(t2, ["b", "w"])
+        .join(deg.where(F.col("deg") <= HUB_CAP).withColumnRenamed("id", "w"), "w")
+    )
+    sc = wed.groupBy("a", "b").agg(
+        F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("score")
+    )
+    scored = ev.join(sc, ["a", "b"], "left").select(
+        "is_pos", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
+    )
+    rank2 = (
+        2 * F.rank().over(Window.orderBy("score"))
+        + F.count(F.lit(1)).over(Window.partitionBy("score"))
+        - 1
+    ).cast("long")
+    ranked = scored.select("is_pos", rank2.alias("rank2"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("is_pos") == 1, F.col("rank2")).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(F.col("is_pos")).cast("long").alias("n_pos"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("n_neg"),
+    )
+    out = agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        F.round(
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+    cp.unpersist()
+    return out
+
+def _q_csr_gap_histogram(spark, sf_dir):
+    """Adjacency-gap histogram over the sorted sparse CSR rows: count of
+    neighbor-id deltas per floor(log2(gap)) bucket — the WebGraph/BV
+    compressibility profile (small gaps ⇒ the 100 TB adjacency encodes
+    in a few bits/edge). Integer-exact bucketing via binary-string
+    length (length(conv(gap, 10, 2)) − 1), never float log2. One
+    src-partitioned LAG window — the same partitioning the CSR build
+    itself uses, so no extra exchange shape at scale."""
+    e = derived_edges_sparse(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    gaps = und.select(
+        "src", (F.col("dst") - F.lag("dst").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.select(
+            (F.length(F.conv(F.col("gap").cast("string"), 10, 2)) - 1)
+            .cast("long").alias("gap_bucket")
+        )
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+
+def _q_directed_triads(spark, sf_dir):
+    """Directed 3-node motif census on the sparse import graph
+    (plans/triangles.py:directed_triad_census): cyclic u→v→w→u vs
+    feed-forward u→v→w, u→w — the Milo-style motif signature."""
+    from metis_spark.plans.triangles import directed_triad_census
+
+    return directed_triad_census(derived_edges_sparse(spark, sf_dir))
+
+def _q_assortativity(spark, sf_dir):
+    return degree_assortativity(derived_edges_sparse(spark, sf_dir))
+
+def _q_adamic_adar(spark, sf_dir):
+    return adamic_adar_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+def _q_square_count(spark, sf_dir):
+    """Global 4-cycle count (plans/metrics.py square_count): the motif
+    one step past triangles — ½ Σ C(c_uv, 2) over the SAME hub-capped
+    wedge plan the link predictors use (identical cap in the oracle)."""
+    from metis_spark.plans.metrics import square_count
+
+    return square_count(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
+
+def _q_four_cliques(spark, sf_dir):
+    """Exact global 4-clique count next to the triangle count
+    (plans/triangles.py:four_clique_count, kClist ordered enumeration on
+    the degree-oriented DAG — every clique generated exactly once from
+    its two lowest-order vertices). The 4-clique/triangle ratio is the
+    motif signature that flags link-ring neighborhoods before they
+    dominate triangles."""
+    from metis_spark.plans.triangles import four_clique_count
+
+    return four_clique_count(derived_edges_sparse(spark, sf_dir))
+
+def _q_scan_statistic(spark, sf_dir):
+    """Top-k scan statistic Λ(v) = deg(v) + triangles(v) = |E(N[v])|
+    (plans/metrics.py scan_statistic, Priebe et al. 2005): the
+    locality statistic whose outliers flag anomalously dense
+    neighborhoods. All-integer ranking key — engine-exact with no
+    rounding discipline; top-k is TakeOrderedAndProject, never a
+    single-partition window over |V|."""
+    from metis_spark.plans.metrics import scan_statistic
+
+    return scan_statistic(derived_edges_sparse(spark, sf_dir), k=SCANSTAT_K)
+
+def _q_resource_alloc(spark, sf_dir):
+    """Resource-allocation link predictor (plans/metrics.py): Adamic-Adar
+    with the log dropped — completes the classic predictor quartet."""
+    from metis_spark.plans.metrics import resource_allocation_topk
+
+    return resource_allocation_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+def _q_avg_neighbor_degree(spark, sf_dir):
+    """Degree-correlation curve knn(k): for each degree k, the mean over
+    degree-k vertices of their mean neighbor degree — the standard
+    assortativity PROFILE (the scalar Pearson version is
+    ``degree_assortativity``); rising knn(k) = assortative, falling =
+    hubs attach to leaves. Two O(m) joins + two map-side-combining
+    groupBys on the sparse und graph."""
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    per_vertex = (
+        und.join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("nd"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        # round-before-aggregate discipline: the inner per-vertex mean is
+        # pinned at 1e-9 in BOTH twins so the outer mean-of-means cannot
+        # flip a 6th-decimal boundary on engine summation-order noise
+        .agg(F.round(F.avg("nd"), 9).alias("mean_nbr_deg"))
+    )
+    return (
+        per_vertex.join(deg.hint("shuffle_hash"), "id")
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg("mean_nbr_deg"), 6).alias("knn"),
+        )
+    )
+
+def _q_degree_percentiles(spark, sf_dir):
+    """Exact interpolated degree quantiles (p50/p90/p99/max) of the und
+    graph — the tail-shape numbers that set salting thresholds and skew
+    budgets. One O(|V|) agg (Spark's exact `percentile`, linear
+    interpolation at rank p·(n−1) — the same definition as DuckDB's
+    quantile_cont), then a 4-row posexplode. Where approximate tails
+    suffice at extreme scale, swap in percentile_approx — same plan."""
+    und = derived_und(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    qs = deg.agg(
+        F.percentile("deg", F.array(*[F.lit(p) for p in DEG_PCTS])).alias("qs")
+    )
+    spine = F.array(*[F.lit(p) for p in DEG_PCTS])
+    return qs.select(
+        F.posexplode("qs").alias("i", "v")
+    ).select(
+        F.element_at(spine, F.col("i") + 1).alias("pct"),
+        F.round("v", 6).alias("deg"),
+    )
+
+def _q_degree_histogram(spark, sf_dir):
+    """Log2-binned undirected degree distribution — the first descriptive
+    query on any web-scale graph (power-law check, skew sizing for salt
+    decisions). Two map-side-combining aggs, O(|V|) shuffle."""
+    und = derived_und(spark, sf_dir)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.select(F.floor(F.log2("deg")).cast("long").alias("bin"), "deg")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+    )
+
+def _q_graph_summary(spark, sf_dir):
+    """One-row global profile: sizes, degree extremes, density — the
+    numbers that size every downstream decision (salting, partitions,
+    broadcast thresholds). Two aggs, no joins."""
+    e = derived_edges(spark, sf_dir)
+    und = derived_und(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_v = verts.count()
+    n_e = e.count()
+    n_und = und.count() // 2
+    row = deg.agg(
+        F.max("d").alias("max_out_deg"), F.avg("d").alias("avg_out")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(n_v, n_e, n_und, int(row["max_out_deg"]))],
+        "n_vertices long, n_edges long, n_und_edges long, max_out_deg long",
+    ).select(
+        "*",
+        F.round(F.col("n_edges") / F.col("n_vertices"), 6).alias("avg_out_deg"),
+        F.round(
+            F.col("n_und_edges")
+            / (F.col("n_vertices") * (F.col("n_vertices") - 1) / F.lit(2.0)),
+            6,
+        ).alias("density"),
+    )
+
+def _q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity: the share of edges whose reverse also
+    exists — one self-equi-join on the reversed key."""
+    e = derived_edges(spark, sf_dir).select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = e.count()
+    n_recip = e.join(rev.hint("shuffle_hash"), ["src", "dst"]).count()
+    return spark.createDataFrame(
+        [(n, n_recip)], "n_edges long, n_reciprocated long"
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        # rounded in-engine (HALF_UP, matching the SQL twin) — not python
+        F.round(F.col("n_reciprocated") / F.col("n_edges"), 6).alias("reciprocity"),
+    )
+
+def _q_modularity(spark, sf_dir):
+    """Newman modularity contributions of the 2-round LPA partition —
+    the quality gate a community-detection user runs next
+    (plans/metrics.py:community_modularity)."""
+    from metis_spark.plans.metrics import community_modularity
+
+    edges = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qmod_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return community_modularity(edges, labels)
+
+def _q_transitivity(spark, sf_dir):
+    """Global transitivity C = 3·triangles / wedges over the sparse und
+    graph — the one-number clustering profile (``local_clustering`` is
+    the per-vertex variant; this is its graph-level ratio-of-sums, NOT
+    the average of the per-vertex coefficients). Wedges come straight
+    off the degree table (no join); triangles reuse the degree-oriented
+    sorted-adjacency intersection (plans/triangles.py:52)."""
+    from metis_spark.plans.triangles import triangle_count
+
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    wedges2 = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2")
+    ).collect()[0]["w2"]
+    wedges = int(wedges2) // 2
+    tri = triangle_count(e)
+    return spark.createDataFrame(
+        [(wedges, tri)], "wedges long, triangles long"
+    ).select(
+        "wedges",
+        "triangles",
+        F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6).alias(
+            "transitivity"
+        ),
+    )
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) on the sparse
+    und graph: the edge density among vertices of degree > k, for each
+    threshold in RICH_CLUB_KS — the standard 'do hubs stick together'
+    profile (Colizza et al. 2006, unnormalized φ).
+
+    Plan shape: ONE degree table, one endpoint-join pass over the
+    canonical (src<dst) edge set, then both the N_k and E_k counts fan
+    out over a 4-row literal threshold spine (explode of a lit array —
+    no per-k rescan of the graph). NULL φ where N_k < 2."""
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = F.array([F.lit(k) for k in RICH_CLUB_KS])
+    spine = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k long")
+    nk = (
+        deg.select(F.explode(ks).alias("k"), "d")
+        .withColumn("k", F.col("k").cast("long"))
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    pairs = (
+        und.where(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("id").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("db")), "dst")
+    )
+    ek = (
+        pairs.select(F.explode(ks).alias("k"), "da", "db")
+        .withColumn("k", F.col("k").cast("long"))
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        spine.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.coalesce(F.col("n_k"), F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("e_k"), F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )
+
+def _q_coreness(spark, sf_dir):
+    """Full k-core decomposition (plans/coreness.py): per-vertex core
+    numbers by distributed h-index iteration — fixpoint in O(10) rounds,
+    not degeneracy-many peels."""
+    from metis_spark.plans.coreness import coreness
+
+    out, info = coreness(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qcoreness_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= CORENESS_ORACLE_ROUNDS, info
+    return out
+
+def _q_score_weighted(spark, sf_dir):
+    """WEIGHTED s-core decomposition (plans/coreness.py weight_col=):
+    integer weights are parallel-edge multiplicities, the fixpoint is
+    the multigraph core number, reached by the same h-index iteration
+    over the running-weight rank (max(least(val, cw))). Weights are
+    md5-derived per canonical undirected pair so both engines replay
+    them bit-exactly."""
+    from metis_spark.plans.coreness import coreness
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    wedges = canon.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("w"),
+                            F.col("a").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % WCORE_W_MOD
+            + 1
+        ).alias("weight"),
+    )
+    out, info = coreness(
+        wedges,
+        weight_col="weight",
+        checkpoint_dir=_tmpdir("metis_qwcore_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= WCORENESS_ORACLE_ROUNDS, info
+    return out
+
+def _q_coreness_decremental(spark, sf_dir):
+    """Decremental core maintenance: old core numbers stay UPPER bounds
+    after edge deletions (coreness is monotone in the edge set), so the
+    h-index iteration warm-started from them repairs only the
+    neighbourhoods the deletions touched — same unique fixpoint as a
+    cold run (the oracle), a fraction of the rounds."""
+    from metis_spark.plans.coreness import coreness
+
+    full = derived_edges_sparse(spark, sf_dir)
+    reduced = full.where(
+        (F.col("src") * 31 + F.col("dst")) % CORENESS_DEC_MOD != 0
+    )
+    base, info0 = coreness(
+        full, checkpoint_dir=_tmpdir("metis_qcoredec_a_"), checkpoint_every=5, retain=2
+    )
+    assert info0["converged"], info0
+    out, info = coreness(
+        reduced, init_cores=base, checkpoint_dir=_tmpdir("metis_qcoredec_b_"),
+        checkpoint_every=5, retain=2,
+    )
+    # converged is the only contract here: the warm-start round count is
+    # unrelated to the ORACLE's unroll depth (the oracle runs COLD rounds
+    # on the reduced graph and only needs to reach ITS fixpoint — h-index
+    # fixpoints are unique, so any converged run hash-matches it)
+    assert info["converged"], info
+    return out
+
+def _q_kcore(spark, sf_dir):
+    core, info = k_core(
+        derived_edges_sparse(spark, sf_dir),
+        k=KCORE_K,
+        checkpoint_dir=_tmpdir("metis_qkcore_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["iterations"] <= KCORE_ORACLE_ROUNDS, info
+    return core
+
+def _q_densest(spark, sf_dir):
+    """Densest subgraph by greedy threshold peeling (plans/densest.py,
+    Bahmani et al. PVLDB'12): per round drop vertices with
+    deg < 2(1+eps)*|E|/|V|, emit the integer-exact density trajectory —
+    its running max is the 2(1+eps)-approx densest subgraph. Trajectory
+    scalars ride the commit scan (n = rows, e = sum(deg)/2)."""
+    from metis_spark.plans.densest import densest_subgraph
+
+    traj, info = densest_subgraph(
+        derived_edges_sparse(spark, sf_dir),
+        eps_tenths=DENSEST_EPS_TENTHS,
+        checkpoint_dir=_tmpdir("metis_qdensest_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["rounds"] <= DENSEST_ORACLE_ROUNDS, info
+    return traj
+
+def _q_wl_colors(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement, 3 rounds (plans/wl.py):
+    order-independent hash-WL — the neighbor multiset enters as an exact
+    integer SUM(rehash(color)) mod 2^60, so the per-round aggregation
+    map-side-combines and the colors are bit-identical across engines
+    and cluster sizes."""
+    from metis_spark.plans.wl import wl_colors
+
+    colors, info = wl_colors(derived_edges_sparse(spark, sf_dir), rounds=WL_ROUNDS)
+    assert info["rounds"] == WL_ROUNDS and len(info["n_colors_per_round"]) == WL_ROUNDS + 1
+    return colors
+
+def _q_wl_class_histogram(spark, sf_dir):
+    """WL color-class size distribution — the graph's structural
+    fingerprint signature (two graphs with different histograms are
+    provably non-isomorphic): (class_size, n_classes) from the round-3
+    colors."""
+    from metis_spark.plans.wl import wl_colors
+
+    colors, _ = wl_colors(derived_edges_sparse(spark, sf_dir), rounds=WL_ROUNDS)
+    cls = colors.groupBy("color").agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    return cls.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes")
+    )
+
+def _q_betweenness(spark, sf_dir):
+    """Approximate betweenness: exact Brandes restricted to the 8
+    smallest-id sources of the sparse graph (plans/betweenness.py) —
+    forward σ/level BFS + backward dependency accumulation."""
+    from metis_spark.plans.betweenness import betweenness_approx
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [r["id"] for r in verts.orderBy("id").limit(N_BETW_SOURCES).collect()]
+    bc, info = betweenness_approx(edges, srcs, max_depth=BETW_ROUNDS + 2)
+    assert info["depth"] <= BETW_ROUNDS, info
+    return bc
+
+def _q_edge_betweenness(spark, sf_dir):
+    """Girvan–Newman edge betweenness restricted to the same 8 landmark
+    sources (plans/betweenness.py:edge_betweenness_approx): the backward
+    dependency summands grouped by DAG edge instead of predecessor —
+    shares the forward σ pass and edge partitions with the vertex
+    variant."""
+    from metis_spark.plans.betweenness import edge_betweenness_approx
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [r["id"] for r in verts.orderBy("id").limit(N_BETW_SOURCES).collect()]
+    ebc, info = edge_betweenness_approx(edges, srcs, max_depth=BETW_ROUNDS + 2)
+    assert info["depth"] <= BETW_ROUNDS, info
+    return ebc
+
+def _q_louvain(spark, sf_dir):
+    """Two synchronous Louvain local-moving sweeps on the sparse graph
+    (plans/louvain.py): per-vertex modularity-gain argmax with the
+    ROUND(gain,9)+min-label tie discipline, so the unrolled oracle
+    replays every move."""
+    from metis_spark.plans.louvain import louvain_local_moving
+
+    labels, info = louvain_local_moving(
+        derived_edges_sparse(spark, sf_dir),
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qlouvain_"),
+    )
+    assert info["iterations"] == LOUVAIN_ROUNDS, info
+    return labels
+
+def _q_louvain_multilevel(spark, sf_dir):
+    """Full two-level Louvain (plans/louvain.py louvain_multilevel):
+    local moving, quotient-multigraph coarsening (integer und-row
+    weights), then a second WEIGHTED moving pass — every move at both
+    levels replayed bit-exactly by the unrolled oracle."""
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    labels, info = louvain_multilevel(
+        derived_edges_sparse(spark, sf_dir),
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qlouvain2_"),
+    )
+    assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
+    return labels
+
+def _q_community_quotient(spark, sf_dir):
+    """Community quotient graph: weighted inter-community edges after
+    the level-1 Louvain sweeps — the coarsened graph a multilevel run
+    feeds forward, exposed as a queryable table (who talks to whom, and
+    how much, at community granularity). One map-side-combined groupBy
+    over the label-joined und edges; self-loops = intra-community mass
+    (2·w_self in und-row space)."""
+    from metis_spark.plans.louvain import louvain_local_moving
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    labels, info = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qcq_")
+    )
+    assert info["iterations"] == LOUVAIN_ROUNDS, info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        und.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("ca"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("cb"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
+        .groupBy(F.col("ca").alias("c_src"), F.col("cb").alias("c_dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+def _q_community_pagerank(spark, sf_dir):
+    """Community-level PageRank: weighted power iteration over the
+    Louvain quotient graph — 'which communities matter', the two-scale
+    composition a link-graph user runs after community detection. Both
+    stages are independently verified operators (louvain_local_moving +
+    pagerank(weight_col=)); the quotient has |communities| vertices, so
+    the iteration runs on a graph orders of magnitude smaller than the
+    input."""
+    from metis_spark.plans.louvain import louvain_local_moving
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    labels, info = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qcpr_a_")
+    )
+    assert info["iterations"] == LOUVAIN_ROUNDS, info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    q_edges = (
+        und.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("ca"))
+            .hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("cb"))
+            .hint("shuffle_hash"),
+            "dst",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks, _ = pagerank(
+        q_edges,
+        tol=0.0,
+        max_iter=PR_ITERS,
+        weight_col="w",
+        checkpoint_dir=_tmpdir("metis_qcpr_b_"),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+def _q_louvain_trajectory(spark, sf_dir):
+    """Per-level modularity trajectory of two-level Louvain: one row per
+    level (0 = singletons, 1 = after local moving, 2 = after the
+    quotient sweep) with community count and total Newman modularity
+    Q = intra/m − Σ_c (D_c/(2m))² — the quality curve users eyeball to
+    decide whether another level is worth it. Level-1 labels come free
+    from the multilevel run (parquet-backed commit); each level's score
+    is two SHJ label joins + two map-side-combining groupBys, scalars
+    only at the driver."""
+    from metis_spark.plans.louvain import louvain_multilevel
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    l2, info = louvain_multilevel(
+        edges,
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qlouvtraj_"),
+    )
+    assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    m = und.count() / 2.0
+    canon = und.where(F.col("src") < F.col("dst"))
+
+    def _score(labels):
+        la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+        intra = (
+            canon.join(la.hint("shuffle_hash"), "src")
+            .join(lb.hint("shuffle_hash"), "dst")
+            .where(F.col("la") == F.col("lb"))
+            .count()
+        )
+        agg = (
+            labels.join(deg.hint("shuffle_hash"), "id")
+            .groupBy("label")
+            .agg(F.sum("deg").alias("D"))
+            .agg(
+                F.count(F.lit(1)).alias("ncomm"),
+                F.sum(F.pow(F.col("D") / F.lit(2.0 * m), F.lit(2.0))).alias("ss"),
+            )
+            .collect()[0]
+        )
+        q = _round_half_away(intra / m - float(agg["ss"]), 6)
+        return int(agg["ncomm"]), q
+
+    l0 = deg.select("id", F.col("id").alias("label"))
+    rows = []
+    for lvl, labels in ((0, l0), (1, info["level1_labels"]), (2, l2)):
+        ncomm, q = _score(labels)
+        rows.append((lvl, ncomm, q))
+    und.unpersist()
+    return spark.createDataFrame(
+        rows, "level long, communities long, modularity double"
+    )
+
+def _q_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring (plans/coloring.py): equals the
+    sequential greedy pass in hash-priority order, so the unrolled
+    oracle reproduces it exactly. Fixed-priority JP rounds = the longest
+    h-decreasing path, which grows with density — 9/20 rounds at the
+    oracle-gate scales but >100 at sf0.1 even thinned, hence the raised
+    budget and the gate-scale-only round assert (the scale-right
+    O(log n)-round variant is ``coloring_luby``)."""
+    from metis_spark.plans.coloring import greedy_coloring
+
+    out, info = greedy_coloring(
+        _coloring_edges(spark, sf_dir),
+        max_iter=500,
+        checkpoint_dir=_tmpdir("metis_qcolor_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["n_colors"] <= 64, info
+    if os.path.basename(sf_dir.rstrip("/")) in ("sf0.001", "sf0.01"):
+        # the unrolled oracle only runs at the gate scales; its depth
+        # must cover the fixpoint there
+        assert info["iterations"] <= COLOR_ORACLE_ROUNDS, info
+    return out
+
+def _q_mis(spark, sf_dir):
+    """Deterministic-Luby maximal independent set of the sparse graph
+    (plans/mis.py) — fixed injective hash priorities make the round
+    sequence engine-replayable, so the unrolled oracle reaches the
+    identical set."""
+    from metis_spark.plans.mis import maximal_independent_set
+
+    out, info = maximal_independent_set(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qmis_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= MIS_ORACLE_ROUNDS, info
+    return out
+
+def _q_ktruss(spark, sf_dir):
+    """4-truss of the sparse graph: edges in ≥2 triangles after cascade
+    peeling (plans/ktruss.py — edge-support twin of k-core)."""
+    from metis_spark.plans.ktruss import k_truss
+
+    sup, info = k_truss(
+        derived_edges_sparse(spark, sf_dir),
+        k=KTRUSS_K,
+        checkpoint_dir=_tmpdir("metis_qktruss_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= KTRUSS_ORACLE_ROUNDS, info
+    return sup
+
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition (plans/trussness.py): per-edge truss
+    numbers by distributed edge-h-index iteration over a
+    once-materialized triangle table — fixpoint in O(1) rounds here,
+    never truss-many peeling levels."""
+    from metis_spark.plans.trussness import trussness
+
+    out, info = trussness(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qtrussness_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= TRUSSNESS_ORACLE_ROUNDS, info
+    return out
+
+def _q_onion(spark, sf_dir):
+    """Onion decomposition (plans/onion.py): per-vertex (layer, core) by
+    synchronous peeling sweeps — the multi-scale refinement of coreness
+    (core column pinned equal to the h-index result by pytest)."""
+    from metis_spark.plans.onion import onion_decomposition
+
+    out, info = onion_decomposition(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qonion_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["layers"] <= ONION_ROUNDS, info
+    return out
+
+def _q_trussness_decremental(spark, sf_dir):
+    """Decremental truss maintenance: old truss numbers of surviving
+    edges stay UPPER bounds after edge deletions (trussness is monotone
+    in the edge set), so the edge-h-index iteration warm-started from
+    them repairs only the triangle neighbourhoods the deletions touched
+    — same unique fixpoint as a cold run (the oracle), in a fraction of
+    the descent rounds (plans/trussness.py init_truss)."""
+    from metis_spark.plans.trussness import trussness
+
+    full = derived_edges_sparse(spark, sf_dir)
+    reduced = full.where((F.col("src") * 31 + F.col("dst")) % TRUSS_DEC_MOD != 0)
+    base, info0 = trussness(
+        full, checkpoint_dir=_tmpdir("metis_qtrussdec_a_"), checkpoint_every=5, retain=2
+    )
+    assert info0["converged"], info0
+    out, info = trussness(
+        reduced, init_truss=base, checkpoint_dir=_tmpdir("metis_qtrussdec_b_"),
+        checkpoint_every=5, retain=2,
+    )
+    # converged is the only contract: h-index fixpoints are unique, so any
+    # converged run hash-matches the oracle's cold fixed-round unroll
+    assert info["converged"], info
+    return out
+
+def _q_partition_assignment(spark, sf_dir):
+    """Balanced k-way partition (plans/partition.py): one multilevel
+    V-cycle — heavy-edge coarsen (the heavy_edge_coarsen matching),
+    md5-hash initial partition of the QUOTIENT, project, then one greedy
+    boundary-refinement pass (two parity-staged sub-rounds, moves to the
+    neighbor-majority part under the hard cap floor(1.1*n/k),
+    deterministic tie-breaks). Per-vertex (id, part) — the full
+    assignment hash-matches the unrolled twin."""
+    from metis_spark.plans.partition import kway_partition
+
+    parts, info = kway_partition(
+        derived_edges_sparse(spark, sf_dir),
+        k=PARTITION_K,
+        eps=PARTITION_EPS10 / 10.0,
+        checkpoint_dir=_tmpdir("metis_qpart_"),
+    )
+    assert (
+        info["match_converged"]
+        and info["match_iterations"] <= MATCHING_ORACLE_ROUNDS
+    ), info
+    return parts
+
+def _q_partition_quality(spark, sf_dir):
+    """Partition quality report (VERDICT r3 item 5 'reported edge-cut'):
+    the refined V-cycle cut vs the fine-level hash-partition baseline
+    (SAME md5 hash family, so like-for-like), plus balance extrema vs
+    the cap. Asserts the multilevel cut strictly beats hash
+    partitioning at the gate scales."""
+    from metis_spark.plans.partition import edge_cut, hash_partition, kway_partition
+
+    e = derived_edges_sparse(spark, sf_dir)
+    parts, info = kway_partition(
+        e, k=PARTITION_K, eps=PARTITION_EPS10 / 10.0,
+        checkpoint_dir=_tmpdir("metis_qpartq_"),
+    )
+    assert (
+        info["match_converged"]
+        and info["match_iterations"] <= MATCHING_ORACLE_ROUNDS
+    ), info
+    sz = parts.groupBy("part").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.max("c").cast("long").alias("max_part"),
+        F.min("c").cast("long").alias("min_part"),
+    )
+    out = (
+        sz.crossJoin(
+            edge_cut(e, hash_partition(e, PARTITION_K)).select(
+                F.col("cut").alias("cut_hash")
+            )
+        )
+        .crossJoin(edge_cut(e, parts).select(F.col("cut").alias("cut_refined")))
+        .select(
+            F.lit(PARTITION_K).cast("long").alias("k"),
+            F.lit(info["n"]).cast("long").alias("n_vertices"),
+            F.lit(info["cap"]).cast("long").alias("cap"),
+            "max_part",
+            "min_part",
+            "cut_hash",
+            "cut_refined",
+        )
+    )
+    row = out.first()
+    assert row.cut_refined < row.cut_hash, (row.cut_refined, row.cut_hash)
+    return out
+
+def _q_affinity_clusters(spark, sf_dir):
+    """Affinity clustering level-2 (plans/mst.py:affinity_clusters —
+    Bateni et al. NeurIPS'17): clusters are the Borůvka fragments after
+    2 min-edge merge rounds over the hash-weighted sparse graph."""
+    from metis_spark.plans.mst import affinity_clusters
+
+    weighted = derived_edges_sparse(spark, sf_dir).select(
+        "src", "dst", _msf_weight_col().alias("weight")
+    )
+    out, info = affinity_clusters(
+        weighted, level=AFFINITY_LEVEL,
+        checkpoint_dir=_tmpdir("metis_qaffinity_"),
+    )
+    assert info["inner_steps_max"] <= MSF_INNER_J, info
+    return out

@@ -1,0 +1,403 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import CENTER_K, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, COOC_CAP, COOC_K, EMB_K, FUNNEL_MIN_QUALITY, FUNNEL_MIN_TOKENS, GRAPH_MOD, HEC_MAXP, HH_MIN_COUNT, HUB_CAP, LINKPRED_K, MATCHING_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N_WALKS, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, WALK_LEN, WS_K, _landmark_sources, _msf_weight_col, _t, _tmpdir, derived_edges, derived_edges_sparse  # noqa: E501,F401
+
+
+def _q_asof_fallback(spark, sf_dir):
+    """Keyed forward-fill with a SCOPED fallback: a purchase with no prior
+    signup for its user anchors to the latest signup in the user's shard
+    (user_id % 16 — the engine's analog of the reference's per-file scope).
+    No unpartitioned window anywhere in the plan."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("user_id") % 16).cast("long")
+    )
+    filled = last_event_fallback(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.when(F.col("event_type") == "signup", F.col("event_id")),
+        "anchor_event_id",
+        fallback_scope_cols=["shard"],
+    )
+    return filled.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "anchor_event_id"
+    )
+
+def _q_anti_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti").select("o_orderkey")
+
+def _q_running_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+def _q_graph_degrees(spark, sf_dir):
+    return (
+        derived_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+
+def _q_edge_diff(spark, sf_dir):
+    """Snapshot audit (operators/edge_maintenance.py edge_diff): the
+    symmetric difference between the edge tables two corpus snapshots
+    derive — here two deterministic lineitem slices (even line numbers
+    vs quantity ≤ 40) standing in for crawl T and crawl T+1."""
+    from metis_spark.operators.edge_maintenance import edge_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def snap(cond):
+        return (
+            li.where(cond)
+            .select(
+                (F.col("l_orderkey") % GRAPH_MOD).alias("src"),
+                (F.col("l_partkey") % GRAPH_MOD).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    old = snap(F.col("l_linenumber") % 2 == 0)
+    new = snap(F.col("l_quantity") <= 40)
+    return edge_diff(old, new)
+
+def _q_center(spark, sf_dir):
+    """Landmark graph-center estimate: the 5 vertices minimizing the
+    eccentricity lower bound max_s d(s, v) over the 3 landmarks
+    (plans/sssp.py:center_landmarks); only fully-reached vertices
+    compete, ties by id."""
+    from metis_spark.plans.sssp import center_landmarks
+
+    edges = derived_edges(spark, sf_dir)
+    return center_landmarks(
+        edges, _landmark_sources(spark, sf_dir), k=CENTER_K,
+        checkpoint_dir=_tmpdir("metis_qcenter_"), max_iter=SSSP_ROUNDS,
+    )
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (plans/walks.py): one walk from
+    each of the 64 smallest vertices, next hop = arg-min of an arithmetic
+    hash over out-neighbors — replayable DeepWalk-style sampling for
+    graph-to-training-data pipelines."""
+    from metis_spark.plans.walks import random_walks
+
+    edges = derived_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(N_WALKS)
+    )
+    return random_walks(edges, starts, length=WALK_LEN)
+
+def _q_walk_sentences(spark, sf_dir):
+    """Walk corpus rendered as skip-gram training sentences: space-joined
+    vertex ids per walk (plans/walks.py:walk_sentences)."""
+    from metis_spark.plans.walks import random_walks, walk_sentences
+
+    edges = derived_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(N_WALKS)
+    )
+    return walk_sentences(random_walks(edges, starts, length=WALK_LEN))
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis–Spirakis weighted sample (top-100 by
+    ln(u)/w priority, w = doc length) — inclusion ∝ n_chars,
+    reproducible across engines/cluster sizes
+    (operators/sampling.py:weighted_sample_topk)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    return SAMP.weighted_sample_topk(docs, "doc_id", "w", k=WS_K)
+
+def _q_heavy_hitter_users(spark, sf_dir):
+    """Exact heavy hitters via the candidate-pruned two-pass plan
+    (operators/sketches.py): per-partition Arrow counting emits provably
+    complete candidates; only candidates are shuffled and recounted.
+    Output is exact, so the plain GROUP BY/HAVING oracle pins it."""
+    from metis_spark.operators.sketches import exact_heavy_hitters
+
+    events = _t(spark, sf_dir, "events")
+    return exact_heavy_hitters(events, "user_id", HH_MIN_COUNT)
+
+def _q_dataset_splits(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — documents never
+    migrate between splits as the corpus grows (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.split_assign(
+        docs, "doc_id", [("train", 80), ("val", 10), ("test", 10)]
+    )
+    return out.select("doc_id", "lang", "split")
+
+def _q_benchmark_contamination(spark, sf_dir):
+    """Train/eval n-gram decontamination audit
+    (operators/corpus_stats.py benchmark_contamination): fraction of each
+    non-benchmark document's distinct 5-grams that appear in the
+    benchmark slice — broadcast-semi shape, the corpus side never
+    shuffles except the final per-doc groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_REM
+    return CS.benchmark_contamination(
+        docs.where(~is_bench), docs.where(is_bench), k=CONTAM_K
+    )
+
+def _q_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel: ordered stages (too_short → low_quality →
+    exact_dup), each applied to the previous stage's survivors — the
+    drop-off audit every corpus-curation run reports. Stage flags are
+    per-row expressions; the dup stage is one window over the
+    fingerprints of stage-2 survivors (min-doc_id representative kept).
+    Output: one row per stage with docs dropped there + running
+    survivors, all integers."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("n_tok"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("score"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    flagged = (
+        docs.withColumn("s1", F.col("n_tok") < FUNNEL_MIN_TOKENS)
+        .withColumn("s2", ~F.col("s1") & (F.col("score") < FUNNEL_MIN_QUALITY))
+        .withColumn("keep12", ~F.col("s1") & ~F.col("s2"))
+    )
+    # rank only stage-1/2 survivors within each fingerprint: survivors
+    # sort first, so a survivor's row_number counts prior survivors only
+    w = Window.partitionBy("fp").orderBy(F.desc("keep12"), F.asc("doc_id"))
+    staged = (
+        flagged.withColumn(
+            "rn", F.when(F.col("keep12"), F.row_number().over(w))
+        )
+        .select(
+            F.when(F.col("s1"), F.lit(1))
+            .when(F.col("s2"), F.lit(2))
+            .when(F.col("rn") > 1, F.lit(3))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("stage")
+        )
+    )
+    counts = {
+        int(r["stage"]): int(r["n"])
+        for r in staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    rows, surviving = [], total
+    for stage, name in ((1, "too_short"), (2, "low_quality"), (3, "exact_dup")):
+        dropped = counts.get(stage, 0)
+        surviving -= dropped
+        rows.append((stage, name, dropped, surviving))
+    return spark.createDataFrame(
+        rows, "stage long, stage_name string, dropped long, surviving long"
+    )
+
+def _q_local_clustering(spark, sf_dir):
+    return local_clustering(derived_edges_sparse(spark, sf_dir))
+
+def _q_vertex_jaccard(spark, sf_dir):
+    return vertex_jaccard_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+def _q_attr_assortativity(spark, sf_dir):
+    """Newman's nominal assortativity (homophily coefficient) on the
+    sparse graph with brand labels from the part dimension — "do parts
+    of the same brand co-purchase?" (plans/metrics.py:
+    attribute_assortativity). Vertex label = MIN(p_brand) over the parts
+    folding onto the vertex id (deterministic), 'none' for pure
+    order-side vertices. Integer-exact mixing-matrix identity; the one
+    float is the final division."""
+    from metis_spark.plans.metrics import attribute_assortativity
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    labels = (
+        part.select(
+            (F.col("p_partkey") % SPARSE_MOD).alias("id"), F.col("p_brand").alias("lab")
+        )
+        .groupBy("id")
+        .agg(F.min("lab").alias("lab"))
+    )
+    return attribute_assortativity(edges, labels)
+
+def _q_edge_embeddedness(spark, sf_dir):
+    """Top-100 edges by embeddedness |N(a) ∩ N(b)| with neighborhood
+    Jaccard (plans/metrics.py:edge_embeddedness) — the tie-strength /
+    strong-triadic-closure signal; all-integer ranking key."""
+    from metis_spark.plans.metrics import edge_embeddedness
+
+    return edge_embeddedness(derived_edges_sparse(spark, sf_dir), k=EMB_K)
+
+def _q_pref_attach(spark, sf_dir):
+    """Preferential-attachment predictor over non-adjacent 2-hop pairs
+    (full degrees; wedge cap bounds candidate generation only)."""
+    from metis_spark.plans.metrics import preferential_attachment_topk
+
+    return preferential_attachment_topk(
+        derived_edges_sparse(spark, sf_dir), k=LINKPRED_K, hub_cap=HUB_CAP
+    )
+
+def _q_copart_topk(spark, sf_dir):
+    """Top-50 part pairs co-occurring in orders — the bipartite projection
+    a recommender/co-import analysis starts from
+    (operators/corpus_stats.py:cooccurrence_topk, capped wedge join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return CS.cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=COOC_K, group_cap=COOC_CAP
+    )
+
+def _q_spec_coloring(spark, sf_dir):
+    """Trial-and-revoke Δ+1 coloring (plans/coloring.py
+    speculative_coloring) on the FULL sparse graph — the O(log n)-round
+    scale path (measured 3-4 rounds at every sf where Jones–Plassmann
+    needs 9/79/>200): speculate a palette color by round-salted hash,
+    revoke the larger-hash side of same-color edges."""
+    from metis_spark.plans.coloring import speculative_coloring
+
+    out, info = speculative_coloring(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qspeccolor_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= SPEC_COLOR_ORACLE_ROUNDS, info
+    return out
+
+def _q_msf(spark, sf_dir):
+    """Minimum spanning forest by distributed Borůvka rounds
+    (plans/mst.py): per-fragment min-edge selection under the total
+    order (weight, s, d) + hash-min quotient contraction. Hash-derived
+    distinct weights make the MSF unique, so the unrolled oracle
+    hash-matches regardless of contraction implementation."""
+    from metis_spark.plans.mst import minimum_spanning_forest
+
+    weighted = derived_edges_sparse(spark, sf_dir).select(
+        "src", "dst", _msf_weight_col().alias("weight")
+    )
+    msf, info = minimum_spanning_forest(
+        weighted, checkpoint_dir=_tmpdir("metis_qmsf_"),
+        checkpoint_every=2, retain=2,
+    )
+    assert (
+        info["converged"]
+        and info["rounds"] <= MSF_ORACLE_ROUNDS
+        and info["inner_steps_max"] <= MSF_INNER_J
+    ), info
+    return msf
+
+def _q_maximal_matching(spark, sf_dir):
+    """Maximal matching (plans/matching.py): deterministic locally-
+    dominant (mutual-minimum) edge rounds under the strict (hash, s, d)
+    priority order — equals THE sequential greedy matching for that
+    order, so the unrolled oracle hash-matches any converged run."""
+    from metis_spark.plans.matching import maximal_matching
+
+    out, info = maximal_matching(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qmatching_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= MATCHING_ORACLE_ROUNDS, info
+    return out
+
+def _q_heavy_edge_coarsen(spark, sf_dir):
+    """One METIS-style multilevel-coarsening step: maximal matching
+    under MAX-weight-first priority (heavy-edge matching — the same
+    locally-dominant rounds with inverted priority), then contract each
+    matched pair to its min vertex and aggregate the weighted quotient
+    graph → (qa, qb, total_w, n_edges). The coarse graph a multilevel
+    partitioner/Louvain feeds forward."""
+    from metis_spark.plans.matching import maximal_matching
+
+    weighted = derived_edges_sparse(spark, sf_dir).select(
+        "src", "dst", _msf_weight_col().alias("weight")
+    )
+    prio = weighted.withColumn("p", F.lit(HEC_MAXP) - F.col("weight"))
+    match, info = maximal_matching(
+        prio, priority_col="p",
+        checkpoint_dir=_tmpdir("metis_qhec_"),
+    )
+    assert info["converged"] and info["iterations"] <= MATCHING_ORACLE_ROUNDS, info
+    # label: matched vertices -> min of the pair; others -> self
+    lab = match.select(F.col("src").alias("id"), F.col("src").alias("lab")).unionByName(
+        match.select(F.col("dst").alias("id"), F.col("src").alias("lab"))
+    )
+    ce = weighted.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+        "weight",
+    ).where(F.col("a") != F.col("b")).groupBy("a", "b").agg(
+        F.min("weight").alias("w")
+    )
+    rel = (
+        ce.join(lab.select(F.col("id").alias("a"), F.col("lab").alias("la")), "a", "left")
+        .join(lab.select(F.col("id").alias("b"), F.col("lab").alias("lb")), "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("ca"),
+            F.coalesce("lb", F.col("b")).alias("cb"),
+            "w",
+        )
+        .where(F.col("ca") != F.col("cb"))
+    )
+    return (
+        rel.select(
+            F.least("ca", "cb").alias("qa"), F.greatest("ca", "cb").alias("qb"), "w"
+        )
+        .groupBy("qa", "qb")
+        .agg(
+            # decimal BEFORE the sum: 60-bit weights overflow BIGINT after
+            # ~8 rows under ANSI; HUGEINT/decimal renders as plain digits
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("string").alias("total_w"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+        )
+    )

@@ -1,0 +1,271 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import CROSS_N, SESSION_GAP_MIN, _t  # noqa: E501,F401
+
+
+def _q_count_by_kind(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+def _q_global_count(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+def _q_distinct_kinds(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+def _q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, ["user_id"], ["ts", "event_id"], F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "part_index")
+
+def _q_session_windows(spark, sf_dir):
+    """Native gap-based session windows (F.session_window): per-user
+    dynamic windows that merge events closer than the gap — the
+    streaming-capable sibling of the lag+cumsum ``sessionize`` (W1).
+    session_window is the one windowing primitive whose batch groupBy
+    and watermarked streaming aggregation share a plan, so this batch
+    twin is what the streaming path (streaming/incremental.py
+    streaming_session_windows) is reconciled against. Epoch-second
+    bounds; end = last event + gap (Spark's closed-open convention)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("s_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("e_epoch"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+def _q_forward_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return forward_fill(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        F.when(F.col("event_type") == "signup", F.col("value")),
+        "last_signup_value",
+    ).select("event_id", "user_id", F.round("last_signup_value", 4).alias("last_signup_value"))
+
+def _q_lookup_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+        "left",
+    ).select("o_orderkey", "c_mktsegment")
+
+def _q_bit_test(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    flg = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 256
+    bit6 = flg.bitwiseAND(F.lit(64))
+    bit7 = flg.bitwiseAND(F.lit(128))
+    result = (
+        F.when((bit6 == 0) & (bit7 == 0), 1)
+        .when((bit6 != 0) & (bit7 == 0), 0)
+        .when((bit7 != 0) & (bit6 == 0), 2)
+        .otherwise(-1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flg.cast("long").alias("flg"),
+        result.cast("long").alias("result"),
+    )
+
+def _q_impute(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    joined = li.join(
+        p.select("p_partkey", "p_brand", "p_retailprice"),
+        li["l_partkey"] == p["p_partkey"],
+        "left",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("p_brand", F.lit("UNKNOWN")).alias("brand_filled"),
+        F.round(F.coalesce("p_retailprice", F.lit(0.0)), 2).alias("price_filled"),
+    )
+
+def _q_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+def _q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+def _q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    pv = ev.groupBy("user_id").pivot("event_type", kinds).agg(
+        F.round(F.sum("value"), 4)
+    )
+    return pv.select("user_id", *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds])
+
+def _q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+def _q_set_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+def _q_order_stats(spark, sf_dir):
+    """Ordered-set + statistical aggregates: exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`), stddev, correlation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+def _q_lag_delta(spark, sf_dir):
+    """LAG analytic: per-user value delta between consecutive events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+def _q_json_hour(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+def _q_events_in_windows(spark, sf_dir):
+    """Bucketed interval-containment join: all events falling inside each
+    low-user activity window — an equi-join on time buckets, never a
+    BroadcastNestedLoopJoin (operators/windows.py:interval_join)."""
+    from metis_spark.operators.windows import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    iv = (
+        events.where(F.col("user_id") < 3)
+        .groupBy(F.col("user_id").alias("w_user"))
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    return interval_join(
+        events.select("event_id", "ts", "user_id"), iv
+    ).select("event_id", "user_id", "w_user")
+
+def _q_window_distinct(spark, sf_dir):
+    """Exact distinct users per tumbling hour window × event_type — the
+    batch twin of streaming_windowed_distinct (streaming/incremental.py),
+    which keeps an O(1) HLL++ sketch per open window because exact
+    COUNT(DISTINCT) is unsupported on streams. One shuffle keyed by
+    (window, event_type); epoch-hour tumbling windows align F.window
+    with date_trunc('hour') exactly (session TZ pinned UTC)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("w_epoch"),
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+def _q_threshold_crossers(spark, sf_dir):
+    """The event at which each user's cumulative count crosses N — the
+    batch twin of streaming_threshold_crossers (streaming/
+    incremental.py, applyInPandasWithState emit-once state machine).
+    One per-user rank window over (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == CROSS_N)
+        .select(
+            "user_id",
+            F.col("ts").alias("crossed_at"),
+            F.lit(CROSS_N).cast("long").alias("nth"),
+        )
+    )

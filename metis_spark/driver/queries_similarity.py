@@ -1,0 +1,225 @@
+"""Auto-split from __spark_entry__.py (driver contract facade keeps
+entry/queries/oracle_sql). Family module of the metis_spark.driver
+package — see tools/split_entry.py for the classification rules."""
+
+from __future__ import annotations
+import atexit
+import os
+import shutil
+import sys
+import tempfile
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from metis_spark.functions import text as TX  # noqa: E402
+from metis_spark.operators import corpus_stats as CS  # noqa: E402
+from metis_spark.operators import dedup as DD  # noqa: E402
+from metis_spark.operators import sampling as SAMP  # noqa: E402
+from metis_spark.operators import similarity as SIM  # noqa: E402
+from metis_spark.operators.windows import (  # noqa: E402
+    forward_fill,
+    last_event_fallback,
+    sessionize,
+)
+from metis_spark.plans.components import connected_components  # noqa: E402
+from metis_spark.plans.lpa import label_propagation  # noqa: E402
+from metis_spark.plans.metrics import (  # noqa: E402
+    adamic_adar_topk,
+    degree_assortativity,
+    local_clustering,
+    vertex_jaccard_topk,
+)
+from metis_spark.plans.kcore import k_core  # noqa: E402
+from metis_spark.plans.pagerank import pagerank  # noqa: E402
+from metis_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+    triangle_count_per_vertex,
+)
+
+from metis_spark.driver.common import ANN_PLANES, ANN_TABLES, DEDUP_CC_ROUNDS, HARDNEG_K, IVF_NPROBE, IVF_STRIDE, KCENTER_K, NEARDUP_PLANES, NEARDUP_TABLES, N_MEDIA, _t, _tmpdir  # noqa: E501,F401
+
+
+def _q_media_decode(spark, sf_dir):
+    """Multimodal: REAL binary decode (PNG IHDR+IDAT inflate, WAV fmt/data,
+    MP4 ftyp/mvhd) via Arrow-batched mapInPandas. The oracle recomputes every
+    decoded field from the synthesis recipe's closed form — a full round-trip
+    check of the byte parser. (digest is sha256 of the payload — pinned by
+    pytest against a JVM-side sha2, not SQL-expressible, so excluded here.)"""
+    from metis_spark.operators.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(spark, N_MEDIA)
+    dec = decode_media(media)
+    # inapplicable fields (e.g. width of a WAV) are null in the API; the gate
+    # compares them as -1 so both engines hash identical non-null longs
+    n1 = lambda c: F.coalesce(F.col(c), F.lit(-1)).cast("long").alias(c)  # noqa: E731
+    return dec.select(
+        "media_id", "kind", "ok", "format", n1("n_bytes"),
+        n1("width"), n1("height"), n1("bit_depth"), n1("pixel_sum"),
+        n1("channels"), n1("sample_rate"), n1("n_samples"), n1("sample_sum"),
+        n1("duration_ms"),
+    )
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal: fixed-dim feature vectors from binary payloads."""
+    from metis_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, N_MEDIA)
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", F.size("feature").cast("long").alias("dim"))
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+def _q_kcenter(spark, sf_dir):
+    """Greedy k-center / farthest-first seeds over the embedding corpus
+    (operators/similarity.py:kcenter_seeds) — the deterministic
+    2-approx diversity seeder; round-before-rank cosine distance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kcenter_seeds(emb, "vec_id", "embedding", k=KCENTER_K)
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for the 5 smallest vec_ids, the
+    top-3 most-cosine-similar vectors with a DIFFERENT label — the
+    standard batch-mining step for contrastive/embedding training.
+    Broadcast-query crossJoin, round-before-rank (same discipline as
+    cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("label").alias("c_label"),
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(SIM.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HARDNEG_K)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+def _q_sq8_codes(spark, sf_dir):
+    """SQ8 scalar-quantized embedding codes (operators/similarity.py:
+    scalar_quantize_codes): per-dim min/max scale, floor-coded —
+    integer-exact across engines because nothing sums floats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.scalar_quantize_codes(emb, "vec_id", "embedding")
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.40, a < b).
+
+    Shipped plan is LSH-bucketed candidates + exact verification — NO
+    CartesianProduct (pinned by test_plan_shape). The DuckDB oracle is the
+    all-pairs scan, so candidate coverage of every true pair is part of
+    the correctness gate. Threshold sits at the ~99.95th percentile of the
+    synthetic similarity distribution (max ≈ 0.51) so the set is non-trivial.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.40,
+        dim=64, num_tables=NEARDUP_TABLES, num_planes=NEARDUP_PLANES,
+    )
+
+def _q_ann_lsh(spark, sf_dir):
+    """Approximate ANN via hyperplane-LSH buckets (the scale path). Fully
+    oracle-checked: the md5-derived hyperplanes are reproduced bit-exactly
+    in DuckDB (60-bit construction, similarity.py:_hyperplane), so the
+    bucket assignment, candidate set, and ranking all hash-match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_bucket_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, dim=64,
+        num_tables=ANN_TABLES, num_planes=ANN_PLANES,
+    )
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """ANN quality gate: per-query recall of the LSH path vs exact top-k.
+    A bucketing regression (wrong planes, dropped tables) shows up here as
+    recall < 1 even though ann_lsh_bucketed alone would still 'run'."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    approx = SIM.lsh_bucket_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, dim=64,
+        num_tables=ANN_TABLES, num_planes=ANN_PLANES,
+    )
+    return SIM.topk_recall(exact, approx)
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k (the second ANN scale path, next to LSH).
+
+    Coarse quantizer = deterministic stride sample (vec_id % 25), so the
+    DuckDB oracle reproduces the centroid set, the argmax-cosine list
+    assignment, the nprobe probe set, and the ranking bit-exactly. The
+    Lloyd-trained quantizer (ivf_fit) is pinned by pytest on a clustered
+    fixture instead — training in unrolled SQL would be unreadable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    return SIM.ivf_topk(
+        emb, queries_df, cent, "vec_id", "embedding", k=5, nprobe=IVF_NPROBE
+    )
+
+def _q_embedding_cluster_sizes(spark, sf_dir):
+    """Coarse-quantizer cluster-size histogram: how the corpus
+    distributes over the IVF inverted lists — the skew check run before
+    trusting nprobe search (one fat list = one slow probe; the same
+    argmax-cosine assignment as ann_ivf_topk, so the oracle reproduces
+    it bit-exactly). One broadcast against L centroids + one
+    map-side-combining groupBy; the cluster table is L rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    asg = SIM.ivf_assign(emb, cent, "vec_id", "embedding")
+    return asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Quality gate for the IVF path: per-query recall vs exact top-k.
+    On the near-gaussian fixture recall reflects nprobe/L (no cluster
+    structure to exploit — see similarity.py fixture-honesty note); the
+    gate's job is to keep the number measured and oracle-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    approx = SIM.ivf_topk(
+        emb, queries_df, cent, "vec_id", "embedding", k=5, nprobe=IVF_NPROBE
+    )
+    return SIM.topk_recall(exact, approx)
+
+def _q_embedding_dedup_clusters(spark, sf_dir):
+    """Embedding-space dedup endgame: LSH-banded near-dup pairs
+    (sim ≥ 0.40, no CartesianProduct) become an undirected similarity
+    graph; connected components assigns each vector its cluster id
+    (min vec_id) + cluster size — the vector twin of the MinHash-text
+    `dedup_clusters`. Vectors in no near-dup pair are omitted (they
+    self-represent). Composition of two verified operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.40,
+        dim=64, num_tables=NEARDUP_TABLES, num_planes=NEARDUP_PLANES,
+    )
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qedclus_")
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
