@@ -687,3 +687,72 @@ lsh_topk AS (
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
     FROM lsh_scored) WHERE rn <= 5
 )"""
+
+
+EP_PS = (0, 30, 60, 90)  # percent of edges removed per percolation point
+EP_ROUNDS = 24  # min-label flood unroll for the percolated graphs (the
+# sparser the surviving graph, the longer its min-label eccentricity can
+# get; the query asserts the measured CC rounds fit, bowtie pattern)
+
+
+def _edge_percolation(spark, sf_dir):
+    """Bond-percolation curve: remove a deterministic hash-p% of the
+    UNDIRECTED edges per point and report surviving component structure
+    — the edge-failure complement to the vertex robustness curves
+    (attack/failure). The md5-per-canonical-edge selection is shared
+    verbatim with the SQL twin."""
+    from metis_spark.plans.components import connected_components
+
+    e = derived_edges_sparse(spark, sf_dir)
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_all = (
+        und.select(F.col("src").alias("id")).distinct().count()
+    )
+    u = und.where(F.col("src") < F.col("dst"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ep"),
+                    F.col("src").cast("string"),
+                    F.lit("_"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % 100
+    out_rows = []
+    for p in EP_PS:
+        kept = u.where(h >= p)
+        n_kept = kept.count()
+        if n_kept == 0:
+            out_rows.append((p, 0, n_all, 1 if n_all else 0))
+            continue
+        red = kept.unionByName(
+            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels, info = connected_components(
+            red, checkpoint_dir=_tmpdir(f"metis_qep{p}_")
+        )
+        assert info["converged"] and info["iterations"] < EP_ROUNDS, (
+            f"edge_percolation p={p}: CC took {info['iterations']} rounds; "
+            f"raise EP_ROUNDS (> {EP_ROUNDS}) so the SQL twin covers it"
+        )
+        agg = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+        row = agg.agg(
+            F.count(F.lit(1)).cast("long").alias("nc"),
+            F.max("n").cast("long").alias("big"),
+            F.sum("n").cast("long").alias("nv"),
+        ).collect()[0]
+        singles = n_all - int(row["nv"])
+        out_rows.append((p, n_kept, int(row["nc"]) + singles, int(row["big"])))
+    return spark.createDataFrame(
+        out_rows,
+        "p_removed_pct long, n_edges_kept long, n_components long, largest_cc long",
+    )

@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ANF_MASKS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -2174,3 +2174,69 @@ _COS_SQL = (
     "/ (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE))) "
     "* sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))"
 )
+
+
+def _edge_percolation_sql(rounds: int = EP_ROUNDS) -> str:
+    """Per p: deterministic md5-per-canonical-edge keep set, fixed-round
+    min-label flood, component sizes + isolated singletons — mirrors
+    _robustness_sql with edges removed instead of vertices."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "nall AS (SELECT COUNT(DISTINCT src)::BIGINT AS n FROM und)",
+        "uu AS MATERIALIZED (SELECT src AS a, dst AS b, "
+        "('0x' || substr(md5('ep' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        "::BIGINT % 100 AS h FROM und WHERE src < dst)",
+    ]
+    selects = []
+    for p in EP_PS:
+        ctes.append(
+            f"k{p}e AS MATERIALIZED (SELECT a AS src, b AS dst FROM uu WHERE h >= {p} "
+            f"UNION ALL SELECT b, a FROM uu WHERE h >= {p})"
+        )
+        ctes.append(f"k{p}l0 AS (SELECT DISTINCT src AS id, src AS label FROM k{p}e)")
+        for i in range(1, rounds + 1):
+            q = i - 1
+            ctes.append(
+                f"k{p}l{i} AS MATERIALIZED (SELECT v.id, "
+                f"LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+                f"FROM k{p}l{q} v LEFT JOIN (SELECT u.dst AS id, "
+                f"MIN(l.label) AS minl FROM k{p}e u "
+                f"JOIN k{p}l{q} l ON u.src = l.id GROUP BY u.dst) m "
+                f"ON v.id = m.id)"
+            )
+        ctes.append(
+            f"k{p}s AS (SELECT label, COUNT(*)::BIGINT AS n FROM k{p}l{rounds} "
+            f"GROUP BY label)"
+        )
+        selects.append(
+            f"SELECT {p}::BIGINT AS p_removed_pct, "
+            f"(SELECT COUNT(*)::BIGINT FROM uu WHERE h >= {p}) AS n_edges_kept, "
+            f"((SELECT COUNT(*)::BIGINT FROM k{p}s) + (SELECT n FROM nall) "
+            f"- (SELECT COALESCE(SUM(n), 0)::BIGINT FROM k{p}s)) AS n_components, "
+            f"(SELECT COALESCE(MAX(n), 1)::BIGINT FROM k{p}s) AS largest_cc"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+def _path_counts_sql(rounds: int = BETW_ROUNDS) -> str:
+    """Forward-sigma twin (the f{t} chain of _betweenness_sql) exposed as
+    the path-multiplicity table."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        f"srcs AS (SELECT id FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) "
+        f"ORDER BY id LIMIT {N_BETW_SOURCES})",
+        "f0 AS (SELECT id, id AS source, 0::BIGINT AS dist, 1.0::DOUBLE AS sigma FROM srcs)",
+    ]
+    for t in range(1, rounds + 1):
+        q = t - 1
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT id, source, dist, sigma FROM f{q} "
+            f"UNION ALL SELECT n.id, n.source, {t}::BIGINT AS dist, n.sigma FROM ("
+            f"SELECT e.dst AS id, d.source, SUM(d.sigma) AS sigma FROM edges e "
+            f"JOIN f{q} d ON e.src = d.id AND d.dist = {q} GROUP BY e.dst, d.source) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM f{q} x WHERE x.id = n.id AND x.source = n.source))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, source, dist, CAST(sigma AS BIGINT) AS n_paths FROM f{rounds}"
+    )

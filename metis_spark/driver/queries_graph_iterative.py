@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ANF_MASKS, ANF_ROUNDS, BOWTIE_REACH_ROUNDS, DAG_ROUNDS, DIAM_ROUNDS, GRAPH_MOD, HITS_ITERS, KATZ_ALPHA, KATZ_ITERS, LPA_ROUNDS, PR_CONV_ORACLE_ITERS, PR_CONV_TOL, PR_ITERS, PSALSA_SEED_MOD, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, WIDEST_ROUNDS, _W_EXPR, _landmark_sources, _robustness, _t, _tmpdir, derived_edges, derived_edges_sparse  # noqa: E501,F401
+from metis_spark.driver.common import ANF_MASKS, BETW_ROUNDS, N_BETW_SOURCES, _edge_percolation, ANF_ROUNDS, BOWTIE_REACH_ROUNDS, DAG_ROUNDS, DIAM_ROUNDS, GRAPH_MOD, HITS_ITERS, KATZ_ALPHA, KATZ_ITERS, LPA_ROUNDS, PR_CONV_ORACLE_ITERS, PR_CONV_TOL, PR_ITERS, PSALSA_SEED_MOD, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, WIDEST_ROUNDS, _W_EXPR, _landmark_sources, _robustness, _t, _tmpdir, derived_edges, derived_edges_sparse  # noqa: E501,F401
 
 
 def _q_pagerank(spark, sf_dir):
@@ -655,4 +655,31 @@ def _q_temporal_fastest(spark, sf_dir):
         checkpoint_every=5, retain=2,
     )
     assert info["converged"] and info["iterations"] <= TEMPORAL_ORACLE_ROUNDS, info
+    return out
+
+
+def _q_edge_percolation(spark, sf_dir):
+    """Bond-percolation curve (driver/common.py:_edge_percolation):
+    deterministic hash-p% edge removal per point, surviving component
+    structure with isolated-singleton correction — the edge-failure
+    complement to robustness_curve/robustness_random."""
+    return _edge_percolation(spark, sf_dir)
+
+
+def _q_path_counts(spark, sf_dir):
+    """Shortest-path multiplicities sigma(s, v) from the 8 landmark
+    sources (plans/betweenness.py:shortest_path_counts — the shared
+    Brandes forward pass exposed): n_paths = 1 rows have a single point
+    of failure on their geodesic."""
+    from metis_spark.plans.betweenness import shortest_path_counts
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = [r["id"] for r in verts.orderBy("id").limit(N_BETW_SOURCES).collect()]
+    out, info = shortest_path_counts(edges, srcs, max_depth=BETW_ROUNDS + 2)
+    assert info["depth"] <= BETW_ROUNDS, info
     return out

@@ -244,3 +244,42 @@ def edge_betweenness_approx(
         "n_sources": len(sources),
         "seconds": time.monotonic() - t0,
     }
+
+
+def shortest_path_counts(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 32,
+    num_partitions: int | None = None,
+    directed: bool = True,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) + sources → ((id, source, dist, n_paths), info).
+
+    Shortest-path multiplicities: σ(s, v) = the number of distinct
+    geodesics s→v, straight from the shared Brandes forward pass (σ of a
+    vertex is complete the first level it is reached because every
+    predecessor sits exactly one level up). The counts are exact
+    integers carried in doubles (exact below 2^53); ``n_paths`` is the
+    BIGINT cast. Uses: path-diversity / redundancy audits (an (s,v) pair
+    with n_paths = 1 has a single point of failure on its geodesic),
+    and the σ table IS the forward half of betweenness — exposed so
+    users can materialize it once and reuse it.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+    t0 = time.monotonic()
+    e_src, e_dst = _edge_tables(edges, directed, num_partitions)
+    state, depth = _forward_sigma(spark, e_src, sources, max_depth)
+    out = state.select(
+        "id", "source", "dist", F.col("sigma").cast("long").alias("n_paths")
+    )
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out, {
+        "depth": depth,
+        "n_sources": len(sources),
+        "seconds": time.monotonic() - t0,
+    }

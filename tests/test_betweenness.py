@@ -141,3 +141,32 @@ def test_edge_betweenness_vs_python_oracle(spark):
         assert got[e] == pytest.approx(round(want[e], 6), abs=1e-6), e
     # multi-edge parity: duplicate raw edges must not double-count (the
     # DAG edge set is over the distinct derived edge table)
+
+
+def test_shortest_path_counts_vs_bfs_oracle(spark):
+    from metis_spark.plans.betweenness import shortest_path_counts
+
+    edges = random_graph(n=40, p=0.08, seed=61, zipf_extra=30)
+    sources = sorted({a for a, _ in edges})[:4]
+    out, _ = shortest_path_counts(edges_df(spark, edges), sources)
+    got = {(r["source"], r["id"]): (r["dist"], r["n_paths"]) for r in out.collect()}
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    want = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] = sigma.get(v, 0) + sigma[u]
+        for v in dist:
+            want[(s, v)] = (dist[v], sigma[v])
+    assert got == want

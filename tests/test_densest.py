@@ -185,3 +185,19 @@ def test_bigram_surprisal_matches_float_oracle(spark):
         assert got[d]["surprisal_micro"] == micro
     # every bigram of doc 2 is unique -> each surprisal = ln(c1(w1)) >= 0
     assert got[2]["surprisal_micro"] >= 0
+
+
+def test_edge_percolation_schema_and_monotonic(spark):
+    """Driver-level percolation query on the real sf0.001 table: edge
+    count decreases and component count is non-decreasing as p grows."""
+    from metis_spark.driver.queries_graph_iterative import _q_edge_percolation
+
+    rows = {r["p_removed_pct"]: r for r in
+            _q_edge_percolation(spark, "/root/testdata/sf0.001").collect()}
+    assert sorted(rows) == [0, 30, 60, 90]
+    kept = [rows[p]["n_edges_kept"] for p in (0, 30, 60, 90)]
+    comps = [rows[p]["n_components"] for p in (0, 30, 60, 90)]
+    giant = [rows[p]["largest_cc"] for p in (0, 30, 60, 90)]
+    assert kept == sorted(kept, reverse=True) and kept[-1] < kept[0]
+    assert comps == sorted(comps)
+    assert giant == sorted(giant, reverse=True)
