@@ -53,7 +53,7 @@ from metis_spark.driver.queries_graph_structure import _q_adamic_adar, _q_affini
 
 from metis_spark.driver.queries_misc import _q_anti_join, _q_asof_fallback, _q_attr_assortativity, _q_benchmark_contamination, _q_center, _q_copart_topk, _q_dataset_splits, _q_edge_diff, _q_edge_embeddedness, _q_filter_funnel, _q_graph_degrees, _q_heavy_edge_coarsen, _q_heavy_hitter_users, _q_local_clustering, _q_maximal_matching, _q_msf, _q_pref_attach, _q_random_walks, _q_running_total, _q_spec_coloring, _q_vertex_jaccard, _q_walk_sentences, _q_weighted_sample  # noqa: E501,F401
 
-from metis_spark.driver.queries_relational import _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct  # noqa: E501,F401
+from metis_spark.driver.queries_relational import WINDOW_HH_MIN, _q_window_heavy_users, _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct  # noqa: E501,F401
 
 from metis_spark.driver.queries_similarity import _q_ann_ivf, _q_ann_ivf_recall, _q_ann_lsh, _q_ann_lsh_recall, _q_ann_topk, _q_embedding_cluster_sizes, _q_embedding_dedup_clusters, _q_embedding_neardup, _q_hard_negatives, _q_kcenter, _q_media_decode, _q_media_features, _q_sq8_codes  # noqa: E501,F401
 
@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
+        "window_heavy_users": _q_window_heavy_users,
         "threshold_crossers": _q_threshold_crossers,
         "session_windows": _q_session_windows,
         "reciprocity": _q_reciprocity,
@@ -431,6 +432,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch(date_trunc('hour', ts))::BIGINT AS w_epoch, event_type, "
             "COUNT(DISTINCT user_id)::BIGINT AS n_users, COUNT(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "window_heavy_users": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS w_epoch, user_id, "
+            "COUNT(*)::BIGINT AS cnt FROM events GROUP BY 1, 2 "
+            f"HAVING COUNT(*) >= {WINDOW_HH_MIN}"
         ),
         "threshold_crossers": (
             "SELECT user_id, ts AS crossed_at, "

@@ -269,3 +269,25 @@ def _q_threshold_crossers(spark, sf_dir):
             F.lit(CROSS_N).cast("long").alias("nth"),
         )
     )
+
+
+WINDOW_HH_MIN = 4
+
+
+def _q_window_heavy_users(spark, sf_dir):
+    """Exact per-window heavy hitters — users with ≥ WINDOW_HH_MIN
+    events inside a tumbling hour window: the batch twin of
+    streaming_heavy_hitters (streaming/incremental.py), whose append-
+    mode HAVING-on-close emits exactly these rows. One shuffle keyed by
+    (window, user_id); all-integer output."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= WINDOW_HH_MIN)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("w_epoch"),
+            "user_id",
+            "cnt",
+        )
+    )

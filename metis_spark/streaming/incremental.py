@@ -428,3 +428,52 @@ def streaming_threshold_crossers(
         .queryName(out_table)
         .start()
     )
+
+
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "stream_hh",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    min_count: int = 5,
+) -> "object":
+    """Exact per-window heavy hitters — which users exceeded
+    ``min_count`` events inside each event-time tumbling window (rate
+    audit / abuse flagging on the live stream).
+
+    Unlike a GLOBAL heavy-hitter query (unbounded state: every value
+    ever seen), scoping the count to event-time windows makes the exact
+    answer streamable: state is one counter per (open window, user),
+    watermark-evicted on window close — bounded by window span ×
+    per-window actives, the property that keeps it runnable forever at
+    100 TB/day. The HAVING-style filter applies to the FINAL count at
+    emit time (append mode ⇒ emit-once on close), so the streamed rows
+    over any micro-batch drain are IDENTICAL to the batch
+    groupBy(window, user).count().filter(cnt ≥ t) on the same rows
+    (pinned by the streamed≡batch test). Rows land in ``out_table`` as
+    (w_start, w_end, user_id, cnt).
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

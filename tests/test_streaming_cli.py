@@ -461,3 +461,69 @@ def test_streaming_threshold_crossers_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert {u for u, _, _ in got} == {1, 2}
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """Streamed per-window exact heavy hitters over two micro-batch
+    drains equals the batch groupBy-filter on the same rows, including
+    the threshold boundary (cnt == t kept, cnt == t-1 dropped)."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_heavy_hitters
+
+    drop = tmp_path / "droph"
+    drop.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, k, t0 + timedelta(minutes=m))
+                for i, (u, k, m) in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    # w[0,10): user 1 -> 5 events (== t, kept), user 2 -> 4 (dropped),
+    # user 3 -> 7 split ACROSS the two files (micro-batch merge must
+    # still count 7); w[10,20): user 1 -> 2 (dropped there)
+    f1 = (
+        [(1, "click", i % 9) for i in range(5)]
+        + [(2, "click", i % 9) for i in range(4)]
+        + [(3, "click", i % 9) for i in range(3)]
+        + [(1, "click", 12), (1, "view", 13)]
+    )
+    f2 = [(3, "view", (i + 3) % 9) for i in range(4)] + [(9, "flush", 24 * 60)]
+    _events(f1).coalesce(2).write.mode("overwrite").parquet(str(drop / "f1"))
+    _events(f2, start_id=10_000).coalesce(1).write.mode("overwrite").parquet(
+        str(drop / "f2")
+    )
+    q = streaming_heavy_hitters(
+        spark, str(drop) + "/*", out_table="shh", watermark="10 minutes", min_count=5
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["w_start"].minute + 60 * r["w_start"].hour, r["user_id"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM shh").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(0, 1): 5, (0, 3): 7}
+
+    # batch twin on the same rows
+    import pyspark.sql.functions as FF
+
+    allrows = spark.read.parquet(str(drop / "f1"), str(drop / "f2"))
+    batch = (
+        allrows.groupBy(FF.window("ts", "10 minutes"), "user_id")
+        .agg(FF.count(FF.lit(1)).alias("cnt"))
+        .where(FF.col("cnt") >= 5)
+        .where(FF.col("window.start") < datetime(2026, 1, 1, 1, 0))
+        .collect()
+    )
+    want = {
+        (r["window"]["start"].minute + 60 * r["window"]["start"].hour, r["user_id"]): r["cnt"]
+        for r in batch
+    }
+    assert got == want
