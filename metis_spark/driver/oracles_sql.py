@@ -2240,3 +2240,35 @@ def _path_counts_sql(rounds: int = BETW_ROUNDS) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, source, dist, CAST(sigma AS BIGINT) AS n_paths FROM f{rounds}"
     )
+
+
+def _bm25_sql(n_query_terms: int = 4, k: int = 20) -> str:
+    """Twin of CS.bm25_topk: identical expression tree with float
+    literals emitted via repr() of the SAME python-computed doubles the
+    Spark side uses, so both engines parse bit-identical constants."""
+    k1, b = 12 / 10.0, 75 / 100.0
+    k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(k1), repr(b)
+    return f"""
+WITH btf AS MATERIALIZED (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM
+    (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+     x -> x <> '')) AS term FROM documents) GROUP BY doc_id, term),
+dlen AS MATERIALIZED (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM btf GROUP BY doc_id),
+st AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS tot FROM dlen),
+cf AS (SELECT term, SUM(tf)::BIGINT AS cf, COUNT(*)::BIGINT AS df FROM btf GROUP BY term),
+qt AS (SELECT term, df FROM (SELECT term, df,
+    ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS rn FROM cf) WHERE rn <= {n_query_terms}),
+sc AS (SELECT t.doc_id, CAST(ROUND(
+    ln((CAST((SELECT n FROM st) AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1.0)
+    * t.tf * {k1p1}
+    / (t.tf + {k1r} * ({omb} + {br} * d.dl * CAST((SELECT n FROM st) AS DOUBLE)
+       / CAST((SELECT tot FROM st) AS DOUBLE)))
+    * 1000000.0) AS BIGINT) AS c
+    FROM btf t JOIN qt q ON t.term = q.term JOIN dlen d ON t.doc_id = d.doc_id),
+ag AS (SELECT doc_id, COUNT(*)::BIGINT AS n_match, SUM(c)::BIGINT AS score_micro
+       FROM sc GROUP BY doc_id)
+SELECT doc_id, n_match, score_micro, ROUND(score_micro / 1000000.0, 6) AS score, rn
+FROM (SELECT doc_id, n_match, score_micro,
+      ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)::BIGINT AS rn FROM ag)
+WHERE rn <= {k}
+"""

@@ -416,3 +416,16 @@ def _q_neardup_keep_best(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("doc_id", "cluster", "score")
     )
+
+
+BM25_QTERMS, BM25_K = 4, 20
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval against the corpus's own 4 most frequent
+    terms (operators/corpus_stats.py:bm25_topk) — the relevance scorer
+    of a search/RAG pipeline with a deterministic self-query. Per-term
+    contributions quantized to integer micro-points before the
+    per-document sum; ranking all-integer."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.bm25_topk(docs, "doc_id", "text", n_query_terms=BM25_QTERMS, k=BM25_K)

@@ -501,3 +501,89 @@ def bigram_surprisal(
             F.round(F.col("surprisal_micro") / F.col("n_bigrams") / F.lit(1e6), 6),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_terms: int = 4,
+    k: int = 20,
+    k1_tenths: int = 12,
+    b_cents: int = 75,
+) -> DataFrame:
+    """→ top-k (doc_id, n_match, score_micro, score, rn): Okapi BM25
+    retrieval against the corpus's own ``n_query_terms`` most frequent
+    terms (deterministic self-query — the relevance-scoring operator a
+    search/RAG pipeline runs, with the query set pinned so both engines
+    reproduce it bit-for-bit).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)),
+    idf = ln((N−df+0.5)/(df+0.5)+1) (the Lucene non-negative form),
+    k1 = k1_tenths/10, b = b_cents/100.
+
+    Cross-engine float discipline: the per-(doc, term) score is a
+    float built ONLY from exact integers (tf, df, N, len, Σlen) through
+    one fixed expression tree, quantized to integer MICRO-points before
+    the per-document summation — so the sum over query terms is integer
+    arithmetic and addition order is irrelevant. Ranking is integer
+    (score_micro DESC, doc_id ASC); ``score`` is display-only.
+
+    Scale shape: one tokenize explode → map-side-combined (doc, term)
+    tf table; df/query-term table is n_query_terms rows broadcast; the
+    scored stream is one broadcast join + one integer groupBy; top-k is
+    TakeOrderedAndProject."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    ).collect()[0]
+    n_docs, total_len = int(stats["n_docs"]), int(stats["total_len"])
+
+    cf = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"), F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qterms = (
+        cf.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term", "df")
+    )
+
+    k1 = k1_tenths / 10.0
+    b = b_cents / 100.0
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # len-norm denominator: tf + k1*(1 - b + b*dl*n_docs/total_len) —
+    # dl/avglen expressed as dl*n_docs/total_len keeps integers inside
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_len))
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dlen, "doc_id")
+        .select(
+            "doc_id",
+            F.round(contrib * F.lit(1e6)).cast("long").alias("c_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match"),
+        F.sum("c_micro").cast("long").alias("score_micro"),
+    )
+    top = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        top.withColumn("score", F.round(F.col("score_micro") / F.lit(1e6), 6))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("doc_id", "n_match", "score_micro", "score", "rn")
+    )

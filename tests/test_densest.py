@@ -201,3 +201,53 @@ def test_edge_percolation_schema_and_monotonic(spark):
     assert kept == sorted(kept, reverse=True) and kept[-1] < kept[0]
     assert comps == sorted(comps)
     assert giant == sorted(giant, reverse=True)
+
+
+def test_bm25_matches_float_replay(spark):
+    from metis_spark.operators.corpus_stats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana cherry"),
+            (2, "apple banana banana banana date"),
+            (3, "cherry date elderberry fig grape"),
+            (4, "apple " * 30),  # long spammy doc: len-norm must damp it
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_topk(docs, n_query_terms=2, k=10).collect()}
+
+    toks = {
+        1: ["apple"] * 3 + ["banana", "cherry"],
+        2: ["apple", "banana", "banana", "banana", "date"],
+        3: ["cherry", "date", "elderberry", "fig", "grape"],
+        4: ["apple"] * 30,
+    }
+    tf, df, cf = {}, {}, {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            tf[(d, t)] = ts.count(t)
+            df[t] = df.get(t, 0) + 1
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    q = sorted(cf, key=lambda t: (-cf[t], t))[:2]  # apple, banana
+    assert q == ["apple", "banana"]
+    n, tot = len(toks), sum(len(ts) for ts in toks.values())
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, ts in toks.items():
+        micro, nm = 0, 0
+        for t in q:
+            if (d, t) in tf:
+                nm += 1
+                idf = math.log((float(n) - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                norm = tf[(d, t)] + k1 * ((1.0 - b) + b * len(ts) * float(n) / float(tot))
+                micro += round(idf * tf[(d, t)] * (k1 + 1.0) / norm * 1e6)
+        if nm:
+            want[d] = (nm, micro)
+    assert {d: (r["n_match"], r["score_micro"]) for d, r in got.items()} == want
+    # the 30x-apple doc must NOT dominate: length norm caps its tf payoff
+    assert got[4]["score_micro"] < got[1]["score_micro"] + got[2]["score_micro"]
+    assert [r["rn"] for r in sorted(got.values(), key=lambda r: r["rn"])] == list(
+        range(1, len(got) + 1)
+    )
