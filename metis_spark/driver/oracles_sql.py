@@ -2272,3 +2272,47 @@ FROM (SELECT doc_id, n_match, score_micro,
       ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)::BIGINT AS rn FROM ag)
 WHERE rn <= {k}
 """
+
+
+def _fiedler_sql(n_iters: int = 16, S: int = 10_000) -> str:
+    """Unrolled twin of fiedler_bipartition: integer state each round,
+    the two divisions are correctly-rounded doubles of exact-integer
+    operands — replays the Spark trajectory bit-for-bit."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "fdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
+        "fc AS (SELECT (MAX(deg) + 1)::BIGINT AS c FROM fdeg)",
+        "fn AS (SELECT COUNT(*)::BIGINT AS n FROM fdeg)",
+        f"x0 AS MATERIALIZED (SELECT id, "
+        f"((('0x' || substr(md5('fv' || id::VARCHAR), 1, 15))::BIGINT % (2*{S}+1)) - {S})::BIGINT AS v "
+        "FROM fdeg)",
+    ]
+    for r in range(1, n_iters + 1):
+        p = r - 1
+        ctes.append(
+            f"fg{r} AS (SELECT u.src AS id, SUM(x.v)::BIGINT AS g FROM und u "
+            f"JOIN x{p} x ON u.dst = x.id GROUP BY u.src)"
+        )
+        ctes.append(
+            f"fw{r} AS MATERIALIZED (SELECT d.id, "
+            f"(((SELECT c FROM fc) - d.deg) * x.v + COALESCE(g.g, 0))::BIGINT AS w "
+            f"FROM fdeg d JOIN x{p} x ON d.id = x.id LEFT JOIN fg{r} g ON d.id = g.id)"
+        )
+        ctes.append(
+            f"fm{r} AS (SELECT CAST(ROUND(SUM(w) / (SELECT n FROM fn)) AS BIGINT) AS mbar FROM fw{r})"
+        )
+        ctes.append(
+            f"fu{r} AS MATERIALIZED (SELECT id, (w - (SELECT mbar FROM fm{r}))::BIGINT AS u FROM fw{r})"
+        )
+        ctes.append(
+            f"fx{r} AS (SELECT GREATEST(MAX(u), -MIN(u))::BIGINT AS mx FROM fu{r})"
+        )
+        ctes.append(
+            f"x{r} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT mx FROM fx{r}) > 0 "
+            f"THEN CAST(ROUND(u * {S} / (SELECT mx FROM fx{r})) AS BIGINT) "
+            f"ELSE 0 END AS v FROM fu{r})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, v, CASE WHEN v > 0 THEN 1 ELSE 0 END::BIGINT AS side FROM x{n_iters}"
+    )

@@ -1128,3 +1128,26 @@ def _q_affinity_clusters(spark, sf_dir):
     )
     assert info["inner_steps_max"] <= MSF_INNER_J, info
     return out
+
+
+FIEDLER_ITERS = 16
+FIEDLER_SCALE = 10_000
+
+
+def _q_fiedler(spark, sf_dir):
+    """Approximate Fiedler vector + spectral bipartition
+    (plans/spectral.py:fiedler_bipartition): power iteration on the
+    shifted Laplacian cI − L with the state re-quantized to integers in
+    [−S, S] EVERY round — the construction that makes a spectral method
+    engine-exact (all products < 2^53, two correctly-rounded divisions
+    per round), where a naive L2-normalized iteration could never
+    hash-match across engines."""
+    from metis_spark.plans.spectral import fiedler_bipartition
+
+    out, info = fiedler_bipartition(
+        derived_edges_sparse(spark, sf_dir),
+        n_iters=FIEDLER_ITERS,
+        scale=FIEDLER_SCALE,
+    )
+    assert 0 < info["n_pos"] < info["n"], info
+    return out

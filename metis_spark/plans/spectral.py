@@ -308,3 +308,129 @@ def eigenvector_centrality(
         "seconds": time.monotonic() - t0,
         "n": n,
     }
+
+
+def fiedler_bipartition(
+    edges: DataFrame,
+    n_iters: int = 20,
+    scale: int = 10_000,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) undirected → ((id, v, side), info{shift, maxu,
+    n_pos, iterations, seconds}) — an approximate Fiedler vector and the
+    spectral bipartition its sign structure induces (Fiedler 1973;
+    the classic spectral-partitioning first cut).
+
+    Power iteration on the SHIFTED Laplacian M = cI − L (c = deg_max+1,
+    so L's second-smallest eigenvalue becomes M's dominant one once the
+    all-ones kernel is removed): per round
+        w_i  = (c − deg_i)·v_i + Σ_{j∈N(i)} v_j          (integers)
+        u_i  = w_i − ROUND(Σw / n)                        (deflation)
+        v'_i = ROUND(u_i · S / max|u|)                    (renormalize)
+
+    ENGINE-EXACT BY CONSTRUCTION: the state re-quantizes to integers in
+    [−S, S] every round, all intermediate products stay below 2^53
+    (|w| ≤ c·S, |u·S| ≤ 2c·S², with c bounded by the max degree), so
+    the two divisions per round are correctly-rounded doubles of exact
+    integer operands and DuckDB replays the whole trajectory
+    bit-for-bit — the resolution of the float-sum problem that blocks a
+    naive L2-normalized power iteration. Deflating with the ROUNDED
+    mean leaves ≤ 0.5 per-entry kernel residue per round — irrelevant
+    to the sign structure and fully deterministic.
+
+    Init is hash-derived (md5 60-bit per id, folded into [−S, S]) —
+    non-constant, deterministic, shared with the twin. Scale shape: one
+    hash-partitioned persisted edge table; per round one SHJ gather +
+    map-side-combined groupBy + two 1-row aggregates broadcast back via
+    crossJoin (no driver collect in the loop); localCheckpoint keeps
+    lineage one round deep (fixed small horizon, walks.py reasoning).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+    t0 = time.monotonic()
+    fwd = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).persist()
+    c = int(deg.agg(F.max("deg")).collect()[0][0]) + 1
+    n = deg.count()
+
+    s_lit = F.lit(scale)
+    v0 = deg.select(
+        "id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fv"), F.col("id").cast("string"))), 1, 15),
+                16, 10,
+            ).cast("long")
+            % (2 * scale + 1)
+            - scale
+        ).alias("v"),
+    )
+
+    def _step(vcur: DataFrame) -> DataFrame:
+        gathered = (
+            und.join(
+                vcur.select(F.col("id").alias("dst"), F.col("v").alias("vj")).hint("shuffle_hash"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("vj").cast("long").alias("g"))
+        )
+        w = (
+            deg.join(vcur, "id")
+            .join(gathered, "id", "left")
+            .select(
+                "id",
+                (
+                    (F.lit(c) - F.col("deg")) * F.col("v")
+                    + F.coalesce("g", F.lit(0))
+                ).cast("long").alias("w"),
+            )
+        )
+        stats = w.agg(
+            F.round(F.sum("w") / F.lit(n)).cast("long").alias("mbar")
+        )
+        u = w.crossJoin(F.broadcast(stats)).select(
+            "id", (F.col("w") - F.col("mbar")).cast("long").alias("u")
+        )
+        mx = u.agg(F.greatest(F.max("u"), -F.min("u")).cast("long").alias("maxu"))
+        return (
+            u.crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.when(F.col("maxu") > 0, F.round(F.col("u") * s_lit / F.col("maxu")))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    v = _step(v0)  # round 1 also normalizes/deflates the raw init
+    for _ in range(n_iters - 1):
+        v = _step(v)
+
+    out = v.select(
+        "id", "v", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("side")
+    ).localCheckpoint(eager=True)
+    n_pos = out.agg(F.sum("side")).collect()[0][0]
+    und.unpersist()
+    deg.unpersist()
+    return out, {
+        "shift": c,
+        "n_pos": int(n_pos or 0),
+        "iterations": n_iters,
+        "seconds": time.monotonic() - t0,
+        "n": n,
+    }

@@ -106,3 +106,61 @@ def test_eigenvector_converges_to_principal(spark, tmp_path):
     got = {r["id"]: r["score"] for r in scores.collect()}
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-6), v
+
+
+def py_fiedler(pairs, n_iters=20, S=10_000):
+    import hashlib
+
+    nbrs = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    c = max(deg.values()) + 1
+    n = len(deg)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def rha(x):  # round half away from zero (Spark/DuckDB ROUND)
+        import math
+
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    v = {i: h60(f"fv{i}") % (2 * S + 1) - S for i in nbrs}
+    for _ in range(n_iters):
+        w = {
+            i: (c - deg[i]) * v[i] + sum(v[j] for j in nbrs[i]) for i in nbrs
+        }
+        mbar = rha(sum(w.values()) / n)
+        u = {i: w[i] - mbar for i in nbrs}
+        mx = max(max(u.values()), -min(u.values()))
+        v = {i: (rha(u[i] * S / mx) if mx > 0 else 0) for i in nbrs}
+    return {i: (v[i], 1 if v[i] > 0 else 0) for i in nbrs}
+
+
+def test_fiedler_matches_python_replay(spark):
+    from metis_spark.plans.spectral import fiedler_bipartition
+
+    pairs = random_graph(n=60, p=0.07, seed=47, zipf_extra=40)
+    out, info = fiedler_bipartition(edges_df(spark, pairs), n_iters=12)
+    got = {r["id"]: (r["v"], r["side"]) for r in out.collect()}
+    assert got == py_fiedler(pairs, n_iters=12)
+    assert 0 < info["n_pos"] < info["n"]
+
+
+def test_fiedler_separates_planted_cliques(spark):
+    from metis_spark.plans.spectral import fiedler_bipartition
+
+    from itertools import combinations
+
+    k8a = list(combinations(range(8), 2))
+    k8b = list(combinations(range(100, 108), 2))
+    pairs = k8a + k8b + [(7, 100)]
+    out, info = fiedler_bipartition(edges_df(spark, pairs), n_iters=20)
+    side = {r["id"]: r["side"] for r in out.collect()}
+    assert len({side[i] for i in range(8)}) == 1
+    assert len({side[i] for i in range(100, 108)}) == 1
+    assert side[0] != side[100]
