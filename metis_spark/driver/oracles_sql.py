@@ -2274,10 +2274,11 @@ WHERE rn <= {k}
 """
 
 
-def _fiedler_sql(n_iters: int = 16, S: int = 10_000) -> str:
-    """Unrolled twin of fiedler_bipartition: integer state each round,
-    the two divisions are correctly-rounded doubles of exact-integer
-    operands — replays the Spark trajectory bit-for-bit."""
+def _fiedler_ctes(n_iters: int = 16, S: int = 10_000) -> list:
+    """Shared CTE chain of the quantized Fiedler iteration (integer
+    state each round; the two divisions are correctly-rounded doubles
+    of exact-integer operands — replays the Spark trajectory
+    bit-for-bit)."""
     ctes = [
         _EDGES_SPARSE_SQL.strip(),
         "fdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
@@ -2312,7 +2313,40 @@ def _fiedler_sql(n_iters: int = 16, S: int = 10_000) -> str:
             f"THEN CAST(ROUND(u * {S} / (SELECT mx FROM fx{r})) AS BIGINT) "
             f"ELSE 0 END AS v FROM fu{r})"
         )
+    return ctes
+
+
+def _fiedler_sql(n_iters: int = 16, S: int = 10_000) -> str:
+    return (
+        "WITH " + ",\n".join(_fiedler_ctes(n_iters, S))
+        + f"\nSELECT id, v, CASE WHEN v > 0 THEN 1 ELSE 0 END::BIGINT AS side FROM x{n_iters}"
+    )
+
+
+def _fiedler_sweep_sql(n_iters: int = 16, S: int = 10_000, sweep_l: int = 64) -> str:
+    """Spectral sweep twin: Fiedler CTE chain, value-sorted all-integer
+    rank (v asc, id asc) truncated to sweep_l, then the identical
+    difference-histogram conductance tail the PPR sweep twin uses."""
+    ctes = _fiedler_ctes(n_iters, S) + [
+        f"tk AS MATERIALIZED (SELECT id, deg, k FROM (SELECT x.id, d.deg, "
+        f"ROW_NUMBER() OVER (ORDER BY x.v ASC, x.id ASC)::BIGINT AS k "
+        f"FROM x{n_iters} x JOIN fdeg d ON x.id = d.id) WHERE k <= {sweep_l})",
+        "m2 AS (SELECT COUNT(*)::BIGINT AS c2 FROM und)",
+        "uu AS (SELECT src AS a, dst AS b FROM und WHERE src < dst)",
+        f"er AS (SELECT LEAST(COALESCE(ta.k, {sweep_l + 1}), COALESCE(tb.k, {sweep_l + 1})) AS lo, "
+        f"GREATEST(COALESCE(ta.k, {sweep_l + 1}), COALESCE(tb.k, {sweep_l + 1})) AS hi "
+        "FROM uu LEFT JOIN tk ta ON uu.a = ta.id LEFT JOIN tk tb ON uu.b = tb.id)",
+        f"st AS (SELECT lo AS k, COUNT(*)::BIGINT AS n_open FROM er WHERE lo <= {sweep_l} GROUP BY lo)",
+        f"en AS (SELECT hi AS k, COUNT(*)::BIGINT AS n_close FROM er WHERE hi <= {sweep_l} GROUP BY hi)",
+        "ax AS (SELECT t.k, t.id, t.deg, COALESCE(st.n_open, 0) AS o, "
+        "COALESCE(en.n_close, 0) AS c FROM tk t "
+        "LEFT JOIN st ON st.k = t.k LEFT JOIN en ON en.k = t.k)",
+        "fin AS (SELECT k, id, deg, CAST(SUM(deg) OVER (ORDER BY k) AS BIGINT) AS vol, "
+        "CAST(SUM(o - c) OVER (ORDER BY k) AS BIGINT) AS cut FROM ax)",
+    ]
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, v, CASE WHEN v > 0 THEN 1 ELSE 0 END::BIGINT AS side FROM x{n_iters}"
+        + "\nSELECT k, id, deg, vol, cut, "
+        "CASE WHEN LEAST(vol, (SELECT c2 FROM m2) - vol) > 0 THEN "
+        "ROUND(cut / LEAST(vol, (SELECT c2 FROM m2) - vol), 6) END AS phi FROM fin"
     )

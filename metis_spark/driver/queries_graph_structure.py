@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
+from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
 
 
 def _q_graph_edges(spark, sf_dir):
@@ -1150,4 +1150,22 @@ def _q_fiedler(spark, sf_dir):
         scale=FIEDLER_SCALE,
     )
     assert 0 < info["n_pos"] < info["n"], info
+    return out
+
+
+def _q_fiedler_sweep(spark, sf_dir):
+    """Classic spectral partitioning end-to-end (plans/sweep.py:
+    fiedler_sweep_cut): the quantized Fiedler vector, value-sorted
+    sweep order (all-integer — no rounding discipline needed), and the
+    conductance of every prefix S_1..S_64 via the shared
+    difference-histogram kernel."""
+    from metis_spark.plans.sweep import fiedler_sweep_cut
+
+    out, info = fiedler_sweep_cut(
+        derived_edges_sparse(spark, sf_dir),
+        n_iters=FIEDLER_ITERS,
+        scale=FIEDLER_SCALE,
+        sweep_l=SWEEP_L,
+    )
+    assert info["best_phi"] <= 1.0 and 1 <= info["best_k"] <= SWEEP_L, info
     return out

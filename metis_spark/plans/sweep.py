@@ -86,6 +86,20 @@ def ppr_sweep_cut(
         "id", "deg", F.row_number().over(wk).cast("long").alias("k")
     ).localCheckpoint(eager=True)
 
+    out, best = _conductance_sweep(und, ranked, m2, sweep_l)
+    und.unpersist()
+    return out, {
+        "best_k": int(best["k"]),
+        "best_phi": float(best["phi"]),
+        "m": m2 // 2,
+        "seconds": time.monotonic() - t0,
+    }
+
+
+def _conductance_sweep(und: DataFrame, ranked: DataFrame, m2: int, sweep_l: int):
+    """Shared sweep kernel: ranked(id, deg, k) for k = 1..sweep_l →
+    ((k, id, deg, vol, cut, phi), best-row) via the ±1 difference
+    histogram — one broadcast join + groupBy to ≤ sweep_l+1 buckets."""
     big = F.lit(sweep_l + 1)
     ra = ranked.select(F.col("id").alias("src"), F.col("k").alias("ka"))
     rb = ranked.select(F.col("id").alias("dst"), F.col("k").alias("kb"))
@@ -135,6 +149,50 @@ def ppr_sweep_cut(
         .localCheckpoint(eager=True)
     )
     best = out.orderBy(F.asc_nulls_last("phi"), F.asc("k")).limit(1).collect()[0]
+    return out, best
+
+
+def fiedler_sweep_cut(
+    edges: DataFrame,
+    n_iters: int = 16,
+    scale: int = 10_000,
+    sweep_l: int = 64,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) undirected → ((k, id, deg, vol, cut, phi), info)
+    — the CLASSIC spectral-partitioning pipeline (Fiedler vector →
+    value-sorted sweep → conductance-minimizing prefix), composing the
+    engine-exact quantized Fiedler iteration with the same
+    difference-histogram sweep kernel the ACL cut uses. Sweep order is
+    all-integer (quantized Fiedler value asc, id asc) — no rounding
+    discipline needed at all; truncated to the first ``sweep_l``
+    positions like the PPR sweep."""
+    from metis_spark.plans.spectral import fiedler_bipartition
+
+    t0 = time.monotonic()
+    spark = edges.sparkSession
+    fwd = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    m2 = und.count()
+    vec, _ = fiedler_bipartition(und, n_iters=n_iters, scale=scale)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    top = (
+        vec.join(deg, "id")
+        .select("id", "deg", "v")
+        .orderBy(F.asc("v"), F.asc("id"))
+        .limit(sweep_l)
+    )
+    wk = Window.orderBy(F.asc("v"), F.asc("id"))
+    ranked = top.select(
+        "id", "deg", F.row_number().over(wk).cast("long").alias("k")
+    ).localCheckpoint(eager=True)
+    out, best = _conductance_sweep(und, ranked, m2, sweep_l)
     und.unpersist()
     return out, {
         "best_k": int(best["k"]),

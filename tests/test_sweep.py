@@ -86,3 +86,21 @@ def test_sweep_finds_planted_cluster(spark):
     assert members == set(range(8))
     best = out.where(out["k"] == 8).collect()[0]
     assert best["cut"] == 1 and best["vol"] == 57  # 2*28 within + bridge
+
+
+def test_fiedler_sweep_finds_planted_cluster(spark):
+    """Spectral sweep on the two-cliques-and-a-bridge graph: minimum
+    conductance lands exactly on one clique (cut 1, vol 57)."""
+    from itertools import combinations
+
+    from metis_spark.plans.sweep import fiedler_sweep_cut
+
+    k8a = list(combinations(range(8), 2))
+    k8b = list(combinations(range(100, 108), 2))
+    pairs = k8a + k8b + [(7, 100)]
+    out, info = fiedler_sweep_cut(edges_df(spark, pairs), n_iters=20, sweep_l=16)
+    assert info["best_k"] == 8
+    members = {r["id"] for r in out.orderBy("k").limit(8).collect()}
+    assert members in (set(range(8)), set(range(100, 108)))
+    best = out.where(out["k"] == 8).collect()[0]
+    assert best["cut"] == 1 and best["vol"] == 57
