@@ -401,3 +401,43 @@ def _q_heavy_edge_coarsen(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_edges"),
         )
     )
+
+
+def _q_label_mixing_matrix(spark, sf_dir):
+    """The brand mixing matrix behind attribute_assortativity: directed-
+    symmetric pair counts per (label_a, label_b) with the share of all
+    pairs — the per-cell detail the homophily scalar summarizes (which
+    brand pairs actually co-purchase). All-integer counts, one
+    map-side-combined groupBy over broadcast label joins; pct is one
+    rounded division per cell."""
+    edges = derived_edges_sparse(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    labels = (
+        part.select(
+            (F.col("p_partkey") % SPARSE_MOD).alias("id"), F.col("p_brand").alias("lab")
+        )
+        .groupBy("id")
+        .agg(F.min("lab").alias("lab"))
+    )
+    fwd = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("lab").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lab").alias("lb"))
+    mix = (
+        und.join(F.broadcast(la), "src", "left")
+        .join(F.broadcast(lb), "dst", "left")
+        .select(
+            F.coalesce("la", F.lit("none")).alias("label_a"),
+            F.coalesce("lb", F.lit("none")).alias("label_b"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = und.count()
+    return mix.select(
+        "label_a", "label_b", "n", F.round(F.col("n") / F.lit(total), 6).alias("pct")
+    )
