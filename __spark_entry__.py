@@ -80,9 +80,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ---- round-3/4 families first: the driver correctness gate
-        # ---- samples the FIRST 50 entries (VERDICT r3 action item 2)
+        # ---- GATE BLOCK: the driver correctness gate samples the FIRST
+        # ---- 50 entries at sf0.01 under a wall-clock budget (VERDICT r4
+        # ---- item 1 — r4's newest-first rotation put the 50 heaviest
+        # ---- iterative plans here and the gate timed out with an empty
+        # ---- CORRECTNESS artifact). This block is a COST-CURATED
+        # ---- representative sample: one cheap oracle-twinned query per
+        # ---- family (relational, streaming-twin, corpus, similarity,
+        # ---- link-graph core, plus the cheapest representative of every
+        # ---- round-4/5 family). Heavy decompositions (coreness /
+        # ---- trussness / onion / MSF / percolation / partition /
+        # ---- fiedler / temporal Pareto) live AFTER position 50. The
+        # ---- measured first-50 sf0.01 wall is recorded in BENCH/NOISE.md
+        # ---- — re-measure there before reordering this block.
 
+        # relational + windowed/streaming-twin family
+        "count_by_kind": _q_count_by_kind,          # A1
+        "global_count": _q_global_count,            # A2
+        "distinct_kinds": _q_distinct_kinds,        # A3
+        "tpch_q1_agg": _q_tpch_q1,                  # A1-class agg
+        "topk_per_group": _q_topk_per_group,        # W4
+        "lookup_join": _q_lookup_join,              # J1
+        "sessionize_part_index": _q_sessionize,     # W1
+        "forward_fill": _q_forward_fill,            # W2
+        "lag_value_delta": _q_lag_delta,            # LAG analytic
+        "window_heavy_users": _q_window_heavy_users,  # r4: exact window HH
+        "session_windows": _q_session_windows,
+        "rollup_counts": _q_rollup,                 # grouping sets
+        "pivot_event_values": _q_pivot,             # pivot
+        "json_hour_extract": _q_json_hour,          # F7 timestamps + JSON
+        "order_stats": _q_order_stats,              # percentiles/stddev/corr
+        "dedup_by_hash": _q_dedup_sha,              # S7/F6
+        # link-graph core (north-star four + cheap structure)
+        "graph_edges": _q_graph_edges,
+        "graph_degrees": _q_graph_degrees,
+        "degree_histogram": _q_degree_histogram,
+        "graph_summary": _q_graph_summary,
+        "triangle_count": _q_triangles,
+        "pagerank_5iter": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "label_propagation_2iter": _q_lpa,
+        "local_clustering": _q_local_clustering,
+        # round-4 graph family representatives (seconds-cheap at sf0.01)
+        "label_mixing_matrix": _q_label_mixing_matrix,
+        "attribute_assortativity": _q_attr_assortativity,
+        "edge_embeddedness": _q_edge_embeddedness,
+        "wl_class_histogram": _q_wl_class_histogram,
+        "wl_colors_3": _q_wl_colors,
+        "scan_statistic": _q_scan_statistic,
+        "four_clique_count": _q_four_cliques,
+        "shortest_path_counts": _q_path_counts,
+        "widest_path": _q_widest_path,
+        "temporal_shortest_path": _q_temporal_shortest,
+        "linkpred_auc": _q_linkpred_auc,
+        "densest_subgraph": _q_densest,
+        "ppr_sweep_cut": _q_ppr_sweep_cut,
+        # round-4 corpus family
+        "unigram_surprisal": _q_unigram_surprisal,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "corpus_js_divergence": _q_corpus_divergence,
+        "bm25_topk": _q_bm25,
+        # corpus / similarity representatives
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_langid,
+        "tfidf_top3": _q_tfidf_top3,
+        "doc_fingerprint": _q_fingerprint,
+        "ann_cosine_topk": _q_ann_topk,
+        "sq8_codes": _q_sq8_codes,
+        "zipf_fit": _q_zipf_fit,
+        # ---- END GATE BLOCK (position 50) ------------------------------
+
+        # heavy iterative decompositions + the rest of the r3/r4 surface
         "coreness": _q_coreness,
         "score_weighted": _q_score_weighted,
         "trussness": _q_trussness,
@@ -92,29 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": _q_temporal_reachability,
         "temporal_latest_departure": _q_temporal_latest_departure,
         "temporal_fastest_path": _q_temporal_fastest,
-        "linkpred_auc": _q_linkpred_auc,
         "partition_assignment": _q_partition_assignment,
         "partition_quality": _q_partition_quality,
-        "densest_subgraph": _q_densest,
-        "unigram_surprisal": _q_unigram_surprisal,
-        "wl_colors_3": _q_wl_colors,
-        "wl_class_histogram": _q_wl_class_histogram,
-        "scan_statistic": _q_scan_statistic,
-        "corpus_js_divergence": _q_corpus_divergence,
-        "four_clique_count": _q_four_cliques,
         "edge_betweenness": _q_edge_betweenness,
-        "ppr_sweep_cut": _q_ppr_sweep_cut,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "bm25_topk": _q_bm25,
-        "attribute_assortativity": _q_attr_assortativity,
-        "label_mixing_matrix": _q_label_mixing_matrix,
-        "widest_path": _q_widest_path,
-        "temporal_shortest_path": _q_temporal_shortest,
-        "edge_embeddedness": _q_edge_embeddedness,
         "fiedler_bipartition": _q_fiedler,
         "fiedler_sweep_cut": _q_fiedler_sweep,
         "edge_percolation": _q_edge_percolation,
-        "shortest_path_counts": _q_path_counts,
         "louvain_2round": _q_louvain,
         "louvain_2level": _q_louvain_multilevel,
         "louvain_modularity_levels": _q_louvain_trajectory,
@@ -158,53 +210,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_pagerank": _q_community_pagerank,
         "kcenter_seeds": _q_kcenter,
         "training_shards": _q_training_shards,
-        # ---- earlier rounds (reference-semantics pack, link-graph core,
-        # ---- training-data pipeline) — all still oracle-gated by name
-
-        "count_by_kind": _q_count_by_kind,          # A1
-        "global_count": _q_global_count,            # A2
-        "distinct_kinds": _q_distinct_kinds,        # A3
-        "sessionize_part_index": _q_sessionize,     # W1
-        "forward_fill": _q_forward_fill,            # W2
+        # earlier rounds (reference-semantics pack, link-graph core,
+        # training-data pipeline) — all still oracle-gated by name
         "asof_fallback_join": _q_asof_fallback,     # J2/W3
-        "lookup_join": _q_lookup_join,              # J1
         "bit_test_result": _q_bit_test,             # F2
         "impute_defaults": _q_impute,               # F5
-        "dedup_by_hash": _q_dedup_sha,              # S7/F6
-        "topk_per_group": _q_topk_per_group,        # W4
-        "tpch_q1_agg": _q_tpch_q1,                  # A1-class agg
         "anti_join_missing": _q_anti_join,          # §2.6 set ops
         "running_total": _q_running_total,          # W1-class frame
-        "rollup_counts": _q_rollup,                 # grouping sets
         "cube_counts": _q_cube,                     # grouping sets (cube)
-        "pivot_event_values": _q_pivot,             # pivot
         "set_intersect_users": _q_set_intersect,    # §2.6 set ops
-        "json_hour_extract": _q_json_hour,          # F7 timestamps + JSON
-        "order_stats": _q_order_stats,              # percentiles/stddev/corr
-        "lag_value_delta": _q_lag_delta,            # LAG analytic
-        "graph_edges": _q_graph_edges,
-        "graph_degrees": _q_graph_degrees,
-        "pagerank_5iter": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
         "hits_3iter": _q_hits,
         "ppr_5iter": _q_ppr,
-        "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
         "dag_levels": _q_dag_levels,
-        "label_propagation_2iter": _q_lpa,
         "community_modularity": _q_modularity,
-        "degree_histogram": _q_degree_histogram,
-        "graph_summary": _q_graph_summary,
         "events_in_windows": _q_events_in_windows,
         "window_distinct_users": _q_window_distinct,
-        "window_heavy_users": _q_window_heavy_users,
         "threshold_crossers": _q_threshold_crossers,
-        "session_windows": _q_session_windows,
         "reciprocity": _q_reciprocity,
         "dedup_clusters": _q_dedup_clusters,
         "neardup_keep_best": _q_neardup_keep_best,
         "copart_topk": _q_copart_topk,
-        "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "csr_adjacency": _q_csr,
         "sssp_hops": _q_sssp,
@@ -213,7 +240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_landmarks": _q_harmonic,
         "random_walks": _q_random_walks,
         "walk_sentences": _q_walk_sentences,
-        "local_clustering": _q_local_clustering,
         "degree_assortativity": _q_assortativity,
         "adamic_adar_topk": _q_adamic_adar,
         "vertex_jaccard_topk": _q_vertex_jaccard,
@@ -221,7 +247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_4": _q_ktruss,
         "chunk_plan": _q_chunk_plan,
         "embedding_dedup_clusters": _q_embedding_dedup_clusters,
-        "sq8_codes": _q_sq8_codes,
         "ngram_novelty": _q_ngram_novelty,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "hard_negatives": _q_hard_negatives,
@@ -235,7 +260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_dedup": _q_minhash_jaccard,
         "simhash_fingerprint": _q_simhash,
         "simhash_neardup_h3": _q_simhash_neardup,
-        "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_bucketed": _q_ann_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_topk": _q_ann_ivf,
@@ -247,20 +271,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "dataset_splits": _q_dataset_splits,
         "temperature_mix_sample": _q_temperature_mix,
-        "tfidf_top3": _q_tfidf_top3,
         "vocab_top100": _q_vocab_top100,
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality,
         "filter_funnel": _q_filter_funnel,
         "repetition_stats": _q_repetition,
         "benchmark_contamination": _q_benchmark_contamination,
-        "zipf_fit": _q_zipf_fit,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_scrub": _q_pii_scrub,
-        "lang_id": _q_langid,
         "lang_confusion": _q_lang_confusion,
         "oov_rate": _q_oov_rate,
-        "doc_fingerprint": _q_fingerprint,
         "corpus_curation": _q_corpus_curation,
     }
 

@@ -112,9 +112,28 @@ def densest_subgraph(
                 with open(mpath) as f:
                     for line in f:
                         row = json.loads(line)
-                        if "n" in row and row["iter"] <= k0 and row["n"] > 0:
+                        if "n" in row and row["iter"] < k0 and row["n"] > 0:
                             seen[int(row["iter"])] = (int(row["n"]), int(row["e"]))
             trajectory = [(r, v[0], v[1]) for r, v in sorted(seen.items())]
+            # the resumed threshold comes from the COMMITTED state, never
+            # the journal: a kill between cm.commit(k0) and append_metrics
+            # leaves the journal one round behind (or empty), and a stale
+            # (n, e) would fork the peel from the DuckDB twin. One agg
+            # over the loaded state recomputes round k0's exact snapshot;
+            # the journal only reconstructs the k0-exclusive prefix above.
+            snap = alive_state.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("deg").cast("decimal(38,0)")).alias("sd"),
+            ).collect()[0]
+            n0 = int(snap["n"] or 0)
+            e0 = int(snap["sd"] or 0) // 2
+            if n0 == 0:
+                # loaded commit IS the converged round (kill landed before
+                # the converged marker reached meta.json)
+                done = True
+                cm.update_meta(k0, {"converged": True, "n": 0, "e": 0})
+            else:
+                trajectory.append((k0, n0, e0))
 
     t0 = time.monotonic()
     converged = done

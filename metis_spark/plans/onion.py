@@ -67,6 +67,9 @@ def onion_decomposition(
         .distinct()
         .repartition(num_partitions, "src")
     )
+    # materialize the symmetrized view once: re-used as the re-root base
+    # of the live_edges chain every durable round (fixed, honest stats)
+    und = und.localCheckpoint(eager=True)
     verts = und.select(F.col("src").alias("id")).distinct()
     n = verts.count()
 
@@ -74,7 +77,7 @@ def onion_decomposition(
     state = verts.select(
         "id", F.lit(-1).cast("long").alias("layer"), F.lit(-1).cast("long").alias("core")
     )
-    live_edges = und.localCheckpoint(eager=True)
+    live_edges = und
     k_cur = 0
 
     start = 0
@@ -147,8 +150,21 @@ def onion_decomposition(
         if converged:
             break
         keep = state.where(F.col("layer") < 0).select("id")
+        # Spark 4's localCheckpoint re-attaches the truncated plan's
+        # sizeInBytes estimate to the new LogicalRDD, and join stats
+        # MULTIPLY — chaining live_edges(k) = live_edges(k-1) ⋈ state(k)
+        # where state(k) itself derives from live_edges(k-1) SQUARES the
+        # BigInt estimate every sweep (digits double; by sweep ~17
+        # Catalyst spends minutes in BigInteger.multiplyToomCook3 — the
+        # r4 0.6s→80s spike). Durable rounds re-read state from parquet
+        # (honest stats), so re-rooting the chain off `und` there resets
+        # the estimate; between commits digit growth is bounded by
+        # 2^checkpoint_every of the base. Execution cost: one full-|und|
+        # join per durable round instead of the shrunk chain — amortized,
+        # and exact (und ⋈ live vertices IS the live edge set).
+        chain_base = und if durable else live_edges
         live_edges = (
-            live_edges.join(keep.select(F.col("id").alias("src")).hint("shuffle_hash"), "src")
+            chain_base.join(keep.select(F.col("id").alias("src")).hint("shuffle_hash"), "src")
             .join(keep.select(F.col("id").alias("dst")).hint("shuffle_hash"), "dst")
             .select("src", "dst")
             .localCheckpoint(eager=True)

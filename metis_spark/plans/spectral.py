@@ -223,7 +223,19 @@ def eigenvector_centrality(
         if k0 is not None:
             st, meta = cm.load(spark, k0)
             state = st.select(*_EIG_COLS)
-            norm_prev = float(meta["norm"])
+            if "norm" in meta:
+                norm_prev = float(meta["norm"])
+            else:
+                # kill landed between cm.commit(k0) and update_meta(k0):
+                # the commit is valid but carries no norm yet — recompute
+                # ‖raw_k0‖₂ from the loaded state (one agg) instead of
+                # crashing with KeyError (katz's resume tolerates the same
+                # window via .get; this is the eigenvector analog)
+                sumsq0 = float(
+                    state.agg(F.sum(F.col("raw") * F.col("raw"))).collect()[0][0]
+                    or 0.0
+                )
+                norm_prev = math.sqrt(sumsq0) if sumsq0 > 0.0 else float("inf")
             start_iter = k0
             if meta.get("converged") and tol > 0:
                 out = state.select(

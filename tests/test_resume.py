@@ -187,3 +187,71 @@ def test_checkpoint_retention_window(spark, tmp_path):
     again, info2 = pagerank(edges, tol=0.0, max_iter=6, checkpoint_dir=d2, retain=2)
     assert info2.get("resumed") or info2["iterations"] == 6
     assert {r["id"]: round(r["rank"], 12) for r in again.collect()} == a
+
+
+def test_eigenvector_resume_tolerates_missing_norm(spark, tmp_path):
+    """Kill window between cm.commit(k) and cm.update_meta(k): the commit
+    is valid but its meta lacks "norm". Resume must recompute the L2 norm
+    from the loaded state instead of crashing, and still land on the
+    uninterrupted run's scores exactly (ADVICE r4, spectral.py)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from metis_spark.plans.spectral import eigenvector_centrality
+    from oracles import random_graph
+
+    edges = edges_df(spark, random_graph(n=40, p=0.1, seed=21, zipf_extra=20))
+    full, _ = eigenvector_centrality(
+        edges, tol=0.0, max_iter=5, checkpoint_dir=str(tmp_path / "full")
+    )
+    part_dir = str(tmp_path / "part")
+    eigenvector_centrality(edges, tol=0.0, max_iter=2, checkpoint_dir=part_dir)
+    meta_path = os.path.join(part_dir, "eigenvector", "iter=2", "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert "norm" in meta
+    del meta["norm"]
+    del meta["converged"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    resumed, info = eigenvector_centrality(
+        edges, tol=0.0, max_iter=5, checkpoint_dir=part_dir
+    )
+    a = {r["id"]: r["score"] for r in full.collect()}
+    b = {r["id"]: r["score"] for r in resumed.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == _pytest.approx(b[v], abs=1e-12), v
+
+
+def test_densest_resume_ignores_stale_journal(spark, tmp_path):
+    """Kill window between cm.commit(k0) and append_metrics: the journal
+    ends one round behind the committed state. The resumed threshold must
+    come from the COMMITTED state (recomputed n, e), so the trajectory
+    still equals the uninterrupted run's (ADVICE r4, densest.py)."""
+    import os
+
+    from metis_spark.plans.densest import densest_subgraph
+    from oracles import random_graph
+
+    pairs = random_graph(n=80, p=0.08, seed=33, zipf_extra=60)
+    edges = edges_df(spark, pairs)
+    full, info_full = densest_subgraph(edges, checkpoint_dir=str(tmp_path / "f"))
+    assert info_full["converged"]
+
+    part_dir = str(tmp_path / "p")
+    densest_subgraph(edges, checkpoint_dir=part_dir, max_iter=3)
+    # simulate the torn window: drop the journal line of the last commit
+    jpath = os.path.join(part_dir, "densest5", "metrics.jsonl")
+    with open(jpath) as f:
+        lines = f.readlines()
+    with open(jpath, "w") as f:
+        f.writelines(lines[:-1])
+    resumed, info_res = densest_subgraph(edges, checkpoint_dir=part_dir)
+    assert info_res["converged"]
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, resumed.collect()))
+    assert (info_full["best_round"], info_full["best_n"], info_full["best_e"]) == (
+        info_res["best_round"], info_res["best_n"], info_res["best_e"]
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -51,15 +52,18 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    t_all = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         sql = oracles.get(name)
         status = "?"
+        t_q = time.monotonic()
         try:
             got = fn(spark, sf_dir).toPandas()
             if sql is None:
-                print(f"{name:28s} ROWS-ONLY rows={len(got)}")
+                print(f"{name:28s} ROWS-ONLY rows={len(got)} "
+                      f"[{time.monotonic() - t_q:.1f}s]")
                 continue
             exp = con.sql(sql).df()
             g, e = canon(got), canon(exp)
@@ -77,10 +81,11 @@ def main() -> int:
                 status = f"OK rows={len(g)}"
         except Exception as ex:  # noqa: BLE001
             status = f"ERROR {type(ex).__name__}: {str(ex)[:300]}"
-        print(f"{name:28s} {status}")
+        print(f"{name:28s} {status} [{time.monotonic() - t_q:.1f}s]")
         if not status.startswith("OK"):
             failures.append(name)
-    print("\nFAILURES:", failures if failures else "none")
+    print(f"\nTOTAL WALL: {time.monotonic() - t_all:.1f}s")
+    print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 
 
