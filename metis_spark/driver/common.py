@@ -431,18 +431,29 @@ DIAM_ROUNDS = 16  # ≥ measured double-sweep eccentricities on the sparse graph
 
 LOUVAIN_ROUNDS = 2
 
-def _louvain_level2_ctes(rounds: int) -> list:
-    """The unrolled level-2 CTE chain on top of l{rounds}: quotient
-    multigraph (qe/qstr/qeo) + ``rounds`` weighted sweeps → q{rounds}."""
+def _louvain_level2_ctes(
+    rounds: int, member: str | None = None, member_col: str = "label",
+    init_sql: str | None = None,
+) -> list:
+    """The unrolled level-2 CTE chain on top of a membership CTE
+    (default l{rounds}): quotient multigraph (qe/qstr/qeo) + ``rounds``
+    weighted sweeps → q{rounds}. ``member``/``member_col`` select the
+    partition to coarsen on; ``init_sql`` overrides the q0 starting
+    labels (default: identity) — Leiden coarsens on the REFINED
+    partition and seeds q0 with phase-1 labels."""
     r = rounds
+    mem = member or f"l{r}"
+    mc = member_col
     ctes = [
-        f"qe AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, "
-        f"COUNT(*)::BIGINT AS w FROM und e JOIN l{r} la ON e.src = la.id "
-        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)",
+        f"qe AS MATERIALIZED (SELECT la.{mc} AS src, lb.{mc} AS dst, "
+        f"COUNT(*)::BIGINT AS w FROM und e JOIN {mem} la ON e.src = la.id "
+        f"JOIN {mem} lb ON e.dst = lb.id GROUP BY la.{mc}, lb.{mc})",
         "qstr AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS s "
         "FROM qe GROUP BY src)",
         "qeo AS MATERIALIZED (SELECT src, dst, w FROM qe WHERE src <> dst)",
-        "q0 AS MATERIALIZED (SELECT id, id AS label FROM qstr)",
+        "q0 AS MATERIALIZED ("
+        + (init_sql or "SELECT id, id AS label FROM qstr")
+        + ")",
     ]
     for i in range(1, rounds + 1):
         p = i - 1
@@ -512,6 +523,60 @@ def _louvain_level1_ctes(rounds: int) -> list:
             f"l{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
             f"SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id "
             f"ORDER BY g9 DESC, c ASC) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+    return ctes
+
+LEIDEN_REFINE_ROUNDS = 2  # deterministic singleton-merge refinement sweeps
+
+def _leiden_refine_ctes(rounds: int, refine_rounds: int) -> list:
+    """Unrolled Leiden refinement twin on top of l{rounds}
+    (plans/leiden.py): per round, singleton vertices propose the
+    max-gain refined community among neighbours INSIDE their phase-1
+    community (ROUND(gain,9) > 0, ties to smallest label); a proposal
+    is accepted iff the target is not itself moving, or the move is
+    mutual and the proposer has the larger id. Ends at r{refine_rounds}
+    (id, rl)."""
+    r = rounds
+    ctes = [
+        f"ec AS MATERIALIZED (SELECT e.src, e.dst FROM und e "
+        f"JOIN l{r} a ON e.src = a.id JOIN l{r} b ON e.dst = b.id "
+        f"AND a.label = b.label)",
+        "r0 AS MATERIALIZED (SELECT id, id AS rl FROM ldeg)",
+    ]
+    for i in range(1, refine_rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"rsz{i} AS MATERIALIZED (SELECT rl, COUNT(*)::BIGINT AS nn "
+            f"FROM r{p} GROUP BY rl)"
+        )
+        ctes.append(
+            f"rtot{i} AS MATERIALIZED (SELECT x.rl, SUM(d.deg)::BIGINT AS tot "
+            f"FROM r{p} x JOIN ldeg d ON x.id = d.id GROUP BY x.rl)"
+        )
+        ctes.append(
+            f"rkvc{i} AS MATERIALIZED (SELECT e.src AS id, t.rl AS c, "
+            f"COUNT(*)::BIGINT AS kvc FROM ec e JOIN r{p} t ON e.dst = t.id "
+            f"GROUP BY e.src, t.rl)"
+        )
+        ctes.append(
+            f"rprop{i} AS MATERIALIZED (SELECT id, c FROM ("
+            f"SELECT s.id, s.c, ROW_NUMBER() OVER (PARTITION BY s.id "
+            f"ORDER BY s.g9 DESC, s.c ASC) AS rn FROM ("
+            f"SELECT k.id, k.c, ROUND(k.kvc / (SELECT m FROM mm) - "
+            f"(d.deg * t.tot) / (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS g9 "
+            f"FROM rkvc{i} k JOIN r{p} own ON k.id = own.id "
+            f"JOIN rsz{i} sz ON own.rl = sz.rl AND sz.nn = 1 "
+            f"JOIN ldeg d ON k.id = d.id JOIN rtot{i} t ON k.c = t.rl "
+            f"WHERE k.c <> own.rl) s WHERE s.g9 > 0) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"racc{i} AS MATERIALIZED (SELECT p.id, p.c FROM rprop{i} p "
+            f"LEFT JOIN rprop{i} q ON p.c = q.id "
+            f"WHERE q.id IS NULL OR (q.c = p.id AND p.id > q.id))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT x.id, COALESCE(a.c, x.rl) AS rl "
+            f"FROM r{p} x LEFT JOIN racc{i} a ON x.id = a.id)"
         )
     return ctes
 

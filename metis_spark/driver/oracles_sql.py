@@ -1320,6 +1320,37 @@ def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
         + f"\nSELECT a.id, q.label FROM l{r} a JOIN q{r} q ON a.label = q.id"
     )
 
+def _leiden_sql(
+    rounds: int = LOUVAIN_ROUNDS, refine_rounds: int | None = None,
+) -> str:
+    """Unrolled Leiden twin (plans/leiden.py): level-1 local-moving
+    chain, deterministic singleton-merge refinement inside phase-1
+    communities, quotient on the REFINED partition, level-2 weighted
+    sweeps initialized with phase-1 labels, final mapping."""
+    from metis_spark.driver.common import (
+        LEIDEN_REFINE_ROUNDS,
+        _leiden_refine_ctes,
+    )
+
+    rf = LEIDEN_REFINE_ROUNDS if refine_rounds is None else refine_rounds
+    r = rounds
+    ctes = (
+        _louvain_level1_ctes(rounds)
+        + _leiden_refine_ctes(rounds, rf)
+        + _louvain_level2_ctes(
+            rounds,
+            member=f"r{rf}",
+            member_col="rl",
+            init_sql=(
+                f"SELECT q.id, l.label FROM qstr q JOIN l{r} l ON q.id = l.id"
+            ),
+        )
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, q.label FROM r{rf} a JOIN q{r} q ON a.rl = q.id"
+    )
+
 def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     """Unrolled synchronous local-moving twin of plans/louvain.py on the
     sparse und graph."""

@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
+from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
 
 
 def _q_graph_edges(spark, sf_dir):
@@ -794,6 +794,26 @@ def _q_louvain_multilevel(spark, sf_dir):
         checkpoint_dir=_tmpdir("metis_qlouvain2_"),
     )
     assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
+    return labels
+
+def _q_leiden(spark, sf_dir):
+    """Leiden community detection (plans/leiden.py): Louvain local
+    moving + the Traag et al. REFINEMENT phase (singleton re-merge
+    inside phase-1 communities, so every refined community is
+    internally connected by construction), then a level-2 weighted
+    sweep on the refined quotient initialized with phase-1 labels.
+    Every move at all three phases is replayed bit-exactly by the
+    unrolled oracle (ROUND(gain,9)+min-label + deterministic
+    mutual-move arbitration)."""
+    from metis_spark.plans.leiden import leiden_communities
+
+    labels, info = leiden_communities(
+        derived_edges_sparse(spark, sf_dir),
+        rounds=LOUVAIN_ROUNDS,
+        refine_rounds=LEIDEN_REFINE_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qleiden_"),
+    )
+    assert info["iterations"] == 2 * LOUVAIN_ROUNDS + LEIDEN_REFINE_ROUNDS, info
     return labels
 
 def _q_community_quotient(spark, sf_dir):
