@@ -51,7 +51,7 @@ from metis_spark.driver.queries_graph_iterative import _q_anf_effective_diameter
 
 from metis_spark.driver.queries_graph_structure import FIEDLER_ITERS, FIEDLER_SCALE, _q_fiedler, _q_fiedler_sweep, _q_adamic_adar, _q_affinity_clusters, _q_assortativity, _q_avg_neighbor_degree, _q_betweenness, _q_bipartite, _q_coloring, _q_community_pagerank, _q_community_quotient, _q_component_profile, _q_coreness, _q_coreness_decremental, _q_csr, _q_csr_gap_histogram, _q_degree_histogram, _q_degree_percentiles, _q_densest, _q_directed_triads, _q_edge_betweenness, _q_four_cliques, _q_graph_edges, _q_graph_summary, _q_kcore, _q_ktruss, _q_leiden, _q_linkpred_auc, _q_linkpred_eval, _q_louvain, _q_louvain_multilevel, _q_louvain_trajectory, _q_mis, _q_modularity, _q_node2vec, _q_onion, _q_partition_assignment, _q_partition_quality, _q_reciprocity, _q_resource_alloc, _q_rich_club, _q_scan_statistic, _q_score_weighted, _q_square_count, _q_transitivity, _q_triangles, _q_triangles_per_vertex, _q_trussness, _q_trussness_decremental, _q_wl_class_histogram, _q_wl_colors  # noqa: E501,F401
 
-from metis_spark.driver.queries_misc import _q_label_mixing_matrix, _q_anti_join, _q_asof_fallback, _q_attr_assortativity, _q_benchmark_contamination, _q_center, _q_copart_topk, _q_dataset_splits, _q_edge_diff, _q_edge_embeddedness, _q_filter_funnel, _q_graph_degrees, _q_heavy_edge_coarsen, _q_heavy_hitter_users, _q_local_clustering, _q_maximal_matching, _q_msf, _q_pref_attach, _q_random_walks, _q_running_total, _q_spec_coloring, _q_vertex_jaccard, _q_walk_sentences, _q_weighted_sample  # noqa: E501,F401
+from metis_spark.driver.queries_misc import _q_label_mixing_matrix, _q_anti_join, _q_asof_fallback, _q_attr_assortativity, _q_benchmark_contamination, _q_center, _q_copart_topk, _q_dataset_splits, _q_edge_diff, _q_edge_embeddedness, _q_filter_funnel, _q_global_hh_sketch, _q_graph_degrees, _q_heavy_edge_coarsen, _q_heavy_hitter_users, _q_local_clustering, _q_maximal_matching, _q_msf, _q_pref_attach, _q_random_walks, _q_running_total, _q_spec_coloring, _q_vertex_jaccard, _q_walk_sentences, _q_weighted_sample  # noqa: E501,F401
 
 from metis_spark.driver.queries_relational import WINDOW_HH_MIN, _q_window_heavy_users, _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct  # noqa: E501,F401
 
@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_neardup": _q_embedding_neardup,
         "heavy_hitter_users": _q_heavy_hitter_users,
+        "global_heavy_hitters_sketch": _q_global_hh_sketch,
         "hash_sample_docs": _q_hash_sample,
         "stratified_sample_docs": _q_stratified_sample,
         "dataset_splits": _q_dataset_splits,
@@ -872,6 +873,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM ne LEFT JOIN hits ON ne.query_id = hits.query_id"
         ),
         "heavy_hitter_users": (
+            "SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events "
+            f"GROUP BY user_id HAVING COUNT(*) >= {HH_MIN_COUNT}"
+        ),
+        # sketch-candidates + exact recount ≡ GROUP BY/HAVING (no false
+        # negatives: k sized so ε·N < threshold; recount kills the rest)
+        "global_heavy_hitters_sketch": (
             "SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events "
             f"GROUP BY user_id HAVING COUNT(*) >= {HH_MIN_COUNT}"
         ),

@@ -171,6 +171,19 @@ def _q_heavy_hitter_users(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return exact_heavy_hitters(events, "user_id", HH_MIN_COUNT)
 
+def _q_global_hh_sketch(spark, sf_dir):
+    """Global heavy hitters through the MISRA-GRIES candidate path
+    (operators/sketches.py sketch_heavy_hitters): per-partition ≤ k
+    mergeable summaries bound the candidate set at P·k rows regardless
+    of skew shape, then the exact broadcast recount removes false
+    positives. k is sized so the sketch's ε·N undercount is strictly
+    below the threshold — no false negatives — so the output is exactly
+    GROUP BY/HAVING and the plain oracle pins the whole sketch path."""
+    from metis_spark.operators.sketches import sketch_heavy_hitters
+
+    events = _t(spark, sf_dir, "events")
+    return sketch_heavy_hitters(events, "user_id", HH_MIN_COUNT)
+
 def _q_dataset_splits(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment — documents never
     migrate between splits as the corpus grows (operators/sampling.py)."""

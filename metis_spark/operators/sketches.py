@@ -77,6 +77,124 @@ def exact_heavy_hitters(df: DataFrame, col: str, min_count: int) -> DataFrame:
     )
 
 
+def _mg_reduce(summ: Counter, k: int) -> Counter:
+    """Misra-Gries reduction to ≤ k counters: subtract the (k+1)-th
+    largest count from every counter and drop the non-positive ones.
+    This is the mergeable-summaries form (Agarwal et al., PODS 2012):
+    each reduction subtracts δ from ≤ len(summ) counters while
+    discarding ≥ (k+1)·δ total mass, so across any merge tree the total
+    undercount of any single value is ≤ N/(k+1)."""
+    if len(summ) <= k:
+        return summ
+    d = sorted(summ.values(), reverse=True)[k]
+    return Counter({v: c - d for v, c in summ.items() if c > d})
+
+
+def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
+    """→ (col, est): a ≤ k-row Misra-Gries frequency summary of ``col``
+    with the classic deficiency contract
+
+        true_count − N/(k+1)  ≤  est  ≤  true_count
+
+    (ε = 1/(k+1); every value with true count > εN is guaranteed a row —
+    contract pinned in tests/test_sketches.py, the same policy as the
+    HLL++ wrapper above, because an underestimate cannot hash-match a
+    SQL oracle).
+
+    100 TB shape: pass 1 is a narrow, shuffle-free mapInPandas — each
+    partition folds its Arrow batches into a local ≤ k-counter summary
+    (memory O(k + batch), never O(distinct)); pass 2 merges the ≤ P·k
+    partial rows with one map-side-combined groupBy-sum, then one final
+    reduction (TakeOrdered k+1 → 1-row offset broadcast back). Nothing
+    ever shuffles the full key space — that is the whole point versus
+    ``groupBy(col).count()`` at 100 TB."""
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    df = df.where(F.col(col).isNotNull())
+    dtype = dict(df.dtypes)[col]
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summ: Counter = Counter()
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                summ[v] += int(c)
+            summ = _mg_reduce(summ, k)
+        yield pd.DataFrame({col: list(summ.keys()), "est": list(summ.values())})
+
+    cand = (
+        df.select(col)
+        .mapInPandas(_partials, schema=f"{col} {dtype}, est long")
+        .groupBy(col)
+        .agg(F.sum("est").alias("est"))
+    )
+    # final reduction: subtract the (k+1)-th largest merged estimate
+    # (0 if fewer than k+1 candidates survive) — 1-row broadcast, no
+    # driver collect
+    kth = (
+        cand.orderBy(F.desc("est"), F.asc(col))
+        .limit(k + 1)
+        .agg(
+            F.min("est").alias("kth"),
+            F.count(F.lit(1)).alias("nk"),
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(kth))
+        .select(
+            col,
+            (
+                F.col("est")
+                - F.when(F.col("nk") == k + 1, F.col("kth")).otherwise(F.lit(0))
+            ).alias("est"),
+        )
+        .where(F.col("est") > 0)
+    )
+
+
+def sketch_heavy_hitters(df: DataFrame, col: str, min_count: int) -> DataFrame:
+    """→ (col, cnt): EXACT global heavy hitters through the Misra-Gries
+    candidate path — sketch for completeness, recount for exactness.
+
+    k is sized so the sketch's worst-case undercount N/(k+1) is strictly
+    below ``min_count``: every true heavy hitter then survives the
+    merged summary with est > 0 (no false negatives), and the exact
+    broadcast-semi-join recount removes the false positives. Output is
+    therefore identical to ``GROUP BY col HAVING count ≥ min_count``
+    (minus NULLs, same contract as exact_heavy_hitters) — which is what
+    makes this sketch path driver-oracle-checkable while
+    misra_gries_summary itself stays pytest-pinned.
+
+    vs exact_heavy_hitters: that one prunes with a per-partition
+    pigeonhole bar ceil(T/P) (candidate count data-dependent); this one
+    bounds the candidate set at ≤ P·k rows REGARDLESS of skew shape —
+    the trade a 100 TB/day abuse pipeline picks when the tail is
+    adversarial."""
+    if min_count < 1:
+        raise ValueError("min_count must be ≥ 1")
+    df = df.where(F.col(col).isNotNull())
+    n = df.count()
+    if n == 0:
+        return df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).limit(0)
+    k = max(1, math.ceil(n / min_count))  # N/(k+1) < min_count
+    dtype = dict(df.dtypes)[col]
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summ: Counter = Counter()
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                summ[v] += int(c)
+            summ = _mg_reduce(summ, k)
+        yield pd.DataFrame({col: list(summ.keys())})
+
+    cand = df.select(col).mapInPandas(_partials, schema=f"{col} {dtype}").distinct()
+    return (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
 def approx_distinct(
     df: DataFrame, group_cols: list[str], col: str, rsd: float = 0.02
 ) -> DataFrame:

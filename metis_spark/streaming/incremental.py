@@ -477,3 +477,87 @@ def streaming_heavy_hitters(
         .queryName(out_table)
         .start()
     )
+
+
+def streaming_global_heavy_hitters(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "stream_ghh",
+    k: int = 64,
+    num_buckets: int = 8,
+) -> "object":
+    """GLOBAL (unwindowed) streaming heavy hitters via a bucketed
+    Misra-Gries sketch — the unbounded-key complement to the exact
+    windowed pair above (streaming_heavy_hitters).
+
+    The exact windowed operator bounds state BY WINDOW; a global top-k
+    over an unbounded key space cannot be exact in bounded state, so
+    this one keeps, per hash bucket, a ≤ k-counter Misra-Gries summary
+    (operators/sketches.py _mg_reduce) inside applyInPandasWithState.
+    Each value hashes to exactly ONE bucket, so the per-value contract
+    is the single-summary one:
+
+        true_count − n_bucket/(k+1)  ≤  est  ≤  true_count
+
+    with n_bucket the bucket's processed-row count (emitted alongside,
+    so the bound is checkable per row; pinned in tests/test_sketches.py
+    against the candidate-pruned exact recount, the approx_distinct
+    policy). State is O(num_buckets · k) counters FOREVER — the
+    100 TB/day property — versus the unbounded per-key state a naive
+    update-mode groupBy(user).count() accumulates.
+
+    Each trigger re-emits every touched bucket's full summary tagged
+    with n_bucket (update mode); the latest snapshot per bucket is the
+    rows with that bucket's max n_bucket — exactly-once restore of the
+    final sketch from the sink without reading executor state.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from metis_spark.operators.sketches import _mg_reduce
+
+    def fn(key, pdfs, state):
+        from collections import Counter
+
+        if state.exists:
+            vals, cnts, n = state.get
+            summ = Counter(dict(zip(vals, cnts)))
+        else:
+            summ, n = Counter(), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for v, c in pdf["user_id"].value_counts().items():
+                summ[int(v)] += int(c)
+            summ = _mg_reduce(summ, k)
+        state.update((list(summ.keys()), [int(c) for c in summ.values()], n))
+        yield pd.DataFrame(
+            {
+                "bucket": int(key[0]),
+                "user_id": list(summ.keys()),
+                "est": [int(c) for c in summ.values()],
+                "n_bucket": n,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    keyed = stream.select(
+        (F.col("user_id") % num_buckets).alias("bucket"), "user_id"
+    )
+    out = keyed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType="bucket long, user_id long, est long, n_bucket long",
+        stateStructType="vals array<long>, cnts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

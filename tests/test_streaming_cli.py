@@ -527,3 +527,94 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
         for r in batch
     }
     assert got == want
+
+
+def test_streaming_global_heavy_hitters_sketch_contract(spark, tmp_path):
+    """Bucketed Misra-Gries over two micro-batch drains: final snapshot
+    (max-n_bucket rows per bucket) satisfies the per-bucket ε·n contract
+    against exact counts, state stays ≤ k per bucket, and every exact
+    heavy hitter above the error bar is present — agreement with the
+    candidate-pruned exact recount (operators/sketches.py)."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.operators.sketches import exact_heavy_hitters
+    from metis_spark.streaming.incremental import (
+        streaming_global_heavy_hitters,
+    )
+
+    drop = tmp_path / "dropg"
+    drop.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, "click", t0 + timedelta(seconds=i % 60))
+                for i, u in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    # heavies 1/2/3 split ACROSS the two files so merge-across-triggers
+    # is exercised; tail is a spread of one-off users
+    import random
+
+    rng = random.Random(11)
+    f1 = [1] * 120 + [2] * 70 + [3] * 20 + [rng.randrange(100, 2000) for _ in range(400)]
+    f2 = [1] * 80 + [2] * 60 + [3] * 25 + [rng.randrange(100, 2000) for _ in range(400)]
+    rng.shuffle(f1)
+    rng.shuffle(f2)
+    _events(f1).coalesce(2).write.mode("overwrite").parquet(str(drop / "f1"))
+    _events(f2, start_id=10_000).coalesce(2).write.mode("overwrite").parquet(
+        str(drop / "f2")
+    )
+
+    K, B = 32, 4
+    q = streaming_global_heavy_hitters(
+        spark, str(drop) + "/*", out_table="sghh", k=K, num_buckets=B
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sghh").collect()
+    finally:
+        q.stop()
+
+    # latest snapshot per bucket = rows carrying that bucket's max n_bucket
+    last_n = {}
+    for r in rows:
+        last_n[r["bucket"]] = max(last_n.get(r["bucket"], 0), r["n_bucket"])
+    snap = {
+        r["user_id"]: (r["est"], r["bucket"], r["n_bucket"])
+        for r in rows
+        if r["n_bucket"] == last_n[r["bucket"]]
+    }
+    per_bucket = {
+        b: sum(1 for v in snap.values() if v[1] == b) for b in last_n
+    }
+    assert all(c <= K for c in per_bucket.values())
+
+    allrows = spark.read.parquet(str(drop / "f1"), str(drop / "f2")).persist()
+    true = {
+        r["user_id"]: r["cnt"]
+        for r in allrows.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert sum(last_n.values()) == sum(true.values())
+
+    # ε·n_bucket contract per surviving value
+    for v, (est, b, nb) in snap.items():
+        assert 0 < est <= true[v]
+        assert true[v] - est <= nb / (K + 1)
+
+    # completeness above the bar + agreement with the exact recount
+    for v, t in true.items():
+        nb = last_n[v % B]
+        if t > nb / (K + 1):
+            assert v in snap, (v, t, nb)
+    exact = {
+        r["user_id"]
+        for r in exact_heavy_hitters(allrows, "user_id", 40).collect()
+    }
+    allrows.unpersist()
+    assert exact <= set(snap)
