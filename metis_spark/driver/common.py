@@ -528,6 +528,11 @@ def _louvain_level1_ctes(rounds: int) -> list:
 
 LEIDEN_REFINE_ROUNDS = 2  # deterministic singleton-merge refinement sweeps
 
+SIMRANK_CAP = 24  # degree cap bounding pair-closure growth at |pairs|·cap²/level
+SIMRANK_VSAMP_MOD = 32  # vertex-sample modulus for the bounded eval-pair set
+SIMRANK_ITERS = 2  # SimRank levels (s_2 needs a 1-level pair closure)
+SIMRANK_K = 64  # top-k pairs emitted
+
 def _leiden_refine_ctes(rounds: int, refine_rounds: int) -> list:
     """Unrolled Leiden refinement twin on top of l{rounds}
     (plans/leiden.py): per round, singleton vertices propose the

@@ -1320,6 +1320,57 @@ def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
         + f"\nSELECT a.id, q.label FROM l{r} a JOIN q{r} q ON a.label = q.id"
     )
 
+def _simrank_sql() -> str:
+    """Unrolled SimRank twin (plans/simrank.py, iters=2): capped graph,
+    md5-sampled pair set, level-1 closed form on the 1-step pair
+    closure, one quantized gather level, top-k. Every float op is the
+    correctly-rounded product/quotient of exact integers (micro-unit
+    discipline), so the replay is bit-exact."""
+    from metis_spark.driver.common import (
+        SIMRANK_CAP,
+        SIMRANK_K,
+        SIMRANK_VSAMP_MOD,
+    )
+
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+        "sdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src), "
+        "ge AS MATERIALIZED (SELECT u.src, u.dst FROM und u "
+        "JOIN sdeg a ON u.src = a.id JOIN sdeg b ON u.dst = b.id "
+        f"WHERE a.deg <= {SIMRANK_CAP} AND b.deg <= {SIMRANK_CAP}), "
+        "nd AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS nd "
+        "FROM ge GROUP BY src), "
+        "vs AS MATERIALIZED (SELECT id FROM sdeg WHERE "
+        "('0x' || substr(md5('sr_' || id::VARCHAR), 1, 15))::BIGINT "
+        f"% {SIMRANK_VSAMP_MOD} = 0), "
+        "p0 AS MATERIALIZED (SELECT x.id AS a, y.id AS b FROM vs x "
+        "JOIN vs y ON x.id < y.id), "
+        "p1 AS MATERIALIZED (SELECT DISTINCT LEAST(ea.dst, eb.dst) AS a, "
+        "GREATEST(ea.dst, eb.dst) AS b FROM p0 p "
+        "JOIN ge ea ON p.a = ea.src JOIN ge eb ON p.b = eb.src "
+        "WHERE ea.dst <> eb.dst), "
+        "pall AS MATERIALIZED (SELECT a, b FROM p0 UNION SELECT a, b FROM p1), "
+        "cn AS MATERIALIZED (SELECT p.a, p.b, COUNT(*)::BIGINT AS cn "
+        "FROM pall p JOIN ge ea ON p.a = ea.src "
+        "JOIN ge eb ON p.b = eb.src AND ea.dst = eb.dst GROUP BY p.a, p.b), "
+        "q1 AS MATERIALIZED (SELECT c.a, c.b, "
+        "ROUND(0.8 * (1000000.0 * c.cn) / (na.nd * nb.nd))::BIGINT AS q "
+        "FROM cn c JOIN nd na ON c.a = na.id JOIN nd nb ON c.b = nb.id), "
+        "gat AS MATERIALIZED (SELECT p.a, p.b, "
+        "SUM(CASE WHEN ea.dst = eb.dst THEN 1000000 "
+        "ELSE COALESCE(q1.q, 0) END)::BIGINT AS s FROM p0 p "
+        "JOIN ge ea ON p.a = ea.src JOIN ge eb ON p.b = eb.src "
+        "LEFT JOIN q1 ON q1.a = LEAST(ea.dst, eb.dst) "
+        "AND q1.b = GREATEST(ea.dst, eb.dst) GROUP BY p.a, p.b), "
+        "q2 AS (SELECT g.a, g.b, "
+        "ROUND(0.8 * g.s / (na.nd * nb.nd))::BIGINT AS q FROM gat g "
+        "JOIN nd na ON g.a = na.id JOIN nd nb ON g.b = nb.id) "
+        "SELECT a, b, q, rn FROM (SELECT a, b, q, "
+        "ROW_NUMBER() OVER (ORDER BY q DESC, a ASC, b ASC)::BIGINT AS rn "
+        f"FROM q2 WHERE q > 0) WHERE rn <= {SIMRANK_K}"
+    )
+
 def _leiden_sql(
     rounds: int = LOUVAIN_ROUNDS, refine_rounds: int | None = None,
 ) -> str:

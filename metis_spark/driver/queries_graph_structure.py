@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
+from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SIMRANK_CAP, SIMRANK_ITERS, SIMRANK_K, SIMRANK_VSAMP_MOD, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
 
 
 def _q_graph_edges(spark, sf_dir):
@@ -795,6 +795,50 @@ def _q_louvain_multilevel(spark, sf_dir):
     )
     assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
     return labels
+
+def _q_simrank(spark, sf_dir):
+    """SimRank top-k over a bounded eval-pair set (plans/simrank.py):
+    the recursive structural-context metric, quantized to integer
+    micro-units each level so the unrolled oracle replays the
+    trajectory bit-for-bit. Pairs = md5-sampled vertex subset crossed
+    (a<b), ~|V|²/MOD² rows — bounded by construction, never all-pairs;
+    the degree cap bounds the pair-closure at |pairs|·cap² per level
+    (hubs carry near-zero SimRank mass: the recurrence divides by
+    |N(a)|·|N(b)|). Global top-k is TakeOrdered-then-rank over the
+    already-limited set."""
+    from metis_spark.plans.simrank import simrank_pairs
+
+    e = derived_edges_sparse(spark, sf_dir)
+    verts = derived_und(spark, sf_dir).select(F.col("src").alias("id")).distinct()
+    vs = verts.where(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit("sr"), F.col("id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SIMRANK_VSAMP_MOD
+        == 0
+    )
+    pairs = (
+        vs.select(F.col("id").alias("a"))
+        .crossJoin(F.broadcast(vs.select(F.col("id").alias("b"))))
+        .where(F.col("a") < F.col("b"))
+    )
+    scores, info = simrank_pairs(
+        e, pairs, c=0.8, iters=SIMRANK_ITERS, deg_cap=SIMRANK_CAP
+    )
+    assert info["iterations"] == SIMRANK_ITERS, info
+    top = (
+        scores.where(F.col("q") > 0)
+        .orderBy(F.desc("q"), F.asc("a"), F.asc("b"))
+        .limit(SIMRANK_K)
+    )
+    w = Window.orderBy(F.desc("q"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 def _q_leiden(spark, sf_dir):
     """Leiden community detection (plans/leiden.py): Louvain local
