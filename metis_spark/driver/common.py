@@ -528,6 +528,8 @@ def _louvain_level1_ctes(rounds: int) -> list:
 
 LEIDEN_REFINE_ROUNDS = 2  # deterministic singleton-merge refinement sweeps
 
+NUCLEUS_ORACLE_ROUNDS = 4  # ≥ measured triangle-h-index fixpoint (1 / 1)
+
 SIMRANK_CAP = 24  # degree cap bounding pair-closure growth at |pairs|·cap²/level
 SIMRANK_VSAMP_MOD = 32  # vertex-sample modulus for the bounded eval-pair set
 SIMRANK_ITERS = 2  # SimRank levels (s_2 needs a 1-level pair closure)

@@ -1320,6 +1320,60 @@ def _louvain2_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
         + f"\nSELECT a.id, q.label FROM l{r} a JOIN q{r} q ON a.label = q.id"
     )
 
+def _nucleus_sql(rounds: int | None = None) -> str:
+    """Unrolled (3,4)-nucleus twin (plans/nucleus.py): 4-cliques
+    p<q<r<s enumerated once via the 6-edge join, fanned to 4
+    (triangle; other×3) rows; per round
+    t(T) = least(t(T), H({min(t(O₁),t(O₂),t(O₃))})) with the same
+    relational h-index as the trussness twin."""
+    from metis_spark.driver.common import NUCLEUS_ORACLE_ROUNDS
+
+    if rounds is None:
+        rounds = NUCLEUS_ORACLE_ROUNDS
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM und)",
+        "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM ce e1 JOIN ce e2 ON e1.b = e2.a "
+        "JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)",
+        "quad AS MATERIALIZED (SELECT ab.a AS p, ab.b AS q, ac.b AS r, ad.b AS s "
+        "FROM ce ab JOIN ce ac ON ac.a = ab.a AND ac.b > ab.b "
+        "JOIN ce ad ON ad.a = ab.a AND ad.b > ac.b "
+        "JOIN ce bc ON bc.a = ab.b AND bc.b = ac.b "
+        "JOIN ce bd ON bd.a = ab.b AND bd.b = ad.b "
+        "JOIN ce cd ON cd.a = ac.b AND cd.b = ad.b)",
+        "tq AS MATERIALIZED ("
+        "SELECT p AS x, q AS y, r AS z, p AS x1, q AS y1, s AS z1, "
+        "p AS x2, r AS y2, s AS z2, q AS x3, r AS y3, s AS z3 FROM quad "
+        "UNION ALL SELECT p, q, s, p, q, r, p, r, s, q, r, s FROM quad "
+        "UNION ALL SELECT p, r, s, p, q, r, p, q, s, q, r, s FROM quad "
+        "UNION ALL SELECT q, r, s, p, q, r, p, q, s, p, r, s FROM quad)",
+        "n0 AS MATERIALIZED (SELECT t.x, t.y, t.z, "
+        "COALESCE(c.c, 0)::BIGINT AS t FROM tri t LEFT JOIN "
+        "(SELECT x, y, z, COUNT(*)::BIGINT AS c FROM tq GROUP BY x, y, z) c "
+        "ON c.x = t.x AND c.y = t.y AND c.z = t.z)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT e.x, e.y, e.z, "
+            f"LEAST(e.t, COALESCE(h.h, 0))::BIGINT AS t FROM n{p} e LEFT JOIN ("
+            f"SELECT x, y, z, MAX(LEAST(m, rn))::BIGINT AS h FROM ("
+            f"SELECT tq.x, tq.y, tq.z, LEAST(a.t, b.t, c.t) AS m, "
+            f"ROW_NUMBER() OVER (PARTITION BY tq.x, tq.y, tq.z "
+            f"ORDER BY LEAST(a.t, b.t, c.t) DESC) AS rn "
+            f"FROM tq JOIN n{p} a ON tq.x1 = a.x AND tq.y1 = a.y AND tq.z1 = a.z "
+            f"JOIN n{p} b ON tq.x2 = b.x AND tq.y2 = b.y AND tq.z2 = b.z "
+            f"JOIN n{p} c ON tq.x3 = c.x AND tq.y3 = c.y AND tq.z3 = c.z) "
+            f"GROUP BY x, y, z) h "
+            f"ON e.x = h.x AND e.y = h.y AND e.z = h.z)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT x, y, z, t AS nucleus FROM n{rounds}"
+    )
+
 def _simrank_sql() -> str:
     """Unrolled SimRank twin (plans/simrank.py, iters=2): capped graph,
     md5-sampled pair set, level-1 closed form on the 1-step pair

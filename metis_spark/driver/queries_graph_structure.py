@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SIMRANK_CAP, SIMRANK_ITERS, SIMRANK_K, SIMRANK_VSAMP_MOD, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
+from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, NUCLEUS_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SIMRANK_CAP, SIMRANK_ITERS, SIMRANK_K, SIMRANK_VSAMP_MOD, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
 
 
 def _q_graph_edges(spark, sf_dir):
@@ -795,6 +795,22 @@ def _q_louvain_multilevel(spark, sf_dir):
     )
     assert info["iterations"] == 2 * LOUVAIN_ROUNDS, info
     return labels
+
+def _q_nucleus(spark, sf_dir):
+    """(3,4)-nucleus decomposition (plans/nucleus.py): per-triangle
+    nucleus numbers by h-index iteration over the once-enumerated
+    4-clique incidence — the decomposition one level past trussness
+    (same spine, triangles peel by 4-clique support instead of edges
+    by triangle support). Converges in ≤ NUCLEUS_ORACLE_ROUNDS on this
+    graph, so the fixed-round oracle replays the exact fixpoint."""
+    from metis_spark.plans.nucleus import nucleus_34
+
+    out, info = nucleus_34(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qnuc_"),
+    )
+    assert info["converged"] and info["iterations"] <= NUCLEUS_ORACLE_ROUNDS, info
+    return out
 
 def _q_simrank(spark, sf_dir):
     """SimRank top-k over a bounded eval-pair set (plans/simrank.py):
