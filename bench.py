@@ -129,9 +129,12 @@ def main() -> None:
 
     timed("build_csr", _csr)
 
-    # operator-pack headliners on the driver testdata
+    # operator-pack headliners on the driver testdata.
+    # SHARED = the r4 basis, pinned so round-over-round like-for-like
+    # stays computable (VERDICT r4 item 9); adds go in NEW below and
+    # graduate into SHARED the round after.
     qs = E.queries()
-    for name in (
+    SHARED = (
         "tpch_q1_agg",
         "sessionize_part_index",
         "minhash_lsh_candidates",
@@ -162,9 +165,18 @@ def main() -> None:
         "ppr_sweep_cut",
         "edge_betweenness",
         "corpus_js_divergence",
-    ):
+    )
+    NEW = (  # round-5 additions — reported separately, not in the basis
+        "leiden_communities",
+        "simrank_topk",
+        "nucleus_34",
+        "global_heavy_hitters_sketch",
+    )
+    for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    new_t = {n: timings[n] for n in NEW}
+    shared_t = {n: t for n, t in timings.items() if n not in new_t}
     print(
         json.dumps(
             {
@@ -172,6 +184,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "shared": shared_t,
+                "new": new_t,
+                "shared_total": round(sum(shared_t.values()), 3),
+                "new_total": round(sum(new_t.values()), 3),
                 "sf": sf,
                 **extras,
             }

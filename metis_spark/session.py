@@ -60,4 +60,18 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # Every unpartitioned window the engine ships runs over a
+        # pre-limited input (global top-k: distributed sort + limit(k)
+        # FIRST, then rank over the ≤ k survivors — pinned by
+        # tests/test_plan_shape.py against genuinely unbounded global
+        # windows), so WindowExec's single-partition warning is noise
+        # here; demote that one logger instead of widening the filter.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     return spark
