@@ -171,6 +171,7 @@ def main() -> None:
         "simrank_topk",
         "nucleus_34",
         "global_heavy_hitters_sketch",
+        "kmeans_embeddings",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -295,6 +295,9 @@ NEARDUP_TABLES, NEARDUP_PLANES = 24, 3  # sized so every ≥0.4 pair collides
 
 IVF_STRIDE, IVF_NPROBE = 25, 4  # 20 lists at sf≤0.01 (80 at sf0.1), probe 4
 
+# quantized Lloyd k-means (operators/similarity.py kmeans_quantized)
+KMEANS_K, KMEANS_ITERS, KMEANS_SCALE = 8, 3, 1000
+
 HH_MIN_COUNT = 60
 
 CONTAM_K = 5  # decontamination gram width (distinct 5-grams per doc)

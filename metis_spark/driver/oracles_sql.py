@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -347,6 +347,58 @@ def _linkpred_auc_sql() -> str:
         "SELECT n_pos, n_neg, (s2 - n_pos * (n_pos + 1))::BIGINT AS u2, "
         "ROUND((s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6) AS auc FROM agg"
     )
+
+def _kmeans_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+) -> str:
+    """Unrolled DuckDB twin of operators/similarity.py kmeans_quantized:
+    floor-quantized dims, exact integer distances, ROW_NUMBER(dist2, cid)
+    assignment, floor-divided centroid update — every round replays the
+    Spark trajectory bit-for-bit (the fiedler/simrank quantized-integer
+    argument)."""
+    parts = [
+        f"""WITH pts AS MATERIALIZED (
+  SELECT vec_id AS id, ix.i AS pos,
+         CAST(FLOOR(embedding[ix.i + 1]::DOUBLE * {scale}.0) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(0, {dim})) AS i) ix),
+c0 AS MATERIALIZED (
+  SELECT id AS cid, pos, q AS cq FROM pts
+  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT p.id, c.cid, CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist2
+  FROM pts p JOIN {prev} c ON p.pos = c.pos GROUP BY p.id, c.cid),
+a{r} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+    FROM d{r}) WHERE rn = 1),
+c{r} AS MATERIALIZED (
+  SELECT a.cid, p.pos,
+         CAST(FLOOR(SUM(p.q)::DOUBLE / COUNT(*)) AS BIGINT) AS cq
+  FROM pts p JOIN a{r} a ON p.id = a.id GROUP BY a.cid, p.pos)"""
+        )
+        prev = f"c{r}"
+    parts.append(
+        f"""dfin AS MATERIALIZED (
+  SELECT p.id, c.cid, CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist2
+  FROM pts p JOIN {prev} c ON p.pos = c.pos GROUP BY p.id, c.cid),
+afin AS (
+  SELECT id, cid, dist2 FROM (
+    SELECT id, cid, dist2,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+    FROM dfin) WHERE rn = 1)
+SELECT cid, COUNT(*)::BIGINT AS n_members, CAST(SUM(dist2) AS BIGINT) AS wss
+FROM afin GROUP BY cid ORDER BY cid"""
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + ",\n" + parts[-1]
+
 
 def _kcenter_sql(k: int = KCENTER_K) -> str:
     """Unrolled farthest-first twin: per step, fold the new center's

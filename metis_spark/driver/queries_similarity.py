@@ -79,6 +79,28 @@ def _q_kcenter(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.kcenter_seeds(emb, "vec_id", "embedding", k=KCENTER_K)
 
+def _q_kmeans(spark, sf_dir):
+    """Quantized-integer Lloyd k-means over the embedding corpus
+    (operators/similarity.py:kmeans_quantized) — per-cluster size + exact
+    integer within-cluster squared distance after KMEANS_ITERS rounds.
+    Every round is a function of exact integers (floor-quantized dims,
+    integer distance sums, floor-divided centroid means), so the unrolled
+    DuckDB twin replays the whole trajectory bit-for-bit."""
+    from metis_spark.driver.common import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = SIM.kmeans_quantized(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist2").alias("wss"),
+        )
+        .orderBy("cid")
+    )
+
 def _q_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: for the 5 smallest vec_ids, the
     top-3 most-cosine-similar vectors with a DIFFERENT label — the

@@ -490,3 +490,117 @@ def scalar_quantize_codes(
             .alias("code"),
         )
     )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Engine-exact Lloyd k-means over integer-quantized vectors →
+    (id, cid, dist2): final cluster assignment + exact squared distance.
+
+    ``ivf_fit`` above is the float Lloyd (centroid = float mean) — fine
+    as a quantizer, impossible to hash-match across engines because the
+    mean's addition order is engine-defined. This variant makes the
+    whole trajectory a function of exact integers, the same discipline
+    that made the Fiedler iteration oracle-checkable
+    (plans/spectral.py):
+
+    - each vector dimension quantizes ONCE to q = FLOOR(val·scale)
+      (floor of an identically-derived double — engine-exact, the
+      sq8_codes argument);
+    - distances are exact integer sums Σ(q − cq)²;
+    - assignment ties (equal dist2) break to the smallest cid, matching
+      ROW_NUMBER ORDER BY dist2, cid;
+    - the centroid update is cq' = FLOOR(Σq / n) — one correctly-rounded
+      double division of exact integers per (cid, dim), then floor.
+      Exactness bound: |Σq| ≤ n·scale·max|val| must stay < 2^53 (at
+      scale=1000 that is ~10⁹ vectors per cluster — beyond it, bump to
+      a decimal division);
+    - initial centroids are the k smallest-id vectors (cid = that id),
+      deterministic and replayable.
+
+    Scale shape: the quantized point table (n·d rows) is built and
+    persisted once, pre-partitioned by the explode; per round one
+    broadcast join against the k·d-row centroid table + two map-side-
+    combined groupBys. The ONLY driver round-trip is the k·d centroid
+    collect per round (k·d ≤ a few thousand — bounded by the model, not
+    the data, exactly like kcenter_seeds' one-center-per-pass).
+    Dead clusters drop out (standard Lloyd behavior, replayed by the
+    oracle's group-by).
+
+    Reference parity: /root/reference/Metis has no clustering
+    operators; this extends the §2.10 embedding family (ivf_fit,
+    kcenter_seeds, sq8_codes).
+    """
+    spark = df.sparkSession
+    pts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.floor(F.col("val").cast("double") * F.lit(float(scale)))
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+
+    init_ids = [
+        r[0]
+        for r in df.select(F.col(id_col).cast("long").alias("id"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    ]
+    cent = [
+        (int(r["id"]), int(r["pos"]), int(r["q"]))
+        for r in pts.where(F.col("id").isin(init_ids)).collect()
+    ]
+
+    def _cdf(rows):
+        return F.broadcast(
+            spark.createDataFrame(rows, "cid long, pos int, cq long")
+        )
+
+    def _assign(rows):
+        scored = (
+            pts.join(_cdf(rows), "pos")
+            .groupBy("id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist2")
+            )
+        )
+        best = scored.groupBy("id").agg(
+            F.min(F.struct(F.col("dist2"), F.col("cid"))).alias("b")
+        )
+        return best.select(
+            "id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2")
+        )
+
+    for _ in range(iters):
+        asg = _assign(cent)
+        upd = (
+            pts.join(asg.select("id", "cid"), "id")
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid",
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("long")
+                .alias("cq"),
+            )
+        )
+        cent = [(int(r["cid"]), int(r["pos"]), int(r["cq"])) for r in upd.collect()]
+
+    return _assign(cent)
