@@ -172,6 +172,7 @@ def main() -> None:
         "nucleus_34",
         "global_heavy_hitters_sketch",
         "kmeans_embeddings",
+        "dsir_importance",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

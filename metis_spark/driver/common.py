@@ -298,6 +298,9 @@ IVF_STRIDE, IVF_NPROBE = 25, 4  # 20 lists at sf≤0.01 (80 at sf0.1), probe 4
 # quantized Lloyd k-means (operators/similarity.py kmeans_quantized)
 KMEANS_K, KMEANS_ITERS, KMEANS_SCALE = 8, 3, 1000
 
+# DSIR importance scoring (operators/corpus_stats.py dsir_logratio)
+DSIR_BUCKETS, DSIR_TARGET = 1024, "en"
+
 HH_MIN_COUNT = 60
 
 CONTAM_K = 5  # decontamination gram width (distinct 5-grams per doc)

@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -347,6 +347,39 @@ def _linkpred_auc_sql() -> str:
         "SELECT n_pos, n_neg, (s2 - n_pos * (n_pos + 1))::BIGINT AS u2, "
         "ROUND((s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6) AS auc FROM agg"
     )
+
+def _dsir_sql(b: int = DSIR_BUCKETS, target: str = DSIR_TARGET) -> str:
+    """Twin of operators/corpus_stats.py dsir_logratio: hashed
+    unigram+bigram buckets (md5-60-bit, the shared hash), add-1
+    smoothed target-vs-raw log ratio quantized to micro-nats per
+    bucket, one constant micro-nat scalar for the totals term."""
+    return f"""
+WITH dt AS MATERIALIZED (SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS t FROM documents),
+feats AS MATERIALIZED (SELECT doc_id, lang, unnest(
+    t || CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE []::VARCHAR[] END) AS f FROM dt),
+bk AS MATERIALIZED (SELECT doc_id, lang,
+    ('0x' || substr(md5('dsir_' || f), 1, 15))::BIGINT % {b} AS bucket
+    FROM feats),
+cnt AS MATERIALIZED (SELECT bucket, COUNT(*)::BIGINT AS cr,
+    (COUNT(*) FILTER (WHERE lang = '{target}'))::BIGINT AS ct
+    FROM bk GROUP BY bucket),
+lam AS (SELECT bucket,
+    CAST(ROUND(ln((ct + 1)::DOUBLE / (cr + 1)) * 1000000.0) AS BIGINT) AS lam
+    FROM cnt),
+km AS (SELECT CAST(ROUND(ln((SUM(cr)::BIGINT + {b})::DOUBLE /
+                            (SUM(ct)::BIGINT + {b})) * 1000000.0) AS BIGINT)
+              AS km FROM cnt)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_feats,
+       (SUM(l.lam)::BIGINT + COUNT(*) * MAX(km.km))::BIGINT AS score_micro,
+       ROUND((SUM(l.lam)::BIGINT + COUNT(*) * MAX(km.km))::BIGINT
+             / COUNT(*) / 1000000.0, 6) AS avg_logratio
+FROM bk s JOIN lam l USING (bucket) CROSS JOIN km GROUP BY s.doc_id
+"""
+
 
 def _kmeans_sql(
     k: int = KMEANS_K,

@@ -193,6 +193,22 @@ def _q_unigram_surprisal(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return CS.unigram_surprisal(docs, "doc_id", "text")
 
+def _q_dsir(spark, sf_dir):
+    """DSIR importance scores (Xie et al. 2023): per-document hashed
+    unigram+bigram log-likelihood ratio of the 'en' slice's feature
+    distribution vs the raw corpus, add-1 smoothed — the data-selection
+    scorer whose descending rank picks raw documents that look like the
+    target domain. Bucket log-ratios quantized to integer micro-nats
+    once in the <=DSIR_BUCKETS-row table
+    (operators/corpus_stats.py:dsir_logratio)."""
+    from metis_spark.driver.common import DSIR_BUCKETS, DSIR_TARGET
+
+    docs = _t(spark, sf_dir, "documents")
+    return CS.dsir_logratio(
+        docs, target_col="lang", target_value=DSIR_TARGET,
+        n_buckets=DSIR_BUCKETS,
+    )
+
 def _q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")

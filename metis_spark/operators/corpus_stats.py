@@ -587,3 +587,122 @@ def bm25_topk(
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .select("doc_id", "n_match", "score_micro", "score", "rn")
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_feats, score_micro, avg_logratio): DSIR importance
+    scores (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") — per-document hashed-n-gram log-likelihood
+    ratio between a TARGET slice's feature distribution and the RAW
+    corpus's. Rank-descending = "select raw data that looks like the
+    target domain"; the score feeds the existing A-ES weighted sampler
+    for the resampling step, or a plain top-k for deterministic
+    selection.
+
+    Features are DSIR's: unigrams + bigrams hashed into ``n_buckets``
+    buckets (md5-60-bit, the engine-shared hash), add-1 smoothed:
+
+        score(d) = Σ_f cnt_{d,f} · ln( p̂_target(f) / p̂_raw(f) )
+                 = Σ_f cnt_{d,f} · ln((c_t[f]+1)/(c_r[f]+1))
+                   + n_feats(d) · ln((N_r+B)/(N_t+B))
+
+    Cross-engine float discipline (the unigram_surprisal pattern): each
+    bucket's ln((c_t+1)/(c_r+1)) is one ln of a correctly-rounded
+    quotient of exact integers, quantized to integer micro-nats ONCE in
+    the ≤B-row bucket table; the constant term is one more such scalar.
+    Per-document sums are pure integer arithmetic — addition order
+    across partitions/engines cannot flip a bit.
+
+    Scale shape: the feature explode partial-aggregates map-side into
+    ≤B buckets (both counts in ONE pass via count-if); the scored
+    stream is one ≤B-row broadcast join + one map-side-combined
+    groupBy + one 1-row broadcast crossJoin for the constant — text
+    never rides a shuffle past tokenization, and B bounds every
+    model-side table regardless of corpus size."""
+    from metis_spark.functions.text import token_hash60
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == F.lit(target_value)).alias("is_t"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    grams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("t", (i + 1).cast("int")),
+                F.element_at("t", (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id",
+        "is_t",
+        F.explode(F.concat(F.col("t"), grams)).alias("f"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (
+            token_hash60(F.concat(F.lit("dsir_"), F.col("f")))
+            % F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+    cnt = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.count_if(F.col("is_t")).cast("long").alias("ct"),
+    )
+    lam = cnt.select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("ct") + 1).cast("double") / (F.col("cr") + 1)
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    km = cnt.agg(
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("ct").cast("long").alias("nt"),
+    ).select(
+        F.round(
+            F.log(
+                (F.col("nr") + n_buckets).cast("double")
+                / (F.col("nt") + n_buckets)
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("km")
+    )
+    per_doc = (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lam").cast("long").alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(km)).select(
+        "doc_id",
+        "n_feats",
+        (F.col("s") + F.col("n_feats") * F.col("km"))
+        .cast("long")
+        .alias("score_micro"),
+        F.round(
+            (F.col("s") + F.col("n_feats") * F.col("km"))
+            / F.col("n_feats")
+            / F.lit(1e6),
+            6,
+        ).alias("avg_logratio"),
+    )
