@@ -173,6 +173,7 @@ def main() -> None:
         "global_heavy_hitters_sketch",
         "kmeans_embeddings",
         "dsir_importance",
+        "graphlet4_census",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

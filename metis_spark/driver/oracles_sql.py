@@ -751,6 +751,47 @@ SELECT a, b, emb, jaccard, rn FROM (SELECT a, b, emb, jaccard,
 WHERE rn <= {EMB_K}
 """
 
+def _graphlet4_sql() -> str:
+    """Twin of plans/metrics.py graphlet4_census: the four closed-form
+    terms recomputed from the same degree/triangle/support CTEs, the
+    same capped wedge pairs for c4, the same ordered quad join for k4
+    (deferred to call time because _WEDGE_SQL is defined below)."""
+    return f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (SELECT COUNT(*)::BIGINT AS t FROM tri),
+tv AS (SELECT v, COUNT(*)::BIGINT AS tv FROM (SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY v),
+sides AS (SELECT x AS a, y AS b FROM tri UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri),
+sup AS (SELECT a, b, COUNT(*)::BIGINT AS s FROM sides GROUP BY a, b),
+{_WEDGE_SQL},
+cw AS (SELECT u, v, COUNT(*)::BIGINT AS c FROM wedge GROUP BY u, v),
+quad AS (SELECT COUNT(*)::BIGINT AS fc FROM u ab
+  JOIN u ac ON ac.a = ab.a AND ac.b > ab.b
+  JOIN u ad ON ad.a = ab.a AND ad.b > ac.b
+  JOIN u bc ON bc.a = ab.b AND bc.b = ac.b
+  JOIN u bd ON bd.a = ab.b AND bd.b = ad.b
+  JOIN u cd ON cd.a = ac.b AND cd.b = ad.b)
+SELECT 'c4_cycle' AS graphlet,
+       COALESCE((SUM(c * (c - 1) // 2) // 2), 0)::BIGINT AS cnt FROM cw
+UNION ALL SELECT 'diamond', COALESCE(SUM(s * (s - 1) // 2), 0)::BIGINT FROM sup
+UNION ALL SELECT 'k4_clique', fc::BIGINT FROM quad
+UNION ALL SELECT 'p4_path',
+  ((SELECT COALESCE(SUM((da.deg - 1) * (db.deg - 1)), 0)::BIGINT FROM u
+    JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id)
+   - 3 * (SELECT t FROM tc))::BIGINT
+UNION ALL SELECT 's3_star',
+  COALESCE(SUM(deg * (deg - 1) * (deg - 2) // 6), 0)::BIGINT FROM deg
+UNION ALL SELECT 'tailed_triangle',
+  COALESCE(SUM(tv.tv * (d.deg - 2)), 0)::BIGINT
+  FROM tv JOIN deg d ON tv.v = d.id
+"""
+
+
 def _scc_sql() -> str:
     """Unrolled FW-BW phases: per phase, fwd/bwd min propagation over the
     active-induced edge subset; settle fwd==bwd; shrink the active set."""

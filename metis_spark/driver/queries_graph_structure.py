@@ -344,6 +344,19 @@ def _q_square_count(spark, sf_dir):
 
     return square_count(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
 
+def _q_graphlet4_census(spark, sf_dir):
+    """Non-induced census of all six connected 4-vertex graphlets
+    (plans/metrics.py:graphlet4_census, ESCAPE-style closed forms):
+    stars/paths/tailed/diamonds from integer identities over the
+    degree, per-vertex-triangle and per-edge-support tables; only the
+    4-cycle (capped wedge pairs) and 4-clique (kClist) are enumerated,
+    both already verified operators. The six counts together are the
+    motif signature that separates link rings (clique-heavy) from
+    hierarchies (star/path-heavy) at a glance."""
+    from metis_spark.plans.metrics import graphlet4_census
+
+    return graphlet4_census(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
+
 def _q_four_cliques(spark, sf_dir):
     """Exact global 4-clique count next to the triangle count
     (plans/triangles.py:four_clique_count, kClist ordered enumeration on

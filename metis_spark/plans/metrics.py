@@ -468,3 +468,110 @@ def edge_embeddedness(edges: DataFrame, k: int = 100) -> DataFrame:
     top = scored.orderBy(F.desc("emb"), F.asc("a"), F.asc("b")).limit(k)
     w = Window.orderBy(F.desc("emb"), F.asc("a"), F.asc("b"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def graphlet4_census(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
+    """Non-induced census of all six connected 4-vertex graphlets →
+    six rows (graphlet, cnt): ``c4_cycle``, ``diamond``, ``k4_clique``,
+    ``p4_path``, ``s3_star``, ``tailed_triangle`` — the full motif
+    signature one step past the triangle (ESCAPE, Pinar/Seshadhri/Vishal
+    WWW'17: count 4-patterns from CLOSED FORMS over smaller-pattern
+    aggregates instead of enumerating them).
+
+    Only the two clique-like patterns are enumerated (both already
+    verified operators); everything else is integer arithmetic over the
+    degree / per-vertex-triangle / per-edge-support tables:
+
+      s3_star   = Σ_v C(d_v, 3)                (pendant trio at a center)
+      p4_path   = Σ_{(a,b)∈E} (d_a−1)(d_b−1) − 3T   (central-edge count;
+                  the −3T removes the closed w=z walks, one per
+                  triangle-edge incidence)
+      tailed    = Σ_v t_v · (d_v − 2)          (triangle vertex + pendant)
+      diamond   = Σ_e C(sup_e, 2)              (two triangles sharing the
+                  chord e — each diamond counted once by its unique chord)
+      c4_cycle  = ½ Σ_{u<v} C(c_uv, 2)         (square_count above — the
+                  wedge term shares the link-predictor family's declared
+                  hub cap; exact when max degree ≤ hub_cap, which the
+                  pytest fixture and the driver graph both satisfy)
+      k4_clique = kClist ordered enumeration (plans/triangles.py)
+
+    Induced counts follow by the standard inclusion-exclusion on these
+    six numbers (ESCAPE Table 1) and are deliberately not materialized:
+    the non-induced (subgraph) counts are the mergeable quantities — at
+    100 TB each term is a map-side-combined aggregate over tables the
+    triangle/clique spine already builds, and no stage here adds a
+    shuffle beyond those verified plans. All arithmetic is exact
+    integers: d(d−1)(d−2) is divisible by 6 and sup(sup−1), c(c−1) by 2
+    TERM-WISE, so both engines floor-divide exactly.
+    """
+    from metis_spark.plans.triangles import (
+        _per_edge_commons,
+        four_clique_count,
+        triangle_count_per_vertex,
+    )
+
+    und = _und(edges)
+    deg = _und_degrees(und).persist()
+
+    s3 = deg.select(
+        F.expr("deg * (deg - 1) * (deg - 2) div 6").alias("x")
+    ).agg(F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("cnt"))
+
+    canon = und.where(F.col("src") < F.col("dst"))
+    da = deg.select(F.col("id").alias("src"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("dst"), F.col("deg").alias("db"))
+    kc = four_clique_count(edges).persist()  # (triangles, four_cliques)
+    p4_base = (
+        canon.join(da.hint("shuffle_hash"), "src")
+        .join(db.hint("shuffle_hash"), "dst")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("da") - 1) * (F.col("db") - 1)), F.lit(0)
+            ).cast("long").alias("walks")
+        )
+    )
+    p4 = p4_base.crossJoin(F.broadcast(kc)).select(
+        (F.col("walks") - 3 * F.col("triangles")).cast("long").alias("cnt")
+    )
+
+    tv = triangle_count_per_vertex(edges, vertices=deg.select("id"))
+    tailed = (
+        tv.join(deg.hint("shuffle_hash"), "id")
+        .select((F.col("triangles") * (F.col("deg") - 2)).alias("x"))
+        .agg(F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("cnt"))
+    )
+
+    per = _per_edge_commons(edges).where(F.col("n_common") > 0)
+    tri = per.select("src", "dst", F.explode("common").alias("w"))
+    sides = (
+        tri.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .unionByName(
+            tri.select(F.least("src", "w").alias("a"), F.greatest("src", "w").alias("b"))
+        )
+        .unionByName(
+            tri.select(F.least("dst", "w").alias("a"), F.greatest("dst", "w").alias("b"))
+        )
+    )
+    sup = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+    diamond = sup.select(
+        F.shiftright(F.col("s") * (F.col("s") - 1), 1).alias("x")
+    ).agg(F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("cnt"))
+
+    c4 = square_count(edges, hub_cap=hub_cap).select(
+        F.col("squares").alias("cnt")
+    )
+    k4 = kc.select(F.col("four_cliques").cast("long").alias("cnt"))
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("graphlet"), F.col("cnt"))
+
+    return (
+        tag(c4, "c4_cycle")
+        .unionByName(tag(diamond, "diamond"))
+        .unionByName(tag(k4, "k4_clique"))
+        .unionByName(tag(p4, "p4_path"))
+        .unionByName(tag(s3, "s3_star"))
+        .unionByName(tag(tailed, "tailed_triangle"))
+    )
