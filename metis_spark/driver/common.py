@@ -297,6 +297,7 @@ IVF_STRIDE, IVF_NPROBE = 25, 4  # 20 lists at sf≤0.01 (80 at sf0.1), probe 4
 
 # quantized Lloyd k-means (operators/similarity.py kmeans_quantized)
 KMEANS_K, KMEANS_ITERS, KMEANS_SCALE = 8, 3, 1000
+SEMDEDUP_TAU = 0.40  # ~99.95th pct of the synthetic cosine distribution
 
 # DSIR importance scoring (operators/corpus_stats.py dsir_logratio)
 DSIR_BUCKETS, DSIR_TARGET = 1024, "en"

@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -381,17 +381,15 @@ FROM bk s JOIN lam l USING (bucket) CROSS JOIN km GROUP BY s.doc_id
 """
 
 
-def _kmeans_sql(
+def _kmeans_chain(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     scale: int = KMEANS_SCALE,
     dim: int = 64,
 ) -> str:
-    """Unrolled DuckDB twin of operators/similarity.py kmeans_quantized:
-    floor-quantized dims, exact integer distances, ROW_NUMBER(dist2, cid)
-    assignment, floor-divided centroid update — every round replays the
-    Spark trajectory bit-for-bit (the fiedler/simrank quantized-integer
-    argument)."""
+    """Shared CTE chain (WITH ... through `afin`) replaying
+    kmeans_quantized's trajectory — consumed by `_kmeans_sql` and
+    `_semdedup_sql`, which append their own final SELECTs."""
     parts = [
         f"""WITH pts AS MATERIALIZED (
   SELECT vec_id AS id, ix.i AS pos,
@@ -422,15 +420,64 @@ c{r} AS MATERIALIZED (
         f"""dfin AS MATERIALIZED (
   SELECT p.id, c.cid, CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist2
   FROM pts p JOIN {prev} c ON p.pos = c.pos GROUP BY p.id, c.cid),
-afin AS (
+afin AS MATERIALIZED (
   SELECT id, cid, dist2 FROM (
     SELECT id, cid, dist2,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
-    FROM dfin) WHERE rn = 1)
+    FROM dfin) WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _kmeans_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+) -> str:
+    """Unrolled DuckDB twin of operators/similarity.py kmeans_quantized:
+    floor-quantized dims, exact integer distances, ROW_NUMBER(dist2, cid)
+    assignment, floor-divided centroid update — every round replays the
+    Spark trajectory bit-for-bit (the fiedler/simrank quantized-integer
+    argument)."""
+    return (
+        _kmeans_chain(k, iters, scale, dim)
+        + """
 SELECT cid, COUNT(*)::BIGINT AS n_members, CAST(SUM(dist2) AS BIGINT) AS wss
 FROM afin GROUP BY cid ORDER BY cid"""
     )
-    return ",\n".join(parts[:1] + parts[1:-1]) + ",\n" + parts[-1]
+
+
+def _semdedup_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    """Twin of operators/similarity.py semdedup: the shared kmeans chain
+    supplies the cluster assignment + exact integer dist2; a vector is
+    removed iff a same-cluster partner with (dist2, id) lexicographically
+    smaller has ROUND(cosine, 6) >= tau."""
+    cos = _cos_expr("a.v", "b.v")
+    return (
+        _kmeans_chain(k, iters, scale, dim)
+        + f""",
+member AS MATERIALIZED (
+  SELECT f.id, f.cid, f.dist2, e.embedding AS v
+  FROM afin f JOIN embeddings e ON f.id = e.vec_id),
+removed AS (
+  SELECT DISTINCT b.cid, b.id
+  FROM member b JOIN member a ON a.cid = b.cid
+  WHERE (a.dist2 < b.dist2 OR (a.dist2 = b.dist2 AND a.id < b.id))
+    AND ROUND({cos}, 6) >= {tau})
+SELECT f.cid, COUNT(*)::BIGINT AS n_members,
+       COALESCE(MAX(r.nrem), 0)::BIGINT AS n_removed
+FROM afin f LEFT JOIN (
+  SELECT cid, COUNT(*)::BIGINT AS nrem FROM removed GROUP BY cid) r
+  ON f.cid = r.cid
+GROUP BY f.cid ORDER BY f.cid"""
+    )
 
 
 def _kcenter_sql(k: int = KCENTER_K) -> str:

@@ -245,3 +245,19 @@ def _q_embedding_dedup_clusters(spark, sf_dir):
         F.col("component").alias("cluster"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/similarity.py:semdedup):
+    kmeans-cluster-scoped cosine near-dup removal, keep-most-central
+    policy — per-cluster member/removed counts. The cluster stage bounds
+    the pairwise stage (Σ nᵢ², never n²); the only float is the rounded
+    pairwise cosine, so the DuckDB twin replays the whole trajectory."""
+    from metis_spark.driver.common import (
+        KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semdedup(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE,
+        tau=SEMDEDUP_TAU,
+    )

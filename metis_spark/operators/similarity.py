@@ -604,3 +604,93 @@ def kmeans_quantized(
         cent = [(int(r["cid"]), int(r["pos"]), int(r["cq"])) for r in upd.collect()]
 
     return _assign(cent)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    tau: float = 0.40,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication →
+    (cid, n_members, n_removed): k-means-cluster the embedding corpus,
+    then WITHIN each cluster drop every vector that has a ≥ tau-cosine
+    neighbor closer to the centroid than itself (keep-most-central
+    policy; ties on distance break to the smaller id). The cluster
+    stage is what makes the pairwise stage tractable: candidate pairs
+    are Σᵢ nᵢ² over clusters, never n² over the corpus — the documented
+    SemDeDup recall trade-off is that cross-cluster near-dups are
+    intentionally out of scope.
+
+    Composition: `kmeans_quantized` provides the engine-exact
+    assignment AND the exact integer dist2-to-centroid that the keep
+    policy ranks by, so the only float in the operator is the pairwise
+    cosine, rounded to 6dp before the threshold test (the
+    lsh_neardup_pairs discipline). A vector is removed iff EXISTS a
+    same-cluster partner with ROUND(cos, 6) ≥ tau and (dist2, id)
+    strictly smaller lexicographically — expressed as a left-semi
+    self-join on cid, so Catalyst plans one shuffle on cid plus the
+    bounded within-cluster pair expansion.
+
+    Scale shape at 100 TB: the self-join shuffles both sides on cid
+    (co-partitioned, no broadcast of the corpus); per-cluster pair
+    blowup is bounded by the k chosen for the quantizer (pick k so the
+    expected cluster size keeps nᵢ² in check — SemDeDup's own paper
+    runs k≈10⁵ over 10⁹ docs). No driver round-trip beyond
+    kmeans_quantized's k·d centroid collect.
+
+    Reference parity: /root/reference/Metis has no embedding operators;
+    this extends the §2.10 dedup family (exact sha, MinHash-LSH,
+    simhash, embedding-LSH) with the cluster-scoped semantic variant.
+    """
+    asg = kmeans_quantized(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    member = asg.join(vecs, "id").select("id", "cid", "dist2", "v")
+    a = member.select(
+        F.col("cid"),
+        F.col("id").alias("a_id"),
+        F.col("dist2").alias("a_d2"),
+        F.col("v").alias("a_v"),
+    )
+    b = member.select(
+        F.col("cid"),
+        F.col("id").alias("b_id"),
+        F.col("dist2").alias("b_d2"),
+        F.col("v").alias("b_v"),
+    )
+    # b is removed: a more-central (dist2, id)-lexicographically-smaller
+    # same-cluster partner exists with rounded cosine >= tau
+    removed = (
+        b.join(a, "cid")
+        .where(
+            (
+                (F.col("a_d2") < F.col("b_d2"))
+                | ((F.col("a_d2") == F.col("b_d2")) & (F.col("a_id") < F.col("b_id")))
+            )
+            & (F.round(cosine(F.col("a_v"), F.col("b_v")), 6) >= F.lit(tau))
+        )
+        .select("cid", F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            removed.groupBy("cid").agg(F.count(F.lit(1)).alias("n_removed")),
+            "cid",
+            "left",
+        )
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy("cid")
+    )
