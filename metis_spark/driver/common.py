@@ -191,6 +191,16 @@ def _robustness(spark, sf_dir, mode: str):
         out_rows, "k_removed long, n_left long, n_components long, largest_cc long"
     )
 
+SCAN_EPS_NUM, SCAN_EPS_DEN, SCAN_MU = 3, 20, 3  # sigma >= 0.15, core needs
+# mu-sized eps-neighborhood: all four roles populated at sf0.01 (38
+# clusters), three at sf0.001 (probed over the sparse graph's sigma
+# distribution; a denser threshold empties sf0.01, a looser one merges
+# sf0.001 into one blob)
+
+SCAN_CC_ROUNDS = 12  # min-label unroll depth over the core-core similar
+# subgraph; measured convergence by round 8 at both SFs, asserted
+# engine-side (plans/scan.py) like ROB_ROUNDS
+
 COMPONENT_PROFILE_ROUNDS = 12  # min-label unroll depth for the oracle;
 
 SLPA_ROUNDS = 4  # fixed sweeps (oracle-unrollable); unreached stay NULL

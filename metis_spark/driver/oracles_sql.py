@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -2399,6 +2399,68 @@ def _ppr_sql() -> str:
             f"+ {d}*COALESCE(c.contrib,0) AS rank FROM p LEFT JOIN c{i} c ON p.id = c.id)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
+
+def _scan_sql(
+    num: int = SCAN_EPS_NUM,
+    den: int = SCAN_EPS_DEN,
+    mu: int = SCAN_MU,
+    rounds: int = SCAN_CC_ROUNDS,
+) -> str:
+    """Twin of plans/scan.py scan_clusters over the sparse graph: the
+    sigma >= eps test squared into pure integers, core test on the
+    eps-neighborhood size, fixed-round min-label CC over core-core
+    similar edges (convergence measured <= 8 rounds both SFs, asserted
+    engine-side), border/hub/outlier classification."""
+    ctes = [
+        f"""{_EDGES_SPARSE_SQL.strip()},
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+degs AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+spairs AS MATERIALIZED (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+comm AS MATERIALIZED (SELECT p.a, p.b, COUNT(*)::BIGINT AS c
+  FROM spairs p JOIN und x ON x.src = p.a JOIN und y ON y.src = p.b AND y.dst = x.dst
+  GROUP BY p.a, p.b),
+sim AS MATERIALIZED (SELECT p.a, p.b FROM spairs p
+  LEFT JOIN comm c ON p.a = c.a AND p.b = c.b
+  JOIN degs da ON da.id = p.a JOIN degs db ON db.id = p.b
+  WHERE (COALESCE(c.c, 0) + 2) * (COALESCE(c.c, 0) + 2) * {den * den}
+        >= {num * num} * (da.deg + 1) * (db.deg + 1)),
+simn AS (SELECT id, COUNT(*)::BIGINT AS nsim
+  FROM (SELECT a AS id FROM sim UNION ALL SELECT b FROM sim) GROUP BY id),
+cores AS MATERIALIZED (SELECT v.id FROM verts v LEFT JOIN simn s ON v.id = s.id
+  WHERE COALESCE(s.nsim, 0) + 1 >= {mu}),
+csim AS MATERIALIZED (SELECT s.a, s.b FROM sim s
+  JOIN cores ca ON s.a = ca.id JOIN cores cb ON s.b = cb.id),
+csimu AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM csim UNION ALL SELECT b AS src, a AS dst FROM csim),
+l0 AS (SELECT id, id AS label FROM cores)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"l{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM l{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM csimu u "
+            f"JOIN l{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+corelab AS MATERIALIZED (SELECT id, label AS cluster FROM l{rounds}),
+border AS MATERIALIZED (SELECT sb.u AS id, MIN(cl.cluster) AS cluster
+  FROM (SELECT a AS u, b AS v FROM sim UNION ALL SELECT b AS u, a AS v FROM sim) sb
+  JOIN corelab cl ON sb.v = cl.id
+  WHERE sb.u NOT IN (SELECT id FROM cores) GROUP BY sb.u),
+members AS MATERIALIZED (SELECT id, cluster, 'core' AS role FROM corelab
+  UNION ALL SELECT id, cluster, 'border' AS role FROM border),
+hubs AS MATERIALIZED (SELECT u.src AS id FROM und u JOIN members m ON u.dst = m.id
+  WHERE u.src NOT IN (SELECT id FROM members)
+  GROUP BY u.src HAVING COUNT(DISTINCT m.cluster) >= 2)
+SELECT id, cluster::BIGINT AS cluster, role FROM members
+UNION ALL SELECT id, NULL::BIGINT AS cluster, 'hub' AS role FROM hubs
+UNION ALL SELECT v.id, NULL::BIGINT AS cluster, 'outlier' AS role FROM verts v
+  WHERE v.id NOT IN (SELECT id FROM members) AND v.id NOT IN (SELECT id FROM hubs)
+ORDER BY id"""
+    )
+
 
 def _cc_sql() -> str:
     ctes = [_EDGES_SQL.strip(), "l0 AS (SELECT id, id AS label FROM verts)"]

@@ -1262,3 +1262,19 @@ def _q_fiedler_sweep(spark, sf_dir):
     )
     assert info["best_phi"] <= 1.0 and 1 <= info["best_k"] <= SWEEP_L, info
     return out
+
+def _q_scan(spark, sf_dir):
+    """SCAN structural clustering (plans/scan.py:scan_clusters) over the
+    sparse graph — per-vertex (cluster, role) with the four-way
+    core/border/hub/outlier decomposition. sigma >= eps never touches
+    floats (squared-integer test), the cluster CC runs on the verified
+    min-star spine with a rounds assert mirroring the oracle's fixed
+    SCAN_CC_ROUNDS unroll."""
+    from metis_spark.driver.common import SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU
+    from metis_spark.plans.scan import scan_clusters
+
+    e = derived_edges_sparse(spark, sf_dir)
+    return scan_clusters(
+        e, eps_num=SCAN_EPS_NUM, eps_den=SCAN_EPS_DEN, mu=SCAN_MU,
+        max_cc_rounds=SCAN_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qscan_"),
+    )
