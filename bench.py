@@ -174,6 +174,8 @@ def main() -> None:
         "kmeans_embeddings",
         "dsir_importance",
         "graphlet4_census",
+        "semdedup",
+        "scan_clusters",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -699,6 +699,31 @@ quad AS (SELECT COUNT(*)::BIGINT AS fc FROM u ab
 SELECT tri.t AS triangles, quad.fc AS four_cliques FROM tri, quad
 """
 
+_FIVE_CLIQUE_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT COUNT(*)::BIGINT AS t FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+quad AS (SELECT COUNT(*)::BIGINT AS fc FROM u ab
+  JOIN u ac ON ac.a = ab.a AND ac.b > ab.b
+  JOIN u ad ON ad.a = ab.a AND ad.b > ac.b
+  JOIN u bc ON bc.a = ab.b AND bc.b = ac.b
+  JOIN u bd ON bd.a = ab.b AND bd.b = ad.b
+  JOIN u cd ON cd.a = ac.b AND cd.b = ad.b),
+quint AS (SELECT COUNT(*)::BIGINT AS qc FROM u ab
+  JOIN u ac ON ac.a = ab.a AND ac.b > ab.b
+  JOIN u ad ON ad.a = ab.a AND ad.b > ac.b
+  JOIN u ae ON ae.a = ab.a AND ae.b > ad.b
+  JOIN u bc ON bc.a = ab.b AND bc.b = ac.b
+  JOIN u bd ON bd.a = ab.b AND bd.b = ad.b
+  JOIN u be ON be.a = ab.b AND be.b = ae.b
+  JOIN u cd ON cd.a = ac.b AND cd.b = ad.b
+  JOIN u ce ON ce.a = ac.b AND ce.b = ae.b
+  JOIN u de ON de.a = ad.b AND de.b = ae.b)
+SELECT tri.t AS triangles, quad.fc AS four_cliques, quint.qc AS five_cliques
+FROM tri, quad, quint
+"""
+
 def _ppr_sweep_sql() -> str:
     """Unrolled twin of _q_ppr_sweep_cut: seeded PageRank on the
     symmetric sparse graph (no dangling mass by construction — the dm

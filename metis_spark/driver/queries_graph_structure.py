@@ -1278,3 +1278,12 @@ def _q_scan(spark, sf_dir):
         e, eps_num=SCAN_EPS_NUM, eps_den=SCAN_EPS_DEN, mu=SCAN_MU,
         max_cc_rounds=SCAN_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qscan_"),
     )
+
+def _q_five_cliques(spark, sf_dir):
+    """Exact k=3,4,5 clique profile (plans/triangles.py:
+    five_clique_profile) — one kClist level past four_clique_count;
+    the profile's slope is the link-farm escalation signal (rings
+    densify top-down: 5-cliques explode before triangles move)."""
+    from metis_spark.plans.triangles import five_clique_profile
+
+    return five_clique_profile(derived_edges_sparse(spark, sf_dir))

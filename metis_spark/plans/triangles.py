@@ -182,3 +182,71 @@ def four_clique_count(edges: DataFrame) -> DataFrame:
     per_edge.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(rows, "triangles long, four_cliques long")
+
+
+def five_clique_profile(edges: DataFrame) -> DataFrame:
+    """Global exact clique profile → one row (triangles, four_cliques,
+    five_cliques) — the k=3,4,5 clique-density signature.
+
+    One more kClist level past four_clique_count (same citation,
+    Danisch/Balalau/Sozio WWW'18): every (k+1)-clique extends a k-clique
+    whose candidate set C is intersected one adjacency deeper — the
+    5-clique row count is Σ_{4-cliques} |C_uvw ∩ N+(x)| with total work
+    Σ_{4-cliques} |C_uvw|, the sequential kClist bound. The candidate
+    arrays stay bounded by the O(√m) oriented out-degree, so no stage
+    carries more than the triangle plan already does per row; each
+    explode level multiplies rows by the (sparse-graph-small) clique
+    count, not the vertex count.
+
+    Why it earns a slot next to graphlet4_census: the census's closed
+    forms stop at 4 vertices; the 5-clique count is the first motif that
+    REQUIRES deep enumeration, and the clique-profile slope
+    (t → fc → qc) is the standard link-farm/spam-ring escalation signal
+    (rings densify top-down: 5-cliques explode orders of magnitude
+    before triangles look anomalous)."""
+    per_edge = _per_edge_commons(edges).persist()
+    tri_total = per_edge.agg(
+        F.coalesce(F.sum("n_common"), F.lit(0)).cast("long").alias("t")
+    )
+    tris = per_edge.where(F.col("n_common") > 0).select(
+        "common", F.explode("common").alias("w")
+    )
+    adj_w = _oriented_adj(_oriented(edges)).select(
+        F.col("src").alias("w"), F.col("nbrs").alias("nbrs_w")
+    )
+    # array-carrying joins stay hint-free (sort-merge can spill; an SHJ
+    # build map of fat adjacency rows cannot) — _per_edge_commons rationale
+    quads = (
+        tris.join(adj_w, "w")
+        .select(F.array_intersect("common", "nbrs_w").alias("c2"))
+        .persist()
+    )
+    quad_total = quads.agg(
+        F.coalesce(F.sum(F.size("c2")), F.lit(0)).cast("long").alias("fc")
+    )
+    adj_x = adj_w.select(F.col("w").alias("x"), F.col("nbrs_w").alias("nbrs_x"))
+    quints = (
+        quads.where(F.size("c2") > 0)
+        .select("c2", F.explode("c2").alias("x"))
+        .join(adj_x, "x")
+        .select(F.size(F.array_intersect("c2", "nbrs_x")).alias("p"))
+    )
+    quint_total = quints.agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("qc")
+    )
+    out = (
+        tri_total.join(quad_total)
+        .join(quint_total)
+        .select(
+            F.col("t").alias("triangles"),
+            F.col("fc").alias("four_cliques"),
+            F.col("qc").alias("five_cliques"),
+        )
+    )
+    rows = out.collect()
+    per_edge.unpersist()
+    quads.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        rows, "triangles long, four_cliques long, five_cliques long"
+    )
