@@ -652,7 +652,10 @@ def semdedup(
     vecs = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    member = asg.join(vecs, "id").select("id", "cid", "dist2", "v")
+    # persisted once: the assignment subtree (full Lloyd re-gather) feeds
+    # BOTH pair sides and the member-count agg — without this Catalyst
+    # re-executes it three times
+    member = asg.join(vecs, "id").select("id", "cid", "dist2", "v").persist()
     a = member.select(
         F.col("cid"),
         F.col("id").alias("a_id"),
@@ -680,7 +683,7 @@ def semdedup(
         .distinct()
     )
     return (
-        asg.groupBy("cid")
+        member.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .join(
             removed.groupBy("cid").agg(F.count(F.lit(1)).alias("n_removed")),
