@@ -545,7 +545,10 @@ def _louvain_level1_ctes(rounds: int) -> list:
 
 LEIDEN_REFINE_ROUNDS = 2  # deterministic singleton-merge refinement sweeps
 
-NUCLEUS_ORACLE_ROUNDS = 4  # ≥ measured triangle-h-index fixpoint (1 / 1)
+NUCLEUS_ORACLE_ROUNDS = 6  # ≥ measured triangle-h-index fixpoint (1 at
+# sf0.001/sf0.01, 5 at the sf0.1 bench graph); extra unrolled rounds
+# past the fixpoint are no-ops for the monotone h-index, so the oracle
+# only pays two more cheap joins at gate scales
 
 SIMRANK_CAP = 24  # degree cap bounding pair-closure growth at |pairs|·cap²/level
 SIMRANK_VSAMP_MOD = 32  # vertex-sample modulus for the bounded eval-pair set
