@@ -445,3 +445,11 @@ def _q_bm25(spark, sf_dir):
     per-document sum; ranking all-integer."""
     docs = _t(spark, sf_dir, "documents")
     return CS.bm25_topk(docs, "doc_id", "text", n_query_terms=BM25_QTERMS, k=BM25_K)
+
+def _q_dup_span_coverage(spark, sf_dir):
+    """Token-mass duplicated-span audit (operators/corpus_stats.py:
+    dup_span_coverage): fraction of each doc's token positions covered
+    by a corpus-repeated 3-gram — the ExactSubstr-style budget number
+    (what a substring dedup pass would cut), vs ngram_novelty's
+    distinct-shingle rate."""
+    return CS.dup_span_coverage(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)

@@ -32,6 +32,7 @@ from metis_spark.plans.metrics import (  # noqa: E402
 from metis_spark.plans.kcore import k_core  # noqa: E402
 from metis_spark.plans.pagerank import pagerank  # noqa: E402
 from metis_spark.plans.triangles import (  # noqa: E402
+    doulion_triangle_estimate,
     triangle_count,
     triangle_count_per_vertex,
 )
@@ -1287,3 +1288,10 @@ def _q_five_cliques(spark, sf_dir):
     from metis_spark.plans.triangles import five_clique_profile
 
     return five_clique_profile(derived_edges_sparse(spark, sf_dir))
+
+def _q_doulion_triangles(spark, sf_dir):
+    """DOULION coin-flip triangle estimate (plans/triangles.py:
+    doulion_triangle_estimate) — deterministic md5-coin p=1/4 edge
+    sparsification, exact count on the kept quarter, scaled by 4^3;
+    the screening pass that prices the exact triangle_count at scale."""
+    return doulion_triangle_estimate(derived_edges(spark, sf_dir))

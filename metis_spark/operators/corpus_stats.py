@@ -706,3 +706,72 @@ def dsir_logratio(
             6,
         ).alias("avg_logratio"),
     )
+
+
+def dup_span_coverage(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document duplicated-span coverage → (doc_id, n_tokens,
+    n_dup_tokens, dup_frac): the fraction of a document's token
+    POSITIONS covered by some k-gram that occurs more than once in the
+    corpus (counting multiplicity, so intra-document repetition counts
+    too) — the k-gram-granular audit of Lee et al.'s ExactSubstr
+    deduplication ("Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): where ngram_novelty scores distinct shingles,
+    this scores the TOKEN MASS a substring-level dedup pass would cut,
+    which is the number the pipeline budget actually needs.
+
+    Shape: positional (non-distinct) k-grams via one fused
+    posexplode — pos rides along so span membership needs no re-scan —
+    then a map-side-combined corpus frequency, one semi-style equi-join
+    back, and per-position coverage as explode(sequence(pos, pos+k-1))
+    + distinct. Every stage partial-aggregates; the only corpus-wide
+    shuffle carries (shingle, count), never text. Position arithmetic is
+    integer end-to-end; the single division is ROUND(x, 6) in both
+    engines.
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toked = spread.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    n_tok = toked.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("tk", (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    grams = toked.where(F.size("tk") >= k).select(
+        "doc_id", F.posexplode(gram).alias("pos", "shingle")
+    )
+    rep = (
+        grams.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        grams.join(rep.hint("shuffle_hash"), "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_tokens"))
+    )
+    return (
+        n_tok.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -250,3 +250,84 @@ def five_clique_profile(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "triangles long, four_cliques long, five_cliques long"
     )
+
+
+def doulion_triangle_estimate(
+    edges: DataFrame, keep_mod: int = 4, salt: str = "doulion"
+) -> DataFrame:
+    """DOULION sampled triangle estimate → one row
+    (n_und_edges, n_sampled, sampled_triangles, triangle_estimate).
+
+    Tsourakakis, Kang, Miller & Faloutsos, "DOULION: Counting Triangles
+    in Massive Graphs with a Coin" (KDD 2009): keep each undirected edge
+    independently with probability p, count triangles EXACTLY on the
+    sparsified graph, and scale by 1/p^3 — an unbiased estimator whose
+    variance vanishes on graphs with many triangles. At 100 TB this is
+    the screening pass: the intersection join's input shrinks by p and
+    its work by ~p^1.5..p^3 BEFORE any shuffle, so a p=1/4 coin turns an
+    exact count that needs the full edge table into one reading a
+    quarter of it — run the estimate first, pay for exact only where the
+    estimate says the graph is interesting.
+
+    Determinism (the engine-replayable coin): the "flip" for edge {a,b}
+    is the corpus-wide md5→60-bit trick — keep iff
+    conv(substr(md5('<salt>' || a || ':' || b), 1, 15), 16, 10) %
+    keep_mod == 0, i.e. p = 1/keep_mod — bit-identical in DuckDB as
+    ('0x' || substr(md5(...), 1, 15))::BIGINT, so the oracle replays the
+    exact sample, not a distribution. The estimate is the exact integer
+    sampled_triangles * keep_mod^3 (no float anywhere).
+
+    Reference parity: /root/reference/Metis has no sampled-triangle
+    operator; this is the approximate twin of triangle_count() the same
+    way anf_sketch twins the exact neighborhood function.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").cast("long").alias("a"),
+            F.greatest("src", "dst").cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % keep_mod
+        == 0
+    )
+    flagged = und.withColumn("keep", coin).persist()
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_und"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+    ).collect()[0]
+    sampled = flagged.where("keep").select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    t = triangle_count(sampled)
+    flagged.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_und"] or 0),
+                int(stats["n_kept"] or 0),
+                t,
+                t * keep_mod**3,
+            )
+        ],
+        "n_und_edges long, n_sampled long, sampled_triangles long, triangle_estimate long",
+    )
