@@ -2746,3 +2746,34 @@ def _fiedler_sweep_sql(n_iters: int = 16, S: int = 10_000, sweep_l: int = 64) ->
         "CASE WHEN LEAST(vol, (SELECT c2 FROM m2) - vol) > 0 THEN "
         "ROUND(cut / LEAST(vol, (SELECT c2 FROM m2) - vol), 6) END AS phi FROM fin"
     )
+
+
+def _pca_sql(rounds: int = 8, dim: int = 64, scale: int = 1000, norm_scale: int = 10**6) -> str:
+    """Unrolled twin of operators/similarity.py:pca_top_component — same
+    FLOOR quantizer, same exact-integer Gram, same TRUNCATING (`//`)
+    renormalization per round, same largest-|loading| sign convention."""
+    ctes = [
+        "ex AS MATERIALIZED (SELECT vec_id, ix.i AS pos, "
+        f"embedding[ix.i + 1]::DOUBLE AS val FROM embeddings, "
+        f"(SELECT unnest(range(0, {dim})) AS i) ix)",
+        f"pts AS MATERIALIZED (SELECT vec_id, pos, FLOOR(val * {scale})::BIGINT AS q FROM ex)",
+        "g AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, SUM(a.q * b.q) AS gv "
+        "FROM pts a JOIN pts b ON a.vec_id = b.vec_id GROUP BY 1, 2)",
+        f"v0 AS MATERIALIZED (SELECT unnest(range(0, {dim})) AS pos, 1::HUGEINT AS v)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT g.i AS pos, SUM(g.gv * v.v) AS u "
+            f"FROM g JOIN v{r - 1} v ON g.j = v.pos GROUP BY g.i)"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT pos, (u * {norm_scale}) // "
+            f"GREATEST((SELECT MAX(ABS(u)) FROM u{r}), 1) AS v FROM u{r})"
+        )
+    last = f"v{rounds}"
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"sg AS (SELECT CASE WHEN (SELECT v FROM {last} ORDER BY ABS(v) DESC, pos ASC LIMIT 1) < 0 "
+        "THEN -1 ELSE 1 END AS s) "
+        f"SELECT pos::BIGINT AS pos, (v * sg.s)::BIGINT AS loading_q FROM {last}, sg"
+    )

@@ -261,3 +261,12 @@ def _q_semdedup(spark, sf_dir):
         emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE,
         tau=SEMDEDUP_TAU,
     )
+
+def _q_pca_top(spark, sf_dir):
+    """Dominant embedding direction (operators/similarity.py:
+    pca_top_component): engine-exact quantized power iteration on the
+    integer second-moment matrix — the All-but-the-Top whitening
+    direction, oracle-replayable via truncating integer renorm."""
+    from metis_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"))

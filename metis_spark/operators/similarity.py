@@ -697,3 +697,89 @@ def semdedup(
         )
         .orderBy("cid")
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's `//` on
+    integers truncates, Python's floors; the PCA iteration below must
+    replay bit-for-bit in both, so both sides pin truncation."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pca_top_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    rounds: int = 8,
+    norm_scale: int = 10**6,
+) -> DataFrame:
+    """Top principal direction of the embedding corpus → (pos, loading_q):
+    the dominant eigenvector of the UNCENTERED second-moment matrix
+    X'X (the standard embedding-whitening / dominant-direction-removal
+    preprocessing — Mu & Viswanath, "All-but-the-Top", ICLR 2018 —
+    computed without mean-centering so every quantity stays an exact
+    integer), by power iteration with the engine-exact quantized
+    renormalization discipline of plans/spectral.py.
+
+    Exactness chain (any engine replays it bit-for-bit):
+    - q = FLOOR(val·scale) per dimension (the sq8/kmeans quantizer);
+    - G[i][j] = Σ_rows q_i·q_j — exact integer sums, accumulated in
+      decimal(38,0) (q² ≤ scale²·max|val|² per row; 10¹² rows fit);
+    - per round u = G·v in arbitrary-precision driver integers, then
+      v' = trunc(u·norm_scale / max|u|) — TRUNCATING division, matching
+      DuckDB `//`;
+    - sign convention: the largest-|loading| component (ties → smallest
+      pos) is made positive.
+
+    Scale shape: the d² outer products are generated MAP-SIDE from each
+    row's array (one fused explode, no self-join) and partial-aggregate
+    into exactly d² groups — the only shuffle carries d² rows. The
+    driver round-trip is the d²-scalar Gram collect (model-sized, like
+    kmeans_quantized's k·d centroid collect); the O(rounds·d²) iteration
+    is driver arithmetic on that constant-size object, independent of N.
+
+    Reference parity: /root/reference/Metis has no spectral embedding
+    operators; this extends the §2.10 embedding family (sq8_codes,
+    kmeans_quantized, fiedler_bipartition's quantized-iteration idea).
+    """
+    spark = df.sparkSession
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    quant = df.select(qarr.alias("qs"))
+    pairs = quant.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("qs"),
+                    lambda qi, i: F.transform(
+                        F.col("qs"),
+                        lambda qj, j: F.struct(
+                            i.alias("i"), j.alias("j"), (qi * qj).alias("p")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    g = (
+        pairs.groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
+        .agg(F.sum(F.col("pr.p").cast("decimal(38,0)")).alias("gv"))
+        .collect()
+    )
+    G: dict[tuple[int, int], int] = {(r["i"], r["j"]): int(r["gv"]) for r in g}
+    v = [1] * dim
+    for _ in range(rounds):
+        u = [sum(G.get((i, j), 0) * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u) or 1
+        v = [_tdiv(x * norm_scale, m) for x in u]
+    lead = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "pos long, loading_q long"
+    )
