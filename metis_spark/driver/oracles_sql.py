@@ -2777,3 +2777,58 @@ def _pca_sql(rounds: int = 8, dim: int = 64, scale: int = 1000, norm_scale: int 
         "THEN -1 ELSE 1 END AS s) "
         f"SELECT pos::BIGINT AS pos, (v * sg.s)::BIGINT AS loading_q FROM {last}, sg"
     )
+
+
+def _truss_communities_sql(
+    k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS, cc_rounds: int = 12
+) -> str:
+    """Truss-community search twin (Huang et al., "Querying k-truss
+    community in large and dynamic graphs", SIGMOD 2014, seedless batch
+    form): the _ktruss_sql peel to fixpoint, then a min-label flood
+    restricted to the surviving edge set; community id = min member
+    vertex, one row per community with vertex/edge counts."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "t0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM und)",
+    ]
+
+    def _sup(r: int) -> str:
+        return (
+            f"(SELECT a, b, COUNT(*)::BIGINT AS s FROM ("
+            f"SELECT tr.x AS a, tr.y AS b FROM tri{r} tr "
+            f"UNION ALL SELECT tr.y, tr.z FROM tri{r} tr "
+            f"UNION ALL SELECT tr.x, tr.z FROM tri{r} tr) GROUP BY a, b)"
+        )
+
+    for r in range(rounds):
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM t{r} e1 JOIN t{r} e2 ON e1.b = e2.a "
+            f"JOIN t{r} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        ctes.append(
+            f"t{r + 1} AS MATERIALIZED (SELECT t.a, t.b FROM t{r} t "
+            f"JOIN {_sup(r)} s ON s.a = t.a AND s.b = t.b WHERE s.s >= {k - 2})"
+        )
+    ctes.append(
+        f"tu AS MATERIALIZED (SELECT a AS s, b AS d FROM t{rounds} "
+        f"UNION ALL SELECT b, a FROM t{rounds})"
+    )
+    ctes.append(
+        "nb AS MATERIALIZED (SELECT s AS id, d AS nb FROM tu "
+        "UNION ALL SELECT DISTINCT s, s FROM tu)"
+    )
+    ctes.append("l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM tu)")
+    for i in range(1, cc_rounds + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, MIN(l.lbl)::BIGINT AS lbl "
+            f"FROM nb v JOIN l{i - 1} l ON l.id = v.nb GROUP BY v.id)"
+        )
+    last = f"l{cc_rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + ", "
+        f"nv AS (SELECT lbl AS community, COUNT(*)::BIGINT AS n_vertices FROM {last} GROUP BY lbl), "
+        f"ne AS (SELECT la.lbl AS community, COUNT(*)::BIGINT AS n_edges "
+        f"FROM t{rounds} e JOIN {last} la ON la.id = e.a GROUP BY la.lbl) "
+        "SELECT nv.community, nv.n_vertices, ne.n_edges FROM nv JOIN ne USING (community)"
+    )

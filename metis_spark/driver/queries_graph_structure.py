@@ -1295,3 +1295,42 @@ def _q_doulion_triangles(spark, sf_dir):
     sparsification, exact count on the kept quarter, scaled by 4^3;
     the screening pass that prices the exact triangle_count at scale."""
     return doulion_triangle_estimate(derived_edges(spark, sf_dir))
+
+def _q_truss_communities(spark, sf_dir):
+    """Seedless k-truss community search (Huang et al. SIGMOD'14): the
+    4-truss fixpoint (plans/ktruss.py) partitioned into its connected
+    components (plans/components.py) — each component is a k-truss
+    community (every edge inside sits in >= k-2 intra-community
+    triangles); community id = min member vertex. The composition a
+    community-search user runs batch-side before serving seed queries."""
+    from metis_spark.plans.components import connected_components
+    from metis_spark.plans.ktruss import k_truss
+
+    sup, info = k_truss(
+        derived_edges_sparse(spark, sf_dir),
+        k=KTRUSS_K,
+        checkpoint_dir=_tmpdir("metis_qtrusscomm_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"] and info["iterations"] <= KTRUSS_ORACLE_ROUNDS, info
+    truss_edges = sup.select("src", "dst").persist()
+    labels, cinfo = connected_components(
+        truss_edges, checkpoint_dir=_tmpdir("metis_qtrusscomm_cc_")
+    )
+    assert cinfo["converged"] and cinfo["iterations"] <= 12, cinfo
+    nv = labels.groupBy(F.col("component").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    ne = (
+        truss_edges.join(
+            labels.select(F.col("id").alias("src"), "component").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy(F.col("component").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    out = nv.join(ne, "community").select("community", "n_vertices", "n_edges")
+    rows = out.collect()
+    truss_edges.unpersist()
+    return spark.createDataFrame(rows, "community long, n_vertices long, n_edges long")
