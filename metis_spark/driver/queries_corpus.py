@@ -453,3 +453,9 @@ def _q_dup_span_coverage(spark, sf_dir):
     (what a substring dedup pass would cut), vs ngram_novelty's
     distinct-shingle rate."""
     return CS.dup_span_coverage(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+def _q_char_entropy(spark, sf_dir):
+    """Character-bigram entropy (operators/corpus_stats.py:
+    char_bigram_entropy) — the compressibility/gibberish filter; per-doc
+    micro-nat integer sums, embarrassingly parallel."""
+    return CS.char_bigram_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")

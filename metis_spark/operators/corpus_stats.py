@@ -775,3 +775,68 @@ def dup_span_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def char_bigram_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-bigram entropy → (doc_id, n_bigrams,
+    entropy_micro, entropy): H = Σ_b (c_b/n)·ln(n/c_b) in nats over the
+    adjacent character pairs of lower(text) — the compressibility proxy
+    the CCNet/Gopher-style quality stack uses to catch gibberish,
+    base64/binary spill and keyboard-mash (near-uniform bigrams → high
+    H) and stuck-key/template spam (few bigrams → low H), orthogonal to
+    the corpus-level unigram_surprisal LM filter.
+
+    Float discipline (the unigram_surprisal pattern, per-doc): each
+    bigram's contribution c·ln(n/c) is quantized to integer MICRO-NATS
+    as a pure function of the exact integer pair (c, n) —
+    round(c·ln(n/c)·1e6), identical doubles → identical long in every
+    engine — so the per-doc sum is exact integer addition in any
+    order; the only trailing float is one ROUND(sum/n/1e6, 6) division.
+
+    Scale shape: the bigram explode partial-aggregates map-side into
+    (doc, bigram) counts; everything after is per-doc local. No
+    corpus-wide state at all — this operator is embarrassingly
+    parallel over documents.
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    lowered = spread.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t")
+    ).where(F.length("t") >= 2)
+    grams = lowered.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.substr(F.col("t"), i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    counts = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    n = counts.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    contrib = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        counts.join(n.hint("shuffle_hash"), "doc_id")
+        .select("doc_id", "n", contrib.alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.sum("e").cast("long").alias("entropy_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "entropy_micro",
+            F.round(
+                F.col("entropy_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("entropy"),
+        )
+    )
