@@ -848,3 +848,8 @@ def _edge_percolation(spark, sf_dir):
         out_rows,
         "p_removed_pct long, n_edges_kept long, n_components long, largest_cc long",
     )
+
+ABCORE_ALPHA = 6  # left (order-side) minimum degree of the (α,β)-core
+ABCORE_BETA = 5   # right (part-side) minimum degree
+ABCORE_MOD = 4096  # bipartite vertex-space mod (the SPARSE_MOD density)
+ABCORE_ROUNDS = 8  # oracle unroll; measured fixpoint ≤3 at both SFs

@@ -37,7 +37,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, NUCLEUS_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SIMRANK_CAP, SIMRANK_ITERS, SIMRANK_K, SIMRANK_VSAMP_MOD, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, SWEEP_L, AFFINITY_LEVEL, BETW_ROUNDS, COLOR_ORACLE_ROUNDS, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DEG_PCTS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, HUB_CAP, KCORE_K, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEIDEN_REFINE_ROUNDS, LINKPRED_K, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, NUCLEUS_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, SCANSTAT_K, SIMRANK_CAP, SIMRANK_ITERS, SIMRANK_K, SIMRANK_VSAMP_MOD, SSSP_ROUNDS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WL_ROUNDS, _coloring_edges, _msf_weight_col, _round_half_away, _t, _tmpdir, derived_edges, derived_edges_sparse, derived_und  # noqa: E501,F401
 
 
 def _q_graph_edges(spark, sf_dir):
@@ -1334,3 +1334,19 @@ def _q_truss_communities(spark, sf_dir):
     rows = out.collect()
     truss_edges.unpersist()
     return spark.createDataFrame(rows, "community long, n_vertices long, n_edges long")
+
+def _q_ab_core(spark, sf_dir):
+    """Bipartite (α,β)-core (plans/bipartite.py:ab_core) on the
+    order→part interaction graph: drop sparse orders (deg < α) and
+    barely-touched parts (deg < β) to the mutual fixpoint — the
+    two-mode cohesion filter."""
+    from metis_spark.plans.bipartite import ab_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    be = li.select(
+        (F.col("l_orderkey") % ABCORE_MOD).alias("u"),
+        (F.col("l_partkey") % ABCORE_MOD).alias("v"),
+    )
+    out, info = ab_core(be, alpha=ABCORE_ALPHA, beta=ABCORE_BETA, max_rounds=ABCORE_ROUNDS)
+    assert info["converged"] and info["rounds"] <= ABCORE_ROUNDS, info
+    return out

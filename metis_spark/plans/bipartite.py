@@ -170,3 +170,67 @@ def bipartite_check(
         "cc_iterations": cc_info["iterations"],
         "seconds": time.monotonic() - t0,
     }
+
+
+def ab_core(
+    edges: DataFrame,
+    alpha: int,
+    beta: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_rounds: int = 8,
+) -> tuple[DataFrame, dict]:
+    """(α,β)-core of a bipartite graph → (surviving (u, v) edges, info):
+    the maximal bi-subgraph where every left vertex keeps degree ≥ α and
+    every right vertex degree ≥ β (Ahmed et al. / Liu et al.,
+    "Efficient (α,β)-core computation in bipartite graphs", VLDBJ 2020)
+    — the bipartite analog of k-core, the standard cohesion filter for
+    user-item / order-part interaction curation (drop drive-by users AND
+    barely-interacted items, iterating because each removal can demote
+    the other side).
+
+    Plan: alternate half-steps — a map-side-combined degree groupBy on
+    the surviving edges, then one semi-join per side — the kcore peel
+    spine with the two sides taking turns. Lineage is truncated every
+    round (localCheckpoint); the loop stops at the exact fixpoint (edge
+    count stable) and asserts rounds ≤ max_rounds so a fixed-unroll SQL
+    twin can replay it. Rounds are O(peel depth), not O(n): each round
+    either removes an edge or terminates.
+
+    Reference parity: /root/reference/Metis has no bipartite-cohesion
+    operator; this extends the §2.10 cohesion family (kcore, coreness,
+    trussness, onion) to two-mode graphs.
+    """
+    cur = edges.select(
+        F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
+    ).distinct().persist()
+    n_prev = cur.count()
+    rounds = 0
+    converged = n_prev == 0
+    while not converged and rounds < max_rounds:
+        rounds += 1
+        keep_u = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= alpha)
+            .select("u")
+        )
+        half = cur.join(keep_u.hint("shuffle_hash"), "u", "left_semi")
+        keep_v = (
+            half.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= beta)
+            .select("v")
+        )
+        nxt = half.join(keep_v.hint("shuffle_hash"), "v", "left_semi").localCheckpoint()
+        n = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if n == n_prev:
+            converged = True
+        n_prev = n
+    return cur.select("u", "v"), {
+        "rounds": rounds,
+        "converged": converged,
+        "edges": n_prev,
+    }
