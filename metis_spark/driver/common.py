@@ -853,3 +853,9 @@ ABCORE_ALPHA = 6  # left (order-side) minimum degree of the (α,β)-core
 ABCORE_BETA = 5   # right (part-side) minimum degree
 ABCORE_MOD = 4096  # bipartite vertex-space mod (the SPARSE_MOD density)
 ABCORE_ROUNDS = 8  # oracle unroll; measured fixpoint ≤3 at both SFs
+
+TRUST_MOD = 7  # TrustRank seed rule: id % TRUST_MOD == TRUST_REM is "trusted"
+TRUST_REM = 3  # (deterministic stand-in for the human-curated seed list)
+
+COCIT_K = 50    # co-citation/coupling top-k
+COCIT_CAP = 64  # directed wedge-center fan-out cap (the _wedges discipline)

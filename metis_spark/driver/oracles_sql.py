@@ -2859,3 +2859,102 @@ def _ab_core_sql(
             f"(SELECT v FROM h{r} GROUP BY v HAVING COUNT(*) >= {beta}))"
         )
     return "WITH " + ",\n".join(ctes) + f" SELECT u, v FROM e{rounds}"
+
+
+def _trustrank_sql(n_iters: int = PR_ITERS) -> str:
+    """Twin of _q_trustrank: the plain-PageRank unroll (r-chain) and the
+    seeded TrustRank unroll (t-chain, teleport + dangling mass to the
+    id % TRUST_MOD == TRUST_REM seeds) side by side in one WITH; spam
+    mass divides the two ROUND(.,6) doubles exactly as the engine does."""
+    from metis_spark.driver.common import TRUST_MOD, TRUST_REM
+
+    d = 0.85
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+        f"ns AS (SELECT COUNT(*)::DOUBLE AS s FROM verts WHERE id % {TRUST_MOD} = {TRUST_REM})",
+        f"p AS MATERIALIZED (SELECT id, CASE WHEN id % {TRUST_MOD} = {TRUST_REM} "
+        "THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS pm FROM verts)",
+        "t0 AS MATERIALIZED (SELECT id, pm AS rank FROM p)",
+    ]
+    for i in range(1, n_iters + 1):
+        pv = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank/o.deg) AS contrib "
+            f"FROM edges e JOIN r{pv} r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM r{pv} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id))"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, (1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
+            f"+ (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+        ctes.append(
+            f"tc{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(t.rank/o.deg) AS contrib "
+            f"FROM edges e JOIN t{pv} t ON e.src = t.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"tdm{i} AS (SELECT COALESCE(SUM(rank),0) AS dm FROM t{pv} t "
+            f"WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = t.id))"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT p.id, p.pm*((1-{d}) + {d}*(SELECT dm FROM tdm{i})) "
+            f"+ {d}*COALESCE(c.contrib,0) AS rank FROM p LEFT JOIN tc{i} c ON p.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f",\nfin AS (SELECT r.id, ROUND(r.rank, 6) AS pr, ROUND(t.rank, 6) AS tr "
+        f"FROM r{n_iters} r JOIN t{n_iters} t ON r.id = t.id)\n"
+        "SELECT id, pr, tr, ROUND((pr - tr)/pr, 6) AS spam_mass FROM fin"
+    )
+
+
+def _cocitation_sql() -> str:
+    """Twin of plans/metrics.py:cocitation_coupling_topk on the sparse
+    directed graph: both wedge generations apply the identical fan-out
+    cap BEFORE the self-join; full-outer pair merge; all-integer
+    deterministic ranking."""
+    from metis_spark.driver.common import COCIT_CAP, COCIT_K
+
+    return f"""WITH {_EDGES_SPARSE_SQL.strip()},
+citers AS MATERIALIZED (SELECT src FROM edges GROUP BY src HAVING COUNT(*) <= {COCIT_CAP}),
+cw AS MATERIALIZED (SELECT e.src AS w, e.dst AS n FROM edges e JOIN citers c ON e.src = c.src),
+cocit AS MATERIALIZED (SELECT a.n AS u, b.n AS v, COUNT(*)::BIGINT AS cocitation
+  FROM cw a JOIN cw b ON a.w = b.w AND a.n < b.n GROUP BY a.n, b.n),
+cited AS MATERIALIZED (SELECT dst FROM edges GROUP BY dst HAVING COUNT(*) <= {COCIT_CAP}),
+pw AS MATERIALIZED (SELECT e.dst AS w, e.src AS n FROM edges e JOIN cited c ON e.dst = c.dst),
+coup AS MATERIALIZED (SELECT a.n AS u, b.n AS v, COUNT(*)::BIGINT AS coupling
+  FROM pw a JOIN pw b ON a.w = b.w AND a.n < b.n GROUP BY a.n, b.n),
+merged AS (SELECT COALESCE(c.u, p.u) AS u, COALESCE(c.v, p.v) AS v,
+  COALESCE(c.cocitation, 0)::BIGINT AS cocitation, COALESCE(p.coupling, 0)::BIGINT AS coupling
+  FROM cocit c FULL OUTER JOIN coup p ON c.u = p.u AND c.v = p.v)
+SELECT u, v, cocitation, coupling,
+  ROW_NUMBER() OVER (ORDER BY cocitation DESC, coupling DESC, u, v)::BIGINT AS rn
+FROM merged ORDER BY cocitation DESC, coupling DESC, u, v LIMIT {COCIT_K}"""
+
+
+def _butterfly_sql(mod: int = ABCORE_MOD) -> str:
+    """Twin of plans/bipartite.py:butterfly_summary on the order-part
+    graph: same right-side wedge self-join, same closed-form caterpillar
+    count, all-integer until the single cc division."""
+    return f"""WITH be AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {mod} AS u, l_partkey % {mod} AS v FROM lineitem),
+degu AS MATERIALIZED (SELECT u, COUNT(*)::BIGINT AS du FROM be GROUP BY u),
+degv AS MATERIALIZED (SELECT v, COUNT(*)::BIGINT AS dv FROM be GROUP BY v),
+pairs AS MATERIALIZED (SELECT a.u AS u1, b.u AS u2, COUNT(*)::BIGINT AS c
+  FROM be a JOIN be b ON a.v = b.v AND a.u < b.u GROUP BY a.u, b.u),
+bf AS (SELECT COALESCE(SUM(c*(c-1)//2), 0)::BIGINT AS b FROM pairs),
+wg AS (SELECT COALESCE(SUM(dv*(dv-1)//2), 0)::BIGINT AS w FROM degv),
+ct AS (SELECT COALESCE(SUM((du-1)*(dv-1)), 0)::BIGINT AS p3
+  FROM be JOIN degu USING (u) JOIN degv USING (v)),
+cn AS (SELECT COUNT(DISTINCT u)::BIGINT AS n_left, COUNT(DISTINCT v)::BIGINT AS n_right,
+  COUNT(*)::BIGINT AS n_edges FROM be)
+SELECT n_left, n_right, n_edges, w AS n_wedges, b AS n_butterflies,
+  p3 AS n_caterpillars,
+  CASE WHEN p3 > 0 THEN ROUND(4.0*b::DOUBLE/p3::DOUBLE, 6) ELSE 0.0 END AS bipartite_cc
+FROM cn, wg, bf, ct"""

@@ -683,3 +683,41 @@ def _q_path_counts(spark, sf_dir):
     out, info = shortest_path_counts(edges, srcs, max_depth=BETW_ROUNDS + 2)
     assert info["depth"] <= BETW_ROUNDS, info
     return out
+
+def _q_trustrank(spark, sf_dir):
+    """TrustRank + spam mass (Gyongyi, Garcia-Molina & Pedersen,
+    "Combating Web Spam with TrustRank", VLDB'04): run PageRank twice on
+    the verified spine (plans/pagerank.py) — once plain, once with the
+    teleport restricted to a deterministic trusted seed set (TrustRank
+    IS seeded PageRank) — then spam mass m(v) = (pr - tr)/pr: the
+    fraction of v's rank NOT attributable to trusted pages, the classic
+    link-farm flag (m -> 1 means every path of support avoids the seed
+    set). Both ranks ROUND(.,6) before the division so the DuckDB twin
+    replays the arithmetic bit-for-bit; pr >= (1-d)/N > 0 guards the
+    division. Two-run cost, shared pre-joined edge side; each run is the
+    checkpoint/resume PageRank already measured at scale."""
+    from metis_spark.driver.common import TRUST_MOD, TRUST_REM
+
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pr, _ = pagerank(
+        edges, checkpoint_dir=_tmpdir("metis_qtrpr_"), tol=0.0, max_iter=PR_ITERS
+    )
+    tr, _ = pagerank(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qtrtr_"),
+        tol=0.0,
+        max_iter=PR_ITERS,
+        seeds=verts.where(F.col("id") % TRUST_MOD == TRUST_REM),
+    )
+    j = pr.select("id", F.round("rank", 6).alias("pr")).join(
+        tr.select("id", F.round("rank", 6).alias("tr")), "id"
+    )
+    return j.select(
+        "id", "pr", "tr",
+        F.round((F.col("pr") - F.col("tr")) / F.col("pr"), 6).alias("spam_mass"),
+    )

@@ -1350,3 +1350,16 @@ def _q_ab_core(spark, sf_dir):
     out, info = ab_core(be, alpha=ABCORE_ALPHA, beta=ABCORE_BETA, max_rounds=ABCORE_ROUNDS)
     assert info["converged"] and info["rounds"] <= ABCORE_ROUNDS, info
     return out
+
+def _q_butterflies(spark, sf_dir):
+    """Exact butterfly census + Robins-Alexander bipartite clustering
+    coefficient (plans/bipartite.py:butterfly_summary) of the order-part
+    two-mode graph — the bipartite motif signal next to bipartite_ab_core."""
+    from metis_spark.plans.bipartite import butterfly_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    be = li.select(
+        (F.col("l_orderkey") % ABCORE_MOD).alias("u"),
+        (F.col("l_partkey") % ABCORE_MOD).alias("v"),
+    )
+    return butterfly_summary(be)

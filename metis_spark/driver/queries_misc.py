@@ -454,3 +454,15 @@ def _q_label_mixing_matrix(spark, sf_dir):
     return mix.select(
         "label_a", "label_b", "n", F.round(F.col("n") / F.lit(total), 6).alias("pct")
     )
+
+def _q_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic coupling top-k
+    (plans/metrics.py:cocitation_coupling_topk) on the sparse directed
+    graph — the two classic directed link-similarities (Small 1973 /
+    Kessler 1963): co-cited = substitutable providers, coupled =
+    same-stack consumers."""
+    from metis_spark.driver.common import COCIT_CAP, COCIT_K
+    from metis_spark.plans.metrics import cocitation_coupling_topk
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    return cocitation_coupling_topk(edges, k=COCIT_K, hub_cap=COCIT_CAP)

@@ -234,3 +234,112 @@ def ab_core(
         "converged": converged,
         "edges": n_prev,
     }
+
+
+def butterfly_summary(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Exact butterfly (2x2-biclique) census of a bipartite graph → one
+    summary row (n_left, n_right, n_edges, n_wedges, n_butterflies,
+    n_caterpillars, bipartite_cc).
+
+    The butterfly is the bipartite analog of the triangle (a two-mode
+    graph has none): its density is THE two-mode cohesion/spam signal
+    (Sanei-Mehri et al., "Butterfly Counting in Bipartite Networks",
+    KDD'18), and the Robins-Alexander bipartite clustering coefficient
+    cc = 4·B / #caterpillars (caterpillar = 3-path) is the closed-ratio
+    analog of transitivity.
+
+    Plan (all-integer, three shuffles):
+    - wedges through the right side: one self-join of (v, u) on v with
+      u1 < u2 — the standard per-side wedge generation; per-pair common
+      count c → butterflies Σ C(c,2) via a map-side-combined groupBy.
+      Work is Σ_v C(d(v),2): at web scale pick the lower-Σd² side as
+      wedge centers (here the part side, whose degrees are testdata-
+      bounded); the count is EXACT, so there is no hub cap — a skewed
+      center fans out through AQE skew-split, not silent truncation.
+    - caterpillars are a closed form over the degree tables:
+      P3 = Σ_edges (d(u)−1)(d(v)−1) — zero enumeration (the ESCAPE
+      discipline of graphlet4_census).
+    - cc = ROUND(4B/P3, 6) is the only float, one division at the end.
+
+    Reference parity: no bipartite motif operator in /root/reference
+    (Metis has no graph surface); extends §2.10's motif family
+    (triangles, 4/5-cliques, graphlet census) to two-mode graphs.
+    """
+    be = (
+        edges.select(
+            F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    degu = be.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+    degv = be.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
+
+    left = be.select("v", F.col("u").alias("u1"))
+    right = be.select("v", F.col("u").alias("u2"))
+    pairs = (
+        left.join(right, "v")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bfly = pairs.agg(
+        F.coalesce(
+            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("b")
+    )
+    wedge = degv.agg(
+        F.coalesce(
+            F.sum((F.col("dv") * (F.col("dv") - 1) / 2).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("w")
+    )
+    cat = (
+        be.join(degu.hint("shuffle_hash"), "u")
+        .join(degv.hint("shuffle_hash"), "v")
+        .agg(
+            F.coalesce(
+                F.sum(((F.col("du") - 1) * (F.col("dv") - 1)).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("p3")
+        )
+    )
+    counts = be.agg(
+        F.countDistinct("u").alias("n_left"),
+        F.countDistinct("v").alias("n_right"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    out = (
+        counts.crossJoin(F.broadcast(wedge))
+        .crossJoin(F.broadcast(bfly))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_left",
+            "n_right",
+            "n_edges",
+            F.col("w").cast("long").alias("n_wedges"),
+            F.col("b").cast("long").alias("n_butterflies"),
+            F.col("p3").cast("long").alias("n_caterpillars"),
+            F.when(
+                F.col("p3") > 0,
+                F.round(
+                    4.0 * F.col("b").cast("double") / F.col("p3").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bipartite_cc"),
+        )
+    )
+    rows = out.collect()
+    be.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "n_left long, n_right long, n_edges long, n_wedges long, "
+        "n_butterflies long, n_caterpillars long, bipartite_cc double",
+    )
