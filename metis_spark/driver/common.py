@@ -859,3 +859,9 @@ TRUST_REM = 3  # (deterministic stand-in for the human-curated seed list)
 
 COCIT_K = 50    # co-citation/coupling top-k
 COCIT_CAP = 64  # directed wedge-center fan-out cap (the _wedges discipline)
+
+CPM_CC_ROUNDS = 48  # CPM star-graph min-label flood unroll: must cover the
+# star-graph eccentricity (measured 38 at sf0.01); the engine spine
+# pointer-jumps so its iteration count is smaller — its assert is a
+# sanity bound, not the depth guard
+CPM_PACK = 1 << 21  # packed-triangle-id radix (must match plans/cpm.py)

@@ -2958,3 +2958,64 @@ SELECT n_left, n_right, n_edges, w AS n_wedges, b AS n_butterflies,
   p3 AS n_caterpillars,
   CASE WHEN p3 > 0 THEN ROUND(4.0*b::DOUBLE/p3::DOUBLE, 6) ELSE 0.0 END AS bipartite_cc
 FROM cn, wg, bf, ct"""
+
+
+def _cpm_sql() -> str:
+    """Twin of plans/cpm.py:clique_percolation_k3 on the sparse graph:
+    ordered triangle enumeration, packed ids, per-shared-edge star rows,
+    fixed-round min-label flood (engine asserts convergence < rounds),
+    community profile."""
+    from metis_spark.driver.common import CPM_CC_ROUNDS, CPM_PACK
+
+    P = CPM_PACK
+    ctes = [
+        f"""{_EDGES_SPARSE_SQL.strip()},
+tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM und e1 JOIN und e2 ON e2.src = e1.dst AND e2.dst > e1.dst
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src < e1.dst),
+tt AS MATERIALIZED (SELECT a, b, c,
+  a*{P}::BIGINT*{P}::BIGINT + b*{P}::BIGINT + c AS tid FROM tris),
+inc AS MATERIALIZED (
+  SELECT a*{P}::BIGINT + b AS ek, tid FROM tt
+  UNION ALL SELECT a*{P}::BIGINT + c, tid FROM tt
+  UNION ALL SELECT b*{P}::BIGINT + c, tid FROM tt),
+mins AS MATERIALIZED (SELECT ek, MIN(tid) AS m FROM inc GROUP BY ek),
+star AS MATERIALIZED (
+  SELECT DISTINCT i.tid AS src, n.m AS dst FROM inc i JOIN mins n ON i.ek = n.ek
+  WHERE i.tid <> n.m),
+staru AS MATERIALIZED (
+  SELECT src, dst FROM star UNION ALL SELECT dst AS src, src AS dst FROM star),
+l0 AS (SELECT tid AS id, tid AS label FROM tt)"""
+    ]
+    for i in range(1, CPM_CC_ROUNDS + 1):
+        p = i - 1
+        # MATERIALIZED is load-bearing: l{p} is referenced twice per
+        # round, and an inlined chain re-executes 2^rounds times. Plain
+        # min-label flood: rounds must cover the star-graph eccentricity
+        # from each component's min (measured 38 at sf0.01, <=16 at
+        # sf0.001; CPM_CC_ROUNDS = 48 keeps a margin) — a label-of-label
+        # pointer jump does NOT reliably accelerate min-label flooding
+        # (the local min's own label can stall), so depth is explicit.
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM l{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM staru u "
+            f"JOIN l{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    last = f"l{CPM_CC_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+member AS MATERIALIZED (SELECT t.a, t.b, t.c, la.label AS community
+  FROM tt t JOIN {last} la ON la.id = t.tid),
+nv AS (SELECT community, COUNT(*)::BIGINT AS n_vertices FROM (
+  SELECT DISTINCT community, v FROM (
+    SELECT community, a AS v FROM member
+    UNION ALL SELECT community, b FROM member
+    UNION ALL SELECT community, c FROM member))
+  GROUP BY community),
+nt AS (SELECT community, COUNT(*)::BIGINT AS n_triangles FROM member GROUP BY community)
+SELECT nv.community, nv.n_vertices, nt.n_triangles
+FROM nv JOIN nt USING (community)"""
+    )

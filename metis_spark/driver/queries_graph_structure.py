@@ -1363,3 +1363,15 @@ def _q_butterflies(spark, sf_dir):
         (F.col("l_partkey") % ABCORE_MOD).alias("v"),
     )
     return butterfly_summary(be)
+
+def _q_cpm(spark, sf_dir):
+    """k=3 clique-percolation communities (plans/cpm.py, Palla et al.
+    Nature 2005) on the sparse graph — OVERLAPPING communities as
+    connected components of the triangle-overlap graph."""
+    from metis_spark.driver.common import CPM_CC_ROUNDS
+    from metis_spark.plans.cpm import clique_percolation_k3
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    return clique_percolation_k3(
+        edges, max_cc_rounds=CPM_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qcpm_")
+    )
