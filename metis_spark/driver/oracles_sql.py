@@ -3019,3 +3019,18 @@ nt AS (SELECT community, COUNT(*)::BIGINT AS n_triangles FROM member GROUP BY co
 SELECT nv.community, nv.n_vertices, nt.n_triangles
 FROM nv JOIN nt USING (community)"""
     )
+
+
+def _refex_sql() -> str:
+    """Twin of plans/metrics.py:refex_features (rounds=2) on the sparse
+    graph: same one-gather-per-round (sum, max) recursion, all-integer."""
+    return f"""WITH {_EDGES_SPARSE_SQL.strip()},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+r1 AS MATERIALIZED (SELECT u.dst AS id, SUM(d.deg)::BIGINT AS s1, MAX(d.deg)::BIGINT AS m1
+  FROM und u JOIN deg d ON u.src = d.id GROUP BY u.dst),
+r2 AS MATERIALIZED (SELECT u.dst AS id,
+  SUM(r.s1)::BIGINT AS ss2, SUM(r.m1)::BIGINT AS sm2,
+  MAX(r.s1)::BIGINT AS ms2, MAX(r.m1)::BIGINT AS mm2
+  FROM und u JOIN r1 r ON u.src = r.id GROUP BY u.dst)
+SELECT d.id, d.deg, r1.s1, r1.m1, r2.ss2, r2.sm2, r2.ms2, r2.mm2
+FROM deg d JOIN r1 ON d.id = r1.id JOIN r2 ON d.id = r2.id"""

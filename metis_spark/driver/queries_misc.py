@@ -466,3 +466,11 @@ def _q_cocitation(spark, sf_dir):
 
     edges = derived_edges_sparse(spark, sf_dir)
     return cocitation_coupling_topk(edges, k=COCIT_K, hub_cap=COCIT_CAP)
+
+def _q_refex(spark, sf_dir):
+    """ReFeX recursive structural features (plans/metrics.py:
+    refex_features, Henderson et al. KDD'11) on the sparse graph —
+    integer (sum, max) neighbor aggregations of degree, 2 rounds."""
+    from metis_spark.plans.metrics import refex_features
+
+    return refex_features(derived_edges_sparse(spark, sf_dir), rounds=2)

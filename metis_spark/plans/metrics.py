@@ -648,3 +648,64 @@ def cocitation_coupling_topk(
     top = merged.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def refex_features(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """ReFeX recursive structural features (Henderson et al., "It's who
+    you know: graph mining using recursive structural features",
+    KDD'11) → per-vertex integer feature vector for role discovery /
+    graph-ML pipelines: the base feature (degree) recursively aggregated
+    over neighborhoods, so vertices get comparable structural signatures
+    WITHOUT any global embedding (hubs look like hubs, bridges like
+    bridges, whatever component they sit in).
+
+    Feature set (all exact integers — ReFeX's mean aggregator is
+    replaced by the (sum, max) pair so the DuckDB twin replays without a
+    float discipline; the mean is recoverable as sum/deg downstream):
+
+        round 0: deg(v)
+        round r: for every round-(r−1) feature f: Σ_{n∈N(v)} f(n) and
+                 max_{n∈N(v)} f(n)
+
+    With rounds = 2 that is (id, deg, s1, m1, ss2, sm2, ms2, mm2) —
+    ss2 = Σ of neighbor Σs, sm2 = Σ of neighbor maxes, ms2/mm2 the max
+    counterparts. Per round: ONE adjacency gather join + one map-side-
+    combined groupBy computing every (sum, max) pair in the same
+    aggregation — feature count doubles per round but the shuffle count
+    stays one, so 100 TB cost is `rounds` gathers of the WL/LPA class.
+    Sums are decimal(38,0): a hub's sum-of-sums reaches deg² · max-deg.
+
+    Reference parity: no reference analog (Metis has no graph surface);
+    the role-feature complement to the WL color family (plans/wl.py).
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    state = deg.select("id", F.col("deg").cast("decimal(38,0)").alias("deg"))
+    feats = ["deg"]
+    for r in range(1, rounds + 1):
+        gathered = und.join(
+            state.withColumnRenamed("id", "src"), "src"
+        ).groupBy(F.col("dst").alias("id")).agg(
+            *[
+                a
+                for f in feats
+                for a in (
+                    F.sum(f).alias(f"s_{f}"),
+                    F.max(f).alias(f"m_{f}"),
+                )
+            ]
+        )
+        state = state.join(gathered, "id")  # every vertex has >=1 neighbor
+        feats = [p + f for f in feats for p in ("s_", "m_")]
+        state = state.localCheckpoint()
+    # outputs cast to long: bounded by deg^rounds * max_deg < 2^53 on any
+    # graph this runs against (asserted by the decimal accumulators
+    # upstream — an overflow would fail the cast loudly under ANSI)
+    names = {"s_deg": "s1", "m_deg": "m1", "s_s_deg": "ss2", "s_m_deg": "sm2",
+             "m_s_deg": "ms2", "m_m_deg": "mm2"}
+    cols = [F.col("id"), F.col("deg").cast("long").alias("deg")]
+    order = ["s_deg", "m_deg", "s_s_deg", "s_m_deg", "m_s_deg", "m_m_deg"]
+    for f in order:
+        if rounds >= f.count("_"):
+            cols.append(F.col(f).cast("long").alias(names[f]))
+    return state.select(*cols)
