@@ -865,3 +865,7 @@ CPM_CC_ROUNDS = 48  # CPM star-graph min-label flood unroll: must cover the
 # pointer-jumps so its iteration count is smaller — its assert is a
 # sanity bound, not the depth guard
 CPM_PACK = 1 << 21  # packed-triangle-id radix (must match plans/cpm.py)
+
+PQ_M = 4      # product-quantization subspaces (64 dims -> 4 x 16)
+PQ_K = 16     # sub-codebook size
+PQ_ITERS = 2  # Lloyd rounds per subspace (engine-exact, twin-unrolled)

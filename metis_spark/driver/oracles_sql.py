@@ -3034,3 +3034,77 @@ r2 AS MATERIALIZED (SELECT u.dst AS id,
   FROM und u JOIN r1 r ON u.src = r.id GROUP BY u.dst)
 SELECT d.id, d.deg, r1.s1, r1.m1, r2.ss2, r2.sm2, r2.ms2, r2.mm2
 FROM deg d JOIN r1 ON d.id = r1.id JOIN r2 ON d.id = r2.id"""
+
+
+def _pq_chain(sub: int, lo: int, dsub: int, k: int, iters: int, scale: int) -> str:
+    """One subspace's kmeans chain for _pq_sql — the _kmeans_chain
+    recursion with every CTE suffixed _{sub} and positions re-based to
+    the slice [lo, lo+dsub)."""
+    sx = f"_{sub}"
+    parts = [
+        f"""pts{sx} AS MATERIALIZED (
+  SELECT vec_id AS id, ix.i AS pos,
+         CAST(FLOOR(embedding[{lo} + ix.i + 1]::DOUBLE * {scale}.0) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(0, {dsub})) AS i) ix),
+c0{sx} AS MATERIALIZED (
+  SELECT id AS cid, pos, q AS cq FROM pts{sx}
+  WHERE id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = f"c0{sx}"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""d{r}{sx} AS MATERIALIZED (
+  SELECT p.id, c.cid, CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist2
+  FROM pts{sx} p JOIN {prev} c ON p.pos = c.pos GROUP BY p.id, c.cid),
+a{r}{sx} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+    FROM d{r}{sx}) WHERE rn = 1),
+c{r}{sx} AS MATERIALIZED (
+  SELECT a.cid, p.pos,
+         CAST(FLOOR(SUM(p.q)::DOUBLE / COUNT(*)) AS BIGINT) AS cq
+  FROM pts{sx} p JOIN a{r}{sx} a ON p.id = a.id GROUP BY a.cid, p.pos)"""
+        )
+        prev = f"c{r}{sx}"
+    parts.append(
+        f"""dfin{sx} AS MATERIALIZED (
+  SELECT p.id, c.cid, CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist2
+  FROM pts{sx} p JOIN {prev} c ON p.pos = c.pos GROUP BY p.id, c.cid),
+afin{sx} AS MATERIALIZED (
+  SELECT id, cid, dist2 FROM (
+    SELECT id, cid, dist2,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+    FROM dfin{sx}) WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _pq_sql(
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+) -> str:
+    """Twin of operators/similarity.py pq_codes: m independent kmeans
+    chains over the contiguous dim/m slices, joined on id; total dist2
+    is the exact integer sum of the sub-errors."""
+    from metis_spark.driver.common import PQ_ITERS, PQ_K, PQ_M
+
+    m = PQ_M if m is None else m
+    k = PQ_K if k is None else k
+    iters = PQ_ITERS if iters is None else iters
+    dsub = dim // m
+    chains = ",\n".join(
+        _pq_chain(s, s * dsub, dsub, k, iters, scale) for s in range(m)
+    )
+    cols = ", ".join(f"afin_{s}.cid AS code_{s}" for s in range(m))
+    tot = " + ".join(f"afin_{s}.dist2" for s in range(m))
+    joins = " ".join(
+        f"JOIN afin_{s} ON afin_{s}.id = afin_0.id" for s in range(1, m)
+    )
+    return (
+        "WITH " + chains
+        + f"\nSELECT afin_0.id, {cols}, ({tot})::BIGINT AS dist2 FROM afin_0 {joins}"
+    )

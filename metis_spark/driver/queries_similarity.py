@@ -270,3 +270,13 @@ def _q_pca_top(spark, sf_dir):
     from metis_spark.operators.similarity import pca_top_component
 
     return pca_top_component(_t(spark, sf_dir, "embeddings"))
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization codes over the embedding corpus
+    (operators/similarity.py:pq_codes, Jégou et al. TPAMI 2011) — the
+    m=4 × k=16 sub-codebook compression behind 100 TB ANN."""
+    from metis_spark.driver.common import PQ_ITERS, PQ_K, PQ_M
+    from metis_spark.operators.similarity import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)

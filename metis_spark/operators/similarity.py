@@ -783,3 +783,55 @@ def pca_top_component(
     return spark.createDataFrame(
         [(i, int(v[i])) for i in range(dim)], "pos long, loading_q long"
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization codes (Jégou, Douze & Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011) →
+    (id, code_0..code_{m-1}, dist2): the vector compressed to m sub-
+    codebook ids, plus the exact total quantization error.
+
+    PQ is THE 100 TB ANN compression: a d-dim float vector becomes m
+    small codes (here 4), the codebook is m·k·(d/m) values broadcast
+    everywhere, and asymmetric distance at query time is m table
+    lookups. This implementation composes m runs of the engine-exact
+    ``kmeans_quantized`` — one per contiguous d/m-dim subspace slice —
+    so the whole trajectory (assignments, centroid updates, final codes
+    AND the integer dist2) replays bit-for-bit in the DuckDB twin;
+    sub-codebook ids are the deterministic smallest-vec_id seeds.
+
+    Scale shape: each subspace chain is the already-audited kmeans plan
+    (quantized point table persisted once, per round one broadcast join
+    vs the k·(d/m)-row centroid table + map-side-combined groupBys);
+    the m chains share nothing and the final join is m-way on id.
+    Total dist2 = Σ sub-errors because subspaces partition the dims.
+    """
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        part = kmeans_quantized(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+        ).select(
+            F.col("id"),
+            F.col("cid").alias(f"code_{s}"),
+            F.col("dist2").alias(f"d_{s}"),
+        )
+        out = part if out is None else out.join(part, "id")
+    total = sum(F.col(f"d_{s}") for s in range(m))  # type: ignore[arg-type]
+    return out.select(
+        "id", *[f"code_{s}" for s in range(m)], total.alias("dist2")
+    )
