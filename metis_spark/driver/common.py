@@ -869,3 +869,5 @@ CPM_PACK = 1 << 21  # packed-triangle-id radix (must match plans/cpm.py)
 PQ_M = 4      # product-quantization subspaces (64 dims -> 4 x 16)
 PQ_K = 16     # sub-codebook size
 PQ_ITERS = 2  # Lloyd rounds per subspace (engine-exact, twin-unrolled)
+
+PQ_TOPK = 20  # ADC self-query neighbor count

@@ -3108,3 +3108,54 @@ def _pq_sql(
         "WITH " + chains
         + f"\nSELECT afin_0.id, {cols}, ({tot})::BIGINT AS dist2 FROM afin_0 {joins}"
     )
+
+
+def _pq_ann_sql(
+    m: int | None = None,
+    k: int | None = None,
+    iters: int | None = None,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+    k_top: int | None = None,
+) -> str:
+    """Twin of operators/similarity.py pq_ann_topk: the shared PQ
+    chains plus per-subspace query distance tables (exact integers),
+    ADC sum, deterministic (adc, id) ranking."""
+    from metis_spark.driver.common import PQ_ITERS, PQ_K, PQ_M, PQ_TOPK
+
+    m = PQ_M if m is None else m
+    k = PQ_K if k is None else k
+    iters = PQ_ITERS if iters is None else iters
+    k_top = PQ_TOPK if k_top is None else k_top
+    dsub = dim // m
+    chains = ",\n".join(
+        _pq_chain(s, s * dsub, dsub, k, iters, scale) for s in range(m)
+    )
+    qparts = ["qid AS (SELECT MIN(vec_id) AS id FROM embeddings)"]
+    for s in range(m):
+        qparts.append(
+            f"""qp_{s} AS MATERIALIZED (
+  SELECT ix.i AS pos,
+         CAST(FLOOR(e.embedding[{s * dsub} + ix.i + 1]::DOUBLE * {scale}.0) AS BIGINT) AS q
+  FROM embeddings e, (SELECT unnest(range(0, {dsub})) AS i) ix
+  WHERE e.vec_id = (SELECT id FROM qid)),
+qd_{s} AS MATERIALIZED (
+  SELECT c.cid, CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS qd
+  FROM c{iters}_{s} c JOIN qp_{s} p ON c.pos = p.pos GROUP BY c.cid)"""
+        )
+    tot = " + ".join(f"q{s}.qd" for s in range(1, m))
+    joins = " ".join(
+        f"JOIN afin_{s} ON afin_{s}.id = afin_0.id "
+        f"JOIN qd_{s} q{s} ON q{s}.cid = afin_{s}.cid"
+        for s in range(1, m)
+    )
+    return (
+        "WITH " + chains + ",\n" + ",\n".join(qparts)
+        + f""",
+scored AS (SELECT afin_0.id, ({tot} + q0.qd)::BIGINT AS adc_dist2
+  FROM afin_0 JOIN qd_0 q0 ON q0.cid = afin_0.cid {joins}
+  WHERE afin_0.id <> (SELECT id FROM qid))
+SELECT id, adc_dist2,
+  ROW_NUMBER() OVER (ORDER BY adc_dist2, id)::BIGINT AS rn
+FROM scored ORDER BY adc_dist2, id LIMIT {k_top}"""
+    )

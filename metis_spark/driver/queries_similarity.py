@@ -280,3 +280,13 @@ def _q_pq_codes(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_codes(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+def _q_pq_ann(spark, sf_dir):
+    """PQ asymmetric-distance ANN top-k for the min-id self-query
+    (operators/similarity.py:pq_ann_topk) — the search half of product
+    quantization: m table lookups per vector, no raw-vector I/O."""
+    from metis_spark.driver.common import PQ_ITERS, PQ_K, PQ_M, PQ_TOPK
+    from metis_spark.operators.similarity import pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ann_topk(emb, k_top=PQ_TOPK, m=PQ_M, k=PQ_K, iters=PQ_ITERS)

@@ -499,9 +499,13 @@ def kmeans_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    return_model: bool = False,
 ) -> DataFrame:
     """Engine-exact Lloyd k-means over integer-quantized vectors →
     (id, cid, dist2): final cluster assignment + exact squared distance.
+    With ``return_model=True`` also returns the final centroid table
+    (cid, pos, cq) the assignment was scored against — the k·d-row
+    model that PQ/ADC consumers broadcast.
 
     ``ivf_fit`` above is the float Lloyd (centroid = float mean) — fine
     as a quantizer, impossible to hash-match across engines because the
@@ -603,6 +607,9 @@ def kmeans_quantized(
         )
         cent = [(int(r["cid"]), int(r["pos"]), int(r["cq"])) for r in upd.collect()]
 
+    if return_model:
+        model = spark.createDataFrame(cent, "cid long, pos int, cq long")
+        return _assign(cent), model
     return _assign(cent)
 
 
@@ -835,3 +842,78 @@ def pq_codes(
     return out.select(
         "id", *[f"code_{s}" for s in range(m)], total.alias("dist2")
     )
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    k_top: int = 20,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate nearest neighbors →
+    top-k_top (id, adc_dist2, rn) for the deterministic self-query (the
+    min-id vector) — the SEARCH half of product quantization (Jégou et
+    al. TPAMI 2011 §IV): the query stays unquantized; its distance to a
+    database vector is approximated by Σ_s table[s][code_s(v)], where
+    table[s][c] = exact integer distance from the query's s-th slice to
+    sub-centroid c.
+
+    This is why PQ wins at 100 TB: after the one-off encode, a query
+    costs m·k distance-table entries (model-sized, broadcast) plus ONE
+    m-way-lookup scan of the code table — no raw-vector I/O at query
+    time. Here each lookup table is built in-plan from the
+    ``kmeans_quantized`` model (k·(d/m) rows) joined against the
+    query's quantized slice (d/m rows, broadcast); everything stays
+    exact integers so the DuckDB twin replays the ranking bit-for-bit
+    (ties break on id).
+    """
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    spark = df.sparkSession
+    qid, qvec = (
+        df.orderBy(F.col(id_col).asc())
+        .select(F.col(id_col).cast("long"), vec_col)
+        .limit(1)
+        .collect()[0]
+    )
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        asg, model = kmeans_quantized(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            scale=scale, return_model=True,
+        )
+        # the query's s-th slice, quantized with the IDENTICAL floor
+        # discipline (floor of the same double product)
+        import math
+
+        qrows = [
+            (p, int(math.floor(float(qvec[s * dsub + p]) * float(scale))))
+            for p in range(dsub)
+        ]
+        qdf = spark.createDataFrame(qrows, "pos int, q long")
+        qd = (
+            model.join(F.broadcast(qdf), "pos")
+            .groupBy("cid")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .alias(f"qd_{s}")
+            )
+        )
+        part = asg.select("id", F.col("cid").alias(f"code_{s}")).join(
+            F.broadcast(qd.withColumnRenamed("cid", f"code_{s}")), f"code_{s}"
+        ).select("id", f"qd_{s}")
+        out = part if out is None else out.join(part, "id")
+    adc = sum(F.col(f"qd_{s}") for s in range(m))  # type: ignore[arg-type]
+    scored = out.where(F.col("id") != qid).select("id", adc.alias("adc_dist2"))
+    top = scored.orderBy(F.asc("adc_dist2"), F.asc("id")).limit(k_top)
+    w = Window.orderBy(F.asc("adc_dist2"), F.asc("id"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
