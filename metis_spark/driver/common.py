@@ -871,3 +871,7 @@ PQ_K = 16     # sub-codebook size
 PQ_ITERS = 2  # Lloyd rounds per subspace (engine-exact, twin-unrolled)
 
 PQ_TOPK = 20  # ADC self-query neighbor count
+
+WING_MOD = 512   # denser bipartite mod so butterflies exist at sf0.001
+WING_K = 4       # k-wing: every edge in >= 4 butterflies
+WING_ROUNDS = 12 # oracle unroll; engine asserts fixpoint <= this

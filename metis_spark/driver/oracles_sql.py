@@ -3159,3 +3159,45 @@ SELECT id, adc_dist2,
   ROW_NUMBER() OVER (ORDER BY adc_dist2, id)::BIGINT AS rn
 FROM scored ORDER BY adc_dist2, id LIMIT {k_top}"""
     )
+
+
+def _kwing_sql() -> str:
+    """Fixed-unroll twin of plans/bipartite.py:k_wing on the order-part
+    graph: per round wedges -> pair counts -> (c-1) support explode ->
+    keep support >= k; rounds past the fixpoint are no-ops; the final
+    SELECT recomputes support on the surviving subgraph."""
+    from metis_spark.driver.common import WING_K, WING_MOD, WING_ROUNDS
+
+    def _sup(src: str, out: str) -> str:
+        return f"""w_{out} AS MATERIALIZED (
+  SELECT a.u AS u1, b.u AS u2, a.v FROM {src} a JOIN {src} b
+  ON a.v = b.v AND a.u < b.u),
+pc_{out} AS MATERIALIZED (
+  SELECT u1, u2, COUNT(*)::BIGINT AS c FROM w_{out} GROUP BY u1, u2),
+sup_{out} AS MATERIALIZED (
+  SELECT u, v, SUM(s)::BIGINT AS support FROM (
+    SELECT w.u1 AS u, w.v, p.c - 1 AS s FROM w_{out} w
+      JOIN pc_{out} p ON w.u1 = p.u1 AND w.u2 = p.u2 WHERE p.c > 1
+    UNION ALL
+    SELECT w.u2, w.v, p.c - 1 FROM w_{out} w
+      JOIN pc_{out} p ON w.u1 = p.u1 AND w.u2 = p.u2 WHERE p.c > 1)
+  GROUP BY u, v)"""
+
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey % {WING_MOD} AS u, "
+        f"l_partkey % {WING_MOD} AS v FROM lineitem)"
+    ]
+    for r in range(1, WING_ROUNDS + 1):
+        p = r - 1
+        ctes.append(_sup(f"e{p}", f"r{r}"))
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e "
+            f"JOIN sup_r{r} s ON e.u = s.u AND e.v = s.v WHERE s.support >= {WING_K})"
+        )
+    ctes.append(_sup(f"e{WING_ROUNDS}", "fin"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT e.u, e.v, COALESCE(s.support, 0)::BIGINT AS support
+FROM e{WING_ROUNDS} e LEFT JOIN sup_fin s ON e.u = s.u AND e.v = s.v"""
+    )

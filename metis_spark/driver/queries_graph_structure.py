@@ -1375,3 +1375,19 @@ def _q_cpm(spark, sf_dir):
     return clique_percolation_k3(
         edges, max_cc_rounds=CPM_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qcpm_")
     )
+
+def _q_kwing(spark, sf_dir):
+    """k-wing (k-bitruss) filter (plans/bipartite.py:k_wing, Sarıyüce &
+    Pinar WSDM'18) on the order-part graph — edges kept only while they
+    sit in >= WING_K butterflies, peeled to the mutual fixpoint."""
+    from metis_spark.driver.common import WING_K, WING_MOD, WING_ROUNDS
+    from metis_spark.plans.bipartite import k_wing
+
+    li = _t(spark, sf_dir, "lineitem")
+    be = li.select(
+        (F.col("l_orderkey") % WING_MOD).alias("u"),
+        (F.col("l_partkey") % WING_MOD).alias("v"),
+    )
+    out, info = k_wing(be, k=WING_K, max_rounds=WING_ROUNDS)
+    assert info["converged"] and info["rounds"] <= WING_ROUNDS, info
+    return out

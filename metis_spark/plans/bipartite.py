@@ -343,3 +343,81 @@ def butterfly_summary(
         "n_left long, n_right long, n_edges long, n_wedges long, "
         "n_butterflies long, n_caterpillars long, bipartite_cc double",
     )
+
+
+def k_wing(
+    edges: DataFrame,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_rounds: int = 12,
+) -> tuple[DataFrame, dict]:
+    """k-wing (k-bitruss) filter of a bipartite graph → (surviving
+    (u, v, support) edges, info): the maximal sub-bigraph where every
+    edge is contained in ≥ k butterflies (Sarıyüce & Pinar, "Peeling
+    bipartite networks for dense subgraph discovery", WSDM'18) — the
+    bipartite analog of k-truss (edge peel by butterfly support instead
+    of triangle support), one cohesion level past the degree-based
+    (α,β)-core: a drive-by edge between two otherwise-dense vertices
+    survives the ab_core but carries no butterflies and peels here.
+
+    Per round (all-integer, the ktruss peel pattern):
+    - wedges through the right side: self-join of (v, u) on v, u1 < u2;
+    - per-pair common count c — then every wedge (u1, u2, v) donates
+      (c − 1) butterflies to BOTH its edges (fix partner u2: choosing
+      the second right vertex among the remaining c − 1 commons), so
+      per-edge support is one explode + map-side-combined groupBy, never
+      a per-butterfly enumeration;
+    - edges keep support ≥ k; repeat — each removal can demote others.
+
+    Lineage truncates per round (localCheckpoint); the loop stops at the
+    exact fixpoint (stable edge count) and asserts rounds ≤ max_rounds
+    so the fixed-unroll SQL twin replays it. The returned support is the
+    fixpoint subgraph's own (≥ k by construction).
+
+    Reference parity: no bipartite operators in /root/reference; extends
+    the §2.10 cohesion family (ktruss/trussness → two-mode).
+    """
+    cur = edges.select(
+        F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
+    ).distinct().localCheckpoint()
+    n_prev = cur.count()
+
+    def _support(be: DataFrame) -> DataFrame:
+        l1 = be.select("v", F.col("u").alias("u1"))
+        l2 = be.select("v", F.col("u").alias("u2"))
+        w = l1.join(l2, "v").where(F.col("u1") < F.col("u2"))
+        pc = w.groupBy("u1", "u2").agg(F.count(F.lit(1)).alias("c"))
+        ww = w.join(pc.hint("shuffle_hash"), ["u1", "u2"]).where(F.col("c") > 1)
+        contrib = ww.select(
+            F.col("u1").alias("u"), "v", (F.col("c") - 1).alias("s")
+        ).unionByName(
+            ww.select(F.col("u2").alias("u"), "v", (F.col("c") - 1).alias("s"))
+        )
+        sup = contrib.groupBy("u", "v").agg(
+            F.sum("s").cast("long").alias("support")
+        )
+        return be.join(sup, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+        )
+
+    rounds = 0
+    converged = n_prev == 0
+    while not converged and rounds < max_rounds:
+        rounds += 1
+        nxt = (
+            _support(cur)
+            .where(F.col("support") >= k)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == n_prev:
+            converged = True
+        n_prev = n
+    return _support(cur), {
+        "rounds": rounds,
+        "converged": converged,
+        "edges": n_prev,
+    }
