@@ -176,6 +176,12 @@ def main() -> None:
         "graphlet4_census",
         "semdedup",
         "scan_clusters",
+        "bipartite_ab_core",
+        "trustrank_spam_mass",
+        "butterfly_census",
+        "cpm_communities",
+        "refex_features",
+        "pq_codes",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -875,3 +875,7 @@ PQ_TOPK = 20  # ADC self-query neighbor count
 WING_MOD = 512   # denser bipartite mod so butterflies exist at sf0.001
 WING_K = 4       # k-wing: every edge in >= 4 butterflies
 WING_ROUNDS = 12 # oracle unroll; engine asserts fixpoint <= this
+
+HT_ITERS = 8        # truncated hitting-time value-iteration rounds
+HT_CAP_STEPS = 50   # truncation cap (steps)
+HT_MICRO = 1_000_000

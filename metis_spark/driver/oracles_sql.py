@@ -3201,3 +3201,34 @@ sup_{out} AS MATERIALIZED (
 SELECT e.u, e.v, COALESCE(s.support, 0)::BIGINT AS support
 FROM e{WING_ROUNDS} e LEFT JOIN sup_fin s ON e.u = s.u AND e.v = s.v"""
     )
+
+
+def _hitting_time_sql() -> str:
+    """Unrolled twin of plans/sssp.py:hitting_time_to_seeds on the
+    standard graph, trusted seeds id % TRUST_MOD = TRUST_REM: all
+    integer micro-steps, FLOOR integer division per vertex."""
+    from metis_spark.driver.common import HT_CAP_STEPS, HT_ITERS, HT_MICRO, TRUST_MOD, TRUST_REM
+
+    cap = HT_CAP_STEPS * HT_MICRO
+    seed = f"id % {TRUST_MOD} = {TRUST_REM}"
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
+        f"h0 AS MATERIALIZED (SELECT id, deg, CASE WHEN {seed} THEN 0 ELSE {cap} END::BIGINT AS h FROM deg)",
+    ]
+    for i in range(1, HT_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT u.dst AS id, SUM(x.h) AS hs "
+            f"FROM und u JOIN h{p} x ON u.src = x.id GROUP BY u.dst)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT v.id, v.deg, "
+            f"CASE WHEN v.{seed.replace('id %', 'id %')} THEN 0 "
+            f"ELSE LEAST({cap}, {HT_MICRO} + g.hs // v.deg) END::BIGINT AS h "
+            f"FROM h{p} v JOIN g{i} g ON v.id = g.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, h AS h_micro FROM h{HT_ITERS}"
+    )

@@ -721,3 +721,22 @@ def _q_trustrank(spark, sf_dir):
         "id", "pr", "tr",
         F.round((F.col("pr") - F.col("tr")) / F.col("pr"), 6).alias("spam_mass"),
     )
+
+def _q_hitting_time(spark, sf_dir):
+    """Truncated expected hitting time to the trusted seed set
+    (plans/sssp.py:hitting_time_to_seeds, Sarkar & Moore UAI'07
+    truncation) — the random-walk distance that weighs ALL paths, the
+    diffusion complement to trustrank_spam_mass's rank split."""
+    from metis_spark.driver.common import HT_CAP_STEPS, HT_ITERS, HT_MICRO, TRUST_MOD, TRUST_REM
+    from metis_spark.plans.sssp import hitting_time_to_seeds
+
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % TRUST_MOD == TRUST_REM)
+    return hitting_time_to_seeds(
+        edges, seeds, iters=HT_ITERS, cap_steps=HT_CAP_STEPS, micro=HT_MICRO
+    )

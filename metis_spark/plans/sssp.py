@@ -511,3 +511,95 @@ def widest_paths(
 
     e.unpersist()
     return caps, {"iterations": k, "converged": converged, "seconds": time.monotonic() - t0}
+
+
+def hitting_time_to_seeds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 8,
+    cap_steps: int = 50,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Truncated expected hitting time of the simple random walk to a
+    seed set → (id, h_micro): h(v) = expected #steps for a walk started
+    at v to first reach S, the classic random-walk distance (commute /
+    hitting times — Lovász's random-walk survey; the diffusion analog of
+    SSSP that weighs ALL paths, not just the shortest: many parallel
+    routes pull h down even when the shortest hop count is equal).
+
+    Value iteration on the absorbing system, everything exact integers
+    in micro-steps (the simrank/fiedler quantized discipline):
+
+        h_0(v)   = 0 if v ∈ S else cap_steps·micro
+        h_t(v)   = 0 if v ∈ S else
+                   min(cap, micro + FLOOR(Σ_{n∈N(v)} h_{t-1}(n) / deg(v)))
+
+    The iterate decreases monotonically toward the truncated fixpoint,
+    so a fixed ``iters`` unroll is engine-exact and twin-replayable; the
+    cap keeps vertices that can't reach S (or only through long tails)
+    finite. h_t is exact for vertices whose optimal absorption happens
+    within t steps — the standard truncated-hitting-time estimator
+    (Sarkar & Moore UAI'07 use exactly this truncation for proximity
+    search at scale).
+
+    Per round: ONE gather join on the persisted symmetric edge list +
+    one map-side-combined groupBy + the seed overwrite — the
+    SSSP/pagerank cost class; lineage truncated per round.
+    """
+    und = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    sd = seeds.select(F.col("id").cast("long")).distinct()
+    cap = cap_steps * micro
+    state = deg.join(sd.withColumn("is_seed", F.lit(True)), "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+        F.when(F.coalesce("is_seed", F.lit(False)), F.lit(0))
+        .otherwise(F.lit(cap))
+        .cast("long")
+        .alias("h"),
+    ).localCheckpoint()
+
+    for _ in range(iters):
+        gathered = (
+            und.join(
+                state.select(F.col("id").alias("src"), F.col("h")), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("hs"))
+        )
+        state = (
+            state.join(gathered, "id")
+            .select(
+                "id",
+                "deg",
+                "is_seed",
+                F.when(F.col("is_seed"), F.lit(0).cast("long"))
+                .otherwise(
+                    F.least(
+                        F.lit(cap).cast("long"),
+                        (
+                            F.lit(micro)
+                            + F.floor(
+                                F.col("hs").cast("double") / F.col("deg")
+                            )
+                        ).cast("long"),
+                    )
+                )
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return state.select("id", F.col("h").alias("h_micro"))
