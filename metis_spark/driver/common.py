@@ -879,3 +879,5 @@ WING_ROUNDS = 12 # oracle unroll; engine asserts fixpoint <= this
 HT_ITERS = 8        # truncated hitting-time value-iteration rounds
 HT_CAP_STEPS = 50   # truncation cap (steps)
 HT_MICRO = 1_000_000
+
+TIP_K = 50  # per-vertex butterfly top-k

@@ -3232,3 +3232,22 @@ def _hitting_time_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, h AS h_micro FROM h{HT_ITERS}"
     )
+
+
+def _tip_sql(mod: int = ABCORE_MOD) -> str:
+    """Twin of plans/bipartite.py:butterfly_per_vertex_topk on the
+    order-part graph — pair counts, C(c,2) explode to both members,
+    all-integer deterministic top-k."""
+    from metis_spark.driver.common import TIP_K
+
+    return f"""WITH be AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {mod} AS u, l_partkey % {mod} AS v FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.u AS u1, b.u AS u2, COUNT(*)::BIGINT AS c
+  FROM be a JOIN be b ON a.v = b.v AND a.u < b.u GROUP BY a.u, b.u HAVING COUNT(*) > 1),
+pv AS (SELECT u, SUM(b)::BIGINT AS butterflies FROM (
+  SELECT u1 AS u, c*(c-1)//2 AS b FROM pairs
+  UNION ALL SELECT u2, c*(c-1)//2 FROM pairs) GROUP BY u)
+SELECT u, butterflies,
+  ROW_NUMBER() OVER (ORDER BY butterflies DESC, u)::BIGINT AS rn
+FROM pv ORDER BY butterflies DESC, u LIMIT {TIP_K}"""

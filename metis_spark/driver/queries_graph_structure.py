@@ -1391,3 +1391,17 @@ def _q_kwing(spark, sf_dir):
     out, info = k_wing(be, k=WING_K, max_rounds=WING_ROUNDS)
     assert info["converged"] and info["rounds"] <= WING_ROUNDS, info
     return out
+
+def _q_tip(spark, sf_dir):
+    """Per-vertex butterfly counts, top-k (plans/bipartite.py:
+    butterfly_per_vertex_topk) — the tip-decomposition support / two-mode
+    hub ranking on the order-part graph."""
+    from metis_spark.driver.common import TIP_K
+    from metis_spark.plans.bipartite import butterfly_per_vertex_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    be = li.select(
+        (F.col("l_orderkey") % ABCORE_MOD).alias("u"),
+        (F.col("l_partkey") % ABCORE_MOD).alias("v"),
+    )
+    return butterfly_per_vertex_topk(be, k=TIP_K)

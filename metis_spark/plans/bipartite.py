@@ -33,7 +33,7 @@ from __future__ import annotations
 import tempfile
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metis_spark.plans.checkpoint import CheckpointManager
@@ -421,3 +421,46 @@ def k_wing(
         "converged": converged,
         "edges": n_prev,
     }
+
+
+def butterfly_per_vertex_topk(
+    edges: DataFrame,
+    k: int = 50,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Per-LEFT-vertex butterfly counts → top-k (u, butterflies, rn):
+    b(u) = # butterflies containing u — the tip-decomposition support
+    (Sarıyüce & Pinar WSDM'18 peel vertices by exactly this count) and
+    the two-mode hub/spam ranking signal (an order that co-buys the same
+    part pairs as many other orders tops the list).
+
+    From the same per-pair wedge counts as ``butterfly_summary``: a left
+    pair (u1, u2) with c common right vertices carries C(c, 2)
+    butterflies, each containing BOTH u1 and u2 — so b(u) is one explode
+    of the pair table + a map-side-combined groupBy; no per-butterfly
+    enumeration ever happens. Ranking is all-integer (count desc, u).
+    """
+    be = edges.select(
+        F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
+    ).distinct()
+    l1 = be.select("v", F.col("u").alias("u1"))
+    l2 = be.select("v", F.col("u").alias("u2"))
+    pairs = (
+        l1.join(l2, "v")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .withColumn("b", (F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+    )
+    per_v = (
+        pairs.select(F.col("u1").alias("u"), "b")
+        .unionByName(pairs.select(F.col("u2").alias("u"), "b"))
+        .groupBy("u")
+        .agg(F.sum("b").cast("long").alias("butterflies"))
+    )
+    order = [F.desc("butterflies"), F.asc("u")]
+    top = per_v.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -54,3 +54,16 @@ def test_side_symmetry(spark):
     assert a["n_butterflies"] == b["n_butterflies"]
     assert a["n_caterpillars"] == b["n_caterpillars"]
     assert a["bipartite_cc"] == b["bipartite_cc"]
+
+
+def test_per_vertex_topk_k33_plus_pendant(spark):
+    from metis_spark.plans.bipartite import butterfly_per_vertex_topk
+
+    pairs = [(u, v) for u in (1, 2, 3) for v in (1, 2, 3)] + [(9, 1)]
+    rows = sorted(
+        butterfly_per_vertex_topk(_edges(spark, pairs), k=10).collect(),
+        key=lambda r: r["rn"],
+    )
+    # each K33 left vertex: 2 pairs x C(3,2)=3 butterflies = 6; the
+    # pendant citer 9 shares only one part with anyone -> no butterflies
+    assert [(r["u"], r["butterflies"]) for r in rows] == [(1, 6), (2, 6), (3, 6)]
