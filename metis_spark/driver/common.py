@@ -881,3 +881,7 @@ HT_CAP_STEPS = 50   # truncation cap (steps)
 HT_MICRO = 1_000_000
 
 TIP_K = 50  # per-vertex butterfly top-k
+
+MIRROR_K = 50      # mirror-pair top-k
+MIRROR_HASHES = 4  # minhash functions over out-neighborhoods
+MIRROR_BANDS = 2   # LSH bands (rows = hashes/bands)

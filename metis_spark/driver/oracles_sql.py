@@ -3251,3 +3251,40 @@ pv AS (SELECT u, SUM(b)::BIGINT AS butterflies FROM (
 SELECT u, butterflies,
   ROW_NUMBER() OVER (ORDER BY butterflies DESC, u)::BIGINT AS rn
 FROM pv ORDER BY butterflies DESC, u LIMIT {TIP_K}"""
+
+
+def _mirror_sql() -> str:
+    """Twin of plans/metrics.py:vertex_mirror_topk on the mod-WING_MOD
+    directed graph: same md5 string-min signatures, band keys, candidate
+    equi-join, exact-Jaccard verification, (jaccard, u, v) ranking."""
+    from metis_spark.driver.common import MIRROR_BANDS, MIRROR_HASHES, MIRROR_K, WING_MOD
+
+    rows = MIRROR_HASHES // MIRROR_BANDS
+    return f"""WITH nbr AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {WING_MOD} AS u, l_partkey % {WING_MOD} AS n
+  FROM lineitem WHERE l_orderkey % {WING_MOD} <> l_partkey % {WING_MOD}),
+deg AS MATERIALIZED (SELECT u, COUNT(*)::BIGINT AS d FROM nbr GROUP BY u),
+sigs AS MATERIALIZED (
+  SELECT u, s.seed, MIN(md5(s.seed::VARCHAR || '|' || n::VARCHAR)) AS mh
+  FROM nbr, (SELECT unnest(range(0, {MIRROR_HASHES})) AS seed) s
+  GROUP BY u, s.seed),
+bk AS MATERIALIZED (
+  SELECT u, (seed // {rows})::INT AS band,
+         string_agg(mh, '#' ORDER BY mh) AS bk
+  FROM sigs GROUP BY u, (seed // {rows})::INT),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.u AS u, b.u AS v FROM bk a
+  JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.u < b.u),
+com AS MATERIALIZED (
+  SELECT c.u, c.v, COUNT(*)::BIGINT AS n_common
+  FROM cand c JOIN nbr x ON x.u = c.u JOIN nbr y ON y.u = c.v AND y.n = x.n
+  GROUP BY c.u, c.v),
+scored AS (
+  SELECT c.u, c.v, COALESCE(m.n_common, 0)::BIGINT AS n_common,
+         ROUND(COALESCE(m.n_common, 0)::DOUBLE
+               / (du.d + dv.d - COALESCE(m.n_common, 0)), 6) AS jaccard
+  FROM cand c LEFT JOIN com m ON c.u = m.u AND c.v = m.v
+  JOIN deg du ON du.u = c.u JOIN deg dv ON dv.u = c.v)
+SELECT u, v, n_common, jaccard,
+  ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v)::BIGINT AS rn
+FROM scored ORDER BY jaccard DESC, u, v LIMIT {MIRROR_K}"""

@@ -474,3 +474,23 @@ def _q_refex(spark, sf_dir):
     from metis_spark.plans.metrics import refex_features
 
     return refex_features(derived_edges_sparse(spark, sf_dir), rounds=2)
+
+def _q_mirrors(spark, sf_dir):
+    """Structural mirror detection (plans/metrics.py:vertex_mirror_topk)
+    on the mod-512 directed graph — MinHash-LSH over OUT-neighborhoods,
+    exact-Jaccard-verified candidates, the link-farm mirror signal."""
+    from metis_spark.driver.common import MIRROR_BANDS, MIRROR_HASHES, MIRROR_K, WING_MOD
+    from metis_spark.plans.metrics import vertex_mirror_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % WING_MOD).alias("src"),
+            (F.col("l_partkey") % WING_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return vertex_mirror_topk(
+        edges, k=MIRROR_K, num_hashes=MIRROR_HASHES, bands=MIRROR_BANDS
+    )

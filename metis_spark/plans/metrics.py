@@ -709,3 +709,95 @@ def refex_features(edges: DataFrame, rounds: int = 2) -> DataFrame:
         if rounds >= f.count("_"):
             cols.append(F.col(f).cast("long").alias(names[f]))
     return state.select(*cols)
+
+
+def vertex_mirror_topk(
+    edges: DataFrame,
+    k: int = 50,
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Structural mirror detection → top-k (u, v, n_common, jaccard, rn)
+    candidate pairs of vertices with near-identical OUT-neighborhoods —
+    the link-farm mirror / template-clone signal (two pages linking to
+    the same target set are one "page" for ranking purposes; Broder's
+    shingling argument applied to adjacency sets instead of text).
+
+    MinHash-LSH over neighborhoods, the dedup discipline verbatim
+    (operators/dedup.py): h_i(n) = md5(i ∥ '|' ∥ n), signature = string
+    min per seed (portable across engines), seeds split into ``bands``
+    bands of ``num_hashes/bands`` rows, band key = '#'-joined in-band
+    minima; ONLY vertices sharing a full band key become candidates —
+    the corpus never self-joins. Candidates verify with the exact
+    neighborhood Jaccard via one co-grouped common count; ranking is
+    (ROUND(jaccard,6) desc, u, v) so the twin replays it.
+
+    100 TB shape: signatures are one explode(seq) + map-side-combined
+    min per (vertex, seed); candidate volume is controlled by the band
+    parameters exactly like document LSH — mirrors collide with
+    probability 1-(1-J^r)^b, unrelated vertices almost never.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    nbr = (
+        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("n"))
+        .where(F.col("u") != F.col("n"))
+        .distinct()
+        .persist()
+    )
+    deg = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    sigs = (
+        nbr.select("u", "n", seeds)
+        .groupBy("u", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("n")))).alias("mh"))
+    )
+    bandkeys = (
+        sigs.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy("u", "band")
+        .agg(F.concat_ws("#", F.array_sort(F.collect_list("mh"))).alias("bk"))
+    )
+    cand = (
+        bandkeys.alias("a")
+        .join(bandkeys.alias("b"), ["band", "bk"])
+        .where(F.col("a.u") < F.col("b.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .distinct()
+    )
+    common = (
+        cand.join(nbr.select(F.col("u"), F.col("n")), "u")
+        .join(
+            nbr.select(F.col("u").alias("v"), F.col("n")),
+            ["v", "n"],
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        cand.join(common, ["u", "v"], "left")
+        .join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("du") + F.col("dv") - F.coalesce("n_common", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    order = [F.desc("jaccard"), F.asc("u"), F.asc("v")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    out = top.withColumn("rn", F.row_number().over(w).cast("long"))
+    rows_out = out.collect()
+    nbr.unpersist()
+    return edges.sparkSession.createDataFrame(
+        rows_out, "u long, v long, n_common long, jaccard double, rn long"
+    )
