@@ -885,3 +885,6 @@ TIP_K = 50  # per-vertex butterfly top-k
 MIRROR_K = 50      # mirror-pair top-k
 MIRROR_HASHES = 4  # minhash functions over out-neighborhoods
 MIRROR_BANDS = 2   # LSH bands (rows = hashes/bands)
+
+HL_ITERS = 8   # harmonic-function value-iteration rounds
+HL_NEG_REM = 5 # negative seeds: id % TRUST_MOD == HL_NEG_REM

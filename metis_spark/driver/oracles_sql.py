@@ -3288,3 +3288,34 @@ scored AS (
 SELECT u, v, n_common, jaccard,
   ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v)::BIGINT AS rn
 FROM scored ORDER BY jaccard DESC, u, v LIMIT {MIRROR_K}"""
+
+
+def _harmonic_labels_sql() -> str:
+    """Unrolled twin of plans/sssp.py:harmonic_label_scores — positive
+    seeds id%TRUST_MOD=TRUST_REM at micro, negative at HL_NEG_REM pinned
+    0, everyone else FLOOR-averages their neighbors."""
+    from metis_spark.driver.common import HL_ITERS, HL_NEG_REM, HT_MICRO, TRUST_MOD, TRUST_REM
+
+    pos = f"id % {TRUST_MOD} = {TRUST_REM}"
+    neg = f"id % {TRUST_MOD} = {HL_NEG_REM}"
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
+        f"p0 AS MATERIALIZED (SELECT id, deg, CASE WHEN {pos} THEN {HT_MICRO} ELSE 0 END::BIGINT AS p FROM deg)",
+    ]
+    for i in range(1, HL_ITERS + 1):
+        pv = i - 1
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT u.dst AS id, SUM(x.p) AS ps "
+            f"FROM und u JOIN p{pv} x ON u.src = x.id GROUP BY u.dst)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT v.id, v.deg, "
+            f"CASE WHEN v.{pos} THEN {HT_MICRO} WHEN v.{neg} THEN 0 "
+            f"ELSE g.ps // v.deg END::BIGINT AS p "
+            f"FROM p{pv} v JOIN g{i} g ON v.id = g.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, p AS p_micro FROM p{HL_ITERS}"
+    )

@@ -740,3 +740,25 @@ def _q_hitting_time(spark, sf_dir):
     return hitting_time_to_seeds(
         edges, seeds, iters=HT_ITERS, cap_steps=HT_CAP_STEPS, micro=HT_MICRO
     )
+
+def _q_harmonic_labels(spark, sf_dir):
+    """Harmonic-function two-class node scores (plans/sssp.py:
+    harmonic_label_scores, Zhu et al. ICML'03) — trusted seeds positive,
+    a disjoint hash class negative; the semi-supervised spam/ham
+    classifier on the import graph."""
+    from metis_spark.driver.common import HL_ITERS, HL_NEG_REM, HT_MICRO, TRUST_MOD, TRUST_REM
+    from metis_spark.plans.sssp import harmonic_label_scores
+
+    edges = derived_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return harmonic_label_scores(
+        edges,
+        pos_seeds=verts.where(F.col("id") % TRUST_MOD == TRUST_REM),
+        neg_seeds=verts.where(F.col("id") % TRUST_MOD == HL_NEG_REM),
+        iters=HL_ITERS,
+        micro=HT_MICRO,
+    )
