@@ -823,6 +823,24 @@ SELECT a, b, emb, jaccard, rn FROM (SELECT a, b, emb, jaccard,
 WHERE rn <= {EMB_K}
 """
 
+_FORMAN_SQL = f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM u e1
+  JOIN u e2 ON e1.b = e2.a JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+sides AS (SELECT x AS a, y AS b FROM tri UNION ALL
+          SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri),
+sup AS (SELECT a, b, COUNT(*)::BIGINT AS support FROM sides GROUP BY a, b),
+scored AS (SELECT u.a, u.b, COALESCE(s.support, 0)::BIGINT AS support,
+  (4 - da.deg - db.deg + 3 * COALESCE(s.support, 0))::BIGINT AS curvature
+  FROM u LEFT JOIN sup s ON u.a = s.a AND u.b = s.b
+  JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id)
+SELECT a, b, support, curvature, rn FROM (SELECT a, b, support, curvature,
+  ROW_NUMBER() OVER (ORDER BY curvature ASC, a ASC, b ASC)::BIGINT AS rn FROM scored)
+WHERE rn <= {EMB_K}
+"""
+
 def _graphlet4_sql() -> str:
     """Twin of plans/metrics.py graphlet4_census: the four closed-form
     terms recomputed from the same degree/triangle/support CTEs, the

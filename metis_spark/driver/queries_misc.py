@@ -291,6 +291,14 @@ def _q_edge_embeddedness(spark, sf_dir):
 
     return edge_embeddedness(derived_edges_sparse(spark, sf_dir), k=EMB_K)
 
+def _q_forman_curvature(spark, sf_dir):
+    """Bottom-100 edges by augmented Forman-Ricci curvature
+    4 − deg(a) − deg(b) + 3·support (plans/metrics.py:forman_curvature)
+    — the all-integer network-geometry community-boundary signal."""
+    from metis_spark.plans.metrics import forman_curvature
+
+    return forman_curvature(derived_edges_sparse(spark, sf_dir), k=EMB_K)
+
 def _q_pref_attach(spark, sf_dir):
     """Preferential-attachment predictor over non-adjacent 2-hop pairs
     (full degrees; wedge cap bounds candidate generation only)."""

@@ -470,6 +470,76 @@ def edge_embeddedness(edges: DataFrame, k: int = 100) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
+def forman_curvature(edges: DataFrame, k: int = 100) -> DataFrame:
+    """Bottom-k edges by augmented Forman-Ricci curvature →
+    (a, b, support, curvature, rn) — the discrete network-geometry
+    boundary detector (Sreejith et al. JSTAT 2016; Samal et al.
+    Sci. Rep. 2018: curvature separates intra- from inter-community
+    edges and correlates with edge betweenness at a fraction of the
+    cost). For an unweighted graph the triangle-augmented form is
+    all-integer:
+
+        F#(u,v) = 4 − deg(u) − deg(v) + 3·|N(u) ∩ N(v)|
+
+    The most NEGATIVE edges (two hubs joined by a thinly-supported tie)
+    are the community boundaries / bottlenecks — exactly the edges a
+    partitioner wants to cut and a cascade model watches — so the
+    ranking is curvature ASC. Ties break (a, b) for determinism.
+
+    Scale shape: identical cost class to edge_embeddedness (one
+    triangle-redistribution explode + map-side-combined groupBy for the
+    support table, two shuffle-hash degree joins onto ≤|E| rows); the
+    ranking key is all-integer so TakeOrderedAndProject streams the
+    bottom-k without a global sort. No new machinery at 10^12 edges —
+    this is a constant-cost reinterpretation of the truss/embeddedness
+    support table the engine already maintains.
+
+    Mirrors the reference's per-edge analytics surface (per-row derived
+    metrics over the edge table, Metis/metis/PandasHelpers.py:21-40)
+    re-expressed as one declarative plan.
+    """
+    from metis_spark.plans.triangles import _per_edge_commons
+
+    und = _und(edges)
+    deg = _und_degrees(und)
+    per = _per_edge_commons(edges).where(F.col("n_common") > 0)
+    tri = per.select("src", "dst", F.explode("common").alias("w"))
+    sides = (
+        tri.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .unionByName(
+            tri.select(F.least("src", "w").alias("a"), F.greatest("src", "w").alias("b"))
+        )
+        .unionByName(
+            tri.select(F.least("dst", "w").alias("a"), F.greatest("dst", "w").alias("b"))
+        )
+    )
+    sup = sides.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("support"))
+    u = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    scored = (
+        u.join(sup, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
+        .join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            "a",
+            "b",
+            "support",
+            (
+                F.lit(4) - F.col("dega") - F.col("degb") + F.lit(3) * F.col("support")
+            )
+            .cast("long")
+            .alias("curvature"),
+        )
+    )
+    top = scored.orderBy(F.asc("curvature"), F.asc("a"), F.asc("b")).limit(k)
+    w = Window.orderBy(F.asc("curvature"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
 def graphlet4_census(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
     """Non-induced census of all six connected 4-vertex graphlets →
     six rows (graphlet, cnt): ``c4_cycle``, ``diamond``, ``k4_clique``,
