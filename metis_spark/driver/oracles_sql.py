@@ -2322,6 +2322,37 @@ _WEDGE_SQL = (
     "JOIN deg d ON d.id = h1.src WHERE d.deg <= {cap})"
 ).format(cap=HUB_CAP)
 
+def _structural_holes_sql() -> str:
+    """Twin of plans/metrics.py structural_holes: identical capped wedge
+    set, identical integer quantizations (FLOOR(1e6/deg_w) q-terms,
+    FLOOR(1e6·c_ij) j-terms), identical IEEE-double c_ij expression."""
+    return f"""
+WITH {_EDGES_SPARSE_SQL.strip()},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),
+{_WEDGE_SQL},
+closed AS (SELECT w.u, w.v, w.deg_w FROM wedge w
+  JOIN und a ON a.src = w.u AND a.dst = w.v),
+s_uv AS MATERIALIZED (SELECT u, v,
+  SUM(FLOOR(1000000.0 / deg_w))::BIGINT AS s FROM closed GROUP BY u, v),
+s_dir AS (SELECT u, v, s FROM s_uv UNION ALL SELECT v AS u, u AS v, s FROM s_uv),
+pairs AS (SELECT a.src AS u, COALESCE(sd.s, 0)::BIGINT AS s
+  FROM und a LEFT JOIN s_dir sd ON sd.u = a.src AND sd.v = a.dst),
+cons AS (SELECT pairs.u, SUM(FLOOR(
+    (1.0 / d.deg + s / (1000000.0 * d.deg))
+    * (1.0 / d.deg + s / (1000000.0 * d.deg)) * 1000000.0))::BIGINT AS cons_micro
+  FROM pairs JOIN deg d ON d.id = pairs.u GROUP BY pairs.u),
+utab AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM utab e1
+  JOIN utab e2 ON e1.b = e2.a JOIN utab e3 ON e3.a = e1.a AND e3.b = e2.b),
+tv AS (SELECT v, COUNT(*)::BIGINT AS t FROM (SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY v)
+SELECT d.id, d.deg,
+  ROUND(d.deg - 2.0 * COALESCE(tv.t, 0) / d.deg, 6) AS eff_size,
+  ROUND((d.deg - 2.0 * COALESCE(tv.t, 0) / d.deg) / d.deg, 6) AS efficiency,
+  ROUND(c.cons_micro / 1000000.0, 6) AS burt_constraint
+FROM deg d LEFT JOIN tv ON tv.v = d.id JOIN cons c ON c.u = d.id
+"""
+
 def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     ctes = [
         _EDGES_SPARSE_SQL.strip(),

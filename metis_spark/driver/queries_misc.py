@@ -299,6 +299,14 @@ def _q_forman_curvature(spark, sf_dir):
 
     return forman_curvature(derived_edges_sparse(spark, sf_dir), k=EMB_K)
 
+def _q_structural_holes(spark, sf_dir):
+    """Burt structural-hole profile — effective size / efficiency /
+    constraint per vertex (plans/metrics.py:structural_holes); q- and
+    j-sums integer-quantized so both engines fold identically."""
+    from metis_spark.plans.metrics import structural_holes
+
+    return structural_holes(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
+
 def _q_pref_attach(spark, sf_dir):
     """Preferential-attachment predictor over non-adjacent 2-hop pairs
     (full degrees; wedge cap bounds candidate generation only)."""

@@ -540,6 +540,74 @@ def forman_curvature(edges: DataFrame, k: int = 100) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
+def structural_holes(
+    edges: DataFrame, hub_cap: int = 128, micro: int = 1_000_000
+) -> DataFrame:
+    """Burt's structural-hole profile per vertex →
+    (id, deg, eff_size, efficiency, constraint) — the brokerage /
+    redundancy measures from "Structural Holes" (Burt 1992; unweighted
+    simplifications per Borgatti, Connections 1997): a vertex whose
+    neighbors don't know each other brokers information; one embedded in
+    a clique is constrained.
+
+      eff_size(i)  = d_i − 2·t_i/d_i   (t_i = ties among N(i) = triangles
+                     at i; each redundant tie eats 2/d of the ego net)
+      efficiency   = eff_size / d_i
+      constraint(i)= Σ_{j∈N(i)} (p_ij + Σ_q p_iq·p_qj)²,  p_xy = 1/d_x,
+                     q ranging over shared neighbors of i and j
+
+    Float discipline: the q-sum and the j-sum are ORDER-DEPENDENT float
+    folds, so both are quantized to integers before summing — the q-sum
+    as Σ FLOOR(micro/d_q) (exact in both engines), the j-sum as
+    Σ FLOOR(micro·c_ij) where c_ij is the identical IEEE-double square —
+    making the operator engine-exact; only the final /micro display
+    division is float. Wedge centers q with deg > hub_cap are dropped
+    (declared semantics, shared with the link predictors: a hub center
+    contributes ≤ 1/(d_i·cap) ≈ 0 per term while fanning deg² wedge
+    rows; the oracle applies the identical cap).
+
+    Scale shape: one capped wedge join (the adamic-adar plan shape)
+    semi-joined against adjacency, one triangle-per-vertex aggregate,
+    two map-side-combined integer groupBys — nothing new at 10^12 edges.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # q-sums over shared neighbors of ADJACENT pairs only (the c_ij set);
+    # the q-set of (i,j) equals that of (j,i) so the u<v wedge mirrors
+    closed = _wedges(und, hub_cap).join(adj, ["u", "v"], "left_semi")
+    s_uv = closed.groupBy("u", "v").agg(
+        F.sum(F.floor(F.lit(micro) / F.col("deg_w"))).cast("long").alias("s")
+    )
+    s_dir = s_uv.unionByName(
+        s_uv.select(F.col("v").alias("u"), F.col("u").alias("v"), "s")
+    )
+    pairs = adj.join(s_dir, ["u", "v"], "left").select(
+        "u", F.coalesce("s", F.lit(0)).alias("s")
+    )
+    di = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    x = 1.0 / F.col("deg_u") + F.col("s") / (float(micro) * F.col("deg_u"))
+    cons = (
+        pairs.join(di.hint("shuffle_hash"), "u")
+        .select("u", F.floor(x * x * float(micro)).cast("long").alias("c_micro"))
+        .groupBy("u")
+        .agg(F.sum("c_micro").cast("long").alias("cons_micro"))
+    )
+    tri = triangle_count_per_vertex(edges, vertices=deg.select("id"))
+    eff_raw = F.col("deg") - 2.0 * F.col("triangles") / F.col("deg")
+    return (
+        deg.join(tri, "id")
+        .join(cons.select(F.col("u").alias("id"), "cons_micro"), "id")
+        .select(
+            "id",
+            "deg",
+            F.round(eff_raw, 6).alias("eff_size"),
+            F.round(eff_raw / F.col("deg"), 6).alias("efficiency"),
+            F.round(F.col("cons_micro") / float(micro), 6).alias("burt_constraint"),
+        )
+    )
+
+
 def graphlet4_census(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
     """Non-induced census of all six connected 4-vertex graphlets →
     six rows (graphlet, cnt): ``c4_cycle``, ``diamond``, ``k4_clique``,
