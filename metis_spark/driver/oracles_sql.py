@@ -2353,6 +2353,56 @@ SELECT d.id, d.deg,
 FROM deg d LEFT JOIN tv ON tv.v = d.id JOIN cons c ON c.u = d.id
 """
 
+def _ari_partitions_sql() -> str:
+    """Twin of the ARI evaluation: the unrolled Louvain level-1 chain
+    (common.py:_louvain_level1_ctes) and the sparse-graph LPA unroll
+    (same argmax discipline as _lpa_sql) feed the integer contingency /
+    C(x,2) identity of plans/metrics.py:partition_agreement."""
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    ctes.append("lp0 AS (SELECT id, id AS label FROM ldeg)")
+    for i in range(1, LPA_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"lpc{i} AS (SELECT u.dst AS id, l.label FROM und u "
+            f"JOIN lp{p} l ON u.src = l.id UNION ALL SELECT id, label FROM lp{p})"
+        )
+        ctes.append(
+            f"lpn{i} AS (SELECT id, label, COUNT(*) AS c FROM lpc{i} GROUP BY id, label)"
+        )
+        ctes.append(
+            f"lp{i} AS (SELECT id, label FROM (SELECT id, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn "
+            f"FROM lpn{i}) WHERE rn = 1)"
+        )
+    ctes.append(
+        f"cont AS MATERIALIZED (SELECT a.label AS la, b.label AS lb, "
+        f"COUNT(*)::BIGINT AS nij FROM l{LOUVAIN_ROUNDS} a "
+        f"JOIN lp{LPA_ROUNDS} b ON a.id = b.id GROUP BY a.label, b.label)"
+    )
+    ctes.append(
+        "tot AS (SELECT SUM(nij)::BIGINT AS n, "
+        "SUM(nij * (nij - 1) // 2)::BIGINT AS sum_nij2 FROM cont)"
+    )
+    ctes.append(
+        "am AS (SELECT COUNT(*)::BIGINT AS clusters_a, "
+        "SUM(ai * (ai - 1) // 2)::BIGINT AS sum_a2 FROM "
+        "(SELECT la, SUM(nij)::BIGINT AS ai FROM cont GROUP BY la))"
+    )
+    ctes.append(
+        "bm AS (SELECT COUNT(*)::BIGINT AS clusters_b, "
+        "SUM(bj * (bj - 1) // 2)::BIGINT AS sum_b2 FROM "
+        "(SELECT lb, SUM(nij)::BIGINT AS bj FROM cont GROUP BY lb))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT n, clusters_a, clusters_b, sum_nij2, sum_a2, sum_b2, "
+        "CASE WHEN (sum_a2 + sum_b2) / 2.0 "
+        "  - sum_a2 * sum_b2 / (n * (n - 1) // 2) <> 0.0 THEN "
+        "ROUND((sum_nij2 - sum_a2 * sum_b2 / (n * (n - 1) // 2)) "
+        "/ ((sum_a2 + sum_b2) / 2.0 - sum_a2 * sum_b2 / (n * (n - 1) // 2)), 6) "
+        "END AS ari FROM tot, am, bm"
+    )
+
 def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     ctes = [
         _EDGES_SPARSE_SQL.strip(),

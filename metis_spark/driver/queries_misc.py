@@ -307,6 +307,29 @@ def _q_structural_holes(spark, sf_dir):
 
     return structural_holes(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
 
+def _q_ari_partitions(spark, sf_dir):
+    """Adjusted Rand Index between the Louvain level-1 and LPA
+    partitions of the sparse graph (plans/metrics.py:
+    partition_agreement) — the chance-corrected clustering-agreement
+    evaluation; both partitions recomputed fresh on the same vertex
+    set with the engines' pinned round counts."""
+    from metis_spark.plans.lpa import label_propagation
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import partition_agreement
+    from metis_spark.driver.common import LOUVAIN_ROUNDS, LPA_ROUNDS
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    lou, _ = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qari_lou_")
+    )
+    lpa, _ = label_propagation(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qari_lpa_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return partition_agreement(lou, lpa)
+
 def _q_pref_attach(spark, sf_dir):
     """Preferential-attachment predictor over non-adjacent 2-hop pairs
     (full degrees; wedge cap bounds candidate generation only)."""

@@ -608,6 +608,77 @@ def structural_holes(
     )
 
 
+def partition_agreement(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
+    """Adjusted Rand Index between two vertex partitions → one row
+    (n, clusters_a, clusters_b, sum_nij2, sum_a2, sum_b2, ari) — the
+    standard chance-corrected agreement score (Hubert & Arabie, J.
+    Classification 1985) every community-detection paper reports when
+    comparing two clusterings of the same graph:
+
+        ARI = (I − A·B/T) / ((A+B)/2 − A·B/T)
+        I = Σ_ij C(n_ij,2),  A = Σ_i C(a_i,2),  B = Σ_j C(b_j,2),
+        T = C(n,2)
+
+    Everything up to the final division is integer (C(x,2) via the even
+    product x(x−1) shifted right — exact in both engines, no float
+    folds), so the two engines agree bit-for-bit; only the one closed-
+    form double expression at the end is float, rounded to 6. ``ari``
+    is NULL when both partitions are trivial (denominator 0).
+
+    Scale shape: the contingency table is ONE shuffle (groupBy on the
+    label pair, map-side combined); its marginals re-aggregate rows
+    bounded by the number of cluster PAIRS, not vertices, and the three
+    1-row aggregates cross-join driver-side. Inputs are any (id, label)
+    frames — Louvain vs LPA, Leiden vs SCAN, a snapshot vs a re-run.
+    """
+    a = labels_a.select(F.col("id").cast("long"), F.col("label").alias("la"))
+    b = labels_b.select(F.col("id").cast("long"), F.col("label").alias("lb"))
+    cont = (
+        a.join(b, "id")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+
+    def c2(c):
+        return F.shiftright(F.col(c) * (F.col(c) - F.lit(1)), 1)
+
+    tot = cont.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(c2("nij")).cast("long").alias("sum_nij2"),
+    )
+    am = (
+        cont.groupBy("la")
+        .agg(F.sum("nij").cast("long").alias("ai"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("clusters_a"),
+            F.sum(c2("ai")).cast("long").alias("sum_a2"),
+        )
+    )
+    bm = (
+        cont.groupBy("lb")
+        .agg(F.sum("nij").cast("long").alias("bj"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("clusters_b"),
+            F.sum(c2("bj")).cast("long").alias("sum_b2"),
+        )
+    )
+    t2 = F.shiftright(F.col("n") * (F.col("n") - F.lit(1)), 1)
+    expected = F.col("sum_a2") * F.col("sum_b2") / t2
+    denom = (F.col("sum_a2") + F.col("sum_b2")) / F.lit(2.0) - expected
+    ari = F.when(
+        denom != F.lit(0.0),
+        F.round((F.col("sum_nij2") - expected) / denom, 6),
+    )
+    return (
+        tot.crossJoin(am)
+        .crossJoin(bm)
+        .select(
+            "n", "clusters_a", "clusters_b", "sum_nij2", "sum_a2", "sum_b2",
+            ari.alias("ari"),
+        )
+    )
+
+
 def graphlet4_census(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
     """Non-induced census of all six connected 4-vertex graphlets →
     six rows (graphlet, cnt): ``c4_cycle``, ``diamond``, ``k4_clique``,
