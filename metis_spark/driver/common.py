@@ -354,6 +354,8 @@ LINKPRED_K = 50
 
 HUB_CAP = 128  # wedge-center degree bound for the link predictors
 
+CI_K = 100  # collective-influence top-k report size
+
 SWEEP_L = 64
 
 SWEEP_SEED_MOD = 97

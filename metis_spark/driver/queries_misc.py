@@ -533,3 +533,15 @@ def _q_mirrors(spark, sf_dir):
     return vertex_mirror_topk(
         edges, k=MIRROR_K, num_hashes=MIRROR_HASHES, bands=MIRROR_BANDS
     )
+
+def _q_collective_influence(spark, sf_dir):
+    """Collective influence at radius 2 (Morone & Makse, Nature 2015) —
+    the optimal-percolation influencer ranking CI_2(v) = (deg−1)·Σ
+    (deg−1) over the exact-distance-2 ring (plans/metrics.py:
+    collective_influence); capped wedge candidates, all-integer scores."""
+    from metis_spark.plans.metrics import collective_influence
+    from metis_spark.driver.common import CI_K, HUB_CAP
+
+    return collective_influence(
+        derived_edges_sparse(spark, sf_dir), k=CI_K, hub_cap=HUB_CAP
+    )
