@@ -459,3 +459,9 @@ def _q_char_entropy(spark, sf_dir):
     char_bigram_entropy) — the compressibility/gibberish filter; per-doc
     micro-nat integer sums, embarrassingly parallel."""
     return CS.char_bigram_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade per document (operators/
+    corpus_stats.py:readability) — dictionary-free syllable proxy,
+    map-only, zero shuffles."""
+    return CS.readability(_t(spark, sf_dir, "documents"))

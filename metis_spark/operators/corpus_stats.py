@@ -840,3 +840,59 @@ def char_bigram_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Flesch reading ease + Flesch-Kincaid grade →
+    (doc_id, n_words, n_sents, n_syllables, flesch, fk_grade) — the
+    classic prose-complexity score a curation pipeline uses to bucket
+    documents by audience (ease > 90 ≈ grade school, < 30 ≈ academic)
+    and to flag degenerate text (no sentence structure → pathological
+    word-per-sentence ratios that survive the repetition filters).
+
+        flesch   = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    W = whitespace tokens, S = sentence-terminator runs `[.!?]+`,
+    Y = syllable proxy = vowel-group runs `[aeiouy]+` of lower(text)
+    (the standard dictionary-free approximation — a vowel group cannot
+    span whitespace, so the global count equals the per-word sum). All
+    three counts are exact integers (regexp_count in both engines);
+    the two closed-form float expressions at the end fold identically
+    from identical integer triples, rounded to 6.
+
+    Scale shape: map-only — three regexp counters per row, zero
+    shuffles, embarrassingly parallel over documents; the scan prunes
+    to (id, text).
+    """
+    w = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(1)).cast(
+        "long"
+    )
+    s = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)).cast(
+        "long"
+    )
+    y = F.greatest(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("n_words"),
+        s.alias("n_sents"),
+        y.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents").cast("double")
+    ypw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 6).alias(
+            "flesch"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6).alias(
+            "fk_grade"
+        ),
+    )
