@@ -465,3 +465,9 @@ def _q_readability(spark, sf_dir):
     corpus_stats.py:readability) — dictionary-free syllable proxy,
     map-only, zero shuffles."""
     return CS.readability(_t(spark, sf_dir, "documents"))
+
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText rule-based quality audit per document
+    (operators/corpus_stats.py:gopher_rules) — all-integer thresholds
+    via cross-multiplication, map-only."""
+    return CS.gopher_rules(_t(spark, sf_dir, "documents"))

@@ -896,3 +896,74 @@ def readability(
             "fk_grade"
         ),
     )
+
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher/MassiveText quality-rule audit → (doc_id,
+    n_words, n_nonspace, n_alpha_words, n_stop_hits, n_symbols,
+    f_word_count, f_mean_word_len, f_alpha_ratio, f_stopwords,
+    f_symbol_ratio, passes) — the rule-based pre-filter of Rae et al.
+    2021 (Gopher, §A1.1) that every large-scale text pipeline runs
+    before the statistical filters: word-count bounds [50, 100k], mean
+    word length in [3, 10], ≥80% of words contain an alphabetic
+    character, ≥2 stop words present, symbol-to-word ratio ≤ 0.1.
+
+    Exactness: every signal is an integer regexp/filter count and every
+    threshold is applied by INTEGER CROSS-MULTIPLICATION (3·W ≤ C ≤
+    10·W instead of 3 ≤ C/W ≤ 10), so there is no float anywhere —
+    both engines fold bit-for-bit.
+
+    Scale shape: map-only, zero shuffles, embarrassingly parallel; the
+    scan prunes to (id, text). At 100 TB this is the cheapest pass in
+    the funnel and runs fused with ingest.
+    """
+    stop_re = r"\b(" + "|".join(GOPHER_STOPWORDS) + r")\b"
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit(r"\S")).cast("long").alias("n_nonspace"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(stop_re))
+        .cast("long")
+        .alias("n_stop_hits"),
+        F.regexp_count(F.col(text_col), F.lit(r"[#…]|\.\.\."))
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    f_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    f_mwl = (F.lit(3) * F.col("n_words") <= F.col("n_nonspace")) & (
+        F.col("n_nonspace") <= F.lit(10) * F.col("n_words")
+    )
+    f_alpha = F.lit(10) * F.col("n_alpha_words") >= F.lit(8) * F.col("n_words")
+    f_stop = F.col("n_stop_hits") >= 2
+    f_sym = F.lit(10) * F.col("n_symbols") <= F.col("n_words")
+    out = base.select(
+        "*",
+        f_wc.alias("f_word_count"),
+        f_mwl.alias("f_mean_word_len"),
+        f_alpha.alias("f_alpha_ratio"),
+        f_stop.alias("f_stopwords"),
+        f_sym.alias("f_symbol_ratio"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("f_word_count")
+            & F.col("f_mean_word_len")
+            & F.col("f_alpha_ratio")
+            & F.col("f_stopwords")
+            & F.col("f_symbol_ratio")
+        ).alias("passes"),
+    )
