@@ -471,3 +471,9 @@ def _q_gopher_rules(spark, sf_dir):
     (operators/corpus_stats.py:gopher_rules) — all-integer thresholds
     via cross-multiplication, map-only."""
     return CS.gopher_rules(_t(spark, sf_dir, "documents"))
+
+def _q_distinct_ngrams(spark, sf_dir):
+    """Per-language distinct-1/distinct-2 lexical diversity (operators/
+    corpus_stats.py:distinct_ngram_diversity) — the boilerplate-collapse
+    dashboard; shuffled rows bounded by per-slice vocabulary."""
+    return CS.distinct_ngram_diversity(_t(spark, sf_dir, "documents"))

@@ -967,3 +967,81 @@ def gopher_rules(
             & F.col("f_symbol_ratio")
         ).alias("passes"),
     )
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language distinct-n lexical diversity → (lang, n_unigrams,
+    distinct_unigrams, distinct_1, n_bigrams, distinct_bigrams,
+    distinct_2) — Li et al. 2016's distinct-1/distinct-2 metrics, the
+    standard corpus-diversity dashboard: a slice whose distinct-2 ratio
+    collapses is template/boilerplate-dominated (or synthetic-loop
+    output) even when every individual document passes the quality
+    rules. The per-slice twin of the corpus-level zipf_fit/ngram_novelty
+    pair.
+
+    Exactness: both totals and both distinct counts are integers from
+    the same tokenization as the surprisal family; the two ratios are
+    the only float folds, rounded to 6.
+
+    Scale shape: the n-gram explodes partial-aggregate map-side into
+    (lang, gram) counts — the shuffled rows are bounded by the per-slice
+    VOCABULARY, not the token stream; the per-lang rollup then touches
+    |vocab| rows. Text never rides a shuffle past tokenization.
+    """
+    toks = docs.select(
+        F.col(lang_col).alias("lang"), tokens(F.col(text_col)).alias("t")
+    )
+    uni = toks.select("lang", F.explode("t").alias("g"))
+    u = (
+        uni.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_unigrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_unigrams"),
+        )
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("t", (i + 1).cast("int")),
+            F.element_at("t", (i + 2).cast("int")),
+        ),
+    )
+    bg = toks.where(F.size("t") >= 2).select("lang", F.explode(grams).alias("g"))
+    b = (
+        bg.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+        )
+    )
+    return (
+        u.join(b, "lang", "left")
+        .select(
+            "lang",
+            "n_unigrams",
+            "distinct_unigrams",
+            F.round(
+                F.col("distinct_unigrams").cast("double")
+                / F.col("n_unigrams").cast("double"),
+                6,
+            ).alias("distinct_1"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("distinct_bigrams", F.lit(0)).alias("distinct_bigrams"),
+            F.round(
+                F.coalesce("distinct_bigrams", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("distinct_2"),
+        )
+    )
