@@ -1182,11 +1182,11 @@ def _hits_sql() -> str:
         f"FROM h{n_iters} h JOIN a{n_iters} a ON h.id = a.id"
     )
 
-def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> str:
-    """Unrolled h-index iteration twin on the sparse und graph:
-    c_{t+1}(v) = max over desc-ranked neighbour values of
-    least(value, rank). ``und`` names the symmetric edge CTE so the
-    decremental twin can run the identical rounds on a reduced set."""
+def _coreness_ctes(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> list:
+    """CTE chain of the unrolled h-index iteration on the sparse und
+    graph (c_{t+1}(v) = max over desc-ranked neighbour values of
+    least(value, rank)), ending at c{rounds} — shared by the coreness
+    twin and every composition on top of the fixpoint."""
     ctes = [
         _EDGES_SPARSE_SQL.strip().rstrip(),
         f"c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core "
@@ -1200,6 +1200,14 @@ def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> str
             f"ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY s.core DESC) AS rn "
             f"FROM {und} u JOIN c{p} s ON u.dst = s.id) GROUP BY id)"
         )
+    return ctes
+
+
+def _coreness_sql(rounds: int = CORENESS_ORACLE_ROUNDS, und: str = "und") -> str:
+    """Unrolled h-index iteration twin on the sparse und graph; ``und``
+    names the symmetric edge CTE so the decremental twin can run the
+    identical rounds on a reduced set."""
+    ctes = _coreness_ctes(rounds, und)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, core FROM c{rounds}"
 
 def _score_weighted_sql(rounds: int = WCORENESS_ORACLE_ROUNDS) -> str:
@@ -3418,3 +3426,44 @@ def _harmonic_labels_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, p AS p_micro FROM p{HL_ITERS}"
     )
+
+def _core_periphery_sql() -> str:
+    """Twin of plans/metrics.py:core_periphery_blocks — the inner WITH is
+    the verified coreness h-index unroll (engine fixpoint ≡ unroll,
+    asserted converged in the driver query); block counts, densities and
+    the Borgatti-Everett pattern correlation are closed integer forms on
+    top of it."""
+    ctes = _coreness_ctes()
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+cor AS MATERIALIZED (SELECT id, core FROM c{CORENESS_ORACLE_ROUNDS}),
+km AS (SELECT MAX(core)::BIGINT AS kmax FROM cor),
+flags AS (SELECT id, (core = (SELECT kmax FROM km)) AS is_core FROM cor),
+pairs AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+blk AS (SELECT
+  SUM(CASE WHEN fa.is_core AND fb.is_core THEN 1 ELSE 0 END)::BIGINT AS e_cc,
+  SUM(CASE WHEN fa.is_core <> fb.is_core THEN 1 ELSE 0 END)::BIGINT AS e_cp,
+  SUM(CASE WHEN NOT fa.is_core AND NOT fb.is_core THEN 1 ELSE 0 END)::BIGINT AS e_pp
+  FROM pairs p JOIN flags fa ON p.a = fa.id JOIN flags fb ON p.b = fb.id),
+cnt AS (SELECT (SELECT kmax FROM km) AS kmax,
+  SUM(CASE WHEN is_core THEN 1 ELSE 0 END)::BIGINT AS n_core,
+  SUM(CASE WHEN NOT is_core THEN 1 ELSE 0 END)::BIGINT AS n_periph FROM flags),
+fold AS (SELECT kmax, n_core, n_periph, e_cc, e_cp, e_pp,
+  (n_core * (n_core - 1) // 2)::BIGINT AS cap_cc,
+  (n_core * n_periph)::BIGINT AS cap_cp,
+  (n_periph * (n_periph - 1) // 2)::BIGINT AS cap_pp,
+  ((n_core + n_periph) * (n_core + n_periph - 1) // 2)::BIGINT AS n_dyads,
+  (e_cc + e_cp + e_pp)::BIGINT AS m,
+  (e_cc + e_cp)::BIGINT AS m1
+  FROM cnt, blk)
+SELECT kmax, n_core, n_periph, e_cc, e_cp, e_pp,
+  CASE WHEN cap_cc > 0 THEN ROUND(e_cc::DOUBLE / cap_cc, 6) END AS density_cc,
+  CASE WHEN cap_cp > 0 THEN ROUND(e_cp::DOUBLE / cap_cp, 6) END AS density_cp,
+  CASE WHEN cap_pp > 0 THEN ROUND(e_pp::DOUBLE / cap_pp, 6) END AS density_pp,
+  CASE WHEN m::DOUBLE * (n_dyads - m) * (cap_cc + cap_cp) * (n_dyads - cap_cc - cap_cp) > 0
+    THEN ROUND((m1 * n_dyads - m * (cap_cc + cap_cp))::DOUBLE
+      / sqrt(m::DOUBLE * (n_dyads - m) * (cap_cc + cap_cp) * (n_dyads - cap_cc - cap_cp)), 6)
+  END AS be_corr
+FROM fold
+"""

@@ -1405,3 +1405,20 @@ def _q_tip(spark, sf_dir):
         (F.col("l_partkey") % ABCORE_MOD).alias("v"),
     )
     return butterfly_per_vertex_topk(be, k=TIP_K)
+
+def _q_core_periphery(spark, sf_dir):
+    """Borgatti–Everett core–periphery block profile on the coreness
+    fixpoint (plans/metrics.py:core_periphery_blocks): degeneracy shell
+    = core, exact dyad-block counts, closed-form pattern correlation."""
+    from metis_spark.plans.coreness import coreness
+    from metis_spark.plans.metrics import core_periphery_blocks
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    cores, info = coreness(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qcp_core_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"], info
+    return core_periphery_blocks(cores, edges)

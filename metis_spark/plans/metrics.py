@@ -1071,3 +1071,96 @@ def collective_influence(
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def core_periphery_blocks(cores: DataFrame, edges: DataFrame) -> DataFrame:
+    """Borgatti–Everett core–periphery block profile → one row
+    (kmax, n_core, n_periph, e_cc, e_cp, e_pp, density_cc, density_cp,
+    density_pp, be_corr).
+
+    Given per-vertex core numbers (the verified coreness spine), the
+    CORE is the degeneracy shell (core == kmax) and everything else is
+    periphery. The three dyad blocks are counted exactly, densities are
+    block count / block capacity, and ``be_corr`` is Borgatti & Everett
+    (Social Networks 1999)'s pattern-matrix fit — the Pearson
+    correlation between the adjacency and the ideal image matrix
+    (Δ = 1 unless both endpoints are periphery) — in the closed
+    integer form
+
+        ρ = (m1·N − m·P1) / sqrt(m·(N−m) · P1·(N−P1))
+
+    with N total dyads, P1 ideal-one dyads, m edges, m1 edges on
+    ideal-one dyads. Every input to the two float folds (densities,
+    ρ) is an exact integer, so both engines agree.
+
+    Scale shape: one max-aggregate broadcast back (crossJoin of a 1-row
+    frame — no driver collect), two shuffle-hash flag joins on the
+    a<b pair list, one conditional-sum aggregate. The coreness input is
+    the already-checkpointed fixpoint; this adds a single pass over the
+    edge list.
+    """
+    und = _und(edges)
+    pairs = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    km = cores.agg(F.max("core").alias("kmax"))
+    flags = cores.crossJoin(F.broadcast(km)).select(
+        "id", "kmax", (F.col("core") == F.col("kmax")).alias("is_core")
+    )
+    fa = flags.select(F.col("id").alias("a"), F.col("is_core").alias("ca"))
+    fb = flags.select(F.col("id").alias("b"), F.col("is_core").alias("cb"))
+    blk = (
+        pairs.join(fa.hint("shuffle_hash"), "a")
+        .join(fb.hint("shuffle_hash"), "b")
+        .agg(
+            F.sum((F.col("ca") & F.col("cb")).cast("long")).alias("e_cc"),
+            F.sum((F.col("ca") != F.col("cb")).cast("long")).alias("e_cp"),
+            F.sum((~F.col("ca") & ~F.col("cb")).cast("long")).alias("e_pp"),
+        )
+    )
+    cnt = flags.agg(
+        F.max("kmax").cast("long").alias("kmax"),
+        F.sum(F.col("is_core").cast("long")).cast("long").alias("n_core"),
+        F.sum((~F.col("is_core")).cast("long")).cast("long").alias("n_periph"),
+    )
+    nc = F.col("n_core")
+    np_ = F.col("n_periph")
+    n = nc + np_
+    cap_cc = F.shiftright(nc * (nc - F.lit(1)), 1)
+    cap_cp = nc * np_
+    cap_pp = F.shiftright(np_ * (np_ - F.lit(1)), 1)
+    n_dyads = F.shiftright(n * (n - F.lit(1)), 1)
+    p1 = cap_cc + cap_cp
+    m = F.col("e_cc") + F.col("e_cp") + F.col("e_pp")
+    m1 = F.col("e_cc") + F.col("e_cp")
+
+    def _dens(e, cap):
+        return F.when(
+            cap > 0, F.round(e.cast("double") / cap.cast("double"), 6)
+        )
+
+    denom = (
+        m.cast("double")
+        * (n_dyads - m).cast("double")
+        * p1.cast("double")
+        * (n_dyads - p1).cast("double")
+    )
+    rho = F.when(
+        denom > 0,
+        F.round(
+            (m1 * n_dyads - m * p1).cast("double") / F.sqrt(denom),
+            6,
+        ),
+    )
+    return cnt.crossJoin(F.broadcast(blk)).select(
+        "kmax",
+        "n_core",
+        "n_periph",
+        "e_cc",
+        "e_cp",
+        "e_pp",
+        _dens(F.col("e_cc"), cap_cc).alias("density_cc"),
+        _dens(F.col("e_cp"), cap_cp).alias("density_cp"),
+        _dens(F.col("e_pp"), cap_pp).alias("density_pp"),
+        rho.alias("be_corr"),
+    )
