@@ -3467,3 +3467,45 @@ SELECT kmax, n_core, n_periph, e_cc, e_cp, e_pp,
   END AS be_corr
 FROM fold
 """
+
+def _map_equation_sql() -> str:
+    """Twin of plans/metrics.py:map_equation over the unrolled Louvain
+    level-1 chain (common.py:_louvain_level1_ctes — the same labels the
+    ari twin replays): p_v = deg/2m and q_m = cut_m/2m exactly, each
+    plogp term micro-bit quantized from its integer pair before any
+    summation."""
+
+    def plp(a: str) -> str:
+        return (
+            f"CASE WHEN {a} > 0 THEN CAST(ROUND(({a}::DOUBLE / t.two_m) "
+            f"* log2({a}::DOUBLE / t.two_m) * 1000000.0) AS BIGINT) ELSE 0 END"
+        )
+
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    ctes += [
+        "tm AS (SELECT COUNT(*)::BIGINT AS two_m FROM und)",
+        f"lab AS MATERIALIZED (SELECT id, label AS module FROM l{LOUVAIN_ROUNDS})",
+        "cutc AS (SELECT a.module AS module, COUNT(*)::BIGINT AS cut "
+        "FROM und u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id "
+        "WHERE a.module <> b.module GROUP BY a.module)",
+        "vol AS (SELECT a.module, SUM(d.deg)::BIGINT AS vol "
+        "FROM ldeg d JOIN lab a ON d.id = a.id GROUP BY a.module)",
+        "mods AS (SELECT v.module, v.vol, COALESCE(c.cut, 0)::BIGINT AS cut "
+        "FROM vol v LEFT JOIN cutc c ON v.module = c.module)",
+        f"mt AS (SELECT cut, {plp('cut')} AS t_cut, "
+        f"{plp('(cut + vol)')} AS t_circ FROM mods, tm t)",
+        "ma AS (SELECT COUNT(*)::BIGINT AS n_modules, SUM(cut)::BIGINT AS q_num, "
+        "SUM(t_cut)::BIGINT AS sum_t_cut, SUM(t_circ)::BIGINT AS sum_t_circ FROM mt)",
+        f"vt AS (SELECT SUM(cnt * {plp('deg')})::BIGINT AS sum_t_vert FROM "
+        "(SELECT deg, COUNT(*)::BIGINT AS cnt FROM ldeg GROUP BY deg), tm t)",
+        f"fold AS (SELECT ma.*, t.two_m, vt.sum_t_vert, {plp('q_num')} AS t_q "
+        "FROM ma, tm t, vt)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT n_modules, two_m, q_num, "
+        "(t_q - sum_t_cut)::BIGINT AS index_micro, "
+        "(sum_t_circ - sum_t_cut - sum_t_vert)::BIGINT AS modules_micro, "
+        "ROUND((t_q - 2 * sum_t_cut + sum_t_circ - sum_t_vert)::DOUBLE "
+        "/ 1000000.0, 6) AS codelength FROM fold"
+    )

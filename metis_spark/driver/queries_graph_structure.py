@@ -1422,3 +1422,17 @@ def _q_core_periphery(spark, sf_dir):
     )
     assert info["converged"], info
     return core_periphery_blocks(cores, edges)
+
+def _q_map_equation(spark, sf_dir):
+    """Map-equation codelength (Rosvall–Bergstrom PNAS 2008) of the
+    Louvain level-1 partition (plans/metrics.py:map_equation) — the
+    flow-based quality score next to modularity; exact deg/2m visit
+    rates, micro-bit quantized plogp sums."""
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import map_equation
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    lab, _ = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qmapeq_")
+    )
+    return map_equation(lab, edges)

@@ -1164,3 +1164,108 @@ def core_periphery_blocks(cores: DataFrame, edges: DataFrame) -> DataFrame:
         _dens(F.col("e_pp"), cap_pp).alias("density_pp"),
         rho.alias("be_corr"),
     )
+
+
+def map_equation(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Rosvall–Bergstrom map equation (PNAS 2008) of a vertex partition
+    → one row (n_modules, two_m, q_num, index_micro, modules_micro,
+    codelength) — the information-theoretic quality every flow-based
+    community method (Infomap) optimizes: the expected bits per step to
+    describe an infinite random walk under a two-level codebook. Lower
+    is better; it is the flow-centric complement to modularity (which
+    counts edges, not walk time) for evaluating Louvain/Leiden/LPA
+    output.
+
+        L(M) = plogp(q) − 2·Σ_m plogp(q_m) + Σ_m plogp(p∘_m)
+               − Σ_v plogp(p_v),   plogp(x) = x·log2(x)
+
+    On an undirected unweighted graph the walk's stationary visit rate
+    is EXACTLY p_v = deg(v)/2m and the module exit rate q_m = cut_m/2m
+    (cut_m = directed edge endpoints leaving m) — every plogp argument
+    is a ratio of two integers. Each plogp term is quantized to integer
+    MICRO-BITS as a pure function of its integer pair (the
+    char_bigram_entropy discipline), so the cross-module and
+    cross-degree sums are exact integer additions in any order; the
+    single trailing float is ROUND(sum/1e6, 6).
+
+    Scale shape: one label-gather join on the symmetric edge list, one
+    map-side-combined per-module groupBy, one per-degree groupBy for
+    the vertex term (rows bounded by #distinct degrees), and the 2m
+    scalar broadcast back via crossJoin(1-row) — no driver collect.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").alias("module"))
+    two_m = deg.agg(F.sum("deg").cast("long").alias("two_m"))
+
+    ls = lab.select(F.col("id").alias("src"), F.col("module").alias("ms"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("module").alias("md"))
+    cut = (
+        und.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .where(F.col("ms") != F.col("md"))
+        .groupBy(F.col("ms").alias("module"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    vol = (
+        deg.join(lab.hint("shuffle_hash"), "id")
+        .groupBy("module")
+        .agg(F.sum("deg").cast("long").alias("vol"))
+    )
+    mods = vol.join(cut, "module", "left").select(
+        "module", "vol", F.coalesce("cut", F.lit(0)).alias("cut")
+    )
+
+    def plogp_micro(a):
+        x = a.cast("double") / F.col("two_m").cast("double")
+        return (
+            F.when(a > 0, F.round(x * F.log2(x) * F.lit(1e6)).cast("long"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    mod_terms = mods.crossJoin(F.broadcast(two_m)).select(
+        F.col("cut").alias("cut"),
+        plogp_micro(F.col("cut")).alias("t_cut"),
+        plogp_micro(F.col("cut") + F.col("vol")).alias("t_circ"),
+    )
+    mod_agg = mod_terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_modules"),
+        F.sum("cut").cast("long").alias("q_num"),
+        F.sum("t_cut").cast("long").alias("sum_t_cut"),
+        F.sum("t_circ").cast("long").alias("sum_t_circ"),
+    )
+    vert = (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(two_m))
+        .select((F.col("cnt") * plogp_micro(F.col("deg"))).alias("t"))
+        .agg(F.sum("t").cast("long").alias("sum_t_vert"))
+    )
+    folded = (
+        mod_agg.crossJoin(F.broadcast(two_m))
+        .crossJoin(F.broadcast(vert))
+        .select(
+            "n_modules",
+            "two_m",
+            "q_num",
+            plogp_micro(F.col("q_num")).alias("t_q"),
+            "sum_t_cut",
+            "sum_t_circ",
+            "sum_t_vert",
+        )
+    )
+    index_micro = F.col("t_q") - F.col("sum_t_cut")
+    modules_micro = (
+        F.col("sum_t_circ") - F.col("sum_t_cut") - F.col("sum_t_vert")
+    )
+    return folded.select(
+        "n_modules",
+        "two_m",
+        "q_num",
+        index_micro.cast("long").alias("index_micro"),
+        modules_micro.cast("long").alias("modules_micro"),
+        F.round((index_micro + modules_micro).cast("double") / F.lit(1e6), 6).alias(
+            "codelength"
+        ),
+    )
