@@ -356,6 +356,8 @@ HUB_CAP = 128  # wedge-center degree bound for the link predictors
 
 CI_K = 100  # collective-influence top-k report size
 
+LEADERRANK_ITERS = 5  # fixed ground-walk sweeps (oracle-unrollable)
+
 SWEEP_L = 64
 
 SWEEP_SEED_MOD = 97

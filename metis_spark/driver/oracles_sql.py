@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -3508,4 +3508,39 @@ def _map_equation_sql() -> str:
         "(sum_t_circ - sum_t_cut - sum_t_vert)::BIGINT AS modules_micro, "
         "ROUND((t_q - 2 * sum_t_cut + sum_t_circ - sum_t_vert)::DOUBLE "
         "/ 1000000.0, 6) AS codelength FROM fold"
+    )
+
+def _leaderrank_sql(n_iters: int = LEADERRANK_ITERS) -> str:
+    """Unrolled LeaderRank twin on the sparse und graph: ground node -1
+    bidirectionally linked to every vertex, s ← Σ s_u/deg'(u) per sweep
+    (deg' = deg+1 for real vertices, n for the ground), ground mass
+    refunded evenly at the end — pagerank's float-fold discipline
+    (ROUND 6 at the very end only)."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "lverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "lnn AS (SELECT COUNT(*)::BIGINT AS n FROM lverts)",
+        "ldegp AS MATERIALIZED (SELECT src AS id, (COUNT(*) + 1)::BIGINT AS deg "
+        "FROM und GROUP BY src "
+        "UNION ALL SELECT -1::BIGINT, (SELECT n FROM lnn))",
+        "laug AS MATERIALIZED (SELECT src, dst FROM und "
+        "UNION ALL SELECT id AS src, -1::BIGINT AS dst FROM lverts "
+        "UNION ALL SELECT -1::BIGINT AS src, id AS dst FROM lverts)",
+        "ls0 AS MATERIALIZED (SELECT id, 1.0 AS score FROM lverts "
+        "UNION ALL SELECT -1::BIGINT, 0.0)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"ls{i} AS MATERIALIZED (SELECT a.dst AS id, "
+            f"SUM(s.score / d.deg) AS score "
+            f"FROM laug a JOIN ls{p} s ON a.src = s.id "
+            f"JOIN ldegp d ON a.src = d.id GROUP BY a.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT id, ROUND(score, 6) AS score, "
+        f"ROUND(score + (SELECT score FROM ls{n_iters} WHERE id = -1) "
+        f"/ (SELECT n FROM lnn), 6) AS leaderrank "
+        f"FROM ls{n_iters} WHERE id <> -1"
     )

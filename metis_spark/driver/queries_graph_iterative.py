@@ -762,3 +762,20 @@ def _q_harmonic_labels(spark, sf_dir):
         iters=HL_ITERS,
         micro=HT_MICRO,
     )
+
+def _q_leaderrank(spark, sf_dir):
+    """LeaderRank (Lü et al. 2011) on the sparse graph: ground-node
+    random walk, no damping parameter, ground mass refunded evenly
+    (plans/spectral.py:leaderrank); fixed 5 sweeps, oracle-unrolled."""
+    from metis_spark.plans.spectral import leaderrank
+    from metis_spark.driver.common import LEADERRANK_ITERS
+
+    out, info = leaderrank(
+        derived_edges_sparse(spark, sf_dir),
+        max_iter=LEADERRANK_ITERS,
+        checkpoint_dir=_tmpdir("metis_qlr_"),
+    )
+    return out.select(
+        "id", F.round("score", 6).alias("score"),
+        F.round("leaderrank", 6).alias("leaderrank"),
+    )

@@ -446,3 +446,109 @@ def fiedler_bipartition(
         "seconds": time.monotonic() - t0,
         "n": n,
     }
+
+
+def leaderrank(
+    edges: DataFrame,
+    max_iter: int = 5,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """LeaderRank (Lü et al., PLoS ONE 2011) → (scores(id, score,
+    leaderrank), info). The parameter-free PageRank alternative: add a
+    GROUND node bidirectionally linked to every vertex, run the plain
+    random walk s_v ← Σ_{u∈N(v)} s_u/deg(u) on the augmented graph
+    (the ground links make it strongly connected and aperiodic — no
+    damping factor to tune, no dangling-mass correction), then refund
+    the ground node's mass evenly: leaderrank(v) = s_v + s_g/n. More
+    noise-tolerant than PageRank for leader/spammer ranking (the
+    original paper's result) and the natural twin to trustrank's
+    seeded variant on this spine.
+
+    Fixed ``max_iter`` sweeps (driver-gate mode, oracle-unrollable);
+    per-iteration state checkpoints via the shared CheckpointManager
+    so long runs resume mid-algorithm like the rest of the iterative
+    family.
+
+    Scale shape: the augmented edge list adds 2n rows and ONE hub (the
+    ground node, deg = n). Per round: one shuffle-hash gather join +
+    one map-side-combined groupBy — pagerank's cost class. The ground
+    hub's fan-in is a single reducer key at 10^12 scale; AQE skew-split
+    handles it (same treatment as any power-law hub, documented in
+    plans/pagerank.py's salting notes). The final refund is a
+    crossJoin(broadcast(1-row)) — no driver collect in the loop.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_leaderrank_")
+    spark, e, verts, n = _prep(edges, num_partitions, symmetrize=True)
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        return (
+            spark.createDataFrame([], "id long, score double, leaderrank double"),
+            {"iterations": 0, "converged": True, "seconds": 0.0, "n": 0},
+        )
+    g = F.lit(-1).cast("long")
+    ground = spark.range(1).select(g.alias("id"))
+    degp = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg((F.count(F.lit(1)) + F.lit(1)).cast("long").alias("deg"))
+        .unionByName(ground.select("id", F.lit(int(n)).cast("long").alias("deg")))
+        .persist()
+    )
+    aug = (
+        e.unionByName(verts.select(F.col("id").alias("src"), g.alias("dst")))
+        .unionByName(verts.select(g.alias("src"), F.col("id").alias("dst")))
+        .repartition(degp.sparkSession.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    cm = CheckpointManager(checkpoint_dir, "leaderrank")
+    state = verts.select(
+        "id", F.lit(1.0).alias("score")
+    ).unionByName(ground.select("id", F.lit(0.0).alias("score")))
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            st, _meta = cm.load(spark, k0)
+            state = st.select("id", "score")
+            start_iter = k0
+
+    t0 = time.monotonic()
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        w = state.join(degp.hint("shuffle_hash"), "id").select(
+            F.col("id").alias("src"), (F.col("score") / F.col("deg")).alias("w")
+        )
+        nxt = (
+            aug.join(w.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("score"))
+        )
+        st, totals = cm.commit(k, nxt, {})
+        cm.append_metrics(
+            {"iter": k, "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+        )
+        state = st.select("id", "score")
+    sg = state.where(F.col("id") == -1).select(F.col("score").alias("sg"))
+    out = (
+        state.where(F.col("id") != -1)
+        .crossJoin(F.broadcast(sg))
+        .select(
+            "id",
+            "score",
+            (F.col("score") + F.col("sg") / F.lit(float(n))).alias("leaderrank"),
+        )
+    )
+    e.unpersist()
+    verts.unpersist()
+    degp.unpersist()
+    aug.unpersist()
+    return out, {
+        "iterations": k,
+        "converged": True,
+        "seconds": time.monotonic() - t0,
+        "n": n,
+    }
