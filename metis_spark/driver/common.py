@@ -358,6 +358,9 @@ CI_K = 100  # collective-influence top-k report size
 
 LEADERRANK_ITERS = 5  # fixed ground-walk sweeps (oracle-unrollable)
 
+DDIC_K = 16  # degree-discount seed-set size
+DDIC_P_TENTHS = 1  # IC propagation probability in tenths (p = 0.1)
+
 SWEEP_L = 64
 
 SWEEP_SEED_MOD = 97

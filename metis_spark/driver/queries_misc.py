@@ -545,3 +545,14 @@ def _q_collective_influence(spark, sf_dir):
     return collective_influence(
         derived_edges_sparse(spark, sf_dir), k=CI_K, hub_cap=HUB_CAP
     )
+
+def _q_degree_discount(spark, sf_dir):
+    """Degree-discount IC seed set (Chen et al. KDD'09) at p = 0.1
+    (plans/metrics.py:degree_discount_seeds) — integer-tenths gains,
+    k broadcast-filtered rounds, driver holds k rows."""
+    from metis_spark.plans.metrics import degree_discount_seeds
+    from metis_spark.driver.common import DDIC_K, DDIC_P_TENTHS
+
+    return degree_discount_seeds(
+        derived_edges_sparse(spark, sf_dir), k=DDIC_K, p_tenths=DDIC_P_TENTHS
+    )

@@ -1269,3 +1269,70 @@ def map_equation(labels: DataFrame, edges: DataFrame) -> DataFrame:
             "codelength"
         ),
     )
+
+
+def degree_discount_seeds(
+    edges: DataFrame, k: int = 16, p_tenths: int = 1
+) -> DataFrame:
+    """Degree-discount influence maximization (Chen, Wang & Yang, KDD
+    2009) → k rows (rank, id, gain10): the classic near-greedy seed set
+    for the independent-cascade model at propagation probability
+    p = p_tenths/10 — within a hair of full greedy IC simulation at a
+    millionth of its cost, and the standard baseline every influence-
+    maximization paper reports. Complements `collective_influence`
+    (static score) with an adaptive, overlap-aware seed SET: once a hub
+    is chosen, its neighbors' discounted degrees drop, so the k seeds
+    spread out instead of clustering in one community.
+
+        dd(v) = d_v − 2·t_v − (d_v − t_v)·t_v·p,   t_v = |N(v) ∩ seeds|
+
+    Everything is kept in integer TENTHS (gain10 = 10·d − 20·t −
+    (d−t)·t·p_tenths), so selection order is bit-identical in both
+    engines; ties break by ascending id.
+
+    Scale shape: k rounds, each ONE broadcast-filtered neighbor count
+    (the ≤k seed ids ride the closure — no shuffle of the seed side),
+    one left join onto the degree table and a TakeOrdered argmax
+    (orderBy().limit(1)); the driver holds exactly k rows (the
+    kcenter_seeds discipline). State is recomputed from the seed list
+    each round — nothing iterative persists, so no lineage growth.
+    """
+    und = _und(edges).persist()
+    deg = _und_degrees(und).persist()
+    deg.count()
+    seeds: list[tuple[int, int, int]] = []
+    for rn in range(1, k + 1):
+        if seeds:
+            sel = [s[1] for s in seeds]
+            t = (
+                und.where(F.col("src").isin(sel))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            )
+            cand = (
+                deg.where(~F.col("id").isin(sel))
+                .join(t.hint("shuffle_hash"), "id", "left")
+                .select("id", "deg", F.coalesce("t", F.lit(0)).alias("t"))
+            )
+        else:
+            cand = deg.select("id", "deg", F.lit(0).alias("t"))
+        gain10 = (
+            F.lit(10) * F.col("deg")
+            - F.lit(20) * F.col("t")
+            - (F.col("deg") - F.col("t")) * F.col("t") * F.lit(p_tenths)
+        ).cast("long")
+        top = (
+            cand.select("id", gain10.alias("gain10"))
+            .orderBy(F.desc("gain10"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        seeds.append((rn, int(top[0]["id"]), int(top[0]["gain10"])))
+    out = edges.sparkSession.createDataFrame(
+        seeds, "rank long, id long, gain10 long"
+    )
+    und.unpersist()
+    deg.unpersist()
+    return out
