@@ -359,6 +359,8 @@ CI_K = 100  # collective-influence top-k report size
 LEADERRANK_ITERS = 5  # fixed ground-walk sweeps (oracle-unrollable)
 
 DDIC_K = 16  # degree-discount seed-set size
+
+KPEAK_ROUNDS = 5  # contour unroll bound (measured 3 at sf0.001 / 3 at sf0.01)
 DDIC_P_TENTHS = 1  # IC propagation probability in tenths (p = 0.1)
 
 SWEEP_L = 64

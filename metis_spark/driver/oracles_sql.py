@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, DDIC_K, DDIC_P_TENTHS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -3582,4 +3582,52 @@ def _degree_discount_sql(k: int = DDIC_K, p_tenths: int = DDIC_P_TENTHS) -> str:
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT rank, id, gain10 FROM dds{k}"
+    )
+
+def _k_peak_sql(
+    contours: int = KPEAK_ROUNDS, inner: int = CORENESS_ORACLE_ROUNDS
+) -> str:
+    """Unrolled k-peak twin: ``contours`` mountain rounds, each an
+    ``inner``-round h-index coreness chain (the _coreness_ctes
+    discipline, renamed per round) + degeneracy-contour extraction +
+    edge shrink. Rounds past the measured contour count run on an
+    empty remainder and contribute nothing in either engine."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "kp_verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+    ]
+    prev = "und"
+    for j in range(1, contours + 1):
+        ctes.append(
+            f"kp{j}_c0 AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS core "
+            f"FROM {prev} GROUP BY src)"
+        )
+        for i in range(1, inner + 1):
+            p = i - 1
+            ctes.append(
+                f"kp{j}_c{i} AS MATERIALIZED (SELECT id, "
+                f"MAX(LEAST(val, rn))::BIGINT AS core "
+                f"FROM (SELECT u.src AS id, s.core AS val, "
+                f"ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY s.core DESC) AS rn "
+                f"FROM {prev} u JOIN kp{j}_c{p} s ON u.dst = s.id) GROUP BY id)"
+            )
+        ctes.append(
+            f"kp{j}_top AS MATERIALIZED (SELECT id, "
+            f"(SELECT MAX(core) FROM kp{j}_c{inner})::BIGINT AS peak "
+            f"FROM kp{j}_c{inner} "
+            f"WHERE core = (SELECT MAX(core) FROM kp{j}_c{inner}))"
+        )
+        ctes.append(
+            f"kp{j}_und AS MATERIALIZED (SELECT u.src, u.dst FROM {prev} u "
+            f"WHERE NOT EXISTS (SELECT 1 FROM kp{j}_top t WHERE t.id = u.src) "
+            f"AND NOT EXISTS (SELECT 1 FROM kp{j}_top t WHERE t.id = u.dst))"
+        )
+        prev = f"kp{j}_und"
+    union = " UNION ALL ".join(
+        f"SELECT id, peak FROM kp{j}_top" for j in range(1, contours + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f",\nkp_all AS ({union})\n"
+        "SELECT v.id, COALESCE(p.peak, 0)::BIGINT AS peak "
+        "FROM kp_verts v LEFT JOIN kp_all p ON v.id = p.id"
     )

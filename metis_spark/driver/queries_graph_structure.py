@@ -1436,3 +1436,18 @@ def _q_map_equation(spark, sf_dir):
         edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qmapeq_")
     )
     return map_equation(lab, edges)
+
+def _q_kpeak(spark, sf_dir):
+    """k-peak decomposition (Govindan et al. WWW'17): mountain-by-
+    mountain coreness peel (plans/kpeak.py) — per-region density
+    numbers that one globally dense region can't shadow."""
+    from metis_spark.plans.kpeak import k_peak
+    from metis_spark.driver.common import KPEAK_ROUNDS
+
+    out, info = k_peak(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qkpeak_"),
+        max_contours=KPEAK_ROUNDS,
+    )
+    assert info["contours"] <= KPEAK_ROUNDS, info
+    return out
