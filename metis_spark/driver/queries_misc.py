@@ -556,3 +556,14 @@ def _q_degree_discount(spark, sf_dir):
     return degree_discount_seeds(
         derived_edges_sparse(spark, sf_dir), k=DDIC_K, p_tenths=DDIC_P_TENTHS
     )
+
+def _q_disparity(spark, sf_dir):
+    """Serrano disparity-filter backbone (PNAS 2009) at alpha = 0.05
+    (plans/metrics.py:disparity_filter) — micro-quantized per-edge
+    significance from both endpoints, degree-1 null untestable."""
+    from metis_spark.plans.metrics import disparity_filter
+    from metis_spark.driver.common import DISPARITY_ALPHA_MICRO
+
+    return disparity_filter(
+        derived_edges_sparse(spark, sf_dir), alpha_micro=DISPARITY_ALPHA_MICRO
+    )

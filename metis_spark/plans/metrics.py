@@ -1336,3 +1336,84 @@ def degree_discount_seeds(
     und.unpersist()
     deg.unpersist()
     return out
+
+
+def disparity_filter(edges: DataFrame, alpha_micro: int = 50_000) -> DataFrame:
+    """Serrano–Boguñá–Vespignani multiscale backbone (PNAS 2009) →
+    per-edge rows (a, b, w, alpha_a_micro, alpha_b_micro, kept): the
+    statistically-principled graph sparsifier. A global weight
+    threshold destroys all local structure on heavy-tailed graphs; the
+    disparity filter instead keeps an edge iff its weight is
+    significant against the null that its endpoint spreads strength
+    uniformly:
+
+        α_ij = (1 − w_ij/s_i)^(k_i − 1) < α
+
+    evaluated from BOTH endpoints (kept if either side rejects the
+    null). Edges at degree-1 endpoints have α = 1 on that side (the
+    null is untestable with one sample — Serrano's convention).
+
+    Exactness: canonical per-pair integer weights (w = (a·7+b·13)%10+1
+    on the a<b pair — both directions share one weight), integer
+    strengths/degrees, and α quantized to MICRO-units as a pure double
+    function of the integer triple (s−w, s, k−1) — identical in both
+    engines; the kept flag is an integer comparison against
+    ``alpha_micro``.
+
+    Scale shape: one degree/strength groupBy and two shuffle-hash
+    stat-attachment joins over the symmetric edge list — the same two
+    passes degree_assortativity makes; map-only math after that. The
+    backbone output feeds any downstream operator in place of the raw
+    edge list (the 100 TB pattern: filter once, reuse everywhere).
+    """
+    und = _und(edges)
+    w = (
+        F.least(F.col("src"), F.col("dst")) * 7
+        + F.greatest(F.col("src"), F.col("dst")) * 13
+    ) % 10 + 1
+    wund = und.select("src", "dst", w.cast("long").alias("w"))
+    stats = wund.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("w").cast("long").alias("s"),
+    )
+
+    def am(s, k, wc):
+        # round(1e6 · ((s−w)/s)^(k−1)); degree-1 endpoints never reject
+        return F.when(k <= 1, F.lit(1_000_000)).otherwise(
+            F.round(
+                F.pow(
+                    (s - wc).cast("double") / s.cast("double"),
+                    (k - F.lit(1)).cast("double"),
+                )
+                * F.lit(1e6)
+            ).cast("long")
+        )
+
+    half = wund.where(F.col("src") < F.col("dst"))
+    sa = stats.select(
+        F.col("id").alias("src"), F.col("k").alias("ka"), F.col("s").alias("sa")
+    )
+    sb = stats.select(
+        F.col("id").alias("dst"), F.col("k").alias("kb"), F.col("s").alias("sb")
+    )
+    scored = (
+        half.join(sa.hint("shuffle_hash"), "src")
+        .join(sb.hint("shuffle_hash"), "dst")
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            "w",
+            am(F.col("sa"), F.col("ka"), F.col("w")).alias("alpha_a_micro"),
+            am(F.col("sb"), F.col("kb"), F.col("w")).alias("alpha_b_micro"),
+        )
+    )
+    return scored.select(
+        "a",
+        "b",
+        "w",
+        "alpha_a_micro",
+        "alpha_b_micro",
+        (
+            F.least("alpha_a_micro", "alpha_b_micro") < F.lit(alpha_micro)
+        ).alias("kept"),
+    )
