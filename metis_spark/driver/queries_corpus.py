@@ -477,3 +477,13 @@ def _q_distinct_ngrams(spark, sf_dir):
     corpus_stats.py:distinct_ngram_diversity) — the boilerplate-collapse
     dashboard; shuffled rows bounded by per-slice vocabulary."""
     return CS.distinct_ngram_diversity(_t(spark, sf_dir, "documents"))
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-k PMI collocations (Church & Hanks 1990) over adjacent-token
+    bigrams (operators/corpus_stats.py:pmi_collocations) — micro-nat
+    quantized scores, min-count noise floor, deterministic top-k."""
+    from metis_spark.driver.common import PMI_K, PMI_MIN_COUNT
+
+    return CS.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT, k=PMI_K
+    )

@@ -1045,3 +1045,84 @@ def distinct_ngram_diversity(
             ).alias("distinct_2"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information → (bigram,
+    c12, pmi_micro, rank) — the classic collocation extractor (Church &
+    Hanks 1990): PMI = ln(c12·N / (c1·c2)) over adjacent-token bigrams,
+    where c1 counts w1 in first position and c2 counts w2 in second
+    (the directional convention). High-PMI pairs are the multi-word
+    units ("new york", "machine learning") a tokenizer/vocab pipeline
+    promotes to single tokens; ``min_count`` suppresses the
+    singleton-noise pairs PMI is notorious for.
+
+    Exactness: PMI is quantized to integer MICRO-NATS as a pure double
+    function of the integer quadruple (c12, N, c1, c2) — identical
+    longs in both engines; ranking is (pmi_micro DESC, bigram ASC), so
+    the top-k sequence replays bit-for-bit.
+
+    Scale shape: the bigram explode partial-aggregates map-side into
+    the bigram vocabulary; the two positional unigram tables join back
+    on the vocabulary rows (not the token stream); top-k is a
+    TakeOrderedAndProject. Text never rides a shuffle past
+    tokenization.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("t", (i + 1).cast("int")),
+            F.element_at("t", (i + 2).cast("int")),
+        ),
+    )
+    bg = toks.select(F.explode(grams).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    n = c12.agg(F.sum("c12").cast("long").alias("n"))
+    w1 = (
+        c12.select(F.split("bg", " ")[0].alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+    )
+    w2 = (
+        c12.select(F.split("bg", " ")[1].alias("w2"), "c12")
+        .groupBy("w2")
+        .agg(F.sum("c12").cast("long").alias("c2"))
+    )
+    scored = (
+        c12.where(F.col("c12") >= min_count)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(w1.hint("shuffle_hash"), "w1")
+        .join(w2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bg",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    order = [F.desc("pmi_micro"), F.asc("bg")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("bg").alias("bigram"), "c12", "pmi_micro", "rank"
+    )
