@@ -182,6 +182,15 @@ def main() -> None:
         "cpm_communities",
         "refex_features",
         "pq_codes",
+        # round-5 late additions (this session)
+        "collective_influence",
+        "map_equation",
+        "leaderrank",
+        "degree_discount_seeds",
+        "k_peak",
+        "disparity_backbone",
+        "pmi_collocations",
+        "gopher_rules",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

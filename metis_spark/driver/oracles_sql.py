@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -3631,3 +3631,57 @@ def _k_peak_sql(
         "SELECT v.id, COALESCE(p.peak, 0)::BIGINT AS peak "
         "FROM kp_verts v LEFT JOIN kp_all p ON v.id = p.id"
     )
+
+def _bpe_sql(k: int = BPE_K) -> str:
+    """Unrolled BPE twin: k merge rounds over the (word, freq) symbol
+    table — lead() pair counts, (count DESC, pair ASC) argmax, the
+    pos − row_number() run-grouping for textbook greedy application,
+    and a reindex window per round. Exhausted rounds produce empty
+    t{r} CTEs and contribute nothing (same as the engine's break)."""
+    ctes = [
+        "bw AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS freq FROM "
+        "(SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')) AS word FROM documents) GROUP BY word)",
+        "bs0 AS MATERIALIZED (SELECT word, freq, "
+        "unnest(range(1, length(word) + 1))::BIGINT AS pos FROM bw)",
+        "s0 AS MATERIALIZED (SELECT word, freq, pos, "
+        "substring(word, pos::INT, 1) AS sym FROM bs0)",
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT word, freq, pos, sym, "
+            f"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s{p})"
+        )
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT sym, nxt, SUM(freq)::BIGINT AS c "
+            f"FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt "
+            f"ORDER BY c DESC, sym ASC, nxt ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"runs{r} AS MATERIALIZED (SELECT word, pos, "
+            f"pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS run "
+            f"FROM p{r} WHERE sym = (SELECT sym FROM t{r}) "
+            f"AND nxt = (SELECT nxt FROM t{r}))"
+        )
+        ctes.append(
+            f"fired{r} AS MATERIALIZED (SELECT word, pos FROM "
+            f"(SELECT word, pos, ROW_NUMBER() OVER "
+            f"(PARTITION BY word, run ORDER BY pos) AS rn FROM runs{r}) "
+            f"WHERE (rn - 1) % 2 = 0)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT word, freq, "
+            f"ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)::BIGINT AS pos, "
+            f"CASE WHEN EXISTS (SELECT 1 FROM fired{r} f "
+            f"WHERE f.word = m.word AND f.pos = m.pos) "
+            f"THEN (SELECT sym || nxt FROM t{r}) ELSE sym END AS sym "
+            f"FROM p{r} m WHERE NOT EXISTS (SELECT 1 FROM fired{r} f "
+            f"WHERE f.word = m.word AND f.pos + 1 = m.pos))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS step, sym AS left_sym, nxt AS right_sym, "
+        f"sym || nxt AS merged, c AS pair_count FROM t{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union})"

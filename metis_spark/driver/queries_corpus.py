@@ -487,3 +487,13 @@ def _q_pmi_collocations(spark, sf_dir):
     return CS.pmi_collocations(
         _t(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT, k=PMI_K
     )
+
+def _q_bpe_merges(spark, sf_dir):
+    """First-k BPE merge steps (Sennrich et al. ACL'16) trained on the
+    document word vocabulary (operators/bpe.py:bpe_merges) — the
+    tokenizer-training primitive; deterministic pair ranking and
+    textbook greedy run application, oracle-unrolled."""
+    from metis_spark.operators.bpe import bpe_merges
+    from metis_spark.driver.common import BPE_K
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), k=BPE_K)
