@@ -497,3 +497,9 @@ def _q_bpe_merges(spark, sf_dir):
     from metis_spark.driver.common import BPE_K
 
     return bpe_merges(_t(spark, sf_dir, "documents"), k=BPE_K)
+
+def _q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (operators/corpus_stats.py:
+    heaps_fit) — integer-exact least squares over micro-nat quantized
+    cumulative points; two-phase prefix sums, no global window."""
+    return CS.heaps_fit(_t(spark, sf_dir, "documents"))

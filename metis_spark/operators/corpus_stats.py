@@ -1126,3 +1126,97 @@ def pmi_collocations(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         F.col("bg").alias("bigram"), "c12", "pmi_micro", "rank"
     )
+
+
+def heaps_fit(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit → one row (n_docs, n_tokens,
+    vocab, heaps_beta, heaps_logk): V(N) = K·N^β over the cumulative
+    (tokens-seen, distinct-terms-seen) trajectory in doc_id order — the
+    growth-side complement to `zipf_fit` (β ≈ 0.5 for natural text;
+    a β collapse means the stream stopped contributing new vocabulary:
+    dedup failure upstream or a synthetic loop).
+
+    Exactness — INTEGER-EXACT LEAST SQUARES: both cumulative
+    coordinates are exact integers (two-phase prefix sums, no global
+    window); each log point is micro-nat quantized as a pure function
+    of its integer (round(ln·1e6) → long); the normal-equation sums
+    Σx, Σy, Σxy, Σx² accumulate in decimal(38,0) (HUGEINT in the
+    twin) so they are order-free exact integers; slope and intercept
+    are two closed-form float folds of those exact integers, ROUND 6.
+    Unlike a raw regr_slope over 10⁴ float pairs, nothing here depends
+    on either engine's summation order.
+
+    Scale shape: one token groupBy (vocab-bounded), one min-doc-per-term
+    groupBy, the pack_sequences two-phase prefix machinery (per-bucket
+    scalars to the driver — never a single-partition window), one
+    final scalar aggregate.
+    """
+    from metis_spark.operators.packing import pack_sequences
+
+    toksd = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    n_d = toksd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("tok"))
+    newv = (
+        toksd.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("newv"))
+    )
+    per_doc = n_d.join(newv, "doc_id", "left").select(
+        "doc_id", "tok", F.coalesce("newv", F.lit(0)).alias("newv")
+    )
+    big = 1 << 60
+    cn = pack_sequences(per_doc, "doc_id", "tok", budget=big).select(
+        "doc_id", (F.col("start_off") + F.col("tok")).alias("nn")
+    )
+    cv = pack_sequences(
+        per_doc.select("doc_id", F.col("newv").alias("w")), "doc_id", "w", budget=big
+    ).select("doc_id", (F.col("start_off") + F.col("w")).alias("vv"))
+    pts = (
+        cn.join(cv.hint("shuffle_hash"), "doc_id")
+        .where((F.col("nn") >= 1) & (F.col("vv") >= 1))
+        .select(
+            F.round(F.log(F.col("nn").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("vv").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("y"),
+            F.col("nn"),
+            F.col("vv"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("nn").cast("long").alias("n_tokens"),
+        F.max("vv").cast("long").alias("vocab"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - beta * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("heaps_logk"),
+    )
