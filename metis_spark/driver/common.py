@@ -367,6 +367,8 @@ DISPARITY_ALPHA_MICRO = 50_000  # backbone significance level (alpha = 0.05)
 PMI_MIN_COUNT = 5  # collocation noise floor
 
 BPE_K = 8  # BPE merge steps trained by the driver query
+
+SPEAR_K = 256  # rank-correlation head size
 PMI_K = 50  # collocation report size
 DDIC_P_TENTHS = 1  # IC propagation probability in tenths (p = 0.1)
 

@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEAR_K, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -2426,7 +2426,7 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, deg FROM a{rounds}"
 
-def _pagerank_sql(weighted: bool = False, n_iters: int = PR_ITERS) -> str:
+def _pagerank_ctes(weighted: bool = False, n_iters: int = PR_ITERS) -> list:
     d = 0.85
     w_expr = "((e.src * 7 + e.dst * 13) % 10 + 1)"  # _W_EXPR on aliased edges
     deg_expr = (
@@ -2452,6 +2452,11 @@ def _pagerank_sql(weighted: bool = False, n_iters: int = PR_ITERS) -> str:
             f"+ (SELECT dm FROM dm{i})/(SELECT n FROM nn)) AS rank "
             f"FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"
         )
+    return ctes
+
+
+def _pagerank_sql(weighted: bool = False, n_iters: int = PR_ITERS) -> str:
+    ctes = _pagerank_ctes(weighted, n_iters)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{n_iters}"
 
 def _katz_sql() -> str:
@@ -2477,10 +2482,9 @@ def _katz_sql() -> str:
         + f"\nSELECT id, ROUND(katz, 6) AS katz FROM x{n_iters}"
     )
 
-def _eigen_sql() -> str:
-    """Unrolled eigenvector-centrality twin of plans/spectral.py:
+def _eigen_ctes(n_iters: int = PR_ITERS) -> list:
+    """CTE chain of the unrolled eigenvector-centrality twin:
     y_k = A·x̂_{k-1} over und, x̂_k = y_k/‖y_k‖₂, x̂_0 = 1/√n."""
-    n_iters = PR_ITERS
     ctes = [
         _EDGES_SQL.strip().rstrip(),
         "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
@@ -2499,6 +2503,12 @@ def _eigen_sql() -> str:
         ctes.append(
             f"x{i} AS MATERIALIZED (SELECT id, y/(SELECT nrm FROM n{i}) AS x FROM y{i})"
         )
+    return ctes
+
+
+def _eigen_sql() -> str:
+    n_iters = PR_ITERS
+    ctes = _eigen_ctes(n_iters)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(x, 6) AS score FROM x{n_iters}"
@@ -3685,3 +3695,36 @@ def _bpe_sql(k: int = BPE_K) -> str:
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union})"
+
+def _rank_correlation_sql(k: int = SPEAR_K) -> str:
+    """Twin of the centrality rank-agreement query: the shared
+    _pagerank_ctes and _eigen_ctes chains (deduped common prefix), the
+    same ROUND-6 scores, the same top-k head and (score DESC, id ASC)
+    row_number permutations, the same closed-form Spearman fold."""
+    pr = _pagerank_ctes()
+    ei = _eigen_ctes()
+    seen = set()
+    ctes = []
+    for c in pr + ei:
+        key = c.split(" AS ")[0].strip()
+        if key in seen:
+            continue
+        seen.add(key)
+        ctes.append(c)
+    ctes += [
+        f"rcp AS (SELECT id, ROUND(rank, 6) AS sa FROM r{PR_ITERS})",
+        f"rce AS (SELECT id, ROUND(x, 6) AS sb FROM x{PR_ITERS})",
+        f"rct AS (SELECT id, sa FROM rcp ORDER BY sa DESC, id ASC LIMIT {k})",
+        "rcj AS (SELECT t.id, t.sa, e.sb FROM rct t JOIN rce e ON t.id = e.id)",
+        "rcr AS (SELECT id, "
+        "ROW_NUMBER() OVER (ORDER BY sa DESC, id ASC)::BIGINT AS ra, "
+        "ROW_NUMBER() OVER (ORDER BY sb DESC, id ASC)::BIGINT AS rb FROM rcj)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT COUNT(*)::BIGINT AS n, "
+        "SUM((ra - rb) * (ra - rb))::BIGINT AS sum_d2, "
+        "CASE WHEN COUNT(*) > 1 THEN ROUND(1.0 - 6.0 * SUM((ra - rb) * (ra - rb))::DOUBLE "
+        "/ (COUNT(*)::DOUBLE * (COUNT(*) * COUNT(*) - 1)), 6) END AS spearman "
+        "FROM rcr"
+    )

@@ -779,3 +779,24 @@ def _q_leaderrank(spark, sf_dir):
         "id", F.round("score", 6).alias("score"),
         F.round("leaderrank", 6).alias("leaderrank"),
     )
+
+def _q_rank_correlation(spark, sf_dir):
+    """Spearman rank agreement between the PageRank and eigenvector-
+    centrality rankings on the top-SPEAR_K head (plans/metrics.py:
+    centrality_rank_correlation) — both centralities recomputed with
+    the gate-pinned round counts and ROUND-6 score discipline."""
+    from metis_spark.plans.pagerank import pagerank
+    from metis_spark.plans.spectral import eigenvector_centrality
+    from metis_spark.plans.metrics import centrality_rank_correlation
+    from metis_spark.driver.common import SPEAR_K
+
+    edges = derived_edges(spark, sf_dir)
+    pr, _ = pagerank(
+        edges, checkpoint_dir=_tmpdir("metis_qrc_pr_"), tol=0.0, max_iter=PR_ITERS
+    )
+    ei, _ = eigenvector_centrality(
+        edges, tol=0.0, max_iter=PR_ITERS, checkpoint_dir=_tmpdir("metis_qrc_ei_")
+    )
+    pr6 = pr.select("id", F.round("rank", 6).alias("pr"))
+    ei6 = ei.select("id", F.round("score", 6).alias("ei"))
+    return centrality_rank_correlation(pr6, ei6, "pr", "ei", k=SPEAR_K)

@@ -1417,3 +1417,59 @@ def disparity_filter(edges: DataFrame, alpha_micro: int = 50_000) -> DataFrame:
             F.least("alpha_a_micro", "alpha_b_micro") < F.lit(alpha_micro)
         ).alias("kept"),
     )
+
+
+def centrality_rank_correlation(
+    scores_a: DataFrame,
+    scores_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Spearman rank agreement between two centrality rankings over the
+    top-k head → one row (n, sum_d2, spearman). The standard question
+    after computing a second centrality ("does eigenvector agree with
+    PageRank here, or does this graph have hub/authority structure the
+    walk misses?"), answered on the head that matters for ranking use.
+
+        ρ = 1 − 6·Σd² / (n(n²−1)),   d = rank_a − rank_b
+
+    The head set is the top-k of ranking A (distributed TakeOrdered —
+    never a global window over |V|); both within-set rank permutations
+    come from row_number over ≤ k rows (bounded-input invariant) with
+    (score DESC, id ASC) tie-breaks, so the permutations — and the
+    integer Σd² — are identical in both engines; ρ is one float fold.
+    """
+    a = scores_a.select(F.col("id").cast("long"), F.col(col_a).alias("sa"))
+    b = scores_b.select(F.col("id").cast("long"), F.col(col_b).alias("sb"))
+    top = a.orderBy(F.desc("sa"), F.asc("id")).limit(k)
+    j = top.join(b.hint("shuffle_hash"), "id")
+    wa = Window.orderBy(F.desc("sa"), F.asc("id"))
+    wb = Window.orderBy(F.desc("sb"), F.asc("id"))
+    rk = j.select(
+        "id",
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    n = F.count(F.lit(1)).cast("long")
+    return rk.agg(
+        n.alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("sum_d2").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") * F.col("n") - F.lit(1)).cast("double")
+                ),
+                6,
+            ),
+        ).alias("spearman"),
+    )
