@@ -503,3 +503,9 @@ def _q_heaps_fit(spark, sf_dir):
     heaps_fit) — integer-exact least squares over micro-nat quantized
     cumulative points; two-phase prefix sums, no global window."""
     return CS.heaps_fit(_t(spark, sf_dir, "documents"))
+
+def _q_source_scorecard(spark, sf_dir):
+    """Per-source curation scorecard (operators/corpus_stats.py:
+    source_scorecard) — dup rate, micro-quantized mean quality, and
+    language entropy per source; the drop-whole-domains view."""
+    return CS.source_scorecard(_t(spark, sf_dir, "documents"))

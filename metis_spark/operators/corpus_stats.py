@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from metis_spark.functions.text import tokens
+from metis_spark.functions.text import fingerprint, quality_score, tokens
 
 
 def term_frequencies(
@@ -1219,4 +1219,95 @@ def heaps_fit(
             / F.lit(1e6),
             6,
         ).alias("heaps_logk"),
+    )
+
+
+def source_scorecard(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation scorecard → (source, n_docs, dup_docs,
+    quality_micro_sum, avg_quality, lang_entropy_micro, lang_entropy) —
+    the crawl-operations view: which SOURCES (domains/dumps/feeds) are
+    worth keeping. A source with a high within-source duplicate rate is
+    a mirror or a template mill; a collapsed language entropy flags a
+    mislabeled or single-boilerplate feed; the mean quality ranks
+    sources for budget allocation. This is the aggregation a 100 TB
+    pipeline runs to drop entire domains before per-document filtering.
+
+    Exactness: per-doc quality is quantized to integer micro-units
+    (round(score·1e6), a pure double function of each doc's integer
+    counts) BEFORE the per-source sum, so sums are order-free;
+    dup_docs = n_docs − distinct normalized fingerprints (integers);
+    language entropy uses the char_bigram_entropy micro-nat discipline
+    on the (lang count, n_docs) integer pairs. The two trailing
+    divisions are the only floats.
+
+    Scale shape: three map-side-combined groupBys keyed by source (and
+    source×fingerprint / source×lang, both bounded by the source's
+    distinct values), then two broadcast-sized joins on the source
+    dimension. Text never leaves the first projection.
+    """
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.round(quality_score(F.col(text_col)) * F.lit(1e6))
+        .cast("long")
+        .alias("qmicro"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    heads = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("qmicro").cast("long").alias("quality_micro_sum"),
+    )
+    dups = (
+        base.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("source")
+        .agg(
+            (F.sum("c") - F.count(F.lit(1))).cast("long").alias("dup_docs")
+        )
+    )
+    lc = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ent = (
+        lc.join(heads.select("source", "n_docs").hint("shuffle_hash"), "source")
+        .select(
+            "source",
+            F.round(
+                F.col("c").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("c").cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("lang_entropy_micro"))
+    )
+    return (
+        heads.join(dups.hint("shuffle_hash"), "source")
+        .join(ent.hint("shuffle_hash"), "source")
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            "quality_micro_sum",
+            F.round(
+                F.col("quality_micro_sum").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_quality"),
+            "lang_entropy_micro",
+            F.round(
+                F.col("lang_entropy_micro").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("lang_entropy"),
+        )
     )
