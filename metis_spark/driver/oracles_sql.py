@@ -3642,12 +3642,13 @@ def _k_peak_sql(
         "FROM kp_verts v LEFT JOIN kp_all p ON v.id = p.id"
     )
 
-def _bpe_sql(k: int = BPE_K) -> str:
-    """Unrolled BPE twin: k merge rounds over the (word, freq) symbol
-    table — lead() pair counts, (count DESC, pair ASC) argmax, the
-    pos − row_number() run-grouping for textbook greedy application,
-    and a reindex window per round. Exhausted rounds produce empty
-    t{r} CTEs and contribute nothing (same as the engine's break)."""
+def _bpe_ctes(k: int = BPE_K) -> list:
+    """CTE chain of the unrolled BPE twin: k merge rounds over the
+    (word, freq) symbol table — lead() pair counts, (count DESC, pair
+    ASC) argmax, the pos − row_number() run-grouping for textbook
+    greedy application, and a reindex window per round; ends at s{k}.
+    Exhausted rounds produce empty t{r} CTEs and contribute nothing
+    (same as the engine's break)."""
     ctes = [
         "bw AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS freq FROM "
         "(SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
@@ -3689,12 +3690,39 @@ def _bpe_sql(k: int = BPE_K) -> str:
             f"FROM p{r} m WHERE NOT EXISTS (SELECT 1 FROM fired{r} f "
             f"WHERE f.word = m.word AND f.pos + 1 = m.pos))"
         )
+    return ctes
+
+
+def _bpe_sql(k: int = BPE_K) -> str:
+    ctes = _bpe_ctes(k)
     union = " UNION ALL ".join(
         f"SELECT {r}::BIGINT AS step, sym AS left_sym, nxt AS right_sym, "
         f"sym || nxt AS merged, c AS pair_count FROM t{r}"
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union})"
+
+
+def _bpe_fertility_sql(k: int = BPE_K) -> str:
+    """Twin of operators/bpe.py:bpe_fertility — the identical merge
+    unroll, then the per-word symbol counts of the final state applied
+    to the (lang, word) counts of the token stream."""
+    ctes = _bpe_ctes(k)
+    ctes += [
+        f"spw AS (SELECT word, COUNT(*)::BIGINT AS n_sym FROM s{k} GROUP BY word)",
+        "blw AS (SELECT lang, word, COUNT(*)::BIGINT AS c FROM "
+        "(SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')) AS word FROM documents) GROUP BY lang, word)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT l.lang, SUM(l.c)::BIGINT AS n_words, "
+        "SUM(l.c * p.n_sym)::BIGINT AS n_symbols, "
+        "SUM(l.c * length(l.word))::BIGINT AS n_chars, "
+        "ROUND(SUM(l.c * p.n_sym)::DOUBLE / SUM(l.c), 6) AS fertility, "
+        "ROUND(SUM(l.c * length(l.word))::DOUBLE / SUM(l.c * p.n_sym), 6) AS chars_per_token "
+        "FROM blw l JOIN spw p ON l.word = p.word GROUP BY l.lang"
+    )
 
 def _rank_correlation_sql(k: int = SPEAR_K) -> str:
     """Twin of the centrality rank-agreement query: the shared

@@ -509,3 +509,12 @@ def _q_source_scorecard(spark, sf_dir):
     source_scorecard) — dup rate, micro-quantized mean quality, and
     language entropy per source; the drop-whole-domains view."""
     return CS.source_scorecard(_t(spark, sf_dir, "documents"))
+
+def _q_bpe_fertility(spark, sf_dir):
+    """Per-language fertility / compression of the k-merge BPE tokenizer
+    (operators/bpe.py:bpe_fertility) — train and apply share one symbol
+    table, so the metric can't drift from the merges."""
+    from metis_spark.operators.bpe import bpe_fertility
+    from metis_spark.driver.common import BPE_K
+
+    return bpe_fertility(_t(spark, sf_dir, "documents"), k=BPE_K)

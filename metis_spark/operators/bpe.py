@@ -44,6 +44,15 @@ def bpe_merges(
 ) -> DataFrame:
     """→ k rows (step, left_sym, right_sym, merged, pair_count): the
     learned merge table, in training order."""
+    merges, _state = _train(docs, text_col, k)
+    return docs.sparkSession.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, merged string, pair_count long"
+    )
+
+
+def _train(docs: DataFrame, text_col: str, k: int):
+    """Run k merge rounds; returns (merge list, final symbol-table
+    DataFrame (word, freq, pos, sym))."""
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -125,6 +134,66 @@ def bpe_merges(
             "sym",
         ).localCheckpoint(eager=True)
 
-    return docs.sparkSession.createDataFrame(
-        merges, "step long, left_sym string, right_sym string, merged string, pair_count long"
+    return merges, state
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-language fertility of the k-merge BPE tokenizer → (lang,
+    n_words, n_symbols, n_chars, fertility, chars_per_token) — the
+    tokenizer-evaluation metric every multilingual pipeline reports:
+    fertility = tokens per word (lower = the vocab serves that language
+    better), chars_per_token = compression. A language the merges were
+    not trained on shows fertility near its mean word length; the
+    dominant language converges toward 1. Trains the same merge
+    sequence as ``bpe_merges`` and APPLIES it by re-using the final
+    symbol table (the per-word symbol counts), so train/apply cannot
+    drift apart.
+
+    Exactness: all five inputs are integers (per-lang word counts ×
+    per-word symbol counts / character lengths); the two ratios are
+    the only float folds, ROUND 6.
+
+    Scale shape: training state is vocabulary-sized (see bpe_merges);
+    the apply side is one (lang, word) groupBy on the token stream and
+    one vocabulary-sized join — the text never rides a shuffle.
+    """
+    _merges, state = _train(docs, text_col, k)
+    spw = state.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sym")
+    )
+    lw = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens(F.col(text_col))).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        lw.join(spw.hint("shuffle_hash"), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sym")).cast("long").alias("n_symbols"),
+            F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_symbols",
+            "n_chars",
+            F.round(
+                F.col("n_symbols").cast("double") / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_symbols").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
     )
