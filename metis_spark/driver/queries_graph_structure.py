@@ -1451,3 +1451,11 @@ def _q_kpeak(spark, sf_dir):
     )
     assert info["contours"] <= KPEAK_ROUNDS, info
     return out
+
+def _q_percolation_threshold(spark, sf_dir):
+    """Molloy–Reed criterion + Cohen random-failure threshold
+    (plans/metrics.py:percolation_threshold) — the analytic partner to
+    robustness_random; one degree groupBy, two integer-ratio folds."""
+    from metis_spark.plans.metrics import percolation_threshold
+
+    return percolation_threshold(derived_edges_sparse(spark, sf_dir))

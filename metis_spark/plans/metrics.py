@@ -1473,3 +1473,54 @@ def centrality_rank_correlation(
             ),
         ).alias("spearman"),
     )
+
+
+def percolation_threshold(edges: DataFrame) -> DataFrame:
+    """Molloy–Reed / Cohen random-failure percolation analysis → one
+    row (n, m, sum_d, sum_d2, kappa, f_c, supercritical). The analytic
+    partner to the empirical `robustness_random` curve:
+
+        κ = ⟨k²⟩/⟨k⟩ = Σd² / Σd            (Molloy & Reed 1995)
+        giant component exists  ⇔  κ > 2
+        f_c = 1 − 1/(κ − 1) = (Σd² − 2Σd)/(Σd² − Σd)
+                                            (Cohen et al. PRL 2000)
+
+    f_c is the fraction of RANDOM vertex failures the giant component
+    survives — the number a reliability review asks for before anyone
+    runs a removal sweep, and the quantity that explains why
+    heavy-tailed dependency graphs are failure-tolerant (κ → ∞ ⇒
+    f_c → 1) yet hub-attack fragile.
+
+    Exactness: Σd and Σd² are exact integers off one degree groupBy;
+    κ and f_c are each ONE float fold of an integer ratio, ROUND 6;
+    ``supercritical`` is the integer comparison Σd² > 2·Σd. NULL f_c
+    when κ ≤ 1 (the formula's pole — no giant regime at all).
+
+    Scale shape: one map-side-combined degree groupBy + one scalar
+    aggregate. The cheapest query in the robustness family.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.shiftright(F.sum("deg"), 1).cast("long").alias("m"),
+        F.sum("deg").cast("long").alias("sum_d"),
+        F.sum(F.col("deg") * F.col("deg")).cast("long").alias("sum_d2"),
+    ).select(
+        "n",
+        "m",
+        "sum_d",
+        "sum_d2",
+        F.round(F.col("sum_d2").cast("double") / F.col("sum_d").cast("double"), 6).alias(
+            "kappa"
+        ),
+        F.when(
+            F.col("sum_d2") > F.col("sum_d"),
+            F.round(
+                (F.col("sum_d2") - 2 * F.col("sum_d")).cast("double")
+                / (F.col("sum_d2") - F.col("sum_d")).cast("double"),
+                6,
+            ),
+        ).alias("f_c"),
+        (F.col("sum_d2") > 2 * F.col("sum_d")).alias("supercritical"),
+    )
