@@ -49,7 +49,7 @@ from metis_spark.driver.queries_corpus import _q_dsir, _q_bm25, _q_bigram_surpri
 
 from metis_spark.driver.queries_graph_iterative import _q_anf_effective_diameter, _q_edge_percolation, _q_path_counts, _q_anf_sketch, _q_bowtie, _q_cc_incremental, _q_closeness, _q_connected_components, _q_dag_levels, _q_diameter, _q_eigen, _q_harmonic, _q_hits, _q_katz, _q_landmark_distances, _q_lpa, _q_neighborhood_function, _q_pagerank, _q_pagerank_incremental, _q_pagerank_weighted, _q_ppr, _q_ppr_sweep_cut, _q_robustness_curve, _q_robustness_random, _q_salsa, _q_salsa_personalized, _q_scc, _q_seeded_lpa, _q_sssp, _q_sssp_weighted, _q_temporal_fastest, _q_temporal_latest_departure, _q_temporal_reachability, _q_temporal_shortest, _q_widest_path, _q_trustrank, _q_hitting_time, _q_harmonic_labels, _q_leaderrank, _q_rank_correlation  # noqa: E501,F401
 
-from metis_spark.driver.queries_graph_structure import FIEDLER_ITERS, FIEDLER_SCALE, _q_fiedler, _q_fiedler_sweep, _q_adamic_adar, _q_affinity_clusters, _q_assortativity, _q_avg_neighbor_degree, _q_betweenness, _q_bipartite, _q_coloring, _q_community_pagerank, _q_community_quotient, _q_component_profile, _q_coreness, _q_coreness_decremental, _q_csr, _q_csr_gap_histogram, _q_degree_histogram, _q_degree_percentiles, _q_densest, _q_directed_triads, _q_edge_betweenness, _q_five_cliques, _q_four_cliques, _q_graphlet4_census, _q_graph_edges, _q_graph_summary, _q_kcore, _q_ktruss, _q_leiden, _q_linkpred_auc, _q_linkpred_eval, _q_louvain, _q_louvain_multilevel, _q_louvain_trajectory, _q_mis, _q_modularity, _q_node2vec, _q_nucleus, _q_onion, _q_partition_assignment, _q_partition_quality, _q_reciprocity, _q_resource_alloc, _q_rich_club, _q_scan, _q_scan_statistic, _q_score_weighted, _q_simrank, _q_square_count, _q_transitivity, _q_triangles, _q_triangles_per_vertex, _q_trussness, _q_trussness_decremental, _q_wl_class_histogram, _q_wl_colors, _q_doulion_triangles, _q_truss_communities, _q_ab_core, _q_butterflies, _q_cpm, _q_kwing, _q_tip, _q_core_periphery, _q_map_equation, _q_kpeak, _q_percolation_threshold  # noqa: E501,F401
+from metis_spark.driver.queries_graph_structure import FIEDLER_ITERS, FIEDLER_SCALE, _q_fiedler, _q_fiedler_sweep, _q_adamic_adar, _q_affinity_clusters, _q_assortativity, _q_avg_neighbor_degree, _q_betweenness, _q_bipartite, _q_coloring, _q_community_pagerank, _q_community_quotient, _q_component_profile, _q_coreness, _q_coreness_decremental, _q_csr, _q_csr_gap_histogram, _q_degree_histogram, _q_degree_percentiles, _q_densest, _q_directed_triads, _q_edge_betweenness, _q_five_cliques, _q_four_cliques, _q_graphlet4_census, _q_graph_edges, _q_graph_summary, _q_kcore, _q_ktruss, _q_leiden, _q_linkpred_auc, _q_linkpred_eval, _q_louvain, _q_louvain_multilevel, _q_louvain_trajectory, _q_mis, _q_modularity, _q_node2vec, _q_nucleus, _q_onion, _q_partition_assignment, _q_partition_quality, _q_reciprocity, _q_resource_alloc, _q_rich_club, _q_scan, _q_scan_statistic, _q_score_weighted, _q_simrank, _q_square_count, _q_transitivity, _q_triangles, _q_triangles_per_vertex, _q_trussness, _q_trussness_decremental, _q_wl_class_histogram, _q_wl_colors, _q_doulion_triangles, _q_truss_communities, _q_ab_core, _q_butterflies, _q_cpm, _q_kwing, _q_tip, _q_core_periphery, _q_map_equation, _q_kpeak, _q_percolation_threshold, _q_triangle_surplus  # noqa: E501,F401
 
 from metis_spark.driver.queries_misc import _q_label_mixing_matrix, _q_anti_join, _q_asof_fallback, _q_attr_assortativity, _q_benchmark_contamination, _q_center, _q_copart_topk, _q_dataset_splits, _q_edge_diff, _q_edge_embeddedness, _q_filter_funnel, _q_global_hh_sketch, _q_graph_degrees, _q_heavy_edge_coarsen, _q_heavy_hitter_users, _q_local_clustering, _q_maximal_matching, _q_msf, _q_pref_attach, _q_random_walks, _q_running_total, _q_spec_coloring, _q_vertex_jaccard, _q_walk_sentences, _q_weighted_sample, _q_cocitation, _q_refex, _q_mirrors, _q_forman_curvature, _q_structural_holes, _q_ari_partitions, _q_collective_influence, _q_degree_discount, _q_disparity  # noqa: E501,F401
 
@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_scorecard": _q_source_scorecard,     # r5: per-domain curation
         "centrality_rank_corr": _q_rank_correlation, # r5: ranking agreement
         "percolation_threshold": _q_percolation_threshold,  # r5: Molloy-Reed f_c
+        "triangle_surplus": _q_triangle_surplus,     # r5: motif significance
 
         # heavy iterative decompositions + the rest of the r3/r4 surface
         "coreness": _q_coreness,
@@ -782,6 +783,27 @@ def oracle_sql() -> dict[str, str]:
         "leaderrank": _leaderrank_sql(),
         "degree_discount_seeds": _degree_discount_sql(),
         "centrality_rank_corr": _rank_correlation_sql(),
+        "triangle_surplus": (
+            f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+            "tdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
+            "mom AS (SELECT COUNT(*)::BIGINT AS n, SUM(deg::HUGEINT) AS s1, "
+            "SUM(deg::HUGEINT * deg) AS s2, "
+            "SUM(deg::HUGEINT * deg * deg * deg) AS s4, "
+            "SUM(deg::HUGEINT * deg * deg * deg * deg * deg) AS s6 FROM tdeg), "
+            "adj AS (SELECT u.src, u.dst FROM und u JOIN tdeg a ON u.src = a.id "
+            "JOIN tdeg b ON u.dst = b.id "
+            "WHERE a.deg < b.deg OR (a.deg = b.deg AND u.src < u.dst)), "
+            "tri AS (SELECT COUNT(*)::BIGINT AS t FROM adj e "
+            "JOIN adj w1 ON e.src = w1.src JOIN adj w2 ON e.dst = w2.src "
+            "AND w1.dst = w2.dst), "
+            "fold AS (SELECT n, t, s1, s2, "
+            "(s2 * s2 * s2 - 3 * s2 * s4 + 2 * s6) AS num, "
+            "(6 * s1 * s1 * s1) AS den FROM mom, tri) "
+            "SELECT n, t AS triangles, s1::BIGINT AS s1, s2::BIGINT AS s2, "
+            "ROUND(num::DOUBLE / den::DOUBLE, 6) AS expected_cl, "
+            "CASE WHEN num > 0 THEN ROUND((t::HUGEINT * den)::DOUBLE / num::DOUBLE, 6) END AS surplus "
+            "FROM fold"
+        ),
         "percolation_threshold": (
             f"WITH {_EDGES_SPARSE_SQL.strip()}, "
             "pdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "

@@ -1459,3 +1459,11 @@ def _q_percolation_threshold(spark, sf_dir):
     from metis_spark.plans.metrics import percolation_threshold
 
     return percolation_threshold(derived_edges_sparse(spark, sf_dir))
+
+def _q_triangle_surplus(spark, sf_dir):
+    """Triangle count vs the exact Chung–Lu expectation
+    (plans/metrics.py:triangle_surplus) — motif significance beyond
+    degree effects; decimal-exact moment sums."""
+    from metis_spark.plans.metrics import triangle_surplus
+
+    return triangle_surplus(derived_edges_sparse(spark, sf_dir))

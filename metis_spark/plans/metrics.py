@@ -1524,3 +1524,66 @@ def percolation_threshold(edges: DataFrame) -> DataFrame:
         ).alias("f_c"),
         (F.col("sum_d2") > 2 * F.col("sum_d")).alias("supercritical"),
     )
+
+
+def triangle_surplus(edges: DataFrame) -> DataFrame:
+    """Observed triangles vs the Chung–Lu degree-preserving null → one
+    row (n, triangles, s1, s2, expected_cl, surplus). The motif-
+    significance question behind every "is this graph clustered?"
+    claim: a raw triangle count means nothing until compared with what
+    the degree sequence ALONE would produce. Under Chung–Lu
+    (P(i~j) = d_i·d_j/S1) the exact expectation is the elementary
+    symmetric polynomial over a_i = d_i²:
+
+        E[Δ] = (S2³ − 3·S2·S4 + 2·S6) / (6·S1³),   Sk = Σ d^k
+
+    (the usual (S2−S1)³/(6S1³) folklore formula is the asymptotic
+    version of this; here the exclusion terms are kept, so the value
+    is exact, not approximate). surplus = observed/expected > 1 means
+    genuine transitivity beyond degree effects — the Chung–Lu hub
+    caveat (p can exceed 1) is inherited and declared.
+
+    Exactness: every moment accumulates in decimal(38,0) (HUGEINT in
+    the twin — d⁶ overflows a 64-bit long at deg ≳ 1300, so the cast
+    happens BEFORE the powers); the two outputs are single float folds
+    of exact big integers. Observed triangles come from the verified
+    degree-oriented counter.
+
+    Scale shape: one degree groupBy + one scalar moment aggregate on
+    top of the O(m^1.5) triangle count already in the engine.
+    """
+    from metis_spark.plans.triangles import triangle_count
+
+    und = _und(edges)
+    deg = _und_degrees(und)
+    dec = "decimal(38,0)"
+    c = F.col("deg").cast(dec)
+    mom = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c * c).alias("s4"),
+        F.sum(c * c * c * c * c * c).alias("s6"),
+    )
+    t = int(triangle_count(edges))  # verified counter returns the scalar
+    num = (
+        F.col("s2") * F.col("s2") * F.col("s2")
+        - F.lit(3).cast(dec) * F.col("s2") * F.col("s4")
+        + F.lit(2).cast(dec) * F.col("s6")
+    )
+    den = F.lit(6).cast(dec) * F.col("s1") * F.col("s1") * F.col("s1")
+    return mom.select(
+        "n",
+        F.lit(t).cast("long").alias("triangles"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("expected_cl"),
+        F.when(
+            num > 0,
+            F.round(
+                (F.lit(t).cast(dec) * den).cast("double")
+                / num.cast("double"),
+                6,
+            ),
+        ).alias("surplus"),
+    )
