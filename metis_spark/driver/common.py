@@ -369,6 +369,9 @@ PMI_MIN_COUNT = 5  # collocation noise floor
 BPE_K = 8  # BPE merge steps trained by the driver query
 
 SPEAR_K = 256  # rank-correlation head size
+
+TPR_EPOCHS = 8  # temporal-pagerank epoch buckets
+TPR_BETA = 0.5  # per-epoch transfer fraction
 PMI_K = 50  # collocation report size
 DDIC_P_TENTHS = 1  # IC propagation probability in tenths (p = 0.1)
 

@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEAR_K, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEAR_K, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TPR_BETA, TPR_EPOCHS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -3755,4 +3755,46 @@ def _rank_correlation_sql(k: int = SPEAR_K) -> str:
         "CASE WHEN COUNT(*) > 1 THEN ROUND(1.0 - 6.0 * SUM((ra - rb) * (ra - rb))::DOUBLE "
         "/ (COUNT(*)::DOUBLE * (COUNT(*) * COUNT(*) - 1)), 6) END AS spearman "
         "FROM rcr"
+    )
+
+def _temporal_pagerank_sql(
+    n_epochs: int = TPR_EPOCHS, beta: float = TPR_BETA
+) -> str:
+    """Unrolled epoch-bucketed temporal-pagerank twin: one CTE pair per
+    epoch (per-epoch out-degrees, gather, mass-conserving fold) over
+    the same hash-derived timestamps as the reachability twins."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "tpe AS MATERIALIZED (SELECT src, dst, "
+        "(('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD}) * {n_epochs} // {TEMPORAL_TS_MOD} AS epoch "
+        "FROM edges)",
+        "tpv AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "tpn AS (SELECT COUNT(*)::DOUBLE AS n FROM tpv)",
+        "tp0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM tpn) AS rank FROM tpv)",
+    ]
+    for t in range(n_epochs):
+        i = t + 1
+        ctes.append(
+            f"tpo{i} AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS od "
+            f"FROM tpe WHERE epoch = {t} GROUP BY src)"
+        )
+        ctes.append(
+            f"tpi{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"SUM({beta} * r.rank / o.od) AS inflow "
+            f"FROM tpe e JOIN tp{t} r ON e.src = r.id "
+            f"JOIN tpo{i} o ON e.src = o.id "
+            f"WHERE e.epoch = {t} GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"tp{i} AS MATERIALIZED (SELECT v.id, "
+            f"v.rank * (1.0 - CASE WHEN o.id IS NOT NULL THEN {beta} ELSE 0.0 END) "
+            f"+ COALESCE(c.inflow, 0.0) AS rank "
+            f"FROM tp{t} v LEFT JOIN tpo{i} o ON v.id = o.id "
+            f"LEFT JOIN tpi{i} c ON v.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT id, ROUND(rank, 6) AS rank FROM tp{n_epochs}"
     )

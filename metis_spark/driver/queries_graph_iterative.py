@@ -800,3 +800,41 @@ def _q_rank_correlation(spark, sf_dir):
     pr6 = pr.select("id", F.round("rank", 6).alias("pr"))
     ei6 = ei.select("id", F.round("score", 6).alias("ei"))
     return centrality_rank_correlation(pr6, ei6, "pr", "ei", k=SPEAR_K)
+
+def _q_temporal_pagerank(spark, sf_dir):
+    """Epoch-bucketed temporal PageRank (Rozenshtein–Gionis semantics,
+    plans/temporal.py:temporal_pagerank) on the hash-timestamped sparse
+    edges — influence flows forward in time only; mass-conserving."""
+    from metis_spark.plans.temporal import temporal_pagerank
+    from metis_spark.driver.common import TPR_BETA, TPR_EPOCHS
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    ets = edges.select(
+        "src",
+        "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )
+    out, info = temporal_pagerank(
+        ets,
+        n_epochs=TPR_EPOCHS,
+        ts_max=TEMPORAL_TS_MOD,
+        beta=TPR_BETA,
+        checkpoint_dir=_tmpdir("metis_qtpr_"),
+    )
+    return out.select("id", F.round("rank", 6).alias("rank"))

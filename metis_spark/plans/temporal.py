@@ -614,3 +614,116 @@ def temporal_shortest_path(
         "seconds": time.monotonic() - t0,
         "n": n,
     }
+
+
+def temporal_pagerank(
+    edges_ts: DataFrame,
+    n_epochs: int = 8,
+    ts_max: int = 1000,
+    beta: float = 0.5,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Epoch-bucketed temporal PageRank → ((id, rank), info). The
+    time-respecting importance measure of Rozenshtein & Gionis
+    (ECML-PKDD 2016), discretized to epochs for batch execution: edges
+    are bucketed by timestamp into ``n_epochs`` ordered epochs
+    (epoch = ts·n_epochs // ts_max) and the walk advances one epoch per
+    round —
+
+        r_t(v) = r_{t−1}(v)·(1 − β·has_out_t(v))
+                 + β·Σ_{(u,v) ∈ E_t} r_{t−1}(u) / outdeg_t(u)
+
+    Mass only ever moves along edges of the CURRENT epoch, so influence
+    flows forward in time (an edge at t=100 cannot launder rank arriving
+    via an edge at t=900) — the property static PageRank fundamentally
+    cannot express on commit-timestamped dependency edges. Vertices
+    with no out-edges in an epoch hold their mass (no dangling leak:
+    Σ_v r_t(v) = 1 exactly at every epoch).
+
+    Float discipline: pagerank's (float state, ROUND 6 at the end) —
+    the per-epoch fold is one gather + map-side-combined groupBy.
+    Epochs checkpoint/resume through CheckpointManager like every
+    iterative plan. At 100 TB the epoch filter is a partition-pruned
+    scan when the edge table is date-partitioned — the natural layout
+    for commit-history corpora.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_tpr_")
+    spark = edges_ts.sparkSession
+    e = (
+        edges_ts.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            (F.col("ts").cast("long") * n_epochs / F.lit(ts_max))
+            .cast("long")
+            .alias("epoch"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        return (
+            spark.createDataFrame([], "id long, rank double"),
+            {"epochs": 0, "n": 0, "converged": True},
+        )
+    cm = CheckpointManager(checkpoint_dir, "temporal_pagerank")
+    state = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    start = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            st, _meta = cm.load(spark, k0)
+            state = st.select("id", "rank")
+            start = k0
+    t0 = time.monotonic()
+    for t in range(start, n_epochs):
+        et = e.where(F.col("epoch") == t)
+        od = et.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("od")
+        )
+        send = state.join(od.hint("shuffle_hash"), "id").select(
+            F.col("id").alias("src"),
+            (F.lit(float(beta)) * F.col("rank") / F.col("od")).alias("w"),
+        )
+        inflow = (
+            et.join(send.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("inflow"))
+        )
+        nxt = (
+            state.join(od.hint("shuffle_hash"), "id", "left")
+            .join(inflow.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.col("rank")
+                    * (
+                        F.lit(1.0)
+                        - F.when(F.col("od").isNotNull(), F.lit(float(beta))).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                    + F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        st, _tot = cm.commit(t + 1, nxt, {})
+        state = st.select("id", "rank")
+    e.unpersist()
+    verts.unpersist()
+    return state, {
+        "epochs": n_epochs,
+        "n": n,
+        "converged": True,
+        "seconds": time.monotonic() - t0,
+    }
