@@ -371,6 +371,11 @@ BPE_K = 8  # BPE merge steps trained by the driver query
 SPEAR_K = 256  # rank-correlation head size
 
 TPR_EPOCHS = 8  # temporal-pagerank epoch buckets
+
+WINNOW_K = 5  # winnowing k-gram length
+WINNOW_W = 4  # winnowing window
+WINNOW_DF_CAP = 64  # boilerplate-fingerprint df bound
+WINNOW_TOP = 50
 TPR_BETA = 0.5  # per-epoch transfer fraction
 PMI_K = 50  # collocation report size
 DDIC_P_TENTHS = 1  # IC propagation probability in tenths (p = 0.1)

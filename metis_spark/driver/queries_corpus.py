@@ -518,3 +518,17 @@ def _q_bpe_fertility(spark, sf_dir):
     from metis_spark.driver.common import BPE_K
 
     return bpe_fertility(_t(spark, sf_dir, "documents"), k=BPE_K)
+
+def _q_winnowing(spark, sf_dir):
+    """Winnowing/MOSS fingerprint matching (operators/dedup.py:
+    winnowing_matches) — guaranteed detection of shared substrings of
+    length ≥ w+k−1 at ~2/(w+1) storage; df-capped inverted index."""
+    from metis_spark.operators.dedup import winnowing_matches
+    from metis_spark.driver.common import (
+        WINNOW_DF_CAP, WINNOW_K, WINNOW_TOP, WINNOW_W,
+    )
+
+    return winnowing_matches(
+        _t(spark, sf_dir, "documents"),
+        k=WINNOW_K, w=WINNOW_W, df_cap=WINNOW_DF_CAP, top=WINNOW_TOP,
+    )

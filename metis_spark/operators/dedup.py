@@ -26,7 +26,7 @@ Everything is built-in expressions (md5, explode, groupBy) — no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metis_spark.functions.text import shingles, simhash60, tokens
@@ -238,3 +238,94 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return a.join(b, "simhash").where(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b", "simhash"
     )
+
+
+def winnowing_matches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    df_cap: int = 64,
+    top: int = 50,
+) -> DataFrame:
+    """Winnowing fingerprint matching (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) → top pairs (doc_a, doc_b,
+    shared, fp_a, fp_b, score, rn). The local-fingerprinting guarantee
+    the shingle/MinHash family lacks: every shared substring of length
+    ≥ w+k−1 is DETECTED BY CONSTRUCTION (some window inside it selects
+    the same minimal k-gram hash in both documents) while only ~2/(w+1)
+    of positions are stored. The standard plagiarism / license-text /
+    quote-inclusion detector, complementing `minhash_jaccard_dedup`
+    (global resemblance) and `dup_span_coverage` (exact spans).
+
+    Pipeline: char k-gram hashes per position (the md5→60-bit trick
+    both engines replay) → window-minimum over each w-window (one
+    bounded ROWS window per doc partition — never global) → DISTINCT
+    selected hashes per doc → inverted-index self-join on the hash
+    (document-frequency cap ``df_cap`` drops boilerplate fingerprints
+    BEFORE the join, the LSH-family shuffle bound) → per-pair shared
+    count; score = shared/min(fp_a, fp_b) (containment-style, one float
+    fold). Top-k via distributed sort + limit.
+    """
+    from metis_spark.functions.text import token_hash60
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc"), F.lower(F.col(text_col)).alias("t")
+    ).where(F.length("t") >= k + w - 1)
+    grams = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - (k - 1)),
+                lambda i: F.substr(F.col("t"), i, F.lit(k)),
+            )
+        ).alias("p0", "g"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), token_hash60(F.col("g")).alias("h"))
+    wmin = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    maxpos = Window.partitionBy("doc")
+    sel = (
+        grams.withColumn("wm", F.min("h").over(wmin))
+        .withColumn("np", F.max("pos").over(maxpos))
+        .where(F.col("pos") <= F.col("np") - (w - 1))
+        .select("doc", F.col("wm").alias("h"))
+        .distinct()
+    )
+    fp = sel.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("nfp"))
+    rare = (
+        sel.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("h")
+    )
+    idx = sel.join(rare.hint("shuffle_hash"), "h")
+    a = idx.select("h", F.col("doc").alias("doc_a"))
+    b = idx.select("h", F.col("doc").alias("doc_b"))
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    fa = fp.select(F.col("doc").alias("doc_a"), F.col("nfp").alias("fp_a"))
+    fb = fp.select(F.col("doc").alias("doc_b"), F.col("nfp").alias("fp_b"))
+    scored = (
+        pairs.join(fa.hint("shuffle_hash"), "doc_a")
+        .join(fb.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "fp_a",
+            "fp_b",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("fp_a", "fp_b").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    order = [F.desc("score"), F.desc("shared"), F.asc("doc_a"), F.asc("doc_b")]
+    topd = scored.orderBy(*order).limit(top)
+    rw = Window.orderBy(*order)
+    return topd.withColumn("rn", F.row_number().over(rw).cast("long"))
