@@ -376,6 +376,8 @@ WINNOW_K = 5  # winnowing k-gram length
 WINNOW_W = 4  # winnowing window
 WINNOW_DF_CAP = 64  # boilerplate-fingerprint df bound
 WINNOW_TOP = 50
+
+COVER_K = 8  # greedy max-cover seed count
 TPR_BETA = 0.5  # per-epoch transfer fraction
 PMI_K = 50  # collocation report size
 DDIC_P_TENTHS = 1  # IC propagation probability in tenths (p = 0.1)

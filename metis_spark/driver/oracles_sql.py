@@ -36,7 +36,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
     triangle_count_per_vertex,
 )
 
-from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEAR_K, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TPR_BETA, TPR_EPOCHS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
+from metis_spark.driver.common import ABCORE_ALPHA, ABCORE_BETA, ABCORE_MOD, ABCORE_ROUNDS, ANF_MASKS, EP_PS, EP_ROUNDS, ANF_ROUNDS, BETW_ROUNDS, BOILER_MIN_DOCS, BOWTIE_REACH_ROUNDS, CC_ROUNDS, CHUNK_STRIDE, CHUNK_TOK, COLOR_ORACLE_ROUNDS, COLOR_THIN, COMPONENT_PROFILE_ROUNDS, CONTAM_BENCH_MOD, CONTAM_BENCH_REM, CONTAM_K, CORENESS_DEC_MOD, CORENESS_ORACLE_ROUNDS, DAG_ROUNDS, DEDUP_CC_ROUNDS, DENSEST_EPS_TENTHS, DENSEST_ORACLE_ROUNDS, DIAM_ROUNDS, EMB_K, GRAPH_MOD, HEC_MAXP, HITS_ITERS, HUB_CAP, KATZ_ALPHA, KATZ_ITERS, KCENTER_K, KCORE_K, KMEANS_ITERS, KMEANS_K, KMEANS_SCALE, SEMDEDUP_TAU, _cos_expr, DSIR_BUCKETS, DSIR_TARGET, KCORE_ORACLE_ROUNDS, KTRUSS_K, KTRUSS_ORACLE_ROUNDS, BPE_K, COVER_K, DDIC_K, DDIC_P_TENTHS, KPEAK_ROUNDS, LEADERRANK_ITERS, LOUVAIN_ROUNDS, LPA_ROUNDS, LP_EVAL_K, LP_HOLD_MOD, LP_NEG_VSAMP_MOD, LVO_K, MATCHING_ORACLE_ROUNDS, MIS_ORACLE_ROUNDS, MSF_INNER_J, MSF_ORACLE_ROUNDS, N2V_P, N2V_Q, N_BETW_SOURCES, N_MEDIA, N_WALKS, ONION_ROUNDS, PARTITION_EPS10, PARTITION_K, PR_ITERS, RICH_CLUB_KS, ROB_KS, ROB_ROUNDS, SALSA_ITERS, SCAN_CC_ROUNDS, SCAN_EPS_DEN, SCAN_EPS_NUM, SCAN_MU, SCC_PHASES, SCC_ROUNDS, SLPA_ROUNDS, SLPA_SEED_MOD, SPARSE_MOD, SPEAR_K, SPEC_COLOR_ORACLE_ROUNDS, SSSP_ROUNDS, SSSP_W_ROUNDS, SWEEP_ITERS, SWEEP_L, SWEEP_SEED_MOD, TEMPORAL_INF, TEMPORAL_ORACLE_ROUNDS, TEMPORAL_SEED_MOD, TEMPORAL_TS_MOD, TPR_BETA, TPR_EPOCHS, TRUSSNESS_ORACLE_ROUNDS, TRUSS_DEC_MOD, WALK_LEN, WCORENESS_ORACLE_ROUNDS, WCORE_W_MOD, WIDEST_ROUNDS, WL_ROUNDS, WS_K, _EDGES_SPARSE_SQL, _EDGES_SQL, _MINHASH_CTES, _SHINGLES_SQL, _TOKS_SQL, _W_EXPR, _anf_masks_ctes, _kcenter_cos, _louvain_level1_ctes, _louvain_level2_ctes, _walks_ctes  # noqa: E501,F401
 
 
 _EDGE_DIFF_SQL = f"""
@@ -3797,4 +3797,46 @@ def _temporal_pagerank_sql(
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT id, ROUND(rank, 6) AS rank FROM tp{n_epochs}"
+    )
+
+def _vocab_cover_sql(k: int = COVER_K) -> str:
+    """Unrolled greedy max-cover twin: k rounds of uncovered-gain count
+    + (gain DESC, doc ASC) argmax + covered-set union, with the same
+    gain ≥ 1 stopping rule (an exhausted round's pick CTE is empty and
+    contributes nothing, matching the engine's break)."""
+    ctes = [
+        "vcdt AS MATERIALIZED (SELECT DISTINCT doc_id AS doc, term FROM "
+        "(SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents))",
+        "vcg1 AS (SELECT doc, COUNT(*)::BIGINT AS gain FROM vcdt GROUP BY doc)",
+        "vcp1 AS MATERIALIZED (SELECT doc, gain FROM vcg1 WHERE gain >= 1 "
+        "ORDER BY gain DESC, doc ASC LIMIT 1)",
+        "vcs1 AS (SELECT 1::BIGINT AS rank, doc, gain FROM vcp1)",
+        "vcc1 AS MATERIALIZED (SELECT DISTINCT term FROM vcdt "
+        "WHERE doc = (SELECT doc FROM vcp1))",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"vcg{i} AS (SELECT d.doc, COUNT(*)::BIGINT AS gain FROM vcdt d "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vcc{p} c WHERE c.term = d.term) "
+            f"AND NOT EXISTS (SELECT 1 FROM vcs{p} s WHERE s.doc = d.doc) "
+            f"GROUP BY d.doc)"
+        )
+        ctes.append(
+            f"vcp{i} AS MATERIALIZED (SELECT doc, gain FROM vcg{i} "
+            f"WHERE gain >= 1 ORDER BY gain DESC, doc ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"vcs{i} AS (SELECT * FROM vcs{p} "
+            f"UNION ALL SELECT {i}::BIGINT, doc, gain FROM vcp{i})"
+        )
+        ctes.append(
+            f"vcc{i} AS MATERIALIZED (SELECT term FROM vcc{p} "
+            f"UNION SELECT term FROM vcdt WHERE doc = (SELECT doc FROM vcp{i}))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT rank, doc AS doc_id, gain, "
+        f"SUM(gain) OVER (ORDER BY rank)::BIGINT AS covered_total FROM vcs{k}"
     )

@@ -532,3 +532,12 @@ def _q_winnowing(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         k=WINNOW_K, w=WINNOW_W, df_cap=WINNOW_DF_CAP, top=WINNOW_TOP,
     )
+
+def _q_vocab_cover(spark, sf_dir):
+    """Greedy max-cover vocabulary seeds (operators/sampling.py:
+    vocab_cover_seeds) — the (1−1/e) submodular data-selection
+    baseline; integer gains, bit-identical selection order."""
+    from metis_spark.operators.sampling import vocab_cover_seeds
+    from metis_spark.driver.common import COVER_K
+
+    return vocab_cover_seeds(_t(spark, sf_dir, "documents"), k=COVER_K)

@@ -182,3 +182,75 @@ def weighted_sample_topk(
     top = scored.orderBy(F.desc("priority"), F.asc(key_col)).limit(k)
     w = Window.orderBy(F.desc("priority"), F.asc(key_col))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def vocab_cover_seeds(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy maximum-coverage data selection → k rows (rank, doc_id,
+    gain, covered_total): pick the document adding the most UNCOVERED
+    vocabulary each round — the classic (1−1/e)-approximate submodular
+    selection (Nemhauser et al. 1978) that modern data-selection work
+    applies to finetuning-set construction: a handful of documents
+    covering the corpus vocabulary beats the same count of random or
+    top-quality docs for diversity. Stops early when no document adds
+    a single new term.
+
+    Determinism: gains are exact integers; ties break by ascending
+    doc_id, so the selection sequence replays bit-for-bit in both
+    engines.
+
+    Scale shape: the universe is the DISTINCT (doc, term) table (one
+    map-side groupBy off tokenization); each of the ≤ k rounds is one
+    left-anti join against the covered-term set (vocabulary-bounded,
+    not corpus-bounded), one map-side gain count, and a TakeOrdered
+    argmax — the driver holds k rows (the kcenter/degree-discount
+    discipline). The covered set is localCheckpoint-truncated so
+    lineage never compounds.
+    """
+    from metis_spark.functions.text import tokens
+
+    dt = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+    dt.count()
+    covered = None
+    picks: list[tuple[int, int, int, int]] = []
+    total = 0
+    for rn in range(1, k + 1):
+        cand = dt
+        if picks:
+            cand = cand.where(~F.col("doc").isin([p[1] for p in picks]))
+        if covered is not None:
+            cand = cand.join(covered.hint("shuffle_hash"), "term", "left_anti")
+        top = (
+            cand.groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .where(F.col("gain") >= 1)
+            .orderBy(F.desc("gain"), F.asc("doc"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = int(top[0]["doc"]), int(top[0]["gain"])
+        total += gain
+        picks.append((rn, doc, gain, total))
+        new_terms = dt.where(F.col("doc") == doc).select("term")
+        covered = (
+            new_terms
+            if covered is None
+            else covered.unionByName(new_terms).distinct()
+        ).localCheckpoint(eager=True)
+    dt.unpersist()
+    return docs.sparkSession.createDataFrame(
+        picks, "rank long, doc_id long, gain long, covered_total long"
+    )
