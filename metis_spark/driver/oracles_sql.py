@@ -3840,3 +3840,49 @@ def _vocab_cover_sql(k: int = COVER_K) -> str:
         f"SELECT rank, doc AS doc_id, gain, "
         f"SUM(gain) OVER (ORDER BY rank)::BIGINT AS covered_total FROM vcs{k}"
     )
+
+def _nmi_partitions_sql() -> str:
+    """Twin of partition_nmi on the same unrolled Louvain/LPA chains as
+    the ARI twin; every entropy/MI term micro-nat quantized from its
+    integer tuple before the order-free sums."""
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    ctes.append("nlp0 AS (SELECT id, id AS label FROM ldeg)")
+    for i in range(1, LPA_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"nlpc{i} AS (SELECT u.dst AS id, l.label FROM und u "
+            f"JOIN nlp{p} l ON u.src = l.id UNION ALL SELECT id, label FROM nlp{p})"
+        )
+        ctes.append(
+            f"nlpn{i} AS (SELECT id, label, COUNT(*) AS c FROM nlpc{i} GROUP BY id, label)"
+        )
+        ctes.append(
+            f"nlp{i} AS (SELECT id, label FROM (SELECT id, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn "
+            f"FROM nlpn{i}) WHERE rn = 1)"
+        )
+    ctes += [
+        f"ncont AS MATERIALIZED (SELECT a.label AS la, b.label AS lb, "
+        f"COUNT(*)::BIGINT AS nij FROM l{LOUVAIN_ROUNDS} a "
+        f"JOIN nlp{LPA_ROUNDS} b ON a.id = b.id GROUP BY a.label, b.label)",
+        "ntot AS (SELECT SUM(nij)::BIGINT AS n FROM ncont)",
+        "nam AS MATERIALIZED (SELECT la, SUM(nij)::BIGINT AS ai FROM ncont GROUP BY la)",
+        "nbm AS MATERIALIZED (SELECT lb, SUM(nij)::BIGINT AS bj FROM ncont GROUP BY lb)",
+        "nha AS (SELECT COUNT(*)::BIGINT AS clusters_a, SUM(CASE WHEN ai > 0 THEN "
+        "CAST(ROUND(-(ai::DOUBLE / t.n) * ln(ai::DOUBLE / t.n) * 1000000.0) AS BIGINT) "
+        "ELSE 0 END)::BIGINT AS h_a_micro FROM nam, ntot t)",
+        "nhb AS (SELECT COUNT(*)::BIGINT AS clusters_b, SUM(CASE WHEN bj > 0 THEN "
+        "CAST(ROUND(-(bj::DOUBLE / t.n) * ln(bj::DOUBLE / t.n) * 1000000.0) AS BIGINT) "
+        "ELSE 0 END)::BIGINT AS h_b_micro FROM nbm, ntot t)",
+        "nmi_t AS (SELECT SUM(CAST(ROUND((c.nij::DOUBLE / t.n) "
+        "* ln(t.n::DOUBLE * c.nij / (a.ai::DOUBLE * b.bj)) * 1000000.0) AS BIGINT))::BIGINT "
+        "AS mi_micro FROM ncont c JOIN nam a ON c.la = a.la "
+        "JOIN nbm b ON c.lb = b.lb, ntot t)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT n, clusters_a, clusters_b, h_a_micro, h_b_micro, mi_micro, "
+        "CASE WHEN h_a_micro + h_b_micro > 0 THEN "
+        "ROUND(2.0 * mi_micro::DOUBLE / (h_a_micro + h_b_micro), 6) END AS nmi "
+        "FROM ntot, nha, nhb, nmi_t"
+    )

@@ -567,3 +567,24 @@ def _q_disparity(spark, sf_dir):
     return disparity_filter(
         derived_edges_sparse(spark, sf_dir), alpha_micro=DISPARITY_ALPHA_MICRO
     )
+
+def _q_nmi_partitions(spark, sf_dir):
+    """Normalized mutual information between the Louvain level-1 and
+    LPA partitions (plans/metrics.py:partition_nmi) — the information-
+    theoretic twin of ari_partitions on the same two clusterings."""
+    from metis_spark.plans.lpa import label_propagation
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import partition_nmi
+    from metis_spark.driver.common import LOUVAIN_ROUNDS, LPA_ROUNDS
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    lou, _ = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qnmi_lou_")
+    )
+    lpa, _ = label_propagation(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qnmi_lpa_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return partition_nmi(lou, lpa)

@@ -1587,3 +1587,101 @@ def triangle_surplus(edges: DataFrame) -> DataFrame:
             ),
         ).alias("surplus"),
     )
+
+
+def partition_nmi(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
+    """Normalized mutual information between two vertex partitions →
+    one row (n, clusters_a, clusters_b, h_a_micro, h_b_micro, mi_micro,
+    nmi) — the other clustering-agreement score every community paper
+    reports next to ARI (Danon et al. 2005 convention: NMI =
+    2·I(A;B)/(H(A)+H(B))). ARI is chance-corrected pair counting; NMI
+    is information-theoretic — the two disagree exactly when cluster
+    size skew matters, which is why reviewers ask for both.
+
+    Exactness: the contingency table and marginals are integers; every
+    entropy/MI term is micro-nat quantized as a pure double function of
+    its integer tuple (the map_equation discipline), so the sums are
+    order-free integer additions; NMI is one trailing float fold.
+    NULL when both partitions are trivial (H_A + H_B = 0).
+
+    Scale shape: identical to partition_agreement — ONE map-side
+    contingency shuffle, marginals bounded by cluster-pair counts,
+    three 1-row aggregates crossJoined.
+    """
+    a = labels_a.select(F.col("id").cast("long"), F.col("label").alias("la"))
+    b = labels_b.select(F.col("id").cast("long"), F.col("label").alias("lb"))
+    cont = (
+        a.join(b, "id")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    ).persist()
+    tot = cont.agg(F.sum("nij").cast("long").alias("n"))
+    am = cont.groupBy("la").agg(F.sum("nij").cast("long").alias("ai"))
+    bm = cont.groupBy("lb").agg(F.sum("nij").cast("long").alias("bj"))
+
+    def h_term(c):
+        x = c.cast("double") / F.col("n").cast("double")
+        return (
+            F.when(c > 0, F.round(-x * F.log(x) * F.lit(1e6)).cast("long"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    ha = (
+        am.crossJoin(F.broadcast(tot))
+        .select(h_term(F.col("ai")).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("clusters_a"),
+            F.sum("t").cast("long").alias("h_a_micro"),
+        )
+    )
+    hb = (
+        bm.crossJoin(F.broadcast(tot))
+        .select(h_term(F.col("bj")).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("clusters_b"),
+            F.sum("t").cast("long").alias("h_b_micro"),
+        )
+    )
+    mi_t = (
+        cont.join(am.hint("shuffle_hash"), "la")
+        .join(bm.hint("shuffle_hash"), "lb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("nij").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("nij").cast("double")
+                    / (F.col("ai").cast("double") * F.col("bj").cast("double"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("mi_micro"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(mi_t))
+        .select(
+            "n",
+            "clusters_a",
+            "clusters_b",
+            "h_a_micro",
+            "h_b_micro",
+            "mi_micro",
+            F.when(
+                F.col("h_a_micro") + F.col("h_b_micro") > 0,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("mi_micro").cast("double")
+                    / (F.col("h_a_micro") + F.col("h_b_micro")).cast("double"),
+                    6,
+                ),
+            ).alias("nmi"),
+        )
+    )
+    return out
