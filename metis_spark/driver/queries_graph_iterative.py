@@ -838,3 +838,16 @@ def _q_temporal_pagerank(spark, sf_dir):
         checkpoint_dir=_tmpdir("metis_qtpr_"),
     )
     return out.select("id", F.round("rank", 6).alias("rank"))
+
+def _q_eccentricity_bounds(spark, sf_dir):
+    """Takes–Kosters per-vertex eccentricity bounds from the landmark
+    BFS spine (plans/sssp.py:eccentricity_bounds) — all-integer,
+    undirected view, 3 landmarks."""
+    from metis_spark.plans.sssp import eccentricity_bounds
+
+    return eccentricity_bounds(
+        derived_edges(spark, sf_dir),
+        _landmark_sources(spark, sf_dir),
+        max_iter=SSSP_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qecc_"),
+    )

@@ -687,3 +687,62 @@ def harmonic_label_scores(
         )
     und.unpersist()
     return state.select("id", F.col("p").alias("p_micro"))
+
+
+def eccentricity_bounds(
+    edges: DataFrame,
+    sources: list[int],
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Takes–Kosters landmark eccentricity bounds (Algorithms 2013) →
+    per-vertex (id, ecc_lower, ecc_upper, tight). From a handful of
+    exact landmark BFS runs on the undirected view, every vertex gets
+    provable bounds on its own eccentricity:
+
+        ecc(v) ≥ max_L max(d(v,L), ecc(L) − d(v,L))
+        ecc(v) ≤ min_L (d(v,L) + ecc(L))
+
+    (triangle inequality both ways). ``tight`` marks vertices whose
+    eccentricity is already EXACT from |L| BFS runs — the engine of the
+    BoundingDiameters method that computes exact diameters of
+    billion-edge graphs with a few dozen traversals instead of |V|.
+    Complements `diameter_double_sweep` (one lower bound) and
+    `closeness_landmarks` (centrality estimates) on the same landmark
+    spine.
+
+    All-integer: hop distances and the max/min folds; no float
+    anywhere. Vertices unreached by every landmark (other components)
+    are absent — their eccentricity w.r.t. this component is undefined.
+
+    Scale shape: |L| synchronous BFS frontiers (one shuffle each per
+    round, state keyed (id, source)), then two map-side-combined
+    groupBys. ecc(L) is a |L|-row aggregate joined back broadcast.
+    """
+    dists, info = landmark_distances(
+        edges,
+        sources,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        directed=False,
+    )
+    assert info["converged"], info
+    ecc = dists.groupBy("source").agg(F.max("dist").cast("long").alias("eccl"))
+    j = dists.join(F.broadcast(ecc), "source").select(
+        "id",
+        F.greatest(F.col("dist"), F.col("eccl") - F.col("dist")).alias("lo"),
+        (F.col("dist") + F.col("eccl")).alias("hi"),
+    )
+    return (
+        j.groupBy("id")
+        .agg(
+            F.max("lo").cast("long").alias("ecc_lower"),
+            F.min("hi").cast("long").alias("ecc_upper"),
+        )
+        .select(
+            "id",
+            "ecc_lower",
+            "ecc_upper",
+            (F.col("ecc_lower") == F.col("ecc_upper")).alias("tight"),
+        )
+    )
