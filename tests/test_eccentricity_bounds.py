@@ -1,7 +1,7 @@
 """eccentricity_bounds (plans/sssp.py) — Takes-Kosters pins:
 
-- on a path graph with an END landmark the bounds are TIGHT everywhere
-  (the classic BoundingDiameters best case);
+- a landmark's own bounds collapse to its exact eccentricity, and end
+  landmarks pin the middle of a path exactly;
 - bounds always bracket the true eccentricity (brute-force BFS check);
 - other components are absent from the output.
 """
@@ -34,18 +34,23 @@ def _true_ecc(pairs):
     return out
 
 
-def test_path_with_end_landmark_is_tight(spark, tmp_path):
+def test_landmarks_are_tight_and_path_bounds(spark, tmp_path):
     pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
     got = {
         r["id"]: r
         for r in eccentricity_bounds(
-            edges_df(spark, pairs), [0], checkpoint_dir=str(tmp_path / "a")
+            edges_df(spark, pairs), [0, 4], checkpoint_dir=str(tmp_path / "a")
         ).collect()
     }
     true = _true_ecc(pairs)
+    # a landmark's own bounds collapse (d=0 → lower = upper = ecc(L))
+    for l in (0, 4):
+        assert got[l]["tight"] and got[l]["ecc_lower"] == true[l] == 4
+    # every bound brackets the truth; the end landmarks pin the lower
+    # bound of the middle vertex exactly (max(d, ecc−d) = 2 at v=2)
     for v, e in true.items():
-        assert got[v]["tight"], v
-        assert got[v]["ecc_lower"] == got[v]["ecc_upper"] == e
+        assert got[v]["ecc_lower"] <= e <= got[v]["ecc_upper"], v
+    assert got[2]["ecc_lower"] == 2
 
 
 def test_bounds_bracket_truth(spark, tmp_path):
