@@ -53,7 +53,7 @@ from metis_spark.driver.queries_graph_structure import FIEDLER_ITERS, FIEDLER_SC
 
 from metis_spark.driver.queries_misc import _q_label_mixing_matrix, _q_anti_join, _q_asof_fallback, _q_attr_assortativity, _q_benchmark_contamination, _q_center, _q_copart_topk, _q_dataset_splits, _q_edge_diff, _q_edge_embeddedness, _q_filter_funnel, _q_global_hh_sketch, _q_graph_degrees, _q_heavy_edge_coarsen, _q_heavy_hitter_users, _q_local_clustering, _q_maximal_matching, _q_msf, _q_pref_attach, _q_random_walks, _q_running_total, _q_spec_coloring, _q_vertex_jaccard, _q_walk_sentences, _q_weighted_sample, _q_cocitation, _q_refex, _q_mirrors, _q_forman_curvature, _q_structural_holes, _q_ari_partitions, _q_collective_influence, _q_degree_discount, _q_disparity, _q_nmi_partitions  # noqa: E501,F401
 
-from metis_spark.driver.queries_relational import WINDOW_HH_MIN, _q_window_heavy_users, _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct  # noqa: E501,F401
+from metis_spark.driver.queries_relational import WINDOW_HH_MIN, _q_window_heavy_users, _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct, _q_decayed_counts  # noqa: E501,F401
 
 from metis_spark.driver.queries_similarity import _q_ann_ivf, _q_ann_ivf_recall, _q_ann_lsh, _q_ann_lsh_recall, _q_ann_topk, _q_embedding_cluster_sizes, _q_embedding_dedup_clusters, _q_embedding_neardup, _q_hard_negatives, _q_kcenter, _q_kmeans, _q_semdedup, _q_media_decode, _q_media_features, _q_sq8_codes, _q_pca_top, _q_pq_codes, _q_pq_ann  # noqa: E501,F401
 
@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_cover_seeds": _q_vocab_cover,         # r5: submodular selection
         "nmi_partitions": _q_nmi_partitions,         # r5: info-theoretic ARI twin
         "eccentricity_bounds": _q_eccentricity_bounds,  # r5: BoundingDiameters
+        "decayed_event_counts": _q_decayed_counts,   # r5: recency-weighted score
 
         # heavy iterative decompositions + the rest of the r3/r4 surface
         "coreness": _q_coreness,
@@ -921,6 +922,15 @@ def oracle_sql() -> dict[str, str]:
         "ari_partitions": _ari_partitions_sql(),
         "nmi_partitions": _nmi_partitions_sql(),
         "eccentricity_bounds": _ecc_bounds_sql(),
+        "decayed_event_counts": (
+            "WITH dev AS MATERIALIZED (SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events), "
+            "dmx AS (SELECT MAX(es)::BIGINT AS tmax FROM dev), "
+            "dw AS (SELECT user_id, CAST(ROUND(pow(2.0, "
+            "-((SELECT tmax FROM dmx) - es)::DOUBLE / 86400.0) * 1000000.0) AS BIGINT) AS wm "
+            "FROM dev) "
+            "SELECT user_id, COUNT(*)::BIGINT AS n_events, SUM(wm)::BIGINT AS decayed_micro, "
+            "ROUND(SUM(wm)::DOUBLE / 1000000.0, 6) AS decayed FROM dw GROUP BY user_id"
+        ),
         "char_bigram_entropy": (
             "WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents "
             "WHERE length(text) >= 2), "

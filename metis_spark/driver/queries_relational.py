@@ -291,3 +291,45 @@ def _q_window_heavy_users(spark, sf_dir):
             "cnt",
         )
     )
+
+DECAY_HALF_LIFE_S = 86_400  # one-day half-life
+
+def _q_decayed_counts(spark, sf_dir):
+    """Per-user exponentially time-decayed activity score — the
+    recency-weighted engagement/abuse signal a streaming scorer keeps
+    as one register per user (decay folds into the register on read:
+    new = old·2^(−Δ/H) + 1). Batch twin: each event's weight
+    2^(−(Tmax−ts)/H) is quantized to integer micro-units as a pure
+    double function of its integer age, so the per-user sums are
+    order-free exact and both engines agree; Tmax is the data's own
+    horizon (deterministic). One scalar max broadcast back + one
+    map-side-combined groupBy."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    mx = ev.agg(F.max("es").alias("tmax"))
+    w = F.round(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("tmax") - F.col("es")).cast("double")
+            / F.lit(float(DECAY_HALF_LIFE_S)),
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", w.alias("wm"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("wm").cast("long").alias("decayed_micro"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "decayed_micro",
+            F.round(F.col("decayed_micro").cast("double") / F.lit(1e6), 6).alias(
+                "decayed"
+            ),
+        )
+    )
