@@ -191,6 +191,22 @@ def main() -> None:
         "disparity_backbone",
         "pmi_collocations",
         "gopher_rules",
+        "readability_flesch",
+        "distinct_ngrams",
+        "core_periphery",
+        "heaps_fit",
+        "source_scorecard",
+        "bpe_merges",
+        "bpe_fertility",
+        "centrality_rank_corr",
+        "percolation_threshold",
+        "triangle_surplus",
+        "temporal_pagerank",
+        "winnowing_matches",
+        "vocab_cover_seeds",
+        "nmi_partitions",
+        "eccentricity_bounds",
+        "decayed_event_counts",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -9,8 +9,6 @@
 
 from __future__ import annotations
 
-from collections import deque
-
 from metis_spark.plans.metrics import collective_influence
 
 from tests.conftest import edges_df
