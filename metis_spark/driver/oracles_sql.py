@@ -3914,3 +3914,21 @@ def _ecc_bounds_sql(rounds: int = SSSP_ROUNDS) -> str:
         "SELECT id, MAX(lo)::BIGINT AS ecc_lower, MIN(hi)::BIGINT AS ecc_upper, "
         "(MAX(lo) = MIN(hi)) AS tight FROM ej GROUP BY id"
     )
+
+
+_LOCAL_BRIDGE_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "e AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),\n"
+    "closed AS (SELECT DISTINCT e.src, e.dst FROM e "
+    "JOIN und w1 ON e.src = w1.src JOIN und w2 ON e.dst = w2.src "
+    "AND w1.dst = w2.dst),\n"
+    "bridges AS MATERIALIZED (SELECT e.src, e.dst FROM e "
+    "ANTI JOIN closed c ON e.src = c.src AND e.dst = c.dst),\n"
+    "span3 AS (SELECT DISTINCT b.src, b.dst FROM bridges b "
+    "JOIN und ua ON b.src = ua.src AND ua.dst <> b.dst "
+    "JOIN und ab ON ua.dst = ab.src AND ab.dst <> b.src "
+    "JOIN und bv ON b.dst = bv.src AND bv.dst = ab.dst)\n"
+    "SELECT b.src, b.dst, "
+    "(CASE WHEN s.src IS NOT NULL THEN 3 ELSE 4 END)::BIGINT AS span_lb "
+    "FROM bridges b LEFT JOIN span3 s ON b.src = s.src AND b.dst = s.dst"
+)

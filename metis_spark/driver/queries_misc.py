@@ -588,3 +588,11 @@ def _q_nmi_partitions(spark, sf_dir):
         stop_when_stable=False,
     )
     return partition_nmi(lou, lpa)
+
+def _q_local_bridges(spark, sf_dir):
+    """Local bridges with span lower bound (plans/metrics.py:
+    local_bridges) — Granovetter weak ties: edges with zero
+    embeddedness plus a one-level span resolution (3 vs ≥4)."""
+    from metis_spark.plans.metrics import local_bridges
+
+    return local_bridges(derived_edges_sparse(spark, sf_dir))
