@@ -3932,3 +3932,24 @@ _LOCAL_BRIDGE_SQL = (
     "(CASE WHEN s.src IS NOT NULL THEN 3 ELSE 4 END)::BIGINT AS span_lb "
     "FROM bridges b LEFT JOIN span3 s ON b.src = s.src AND b.dst = s.dst"
 )
+
+
+_EDGE_DISPERSION_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "e AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),\n"
+    "cn AS MATERIALIZED (SELECT e.src, e.dst, u1.dst AS s FROM e "
+    "JOIN und u1 ON e.src = u1.src "
+    "JOIN und u2 ON e.dst = u2.src AND u2.dst = u1.dst),\n"
+    "emb AS (SELECT src, dst, COUNT(*)::BIGINT AS emb FROM cn "
+    "GROUP BY src, dst HAVING COUNT(*) >= 2),\n"
+    "pr AS (SELECT a.src, a.dst, a.s, b.s AS t FROM cn a "
+    "JOIN cn b ON a.src = b.src AND a.dst = b.dst AND a.s < b.s),\n"
+    "far AS (SELECT src, dst, s, t FROM pr "
+    "ANTI JOIN und x ON pr.s = x.src AND pr.t = x.dst),\n"
+    "d AS (SELECT src, dst, COUNT(*)::BIGINT AS dispersion FROM far "
+    "GROUP BY src, dst)\n"
+    "SELECT emb.src, emb.dst, emb.emb, "
+    "COALESCE(d.dispersion, 0)::BIGINT AS dispersion, "
+    "ROUND(COALESCE(d.dispersion, 0)::DOUBLE / emb.emb, 6) AS norm_disp "
+    "FROM emb LEFT JOIN d ON emb.src = d.src AND emb.dst = d.dst"
+)

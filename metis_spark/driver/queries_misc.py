@@ -596,3 +596,11 @@ def _q_local_bridges(spark, sf_dir):
     from metis_spark.plans.metrics import local_bridges
 
     return local_bridges(derived_edges_sparse(spark, sf_dir))
+
+def _q_edge_dispersion(spark, sf_dir):
+    """Backstrom–Kleinberg absolute dispersion per edge
+    (plans/metrics.py:edge_dispersion) — the tie-strength signal that
+    separates bridging edges from embedded ones."""
+    from metis_spark.plans.metrics import edge_dispersion
+
+    return edge_dispersion(derived_edges_sparse(spark, sf_dir))

@@ -1755,3 +1755,68 @@ def local_bridges(edges: DataFrame) -> DataFrame:
         "dst",
         F.when(F.col("has3"), F.lit(3)).otherwise(F.lit(4)).cast("long").alias("span_lb"),
     )
+
+
+def edge_dispersion(edges: DataFrame) -> DataFrame:
+    """Absolute dispersion per edge (Backstrom–Kleinberg, WWW'14
+    "Romantic partnerships and the dispersion of social ties") →
+    (src, dst, emb, dispersion, norm_disp), src < dst, one row per
+    edge with embeddedness ≥ 2 (below that dispersion is trivially 0).
+
+    disp(u,v) = #{ {s,t} ⊆ C_uv : (s,t) ∉ E } — pairs of common
+    neighbors of the edge that are NOT themselves connected. High
+    dispersion means u and v co-occur across OTHERWISE-UNLINKED
+    contexts: in a dependency graph, an edge bridging modules that
+    share the pair but nothing else. This is the paper's base (non-
+    recursive) dispersion; norm_disp = disp/emb is its embeddedness-
+    normalized form (the paper's best single predictor family).
+
+    Exactness: integer pair counting end-to-end — common neighbors by
+    two-hop join, pair enumeration by self-join with s < t, adjacency
+    removal by left_anti; norm_disp is the single trailing ROUND(…, 6)
+    both engines apply to the same integer ratio.
+
+    Scale shape: the (edge, s) incidence is the triangle counter's
+    Σ d_e intermediate; the pair self-join costs Σ_e emb_e² — the
+    diamond (two-triangles-sharing-an-edge) budget, bounded by the
+    same degree-oriented skew the triangle family already handles.
+    Group-bys are map-side combined; no windows, no driver collect.
+    """
+    und = _und(edges)
+    e = und.where(F.col("src") < F.col("dst"))
+    # (src, dst, s): s is a common neighbor of the edge
+    cn = e.join(
+        und.select(F.col("src").alias("src"), F.col("dst").alias("s")), "src"
+    ).join(
+        und.select(F.col("src").alias("dst"), F.col("dst").alias("s")),
+        ["dst", "s"],
+        "left_semi",
+    )
+    emb = cn.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("emb")
+    ).where(F.col("emb") >= 2)
+    pairs = cn.join(
+        cn.select("src", "dst", F.col("s").alias("t")), ["src", "dst"]
+    ).where(F.col("s") < F.col("t"))
+    far = pairs.join(
+        und.select(F.col("src").alias("s"), F.col("dst").alias("t")),
+        ["s", "t"],
+        "left_anti",
+    )
+    disp = far.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("dispersion")
+    )
+    return (
+        emb.join(disp, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            "emb",
+            F.coalesce(F.col("dispersion"), F.lit(0)).cast("long").alias("dispersion"),
+            F.round(
+                F.coalesce(F.col("dispersion"), F.lit(0)).cast("double")
+                / F.col("emb").cast("double"),
+                6,
+            ).alias("norm_disp"),
+        )
+    )
