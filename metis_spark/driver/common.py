@@ -916,3 +916,7 @@ MIRROR_BANDS = 2   # LSH bands (rows = hashes/bands)
 
 HL_ITERS = 8   # harmonic-function value-iteration rounds
 HL_NEG_REM = 5 # negative seeds: id % TRUST_MOD == HL_NEG_REM
+
+KATZI_K = 100  # truncated-Katz link-prediction report size
+
+KATZI_BETA_DEN = 8  # Katz beta = 1/8: katz_scaled = 8*paths2 + paths3

@@ -3953,3 +3953,27 @@ _EDGE_DISPERSION_SQL = (
     "ROUND(COALESCE(d.dispersion, 0)::DOUBLE / emb.emb, 6) AS norm_disp "
     "FROM emb LEFT JOIN d ON emb.src = d.src AND emb.dst = d.dst"
 )
+
+
+def _katz_index_sql() -> str:
+    """Twin of katz_index_topk: pre-aggregated A² joined once more
+    against the adjacency, the same integer katz_scaled ranking."""
+    from metis_spark.driver.common import KATZI_BETA_DEN, KATZI_K
+
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+        "a2 AS MATERIALIZED (SELECT x.src AS u, y.dst AS w2, COUNT(*)::BIGINT AS c2 "
+        "FROM und x JOIN und y ON x.dst = y.src GROUP BY x.src, y.dst),\n"
+        "p2 AS (SELECT u, w2 AS v, c2 AS paths2 FROM a2 WHERE u < w2),\n"
+        "p3 AS (SELECT a2.u, z.dst AS v, SUM(c2)::BIGINT AS paths3 FROM a2 "
+        "JOIN und z ON a2.w2 = z.src WHERE a2.u < z.dst GROUP BY a2.u, z.dst),\n"
+        "kboth AS (SELECT COALESCE(p2.u, p3.u) AS u, COALESCE(p2.v, p3.v) AS v, "
+        "COALESCE(paths2, 0)::BIGINT AS paths2, COALESCE(paths3, 0)::BIGINT AS paths3 "
+        "FROM p2 FULL OUTER JOIN p3 ON p2.u = p3.u AND p2.v = p3.v),\n"
+        "nonadj AS (SELECT b.u, b.v, paths2, paths3, "
+        f"({KATZI_BETA_DEN} * paths2 + paths3)::BIGINT AS katz_scaled "
+        "FROM kboth b ANTI JOIN und a ON b.u = a.src AND b.v = a.dst)\n"
+        "SELECT u, v, paths2, paths3, katz_scaled, "
+        "ROW_NUMBER() OVER (ORDER BY katz_scaled DESC, u ASC, v ASC)::BIGINT AS rn "
+        f"FROM nonadj ORDER BY katz_scaled DESC, u ASC, v ASC LIMIT {KATZI_K}"
+    )

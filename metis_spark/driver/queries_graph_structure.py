@@ -1467,3 +1467,14 @@ def _q_triangle_surplus(spark, sf_dir):
     from metis_spark.plans.metrics import triangle_surplus
 
     return triangle_surplus(derived_edges_sparse(spark, sf_dir))
+
+def _q_katz_index(spark, sf_dir):
+    """Truncated Katz index top-k (plans/metrics.py:katz_index_topk) —
+    the walk-counting link predictor next to adamic_adar_topk /
+    vertex_jaccard_topk; integer-exact beta = 1/KATZI_BETA_DEN."""
+    from metis_spark.plans.metrics import katz_index_topk
+    from metis_spark.driver.common import KATZI_BETA_DEN, KATZI_K
+
+    return katz_index_topk(
+        derived_edges_sparse(spark, sf_dir), k=KATZI_K, beta_den=KATZI_BETA_DEN
+    )

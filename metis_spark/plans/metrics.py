@@ -1820,3 +1820,73 @@ def edge_dispersion(edges: DataFrame) -> DataFrame:
             ).alias("norm_disp"),
         )
     )
+
+
+def katz_index_topk(
+    edges: DataFrame, k: int = 100, beta_den: int = 8
+) -> DataFrame:
+    """Truncated Katz index (Katz 1953; the path-counting member of
+    the classic link-prediction trio next to Adamic-Adar and Jaccard)
+    → top-k NON-adjacent pairs (u, v, paths2, paths3, katz_scaled, rn),
+    u < v.
+
+    Katz(u,v) = Σ_l β^l · walks_l(u,v), truncated at l = 3. For a
+    non-adjacent pair walks_1 = 0 and every length-2/3 walk is a
+    simple path (a revisit would need the forbidden (u,v) edge), so
+    with β = 1/beta_den the score is proportional to the exact integer
+
+        katz_scaled = beta_den · paths2 + paths3
+
+    — both engines rank by the same integer, no float anywhere. Ties
+    broken by (u, v) ascending, so the cut at k is deterministic.
+
+    Scale shape: A² arrives pre-aggregated ((u, w2) multiplicity
+    groupBy, map-side combined) BEFORE the third hop joins it against
+    the adjacency — the classic semiring two-step that keeps the
+    widest intermediate at distance-2-pairs, not raw 3-walks. The
+    final ranking window runs over the k surviving rows only. Hub
+    skew inflates A² around big vertices; at 100 TB the same
+    hub-salting the triangle family uses applies (document-level cap
+    deliberately NOT applied here — Katz is exact by definition).
+    """
+    und = _und(edges)
+    a2 = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .join(und.select(F.col("src").alias("w"), F.col("dst").alias("w2")), "w")
+        .groupBy("u", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    p2 = (
+        a2.where((F.col("u") < F.col("w2")))
+        .select(F.col("u"), F.col("w2").alias("v"), F.col("c2").alias("paths2"))
+    )
+    p3 = (
+        a2.join(und.select(F.col("src").alias("w2"), F.col("dst").alias("v")), "w2")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("c2").cast("long").alias("paths3"))
+    )
+    both = (
+        p2.join(p3, ["u", "v"], "full_outer")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("paths2"), F.lit(0)).cast("long").alias("paths2"),
+            F.coalesce(F.col("paths3"), F.lit(0)).cast("long").alias("paths3"),
+        )
+    )
+    adj = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    nonadj = both.join(adj, ["u", "v"], "left_anti").select(
+        "u",
+        "v",
+        "paths2",
+        "paths3",
+        (F.lit(beta_den).cast("long") * F.col("paths2") + F.col("paths3"))
+        .cast("long")
+        .alias("katz_scaled"),
+    )
+    top = nonadj.orderBy(
+        F.desc("katz_scaled"), F.asc("u"), F.asc("v")
+    ).limit(k)
+    w = Window.orderBy(F.desc("katz_scaled"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
