@@ -3977,3 +3977,16 @@ def _katz_index_sql() -> str:
         "ROW_NUMBER() OVER (ORDER BY katz_scaled DESC, u ASC, v ASC)::BIGINT AS rn "
         f"FROM nonadj ORDER BY katz_scaled DESC, u ASC, v ASC LIMIT {KATZI_K}"
     )
+
+
+def _vi_partitions_sql() -> str:
+    """Twin of partition_vi: a projection over the NMI twin's one-row
+    output — VI folds the same micro-nat integers."""
+    return (
+        "SELECT n, clusters_a, clusters_b, "
+        "(h_a_micro + h_b_micro - 2 * mi_micro)::BIGINT AS vi_micro, "
+        "ROUND((h_a_micro + h_b_micro - 2 * mi_micro)::DOUBLE / 1000000.0, 6) AS vi, "
+        "CASE WHEN n > 1 THEN ROUND((h_a_micro + h_b_micro - 2 * mi_micro)::DOUBLE "
+        "/ 1000000.0 / ln(n::DOUBLE), 6) END AS nvi "
+        f"FROM ({_nmi_partitions_sql()})"
+    )

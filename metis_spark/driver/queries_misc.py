@@ -604,3 +604,24 @@ def _q_edge_dispersion(spark, sf_dir):
     from metis_spark.plans.metrics import edge_dispersion
 
     return edge_dispersion(derived_edges_sparse(spark, sf_dir))
+
+def _q_vi_partitions(spark, sf_dir):
+    """Variation of Information between the Louvain level-1 and LPA
+    partitions (plans/metrics.py:partition_vi) — the metric-space
+    member of the ARI/NMI/VI agreement trio, on the same clusterings."""
+    from metis_spark.plans.lpa import label_propagation
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import partition_vi
+    from metis_spark.driver.common import LOUVAIN_ROUNDS, LPA_ROUNDS
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    lou, _ = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qvi_lou_")
+    )
+    lpa, _ = label_propagation(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qvi_lpa_"),
+        max_iter=LPA_ROUNDS,
+        stop_when_stable=False,
+    )
+    return partition_vi(lou, lpa)

@@ -1890,3 +1890,39 @@ def katz_index_topk(
     ).limit(k)
     w = Window.orderBy(F.desc("katz_scaled"), F.asc("u"), F.asc("v"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def partition_vi(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
+    """Variation of Information between two vertex partitions (Meilă,
+    JMLR 2007) → one row (n, clusters_a, clusters_b, vi_micro, vi,
+    nvi). VI = H(A) + H(B) − 2·I(A;B) — the only clustering-agreement
+    score in the trio that is a TRUE METRIC (triangle inequality
+    holds), which is why it composes across refinement chains where
+    ARI and NMI don't.
+
+    vi_micro folds the three micro-nat integers the NMI computation
+    already produces — H_A + H_B − 2·MI stays exact integer
+    arithmetic; vi is its single float unquantization and nvi divides
+    by ln(n) (the VI upper bound), NULL for n ≤ 1.
+
+    Scale shape: identical to partition_nmi (one contingency shuffle);
+    this is a projection over its one-row output.
+    """
+    base = partition_nmi(labels_a, labels_b)
+    vim = (
+        F.col("h_a_micro") + F.col("h_b_micro") - F.lit(2) * F.col("mi_micro")
+    ).cast("long")
+    return base.select(
+        "n",
+        "clusters_a",
+        "clusters_b",
+        vim.alias("vi_micro"),
+        F.round(vim.cast("double") / F.lit(1e6), 6).alias("vi"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                vim.cast("double") / F.lit(1e6) / F.log(F.col("n").cast("double")),
+                6,
+            ),
+        ).alias("nvi"),
+    )
