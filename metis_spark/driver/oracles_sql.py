@@ -3990,3 +3990,25 @@ def _vi_partitions_sql() -> str:
         "/ 1000000.0 / ln(n::DOUBLE), 6) END AS nvi "
         f"FROM ({_nmi_partitions_sql()})"
     )
+
+
+_DEGREE_GINI_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "gdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "h AS (SELECT deg, COUNT(*)::BIGINT AS c FROM gdeg GROUP BY deg),\n"
+    "cumh AS (SELECT deg, c, SUM(c) OVER (ORDER BY deg)::BIGINT AS cum FROM h),\n"
+    "blocks AS (SELECT deg, c, cum, cum - c AS r, "
+    "deg::HUGEINT * (c::HUGEINT * (cum - c) + (c::HUGEINT * (c + 1)) // 2) AS rsum "
+    "FROM cumh),\n"
+    "tot AS (SELECT SUM(c)::BIGINT AS n, SUM(deg::HUGEINT * c)::BIGINT AS sum_deg, "
+    "SUM(rsum)::BIGINT AS ranked_sum FROM blocks),\n"
+    "kk AS (SELECT n, sum_deg, ranked_sum, "
+    "GREATEST(1, (n + 99) // 100)::BIGINT AS k FROM tot),\n"
+    "tm AS (SELECT SUM(GREATEST(0, LEAST(b.cum, kk.n) - GREATEST(b.r, kk.n - kk.k)) "
+    "* b.deg)::BIGINT AS top_mass FROM blocks b, kk)\n"
+    "SELECT n, sum_deg, ranked_sum, "
+    "ROUND(2.0 * ranked_sum / (n::DOUBLE * sum_deg) - (n + 1)::DOUBLE / n, 6) AS gini, "
+    "k AS top1pct_k, "
+    "ROUND(top_mass::DOUBLE / sum_deg, 6) AS top1pct_share "
+    "FROM kk, tm"
+)

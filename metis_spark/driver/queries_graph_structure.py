@@ -1478,3 +1478,10 @@ def _q_katz_index(spark, sf_dir):
     return katz_index_topk(
         derived_edges_sparse(spark, sf_dir), k=KATZI_K, beta_den=KATZI_BETA_DEN
     )
+
+def _q_degree_gini(spark, sf_dir):
+    """Degree Gini + top-1% degree-mass share (plans/metrics.py:
+    degree_gini) — the skew dial read before choosing hub salting."""
+    from metis_spark.plans.metrics import degree_gini
+
+    return degree_gini(derived_edges_sparse(spark, sf_dir))

@@ -1926,3 +1926,92 @@ def partition_vi(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
             ),
         ).alias("nvi"),
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Degree-inequality profile → one row (n, sum_deg, ranked_sum,
+    gini, top1pct_k, top1pct_share). Gini coefficient of the degree
+    distribution plus the degree-mass share of the top-1% vertices —
+    the two numbers that decide whether a graph needs hub salting
+    before its joins (gini ≳ 0.6 / top-1% share ≳ 0.2 means the
+    heaviest reducers own the stage).
+
+    For degrees sorted ascending with ranks 1..n,
+        G = 2·Σ_i i·d_i / (n·Σd) − (n+1)/n,
+    computed from the DEGREE HISTOGRAM, not the degree list: a block
+    of c vertices of equal degree v whose ascending ranks start after
+    cum-count r contributes v·(c·r + c(c+1)/2) — exact integers all
+    the way; gini and the share are trailing float folds. top1pct_k =
+    ceil(n/100) (at least 1); its share overlaps the descending
+    prefix against each histogram block, again integer-exact.
+
+    Scale shape: one degree groupBy, one histogram groupBy, then a
+    single-partition window over DISTINCT DEGREE VALUES only — the
+    histogram is ≤ max-degree rows regardless of graph size (the same
+    bounded-input invariant as degree_histogram), so the unpartitioned
+    window is safe at any scale.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
+    cum = hist.withColumn("cum", F.sum("c").over(w).cast("long"))
+    blocks = cum.select(
+        "deg",
+        "c",
+        "cum",
+        (F.col("cum") - F.col("c")).alias("r"),
+        (
+            F.col("deg").cast(dec)
+            * (
+                F.col("c").cast(dec) * (F.col("cum") - F.col("c")).cast(dec)
+                + (F.col("c").cast(dec) * (F.col("c") + 1).cast(dec))
+                / F.lit(2).cast(dec)
+            )
+        ).alias("rsum"),
+    )
+    tot = blocks.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("deg").cast(dec) * F.col("c").cast(dec)).alias("sd"),
+        F.sum("rsum").alias("ranked"),
+    )
+    base = tot.select(
+        F.col("n"),
+        F.col("sd").cast("long").alias("sum_deg"),
+        F.col("ranked").cast("long").alias("ranked_sum"),
+        F.greatest(F.lit(1), F.floor((F.col("n") + 99) / 100)).cast("long").alias("k"),
+    )
+    # top-k overlap per block: ranks above n - k, ascending cum space
+    topk = (
+        blocks.crossJoin(F.broadcast(base.select("n", "k")))
+        .select(
+            (
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(F.col("cum"), F.col("n"))
+                    - F.greatest(F.col("r"), F.col("n") - F.col("k")),
+                )
+                * F.col("deg")
+            ).cast(dec).alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("top_mass"))
+    )
+    return (
+        base.crossJoin(F.broadcast(topk))
+        .select(
+            "n",
+            "sum_deg",
+            "ranked_sum",
+            F.round(
+                F.lit(2.0) * F.col("ranked_sum").cast("double")
+                / (F.col("n").cast("double") * F.col("sum_deg").cast("double"))
+                - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("gini"),
+            F.col("k").alias("top1pct_k"),
+            F.round(
+                F.col("top_mass").cast("double") / F.col("sum_deg").cast("double"), 6
+            ).alias("top1pct_share"),
+        )
+    )
