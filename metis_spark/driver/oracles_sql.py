@@ -4012,3 +4012,18 @@ _DEGREE_GINI_SQL = (
     "ROUND(top_mass::DOUBLE / sum_deg, 6) AS top1pct_share "
     "FROM kk, tm"
 )
+
+
+_NGRAM_CONTAINMENT_SQL = (
+    f"WITH {_TOKS_SQL}, {_SHINGLES_SQL}, "
+    "cex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+    "csizes AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh WHERE len(s) > 0), "
+    "cshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared "
+    "FROM cex a JOIN cex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b, "
+    "ROUND(shared::DOUBLE / sa.n, 6) AS cont_a, "
+    "ROUND(shared::DOUBLE / sb.n, 6) AS cont_b "
+    "FROM cshared JOIN csizes sa ON sa.doc_id = doc_a "
+    "JOIN csizes sb ON sb.doc_id = doc_b "
+    "WHERE shared * 10 >= 8 * LEAST(sa.n, sb.n)"
+)

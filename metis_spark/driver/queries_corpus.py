@@ -541,3 +541,10 @@ def _q_vocab_cover(spark, sf_dir):
     from metis_spark.driver.common import COVER_K
 
     return vocab_cover_seeds(_t(spark, sf_dir, "documents"), k=COVER_K)
+
+def _q_ngram_containment(spark, sf_dir):
+    """Broder containment pairs (operators/dedup.py:
+    ngram_containment_pairs) — the asymmetric subset/superset dedup
+    signal next to ngram_jaccard_dedup; integer-exact 0.8 threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(docs, "doc_id", "text", k=3)

@@ -329,3 +329,64 @@ def winnowing_matches(
     topd = scored.orderBy(*order).limit(top)
     rw = Window.orderBy(*order)
     return topd.withColumn("rn", F.row_number().over(rw).cast("long"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_cont_num: int = 8,
+    min_cont_den: int = 10,
+) -> DataFrame:
+    """Shingle-set containment → (doc_a, doc_b, shared, n_a, n_b,
+    cont_a, cont_b), a < b, for pairs where the LARGER containment
+    reaches min_cont_num/min_cont_den.
+
+    Containment C(A→B) = |S_A ∩ S_B| / |S_A| (Broder's "resemblance
+    vs containment" distinction, SEQUENCES'97): the asymmetric dedup
+    signal Jaccard misses — a short document swallowed whole by a
+    long one has containment ≈ 1 while its Jaccard can be ≈ 0. In a
+    training corpus these are quote-inclusion / boilerplate-wrapped
+    copies; the curation decision (drop the subset, keep the superset)
+    needs BOTH directions, so both are emitted.
+
+    Exactness: the threshold compares integers cross-multiplied
+    (shared · den ≥ num · min(n_a, n_b)) — no float in the filter;
+    cont_a/cont_b are trailing ROUND(…, 6) folds of integer ratios.
+
+    Scale shape: same shingle self-join budget as ngram_jaccard_pairs
+    (this is the oracle path; at 100 TB feed minhash_candidates'
+    survivors instead — containment verifies per-candidate with one
+    array_intersect, no join). Hot-shingle fan-out is the known risk,
+    inherited and documented there.
+    """
+    exploded = exploded_shingles(df, id_col, text_col, k)
+    sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.select(F.col("doc").alias("doc_a"), "shingle")
+    b = exploded.select(F.col("doc").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("shared") * F.lit(min_cont_den)
+            >= F.lit(min_cont_num) * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("shared").cast("double") / F.col("n_a").cast("double"), 6).alias("cont_a"),
+            F.round(F.col("shared").cast("double") / F.col("n_b").cast("double"), 6).alias("cont_b"),
+        )
+    )
