@@ -4027,3 +4027,23 @@ _NGRAM_CONTAINMENT_SQL = (
     "JOIN csizes sb ON sb.doc_id = doc_b "
     "WHERE shared * 10 >= 8 * LEAST(sa.n, sb.n)"
 )
+
+
+_EDGE_CLUSTERING_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "rdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "re AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),\n"
+    "rsup AS (SELECT e.src, e.dst, COUNT(*)::BIGINT AS support FROM re e "
+    "JOIN und u1 ON e.src = u1.src JOIN und u2 ON e.dst = u2.src "
+    "AND u2.dst = u1.dst GROUP BY e.src, e.dst)\n"
+    "SELECT re.src, re.dst, COALESCE(rsup.support, 0)::BIGINT AS support, "
+    "LEAST(a.deg - 1, b.deg - 1)::BIGINT AS denom, "
+    "CASE WHEN LEAST(a.deg - 1, b.deg - 1) > 0 THEN "
+    "CAST(ROUND((COALESCE(rsup.support, 0) + 1)::DOUBLE "
+    "/ LEAST(a.deg - 1, b.deg - 1) * 1000.0) AS BIGINT) END AS ecc_milli, "
+    "CASE WHEN LEAST(a.deg - 1, b.deg - 1) > 0 THEN "
+    "ROUND(CAST(ROUND((COALESCE(rsup.support, 0) + 1)::DOUBLE "
+    "/ LEAST(a.deg - 1, b.deg - 1) * 1000.0) AS BIGINT)::DOUBLE / 1000.0, 6) END AS ecc "
+    "FROM re LEFT JOIN rsup ON re.src = rsup.src AND re.dst = rsup.dst "
+    "JOIN rdeg a ON re.src = a.id JOIN rdeg b ON re.dst = b.id"
+)

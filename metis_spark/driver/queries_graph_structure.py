@@ -1485,3 +1485,11 @@ def _q_degree_gini(spark, sf_dir):
     from metis_spark.plans.metrics import degree_gini
 
     return degree_gini(derived_edges_sparse(spark, sf_dir))
+
+def _q_edge_clustering(spark, sf_dir):
+    """Radicchi edge clustering coefficient (plans/metrics.py:
+    edge_clustering_coefficient) — the local Girvan–Newman stand-in:
+    low-C3 edges are the divisive-removal candidates."""
+    from metis_spark.plans.metrics import edge_clustering_coefficient
+
+    return edge_clustering_coefficient(derived_edges_sparse(spark, sf_dir))
