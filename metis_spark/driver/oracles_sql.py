@@ -4047,3 +4047,19 @@ _EDGE_CLUSTERING_SQL = (
     "FROM re LEFT JOIN rsup ON re.src = rsup.src AND re.dst = rsup.dst "
     "JOIN rdeg a ON re.src = a.id JOIN rdeg b ON re.dst = b.id"
 )
+
+
+_BURSTINESS_SQL = (
+    "WITH bev AS (SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id FROM events),\n"
+    "bg AS (SELECT user_id, es - LAG(es) OVER "
+    "(PARTITION BY user_id ORDER BY es, event_id) AS gap FROM bev),\n"
+    "ba AS (SELECT user_id, COUNT(*)::BIGINT AS n_gaps, "
+    "SUM(gap::HUGEINT)::BIGINT AS sum_gap, "
+    "SUM(gap::HUGEINT * gap)::BIGINT AS sum_gap_sq "
+    "FROM bg WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2)\n"
+    "SELECT user_id, n_gaps, sum_gap, sum_gap_sq, "
+    "CASE WHEN sqrt(n_gaps::DOUBLE * sum_gap_sq - sum_gap::DOUBLE * sum_gap) + sum_gap > 0 "
+    "THEN ROUND((sqrt(n_gaps::DOUBLE * sum_gap_sq - sum_gap::DOUBLE * sum_gap) - sum_gap) "
+    "/ (sqrt(n_gaps::DOUBLE * sum_gap_sq - sum_gap::DOUBLE * sum_gap) + sum_gap), 6) END "
+    "AS burstiness FROM ba"
+)

@@ -333,3 +333,52 @@ def _q_decayed_counts(spark, sf_dir):
             ),
         )
     )
+
+def _q_burstiness(spark, sf_dir):
+    """Per-user burstiness of inter-event times (Goh & Barabási, EPL
+    2008): B = (σ − μ)/(σ + μ) over the gaps between consecutive
+    events. B → −1 is metronome-regular, 0 is Poisson, → 1 is bursty —
+    the activity-shape signal behind rate-limit and bot heuristics.
+
+    Exactness: gaps are integer epoch-second diffs via LAG; per-user
+    n, Σgap, Σgap² stay integers and B is one trailing double fold of
+    that integer triple (population σ: B = (√(nΣx²−S²) − S) /
+    (√(nΣx²−S²) + S)), identical in both engines. Users with < 2 gaps
+    are dropped (σ undefined at n=1? no — at n=1 σ=0, B=-1 trivially;
+    requiring ≥ 2 keeps the statistic meaningful).
+
+    Scale shape: ONE window partitioned by user (the sessionize
+    shape — parallel across users, no global window), one map-side
+    combined groupBy. Gap sums use decimal(38,0) so century-scale
+    epoch squares can't overflow.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.col("es") - F.lag("es").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    dec = "decimal(38,0)"
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("gap").cast(dec)).alias("s1"),
+        F.sum(F.col("gap").cast(dec) * F.col("gap").cast(dec)).alias("s2"),
+    ).where(F.col("n_gaps") >= 2)
+    disc = F.sqrt(
+        (F.col("n_gaps").cast("double") * F.col("s2").cast("double"))
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.col("s1").cast("long").alias("sum_gap"),
+        F.col("s2").cast("long").alias("sum_gap_sq"),
+        F.when(
+            disc + F.col("s1").cast("double") > 0,
+            F.round((disc - F.col("s1").cast("double")) / (disc + F.col("s1").cast("double")), 6),
+        ).alias("burstiness"),
+    )
