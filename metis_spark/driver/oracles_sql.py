@@ -4063,3 +4063,20 @@ _BURSTINESS_SQL = (
     "/ (sqrt(n_gaps::DOUBLE * sum_gap_sq - sum_gap::DOUBLE * sum_gap) + sum_gap), 6) END "
     "AS burstiness FROM ba"
 )
+
+
+_SPECTRAL_RADIUS_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "srdeg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "srm AS (SELECT COUNT(*)::BIGINT AS n, MAX(deg)::BIGINT AS d_max, "
+    "SUM(deg::HUGEINT)::BIGINT AS s1, SUM(deg::HUGEINT * deg)::BIGINT AS s2 FROM srdeg),\n"
+    "srp AS (SELECT MAX(a.deg::HUGEINT * b.deg)::BIGINT AS max_deg_prod "
+    "FROM und e JOIN srdeg a ON e.src = a.id JOIN srdeg b ON e.dst = b.id "
+    "WHERE e.src < e.dst)\n"
+    "SELECT n, (s1 // 2)::BIGINT AS m, d_max, s1, s2, max_deg_prod, "
+    "ROUND(GREATEST(s1::DOUBLE / n, sqrt(d_max::DOUBLE), sqrt(s2::DOUBLE / n)), 6) AS lam_lower, "
+    "ROUND(LEAST(d_max::DOUBLE, sqrt(max_deg_prod::DOUBLE)), 6) AS lam_upper, "
+    "ROUND(1.0 / LEAST(d_max::DOUBLE, sqrt(max_deg_prod::DOUBLE)), 6) AS tau_lower, "
+    "ROUND(1.0 / GREATEST(s1::DOUBLE / n, sqrt(d_max::DOUBLE), sqrt(s2::DOUBLE / n)), 6) AS tau_upper "
+    "FROM srm, srp"
+)

@@ -1493,3 +1493,11 @@ def _q_edge_clustering(spark, sf_dir):
     from metis_spark.plans.metrics import edge_clustering_coefficient
 
     return edge_clustering_coefficient(derived_edges_sparse(spark, sf_dir))
+
+def _q_spectral_radius(spark, sf_dir):
+    """Closed-form λ₁ bracket + SIS epidemic threshold bounds
+    (plans/metrics.py:spectral_radius_bounds) — the analytic partner
+    to eigencentrality_5iter and percolation_threshold."""
+    from metis_spark.plans.metrics import spectral_radius_bounds
+
+    return spectral_radius_bounds(derived_edges_sparse(spark, sf_dir))
