@@ -920,3 +920,31 @@ HL_NEG_REM = 5 # negative seeds: id % TRUST_MOD == HL_NEG_REM
 KATZI_K = 100  # truncated-Katz link-prediction report size
 
 KATZI_BETA_DEN = 8  # Katz beta = 1/8: katz_scaled = 8*paths2 + paths3
+
+TT_DELTA = 100  # temporal-triangle motif window (of the TEMPORAL_TS_MOD range)
+
+def temporal_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed sparse edges with the hash-derived timestamps the whole
+    temporal family shares (twin of the oracle `te` CTE)."""
+    e = derived_edges_sparse(spark, sf_dir)
+    return e.select(
+        "src",
+        "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit("t"),
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % TEMPORAL_TS_MOD
+        ).alias("ts"),
+    )

@@ -4080,3 +4080,27 @@ _SPECTRAL_RADIUS_SQL = (
     "ROUND(1.0 / GREATEST(s1::DOUBLE / n, sqrt(d_max::DOUBLE), sqrt(s2::DOUBLE / n)), 6) AS tau_upper "
     "FROM srm, srp"
 )
+
+
+def _temporal_triangles_sql() -> str:
+    """Twin of temporal_triangle_count on the shared `te` stamps."""
+    from metis_spark.driver.common import TT_DELTA
+
+    d = TT_DELTA
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+        "te AS MATERIALIZED (SELECT src, dst, "
+        "('0x' || substr(md5('t_' || src::VARCHAR || '_' || dst::VARCHAR), 1, 15))"
+        f"::BIGINT % {TEMPORAL_TS_MOD} AS ts FROM edges),\n"
+        "tp AS MATERIALIZED (SELECT a.src AS u, a.dst AS v, b.dst AS w, "
+        "a.ts AS t1, b.ts AS t2 FROM te a JOIN te b ON a.dst = b.src "
+        f"WHERE b.ts > a.ts AND b.ts <= a.ts + {d} AND b.dst <> a.src),\n"
+        "tpc AS (SELECT COUNT(*)::BIGINT AS two_paths FROM tp),\n"
+        "tric AS (SELECT COUNT(*)::BIGINT AS cyc FROM tp "
+        "JOIN te c ON tp.w = c.src AND tp.u = c.dst "
+        f"WHERE c.ts > tp.t2 AND c.ts <= tp.t1 + {d})\n"
+        "SELECT (SELECT COUNT(*) FROM te)::BIGINT AS n_temporal_edges, "
+        f"{d}::BIGINT AS delta, two_paths, cyc AS cyc_triangles, "
+        "CASE WHEN two_paths > 0 THEN ROUND(cyc::DOUBLE / two_paths, 6) END AS closure "
+        "FROM tpc, tric"
+    )

@@ -851,3 +851,12 @@ def _q_eccentricity_bounds(spark, sf_dir):
         max_iter=SSSP_ROUNDS,
         checkpoint_dir=_tmpdir("metis_qecc_"),
     )
+
+def _q_temporal_triangles(spark, sf_dir):
+    """δ-windowed temporal triangle motifs (plans/temporal.py:
+    temporal_triangle_count) on the shared hash-timestamped edges —
+    the motif-level summary next to temporal_reachability."""
+    from metis_spark.plans.temporal import temporal_triangle_count
+    from metis_spark.driver.common import TT_DELTA, temporal_edges_sparse
+
+    return temporal_triangle_count(temporal_edges_sparse(spark, sf_dir), TT_DELTA)

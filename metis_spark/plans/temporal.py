@@ -727,3 +727,73 @@ def temporal_pagerank(
         "converged": True,
         "seconds": time.monotonic() - t0,
     }
+
+
+def temporal_triangle_count(tedges: DataFrame, delta: int) -> DataFrame:
+    """δ-windowed time-respecting triangle motif count (Paranjape,
+    Benson & Leskovec, WSDM'17 "Motifs in temporal networks") → one
+    row (n_temporal_edges, delta, two_paths, cyc_triangles, closure).
+
+    Input: directed temporal edges (src, dst, ts). Counted motifs:
+
+        two_paths      u→v→w  with t₁ < t₂ ≤ t₁+δ, w ≠ u
+        cyc_triangles  u→v→w→u with t₁ < t₂ < t₃ ≤ t₁+δ
+
+    Strict < between timestamps means ties never form a motif — the
+    one deterministic convention both engines share (WSDM'17 assumes
+    distinct stamps). A cyclic triangle has exactly one rotation whose
+    stamps ascend, so each is counted once, no /3. closure =
+    cyc_triangles / two_paths (NULL when no 2-paths) — the temporal
+    clustering signal: how often a time-respecting forward path closes
+    back within the window.
+
+    Exactness: integer timestamps, integer counts, one trailing ROUND.
+
+    Scale shape: two hash joins keyed on the shared vertex with the
+    δ-window predicate applied AS the join progresses (each stage
+    filters before the next fan-out); counts are single scalar
+    aggregates. Σ d_in·d_out wedge budget — same envelope as the
+    static triangle counter; at 100 TB partition te by ts-bucket and
+    run per-bucket with a δ overlap pane (the standard motif-sharding
+    trick), which this plan composes with trivially.
+    """
+    te = tedges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("ts").cast("long"),
+    )
+    m = te.count()
+    p2 = (
+        te.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ts").alias("t1"))
+        .join(
+            te.select(F.col("src").alias("v"), F.col("dst").alias("w"), F.col("ts").alias("t2")),
+            "v",
+        )
+        .where(
+            (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.lit(delta))
+            & (F.col("w") != F.col("u"))
+        )
+    )
+    p2 = p2.persist()
+    two_paths = p2.count()
+    tri = (
+        p2.join(
+            te.select(F.col("src").alias("w"), F.col("dst").alias("u"), F.col("ts").alias("t3")),
+            ["w", "u"],
+        )
+        .where(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + F.lit(delta))
+        )
+    )
+    cyc = tri.count()
+    p2.unpersist()
+    spark = tedges.sparkSession
+    row = [(int(m), int(delta), int(two_paths), int(cyc),
+            round(cyc / two_paths, 6) if two_paths else None)]
+    return spark.createDataFrame(
+        row,
+        "n_temporal_edges long, delta long, two_paths long, "
+        "cyc_triangles long, closure double",
+    )
