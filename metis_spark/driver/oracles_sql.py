@@ -4104,3 +4104,29 @@ def _temporal_triangles_sql() -> str:
         "CASE WHEN two_paths > 0 THEN ROUND(cyc::DOUBLE / two_paths, 6) END AS closure "
         "FROM tpc, tric"
     )
+
+
+def _community_conductance_sql() -> str:
+    """Twin of community_conductance on the unrolled Louvain chain."""
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    r = LOUVAIN_ROUNDS
+    ctes += [
+        f"cct AS MATERIALIZED (SELECT la.label AS lu, lb.label AS lv FROM und e "
+        f"JOIN l{r} la ON e.src = la.id JOIN l{r} lb ON e.dst = lb.id)",
+        "ccp AS (SELECT lu AS community, COUNT(*)::BIGINT AS volume, "
+        "SUM(CASE WHEN lu <> lv THEN 1 ELSE 0 END)::BIGINT AS cut FROM cct GROUP BY lu)",
+        f"ccn AS (SELECT label AS community, COUNT(*)::BIGINT AS n_vertices "
+        f"FROM l{r} GROUP BY label)",
+        "cc2m AS (SELECT COUNT(*)::BIGINT AS vol2m FROM und)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT ccn.community, ccn.n_vertices, "
+        "COALESCE(ccp.volume, 0)::BIGINT AS volume, "
+        "COALESCE(ccp.cut, 0)::BIGINT AS cut, "
+        "CASE WHEN LEAST(COALESCE(ccp.volume, 0), vol2m - COALESCE(ccp.volume, 0)) > 0 "
+        "THEN ROUND(COALESCE(ccp.cut, 0)::DOUBLE / "
+        "LEAST(COALESCE(ccp.volume, 0), vol2m - COALESCE(ccp.volume, 0)), 6) END "
+        "AS conductance "
+        "FROM ccn LEFT JOIN ccp ON ccn.community = ccp.community, cc2m"
+    )

@@ -1501,3 +1501,16 @@ def _q_spectral_radius(spark, sf_dir):
     from metis_spark.plans.metrics import spectral_radius_bounds
 
     return spectral_radius_bounds(derived_edges_sparse(spark, sf_dir))
+
+def _q_community_conductance(spark, sf_dir):
+    """Per-community conductance (plans/metrics.py:
+    community_conductance) over the Louvain level-1 partition — the
+    NCP-style per-row quality detail behind the global scores."""
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import community_conductance
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    labels, _ = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qccond_")
+    )
+    return community_conductance(labels, edges)

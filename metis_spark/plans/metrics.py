@@ -2160,3 +2160,63 @@ def spectral_radius_bounds(edges: DataFrame) -> DataFrame:
             F.round(F.lit(1.0) / lam_lo, 6).alias("tau_upper"),
         )
     )
+
+
+def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-community conductance profile → (community, n_vertices,
+    volume, cut, conductance). φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    — the standard community-quality detail (Leskovec et al.'s NCP
+    plots are exactly this, per size): a community with high φ leaks;
+    the global partition scores (modularity / map equation) can hide
+    one bad community inside a good average, which is why the per-row
+    detail exists. NULL φ for a community that IS the whole graph
+    (min = 0).
+
+    Exactness: volume and cut are integer counts in und-row space —
+    every boundary edge contributes exactly 1 to EACH side's cut
+    (one und row per direction) and each intra edge 2 to its
+    community's volume; φ is one trailing ROUND(…, 6).
+
+    Scale shape: one label broadcast/shuffle join per edge endpoint
+    + two map-side-combined groupBys; output is ≤ #communities rows.
+    """
+    und = _und(edges)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+    tagged = und.join(la.hint("shuffle_hash"), "src").join(
+        lb.hint("shuffle_hash"), "dst"
+    )
+    per = tagged.groupBy(F.col("lu").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.sum((F.col("lu") != F.col("lv")).cast("long")).cast("long").alias("cut"),
+    )
+    nv = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    tot = und.agg(F.count(F.lit(1)).cast("long").alias("vol2m"))
+    return (
+        nv.join(per, "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_vertices",
+            F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                F.least(
+                    F.coalesce(F.col("volume"), F.lit(0)),
+                    F.col("vol2m") - F.coalesce(F.col("volume"), F.lit(0)),
+                )
+                > 0,
+                F.round(
+                    F.coalesce(F.col("cut"), F.lit(0)).cast("double")
+                    / F.least(
+                        F.coalesce(F.col("volume"), F.lit(0)),
+                        F.col("vol2m") - F.coalesce(F.col("volume"), F.lit(0)),
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("conductance"),
+        )
+    )
