@@ -4130,3 +4130,38 @@ def _community_conductance_sql() -> str:
         "AS conductance "
         "FROM ccn LEFT JOIN ccp ON ccn.community = ccp.community, cc2m"
     )
+
+
+def _kendall_rank_sql(k: int = SPEAR_K) -> str:
+    """Twin of the Kendall rank-agreement query: identical CTE chain
+    to _rank_correlation_sql up to the permutation, then the bounded
+    k×k pair join and the (C−D)/pairs fold."""
+    pr = _pagerank_ctes()
+    ei = _eigen_ctes()
+    seen = set()
+    ctes = []
+    for c in pr + ei:
+        key = c.split(" AS ")[0].strip()
+        if key in seen:
+            continue
+        seen.add(key)
+        ctes.append(c)
+    ctes += [
+        f"ktp AS (SELECT id, ROUND(rank, 6) AS sa FROM r{PR_ITERS})",
+        f"kte AS (SELECT id, ROUND(x, 6) AS sb FROM x{PR_ITERS})",
+        f"ktt AS (SELECT id, sa FROM ktp ORDER BY sa DESC, id ASC LIMIT {k})",
+        "ktj AS (SELECT t.id, t.sa, e.sb FROM ktt t JOIN kte e ON t.id = e.id)",
+        "ktr AS MATERIALIZED (SELECT id, "
+        "ROW_NUMBER() OVER (ORDER BY sa DESC, id ASC)::BIGINT AS ra, "
+        "ROW_NUMBER() OVER (ORDER BY sb DESC, id ASC)::BIGINT AS rb FROM ktj)",
+        "ktpair AS (SELECT COUNT(*)::BIGINT AS pairs, "
+        "SUM(CASE WHEN a.rb > b.rb THEN 1 ELSE 0 END)::BIGINT AS discordant "
+        "FROM ktr a JOIN ktr b ON a.ra < b.ra)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(ROUND((1 + sqrt(1 + 8.0 * pairs)) / 2) AS BIGINT) AS n, "
+        "(pairs - discordant)::BIGINT AS concordant, discordant, "
+        "CASE WHEN pairs > 0 THEN ROUND((pairs - 2 * discordant)::DOUBLE / pairs, 6) END "
+        "AS kendall FROM ktpair"
+    )

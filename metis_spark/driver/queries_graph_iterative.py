@@ -860,3 +860,24 @@ def _q_temporal_triangles(spark, sf_dir):
     from metis_spark.driver.common import TT_DELTA, temporal_edges_sparse
 
     return temporal_triangle_count(temporal_edges_sparse(spark, sf_dir), TT_DELTA)
+
+def _q_kendall_rank(spark, sf_dir):
+    """Kendall τ between the PageRank and eigenvector rankings on the
+    same SPEAR_K head as centrality_rank_corr (plans/metrics.py:
+    kendall_rank_correlation) — inverted-pair agreement next to the
+    displacement-weighted Spearman."""
+    from metis_spark.plans.pagerank import pagerank
+    from metis_spark.plans.spectral import eigenvector_centrality
+    from metis_spark.plans.metrics import kendall_rank_correlation
+    from metis_spark.driver.common import SPEAR_K
+
+    edges = derived_edges(spark, sf_dir)
+    pr, _ = pagerank(
+        edges, checkpoint_dir=_tmpdir("metis_qkt_pr_"), tol=0.0, max_iter=PR_ITERS
+    )
+    ei, _ = eigenvector_centrality(
+        edges, tol=0.0, max_iter=PR_ITERS, checkpoint_dir=_tmpdir("metis_qkt_ei_")
+    )
+    pr6 = pr.select("id", F.round("rank", 6).alias("pr"))
+    ei6 = ei.select("id", F.round("score", 6).alias("ei"))
+    return kendall_rank_correlation(pr6, ei6, "pr", "ei", k=SPEAR_K)

@@ -2220,3 +2220,67 @@ def community_conductance(labels: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+def kendall_rank_correlation(
+    scores_a: DataFrame,
+    scores_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Kendall τ rank agreement between two centrality rankings over
+    the top-k head → one row (n, concordant, discordant, kendall).
+    The pair-level partner of centrality_rank_correlation: Spearman
+    weights big displacements quadratically, Kendall counts INVERTED
+    PAIRS — the bubble-sort distance — which is what "how many
+    swapped decisions would this ranking change" actually asks.
+
+        τ = (C − D) / (n(n−1)/2)
+
+    Head extraction, tie-breaks and the within-set row_number
+    permutations are IDENTICAL to the Spearman operator (same top-k of
+    ranking A, same (score DESC, id ASC) order), so the two queries
+    are comparable by construction; within a permutation there are no
+    rank ties, so τ-a = τ-b.
+
+    Exactness: C and D are integer pair counts; τ is one float fold.
+
+    Scale shape: the only quadratic step is the k×k pair self-join —
+    BOUNDED-INPUT by the same ≤ k-row invariant as the ranking
+    windows (k = 256 → 32k pairs), never |V|².
+    """
+    a = scores_a.select(F.col("id").cast("long"), F.col(col_a).alias("sa"))
+    b = scores_b.select(F.col("id").cast("long"), F.col(col_b).alias("sb"))
+    top = a.orderBy(F.desc("sa"), F.asc("id")).limit(k)
+    j = top.join(b.hint("shuffle_hash"), "id")
+    wa = Window.orderBy(F.desc("sa"), F.asc("id"))
+    wb = Window.orderBy(F.desc("sb"), F.asc("id"))
+    rk = j.select(
+        "id",
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    )
+    p = rk.select(F.col("ra").alias("ra1"), F.col("rb").alias("rb1")).join(
+        rk.select(F.col("ra").alias("ra2"), F.col("rb").alias("rb2")),
+        F.col("ra1") < F.col("ra2"),
+    )
+    disc = (F.col("rb1") > F.col("rb2")).cast("long")
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("pairs"),
+        F.sum(disc).cast("long").alias("discordant"),
+    ).select(
+        F.round((F.lit(1) + F.sqrt(F.lit(1) + F.lit(8.0) * F.col("pairs"))) / 2)
+        .cast("long")
+        .alias("n"),
+        (F.col("pairs") - F.col("discordant")).cast("long").alias("concordant"),
+        "discordant",
+        F.when(
+            F.col("pairs") > 0,
+            F.round(
+                (F.col("pairs") - F.lit(2) * F.col("discordant")).cast("double")
+                / F.col("pairs").cast("double"),
+                6,
+            ),
+        ).alias("kendall"),
+    )
