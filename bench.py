@@ -207,6 +207,19 @@ def main() -> None:
         "nmi_partitions",
         "eccentricity_bounds",
         "decayed_event_counts",
+        # round-5 final batch
+        "local_bridge_span",
+        "edge_dispersion",
+        "katz_index_topk",
+        "vi_partitions",
+        "degree_gini",
+        "ngram_containment",
+        "edge_clustering_coeff",
+        "user_burstiness",
+        "spectral_radius_bounds",
+        "temporal_triangles",
+        "community_conductance",
+        "centrality_kendall",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -4165,3 +4165,46 @@ def _kendall_rank_sql(k: int = SPEAR_K) -> str:
         "CASE WHEN pairs > 0 THEN ROUND((pairs - 2 * discordant)::DOUBLE / pairs, 6) END "
         "AS kendall FROM ktpair"
     )
+
+
+_RICH_CLUB_NORM_SQL = f"""
+WITH {{edges}},
+ndegs AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS d FROM und GROUP BY src),
+n2m AS (SELECT COUNT(*)::BIGINT AS two_m FROM und),
+npairs AS MATERIALIZED (
+  SELECT u.src, u.dst, a.d AS da, b.d AS db FROM und u
+  JOIN ndegs a ON u.src = a.id JOIN ndegs b ON u.dst = b.id WHERE u.src < u.dst
+),
+nspine(k) AS (VALUES {", ".join(f"({k}::BIGINT)" for k in RICH_CLUB_KS)}),
+nclub AS (SELECT s.k, COUNT(*)::BIGINT AS n_k, SUM(d.d::HUGEINT)::BIGINT AS s1_k,
+       SUM(d.d::HUGEINT * d.d)::BIGINT AS s2_k
+       FROM nspine s JOIN ndegs d ON d.d > s.k GROUP BY s.k),
+nek AS (SELECT s.k, COUNT(*)::BIGINT AS e_k FROM nspine s JOIN npairs p
+       ON p.da > s.k AND p.db > s.k GROUP BY s.k)
+SELECT s.k, COALESCE(c.n_k, 0)::BIGINT AS n_k, COALESCE(e.e_k, 0)::BIGINT AS e_k,
+       COALESCE(c.s1_k, 0)::BIGINT AS s1_k, COALESCE(c.s2_k, 0)::BIGINT AS s2_k,
+       CASE WHEN COALESCE(c.n_k, 0) >= 2 THEN
+         ROUND((c.s1_k::DOUBLE * c.s1_k - c.s2_k) / (2.0 * m.two_m), 6) END AS e_null,
+       CASE WHEN COALESCE(c.n_k, 0) >= 2
+            AND (c.s1_k::DOUBLE * c.s1_k - c.s2_k) / (2.0 * m.two_m) > 0 THEN
+         ROUND(COALESCE(e.e_k, 0)::DOUBLE /
+               ((c.s1_k::DOUBLE * c.s1_k - c.s2_k) / (2.0 * m.two_m)), 6) END AS rho
+FROM nspine s LEFT JOIN nclub c ON s.k = c.k LEFT JOIN nek e ON s.k = e.k, n2m m
+"""
+
+
+def _mean_distance_sql() -> str:
+    """Twin of mean_distance_exact: the _anf_exact_sql N(t) chain, then
+    the bounded diff-and-fold over h+1 rows."""
+    base = _anf_exact_sql()
+    return (
+        f"WITH mdnf AS MATERIALIZED ({base}),\n"
+        "mdd AS (SELECT t, pairs, pairs - LAG(pairs) OVER (ORDER BY t) AS new_pairs "
+        "FROM mdnf),\n"
+        "mda AS (SELECT MAX(t)::BIGINT AS horizon, MIN(pairs)::BIGINT AS n0, "
+        "MAX(pairs)::BIGINT AS nh, "
+        "COALESCE(SUM(t::HUGEINT * new_pairs), 0)::BIGINT AS sum_dist FROM mdd)\n"
+        "SELECT horizon, n0 AS n_vertices, (nh - n0)::BIGINT AS reachable_pairs, "
+        "sum_dist, CASE WHEN nh > n0 THEN ROUND(sum_dist::DOUBLE / (nh - n0), 6) END "
+        "AS mean_distance FROM mda"
+    )

@@ -881,3 +881,11 @@ def _q_kendall_rank(spark, sf_dir):
     pr6 = pr.select("id", F.round("rank", 6).alias("pr"))
     ei6 = ei.select("id", F.round("score", 6).alias("ei"))
     return kendall_rank_correlation(pr6, ei6, "pr", "ei", k=SPEAR_K)
+
+def _q_mean_distance(spark, sf_dir):
+    """Truncated exact mean shortest-path length (plans/anf.py:
+    mean_distance_exact) — the average-path-length headline stat on
+    the same exact N(t) spine as neighborhood_function."""
+    from metis_spark.plans.anf import mean_distance_exact
+
+    return mean_distance_exact(derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS)

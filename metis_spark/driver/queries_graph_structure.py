@@ -1514,3 +1514,70 @@ def _q_community_conductance(spark, sf_dir):
         edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qccond_")
     )
     return community_conductance(labels, edges)
+
+def _q_rich_club_normalized(spark, sf_dir):
+    """Chung–Lu-normalized rich-club profile ρ(k) = E_k / E_null(k)
+    with E_null = (S₁ₖ² − S₂ₖ)/(4m) — the analytic degree-preserving
+    null (p_ij = d_i·d_j/2m, hub cap p>1 inherited and declared) that
+    answers what raw φ(k) can't: do hubs interconnect MORE than their
+    degrees force? (Colizza et al. 2006 normalize by sampled rewirings;
+    the closed form replaces the sampler exactly the way
+    triangle_surplus replaces a rewired triangle null.)
+
+    Plan shape: the rich_club spine plus one degree-moment aggregate
+    per threshold over the SAME 4-row literal explode — no per-k
+    rescan; moments in decimal(38,0)."""
+    e = derived_edges_sparse(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dec = "decimal(38,0)"
+    ks = F.array([F.lit(k) for k in RICH_CLUB_KS])
+    spine = spark.createDataFrame([(k,) for k in RICH_CLUB_KS], "k long")
+    two_m = und.agg(F.count(F.lit(1)).cast("long").alias("two_m"))
+    club = (
+        deg.select(F.explode(ks).alias("k"), "d")
+        .withColumn("k", F.col("k").cast("long"))
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum(F.col("d").cast(dec)).alias("s1k"),
+            F.sum(F.col("d").cast(dec) * F.col("d").cast(dec)).alias("s2k"),
+        )
+    )
+    pairs = (
+        und.where(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("id").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("db")), "dst")
+    )
+    ek = (
+        pairs.select(F.explode(ks).alias("k"), "da", "db")
+        .withColumn("k", F.col("k").cast("long"))
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    e_null = (
+        F.col("s1k").cast("double") * F.col("s1k").cast("double")
+        - F.col("s2k").cast("double")
+    ) / (F.lit(2.0) * F.col("two_m").cast("double"))
+    return (
+        spine.join(club, "k", "left")
+        .join(ek, "k", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.coalesce(F.col("s1k").cast("long"), F.lit(0)).alias("s1_k"),
+            F.coalesce(F.col("s2k").cast("long"), F.lit(0)).alias("s2_k"),
+            F.when(F.coalesce(F.col("n_k"), F.lit(0)) >= 2, F.round(e_null, 6)).alias("e_null"),
+            F.when(
+                (F.coalesce(F.col("n_k"), F.lit(0)) >= 2) & (e_null > 0),
+                F.round(F.coalesce(F.col("e_k"), F.lit(0)).cast("double") / e_null, 6),
+            ).alias("rho"),
+        )
+    )
