@@ -4208,3 +4208,22 @@ def _mean_distance_sql() -> str:
         "sum_dist, CASE WHEN nh > n0 THEN ROUND(sum_dist::DOUBLE / (nh - n0), 6) END "
         "AS mean_distance FROM mda"
     )
+
+
+_MINHASH_ERROR_SQL = (
+    f"WITH {_MINHASH_CTES}, "
+    "mem AS (SELECT c.doc_a, c.doc_b, "
+    "SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)::BIGINT AS matching_seeds "
+    "FROM cand c JOIN mh a ON a.doc_id = c.doc_a JOIN mh b ON b.doc_id = c.doc_b "
+    "AND a.seed = b.seed GROUP BY c.doc_a, c.doc_b), "
+    "msets AS (SELECT doc_id, s FROM sh WHERE len(s) > 0), "
+    "mej AS (SELECT m.doc_a, m.doc_b, m.matching_seeds, "
+    "len(list_intersect(x.s, y.s))::BIGINT AS n_inter, "
+    "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))::BIGINT AS n_union "
+    "FROM mem m JOIN msets x ON x.doc_id = m.doc_a JOIN msets y ON y.doc_id = m.doc_b) "
+    "SELECT doc_a, doc_b, matching_seeds, n_inter, n_union, "
+    "ROUND(matching_seeds::DOUBLE / 8.0, 6) AS est, "
+    "ROUND(n_inter::DOUBLE / n_union, 6) AS jaccard, "
+    "ROUND(ABS(matching_seeds::DOUBLE / 8.0 - n_inter::DOUBLE / n_union), 6) AS abs_err "
+    "FROM mej"
+)

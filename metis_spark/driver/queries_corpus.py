@@ -548,3 +548,10 @@ def _q_ngram_containment(spark, sf_dir):
     signal next to ngram_jaccard_dedup; integer-exact 0.8 threshold."""
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_containment_pairs(docs, "doc_id", "text", k=3)
+
+def _q_minhash_error(spark, sf_dir):
+    """MinHash estimator calibration on the LSH candidates
+    (operators/dedup.py:minhash_estimate_error) — measured Ĵ vs exact
+    Jaccard per candidate, the dedup twin of ann_lsh_recall."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_estimate_error(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)

@@ -390,3 +390,72 @@ def ngram_containment_pairs(
             F.round(F.col("shared").cast("double") / F.col("n_b").cast("double"), 6).alias("cont_b"),
         )
     )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash calibration over the LSH candidate set → (doc_a, doc_b,
+    matching_seeds, n_inter, n_union, est, jaccard, abs_err). The
+    sketch-quality gate for the dedup family: the signature-agreement
+    estimator Ĵ = matching/H is unbiased per seed, but with H = 8 its
+    per-pair noise is ±1/8 — this query REPORTS the realized error
+    against the exact shingle-set Jaccard on every surfaced candidate,
+    so a pipeline raising H knows what it buys (the measured analog of
+    the ann_lsh_recall gate on the embedding side).
+
+    Exactness: matching_seeds, |A∩B|, |A∪B| are integers (md5-derived
+    signatures are bit-identical in both engines); est, jaccard and
+    abs_err are trailing ROUND(…, 6) folds.
+
+    Scale shape: candidates come from the banding join (cost tracks
+    duplicate density); per-candidate verification is one
+    array_intersect against the per-doc shingle arrays and one 8-row
+    signature-agreement groupBy — no shingle self-join anywhere.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    cands = minhash_candidates(df, id_col, text_col, k, num_hashes, rows_per_band)
+    sa = sigs.select(F.col("doc").alias("doc_a"), "seed", F.col("minhash").alias("ha"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), "seed", F.col("minhash").alias("hb"))
+    match = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("ha") == F.col("hb")).cast("long")).cast("long").alias("matching_seeds"))
+    )
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
+        F.col(id_col).alias("doc"),
+        shingles(tokens(F.col(text_col)), k).alias("s"),
+    ).where(F.size("s") > 0)
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    est = F.col("matching_seeds").cast("double") / F.lit(float(num_hashes))
+    jac = F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+    return (
+        match.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "matching_seeds",
+            inter.alias("n_inter"),
+            (F.size("sa") + F.size("sb") - inter).cast("long").alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "matching_seeds",
+            "n_inter",
+            "n_union",
+            F.round(est, 6).alias("est"),
+            F.round(jac, 6).alias("jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
