@@ -4227,3 +4227,36 @@ _MINHASH_ERROR_SQL = (
     "ROUND(ABS(matching_seeds::DOUBLE / 8.0 - n_inter::DOUBLE / n_union), 6) AS abs_err "
     "FROM mej"
 )
+
+
+_RETENTION_SQL = (
+    "WITH rtev AS (SELECT user_id, "
+    "(floor(epoch(ts) / 86400)::BIGINT // 7)::BIGINT AS week FROM events),\n"
+    "rtf AS (SELECT user_id, MIN(week)::BIGINT AS cohort_week FROM rtev GROUP BY user_id),\n"
+    "rta AS (SELECT DISTINCT user_id, week FROM rtev),\n"
+    "rtc AS (SELECT f.cohort_week, (a.week - f.cohort_week)::BIGINT AS week_offset, "
+    "COUNT(*)::BIGINT AS n_users FROM rta a JOIN rtf f ON a.user_id = f.user_id "
+    "GROUP BY f.cohort_week, a.week - f.cohort_week),\n"
+    "rtb AS (SELECT cohort_week, n_users AS cohort_size FROM rtc WHERE week_offset = 0)\n"
+    "SELECT c.cohort_week, c.week_offset, c.n_users, "
+    "ROUND(c.n_users::DOUBLE / b.cohort_size, 6) AS retention "
+    "FROM rtc c JOIN rtb b ON c.cohort_week = b.cohort_week"
+)
+
+_FUNNEL_SQL = (
+    "WITH fev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es FROM events),\n"
+    "f1 AS (SELECT user_id, MIN(es)::BIGINT AS t1 FROM fev WHERE event_type = 'view' "
+    "GROUP BY user_id),\n"
+    "f2 AS (SELECT e.user_id, MIN(e.es)::BIGINT AS t2 FROM fev e JOIN f1 ON "
+    "e.user_id = f1.user_id WHERE e.event_type = 'click' AND e.es > f1.t1 "
+    "GROUP BY e.user_id),\n"
+    "f3 AS (SELECT e.user_id, MIN(e.es)::BIGINT AS t3 FROM fev e JOIN f2 ON "
+    "e.user_id = f2.user_id WHERE e.event_type = 'purchase' AND e.es > f2.t2 "
+    "GROUP BY e.user_id),\n"
+    "fc AS (SELECT (SELECT COUNT(*) FROM f1)::BIGINT AS n1, "
+    "(SELECT COUNT(*) FROM f2)::BIGINT AS n2, (SELECT COUNT(*) FROM f3)::BIGINT AS n3)\n"
+    "SELECT 1::BIGINT AS step, 'view' AS event_type, n1 AS n_users, "
+    "NULL::DOUBLE AS conversion FROM fc "
+    "UNION ALL SELECT 2, 'click', n2, CASE WHEN n1 > 0 THEN ROUND(n2::DOUBLE / n1, 6) END FROM fc "
+    "UNION ALL SELECT 3, 'purchase', n3, CASE WHEN n2 > 0 THEN ROUND(n3::DOUBLE / n2, 6) END FROM fc"
+)

@@ -382,3 +382,96 @@ def _q_burstiness(spark, sf_dir):
             F.round((disc - F.col("s1").cast("double")) / (disc + F.col("s1").cast("double")), 6),
         ).alias("burstiness"),
     )
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix: users grouped by first-activity
+    week, tracked by distinct activity in each later week → (cohort_week,
+    week_offset, n_users, retention). The canonical product-analytics
+    table, and at pipeline scale the freshness/coverage audit for an
+    event source (a cohort whose offsets decay to zero early flags an
+    ingestion gap).
+
+    Exactness: weeks are integer epoch-day // 7 buckets; counts are
+    distinct-user integers; retention divides by the cohort's own
+    offset-0 row, one trailing ROUND.
+
+    Scale shape: one per-user min (map-side combined), one distinct on
+    (user, week) — both shuffles keyed by user/cohort, no windows.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / F.lit(86400)) / F.lit(7))
+        .cast("long")
+        .alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = ev.select("user_id", "week").distinct()
+    cells = (
+        act.join(first.hint("shuffle_hash"), "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    base = cells.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cells.join(base.hint("shuffle_hash"), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+def _q_ordered_funnel(spark, sf_dir):
+    """Strictly-ordered conversion funnel view → click → purchase:
+    a user converts at step k only with an occurrence of step k's
+    event STRICTLY AFTER their step-(k−1) conversion time (first-touch
+    semantics: each step anchors at its earliest qualifying time).
+    → (step, event_type, n_users, conversion).
+
+    Exactness: anchors are integer epoch seconds chosen by MIN — ties
+    between same-type events collapse in the MIN and cross-step ties
+    are excluded by the strict inequality, identically in both
+    engines; conversion is one trailing ROUND per row over ≤ 3 rows.
+
+    Scale shape: three per-user conditional MIN aggregates, each a
+    map-side-combined groupBy on user_id, chained by broadcast-size
+    joins; final output is 3 rows.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1.hint("shuffle_hash"), "user_id")
+        .where(F.col("es") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2.hint("shuffle_hash"), "user_id")
+        .where(F.col("es") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t3"))
+    )
+    n1 = t1.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+    n2 = t2.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+    n3 = t3.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+    rows = [
+        (1, "view", n1, None),
+        (2, "click", n2, round(n2 / n1, 6) if n1 else None),
+        (3, "purchase", n3, round(n3 / n2, 6) if n2 else None),
+    ]
+    return spark.createDataFrame(
+        rows, "step long, event_type string, n_users long, conversion double"
+    )
