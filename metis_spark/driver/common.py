@@ -948,3 +948,5 @@ def temporal_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
             % TEMPORAL_TS_MOD
         ).alias("ts"),
     )
+
+EDH_MOD = 8  # cosine-histogram vertex sample: two disjoint 1/8 slices

@@ -4260,3 +4260,20 @@ _FUNNEL_SQL = (
     "UNION ALL SELECT 2, 'click', n2, CASE WHEN n1 > 0 THEN ROUND(n2::DOUBLE / n1, 6) END FROM fc "
     "UNION ALL SELECT 3, 'purchase', n3, CASE WHEN n2 > 0 THEN ROUND(n3::DOUBLE / n2, 6) END FROM fc"
 )
+
+
+def _embedding_cos_histogram_sql() -> str:
+    """Twin of the cosine-histogram calibration query."""
+    from metis_spark.driver.common import EDH_MOD
+
+    cos = _cos_expr("a.ea", "b.eb")
+    return (
+        f"WITH eha AS (SELECT vec_id AS ia, embedding AS ea FROM embeddings "
+        f"WHERE vec_id % {EDH_MOD} = 0),\n"
+        f"ehb AS (SELECT vec_id AS ib, embedding AS eb FROM embeddings "
+        f"WHERE vec_id % {EDH_MOD} = 1),\n"
+        f"ehc AS (SELECT LEAST(19, floor((ROUND({cos}, 6) + 1.0) * 10.0))::BIGINT AS bin "
+        "FROM eha a CROSS JOIN ehb b)\n"
+        "SELECT bin, ROUND(bin::DOUBLE / 10.0 - 1.0, 6) AS lo, "
+        "COUNT(*)::BIGINT AS n_pairs FROM ehc GROUP BY bin"
+    )

@@ -290,3 +290,40 @@ def _q_pq_ann(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_ann_topk(emb, k_top=PQ_TOPK, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+def _q_embedding_cos_histogram(spark, sf_dir):
+    """Pairwise-cosine distribution over two disjoint hash-sampled
+    embedding slices → (bin, lo, n_pairs). THE calibration read before
+    choosing any near-dup / semdedup / ANN threshold: where the
+    similarity mass actually sits (a threshold at 0.9 means nothing
+    until you see whether the background mode is at 0.2 or 0.7).
+
+    Sampling is deterministic and bounded: slices vec_id % EDH_MOD ∈
+    {0, 1} cross-joined — pair count is (n/M)², fixed by the mod, never
+    n²; disjoint residues exclude self-pairs. Cosines are the same
+    sequential-fold doubles the ANN family hash-matches, rounded at 6
+    BEFORE binning (bin = floor((cos+1)·10), clamped to 19), so bin
+    edges are engine-stable. 20 bins over [−1, 1].
+    """
+    from metis_spark.driver.common import EDH_MOD
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % EDH_MOD == 0).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = emb.where(F.col("vec_id") % EDH_MOD == 1).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(SIM.cosine(F.col("ea"), F.col("eb")), 6)
+    binc = F.least(F.lit(19), F.floor((cos + F.lit(1.0)) * F.lit(10.0))).cast("long")
+    return (
+        a.crossJoin(b)
+        .select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / 10.0 - 1.0, 6).alias("lo"),
+            "n_pairs",
+        )
+    )
