@@ -4277,3 +4277,31 @@ def _embedding_cos_histogram_sql() -> str:
         "SELECT bin, ROUND(bin::DOUBLE / 10.0 - 1.0, 6) AS lo, "
         "COUNT(*)::BIGINT AS n_pairs FROM ehc GROUP BY bin"
     )
+
+
+def _scc_condensation_sql() -> str:
+    """Twin of scc_condensation: the _scc_sql label chain + size and
+    quotient-edge folds."""
+    scc = _scc_sql()
+    head, union = scc.rsplit("\n", 1)
+    ctes = [head[len("WITH "):]]
+    ctes += [
+        f"sccl AS MATERIALIZED ({union})",
+        "scsz AS (SELECT scc, COUNT(*)::BIGINT AS sz FROM sccl GROUP BY scc)",
+        "scst AS (SELECT SUM(sz)::BIGINT AS n_vertices, COUNT(*)::BIGINT AS n_sccs, "
+        "MAX(sz)::BIGINT AS largest_scc, "
+        "SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS nontrivial_sccs, "
+        "SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END)::BIGINT AS vertices_in_cycles FROM scsz)",
+        "scce AS (SELECT COUNT(*)::BIGINT AS condensed_edges FROM "
+        "(SELECT DISTINCT a.scc AS la, b.scc AS lb FROM edges e "
+        "JOIN sccl a ON e.src = a.id JOIN sccl b ON e.dst = b.id "
+        "WHERE a.scc <> b.scc))",
+        "scm AS (SELECT COUNT(*)::BIGINT AS m FROM edges)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT n_vertices, n_sccs, largest_scc, nontrivial_sccs, "
+        "vertices_in_cycles, condensed_edges, "
+        "ROUND(1.0 - condensed_edges::DOUBLE / m, 6) AS edge_reduction "
+        "FROM scst, scce, scm"
+    )

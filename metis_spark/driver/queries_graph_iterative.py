@@ -889,3 +889,65 @@ def _q_mean_distance(spark, sf_dir):
     from metis_spark.plans.anf import mean_distance_exact
 
     return mean_distance_exact(derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS)
+
+def _q_scc_condensation(spark, sf_dir):
+    """Condensation-DAG summary of the directed graph → one row
+    (n_vertices, n_sccs, largest_scc, nontrivial_sccs, vertices_in_cycles,
+    condensed_edges, edge_reduction). The cycle-structure dashboard of a
+    dependency graph: how much of it is cyclically tangled (SCCs > 1),
+    and how small the quotient DAG is that layering/topo-sort actually
+    has to process. Runs on the CONVERGED SCC labels (plans/scc.py);
+    condensed_edges counts distinct inter-SCC label pairs — the edges
+    of the condensation, whose acyclicity dag_levels exploits.
+
+    Exactness: pure integer counts + one trailing ROUND ratio.
+    Scale shape: two label joins onto the edge list + distinct + three
+    map-side aggregates; output is 1 row.
+    """
+    from metis_spark.plans.scc import strongly_connected_components
+
+    edges = derived_edges(spark, sf_dir)
+    labels, info = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qscccond_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+        checkpoint_every=2, retain=2,
+    )
+    assert info["converged"], info
+    lab = labels.select(F.col("id").cast("long"), F.col("scc").cast("long"))
+    sizes = lab.groupBy("scc").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    stats = sizes.agg(
+        F.sum("sz").cast("long").alias("n_vertices"),
+        F.count(F.lit(1)).cast("long").alias("n_sccs"),
+        F.max("sz").cast("long").alias("largest_scc"),
+        F.sum((F.col("sz") > 1).cast("long")).cast("long").alias("nontrivial_sccs"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("vertices_in_cycles"),
+    )
+    la = lab.select(F.col("id").alias("src"), F.col("scc").alias("la"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("scc").alias("lb"))
+    ce = (
+        edges.join(la.hint("shuffle_hash"), "src")
+        .join(lb.hint("shuffle_hash"), "dst")
+        .where(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("condensed_edges"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return (
+        stats.crossJoin(F.broadcast(ce))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_vertices",
+            "n_sccs",
+            "largest_scc",
+            "nontrivial_sccs",
+            "vertices_in_cycles",
+            "condensed_edges",
+            F.round(
+                F.lit(1.0) - F.col("condensed_edges").cast("double") / F.col("m").cast("double"),
+                6,
+            ).alias("edge_reduction"),
+        )
+    )
