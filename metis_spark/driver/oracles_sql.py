@@ -4305,3 +4305,17 @@ def _scc_condensation_sql() -> str:
         "ROUND(1.0 - condensed_edges::DOUBLE / m, 6) AS edge_reduction "
         "FROM scst, scce, scm"
     )
+
+
+_GOOD_TURING_SQL = (
+    "WITH gtt AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents),\n"
+    "gtf AS (SELECT lang, term, COUNT(*)::BIGINT AS c FROM gtt GROUP BY lang, term),\n"
+    "gta AS (SELECT lang, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_types, "
+    "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1, "
+    "SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2 FROM gtf GROUP BY lang)\n"
+    "SELECT lang, n_tokens, n_types, n1, n2, "
+    "ROUND(n1::DOUBLE / n_tokens, 6) AS p_unseen, "
+    "ROUND(n_types::DOUBLE + n1::DOUBLE * (n1 - 1) / (2.0 * (n2 + 1)), 6) AS chao1 "
+    "FROM gta"
+)

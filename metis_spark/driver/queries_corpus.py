@@ -555,3 +555,10 @@ def _q_minhash_error(spark, sf_dir):
     Jaccard per candidate, the dedup twin of ann_lsh_recall."""
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_estimate_error(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+
+def _q_good_turing(spark, sf_dir):
+    """Good–Turing unseen mass + Chao1 vocabulary richness per language
+    (operators/corpus_stats.py:good_turing_richness) — the endpoint
+    forecast next to heaps_fit's growth curve."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.good_turing_richness(docs, lang_col="lang")

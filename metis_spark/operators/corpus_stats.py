@@ -1311,3 +1311,56 @@ def source_scorecard(
             ).alias("lang_entropy"),
         )
     )
+
+
+def good_turing_richness(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-language vocabulary coverage forecast → (lang, n_tokens,
+    n_types, n1, n2, p_unseen, chao1). Two estimators every corpus
+    plan should read before freezing a tokenizer vocabulary:
+
+    - Good–Turing unseen mass p₀ ≈ n₁/N (Good 1953): the probability
+      the NEXT token is a type never seen — how open this language's
+      tail still is at the current corpus size;
+    - Chao1 richness (Chao 1984, bias-corrected form)
+      V̂ = V + n₁(n₁−1)/(2(n₂+1)): a lower-bound forecast of the TRUE
+      vocabulary size, finite even when n₂ = 0.
+
+    n₁/n₂ are the singleton/doubleton type counts of the term-frequency
+    distribution. Complements heaps_fit (growth curve) with the
+    endpoint estimate.
+
+    Exactness: every input is an integer count off one (lang, term)
+    groupBy; both estimators are single trailing float folds ROUNDed
+    at 6. Languages with zero tokens never appear (no rows to group).
+
+    Scale shape: one explode → (lang, term) map-side-combined count →
+    one frequency-of-frequencies aggregate per lang. No windows.
+    """
+    from metis_spark.functions.text import tokens
+
+    tf = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = tf.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        F.round(F.col("n1").cast("double") / F.col("n_tokens").cast("double"), 6).alias("p_unseen"),
+        F.round(
+            F.col("n_types").cast("double")
+            + F.col("n1").cast("double")
+            * (F.col("n1") - 1).cast("double")
+            / (F.lit(2.0) * (F.col("n2") + 1).cast("double")),
+            6,
+        ).alias("chao1"),
+    )
