@@ -4319,3 +4319,30 @@ _GOOD_TURING_SQL = (
     "ROUND(n_types::DOUBLE + n1::DOUBLE * (n1 - 1) / (2.0 * (n2 + 1)), 6) AS chao1 "
     "FROM gta"
 )
+
+
+_LABEL_SEP_SQL = (
+    "WITH lsp AS MATERIALIZED (SELECT label::BIGINT AS lab, vec_id AS id, "
+    "i - 1 AS pos, floor(embedding[i]::DOUBLE * 1000.0)::BIGINT AS q "
+    "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),\n"
+    "lsv AS MATERIALIZED (SELECT lab, pos, SUM(q)::BIGINT AS sv FROM lsp "
+    "GROUP BY lab, pos),\n"
+    "lsn AS (SELECT lab, SUM(sv::HUGEINT * sv) AS nrm FROM lsv GROUP BY lab),\n"
+    "lsc AS (SELECT lab, COUNT(DISTINCT id)::BIGINT AS n FROM lsp GROUP BY lab),\n"
+    "lsd AS (SELECT a.lab AS la, b.lab AS lb, SUM(a.sv::HUGEINT * b.sv) AS dot "
+    "FROM lsv a JOIN lsv b ON a.pos = b.pos AND a.lab < b.lab GROUP BY a.lab, b.lab),\n"
+    "lsm AS (SELECT p.lab, p.id, SUM(p.q::HUGEINT * v.sv) AS dv, "
+    "SUM(p.q::HUGEINT * p.q) AS nq FROM lsp p JOIN lsv v ON p.lab = v.lab "
+    "AND p.pos = v.pos GROUP BY p.lab, p.id),\n"
+    "lsh2 AS (SELECT m.lab, CAST(ROUND(m.dv::DOUBLE / "
+    "sqrt(m.nq::DOUBLE * n.nrm::DOUBLE) * 1000000.0) AS BIGINT) AS cm "
+    "FROM lsm m JOIN lsn n ON m.lab = n.lab),\n"
+    "lsco AS (SELECT lab, ROUND(SUM(cm)::DOUBLE / COUNT(*) / 1000000.0, 6) AS cohesion "
+    "FROM lsh2 GROUP BY lab)\n"
+    "SELECT d.la AS label_a, d.lb AS label_b, ca.n AS n_a, cb.n AS n_b, "
+    "ROUND(d.dot::DOUBLE / sqrt(na.nrm::DOUBLE * nb.nrm::DOUBLE), 6) AS cos_centroids, "
+    "coa.cohesion AS cohesion_a, cob.cohesion AS cohesion_b "
+    "FROM lsd d JOIN lsc ca ON d.la = ca.lab JOIN lsc cb ON d.lb = cb.lab "
+    "JOIN lsn na ON d.la = na.lab JOIN lsn nb ON d.lb = nb.lab "
+    "JOIN lsco coa ON d.la = coa.lab JOIN lsco cob ON d.lb = cob.lab"
+)

@@ -327,3 +327,10 @@ def _q_embedding_cos_histogram(spark, sf_dir):
             "n_pairs",
         )
     )
+
+def _q_label_separation(spark, sf_dir):
+    """Between-class centroid cosine vs within-class cohesion per label
+    pair (operators/similarity.py:label_centroid_separation) — the
+    class-geometry audit of the embedding table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroid_separation(emb)

@@ -917,3 +917,116 @@ def pq_ann_topk(
     top = scored.orderBy(F.asc("adc_dist2"), F.asc("id")).limit(k_top)
     w = Window.orderBy(F.asc("adc_dist2"), F.asc("id"))
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def label_centroid_separation(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-space class geometry → one row per label pair
+    (label_a < label_b): (label_a, label_b, n_a, n_b, cos_centroids,
+    cohesion_a, cohesion_b). The "are these labels separable here"
+    read before trusting an embedding for classification or
+    label-conditioned sampling: between-class centroid cosine vs
+    within-class cohesion (mean cosine of members to their own
+    centroid). cos_centroids ≈ cohesion means the classes overlap.
+
+    Engine-exactness (the kmeans_quantized discipline): vectors
+    quantize once to q = FLOOR(val·scale); a label's SUM vector is an
+    exact integer vector, and cos(centroid_a, centroid_b) =
+    cos(sum_a, sum_b) (counts cancel), so the between-class cosine is
+    one float fold of three exact integer dot products. Per-member
+    cosines quantize to micro units BEFORE the per-label mean, making
+    the sum order-free.
+
+    Scale shape: one posexplode (n·d rows), map-side-combined sums to
+    a (labels·d)-row model, pair dots on the broadcast-size model
+    table, one more pass of the point table against its own label's
+    sum vector. No windows, no collect.
+    """
+    pts = df.select(
+        F.col(label_col).cast("long").alias("lab"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "lab",
+        "id",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast("long").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    sumv = pts.groupBy("lab", "pos").agg(F.sum("q").cast("long").alias("sv"))
+    norms = sumv.groupBy("lab").agg(
+        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).alias("nrm")
+    )
+    counts = pts.select("lab", "id").distinct().groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sumv.select(F.col("lab").alias("la"), "pos", F.col("sv").alias("sa"))
+    b = sumv.select(F.col("lab").alias("lb"), "pos", F.col("sv").alias("sb"))
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa").cast(dec) * F.col("sb").cast(dec)).alias("dot"))
+    )
+    # per-member cosine to the OWN-label sum vector, micro-quantized
+    mem = (
+        pts.join(sumv, ["lab", "pos"])
+        .groupBy("lab", "id")
+        .agg(
+            F.sum(F.col("q").cast(dec) * F.col("sv").cast(dec)).alias("dv"),
+            F.sum(F.col("q").cast(dec) * F.col("q").cast(dec)).alias("nq"),
+        )
+    )
+    coh = (
+        mem.join(norms.hint("shuffle_hash"), "lab")
+        .select(
+            "lab",
+            F.round(
+                F.col("dv").cast("double")
+                / F.sqrt(F.col("nq").cast("double") * F.col("nrm").cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("cm"),
+        )
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nm"),
+            F.sum("cm").cast("long").alias("cms"),
+        )
+        .select(
+            "lab",
+            F.round(
+                F.col("cms").cast("double") / F.col("nm").cast("double") / F.lit(1e6), 6
+            ).alias("cohesion"),
+        )
+    )
+    na = counts.select(F.col("lab").alias("la"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("lab").alias("lb"), F.col("n").alias("n_b"))
+    nra = norms.select(F.col("lab").alias("la"), F.col("nrm").alias("nrm_a"))
+    nrb = norms.select(F.col("lab").alias("lb"), F.col("nrm").alias("nrm_b"))
+    ca = coh.select(F.col("lab").alias("la"), F.col("cohesion").alias("cohesion_a"))
+    cb = coh.select(F.col("lab").alias("lb"), F.col("cohesion").alias("cohesion_b"))
+    return (
+        dots.join(na, "la").join(nb, "lb")
+        .join(nra, "la").join(nrb, "lb")
+        .join(ca, "la").join(cb, "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double")),
+                6,
+            ).alias("cos_centroids"),
+            "cohesion_a",
+            "cohesion_b",
+        )
+    )
