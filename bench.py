@@ -220,6 +220,15 @@ def main() -> None:
         "temporal_triangles",
         "community_conductance",
         "centrality_kendall",
+        "rich_club_normalized",
+        "mean_distance",
+        "minhash_estimate_error",
+        "retention_cohorts",
+        "ordered_funnel",
+        "embedding_cos_histogram",
+        "scc_condensation",
+        "good_turing_richness",
+        "label_centroid_separation",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

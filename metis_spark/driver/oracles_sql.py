@@ -4346,3 +4346,27 @@ _LABEL_SEP_SQL = (
     "JOIN lsn na ON d.la = na.lab JOIN lsn nb ON d.lb = nb.lab "
     "JOIN lsco coa ON d.la = coa.lab JOIN lsco cob ON d.lb = cob.lab"
 )
+
+
+def _dcsbm_sql() -> str:
+    """Twin of dcsbm_likelihood on the unrolled Louvain chain."""
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    r = LOUVAIN_ROUNDS
+    ctes += [
+        f"dcb AS MATERIALIZED (SELECT la.label AS lr, lb.label AS ls, "
+        f"COUNT(*)::BIGINT AS mrs FROM und e JOIN l{r} la ON e.src = la.id "
+        f"JOIN l{r} lb ON e.dst = lb.id GROUP BY la.label, lb.label)",
+        "dck AS (SELECT lr, SUM(mrs)::BIGINT AS kr FROM dcb GROUP BY lr)",
+        "dct AS (SELECT SUM(CAST(ROUND(b.mrs::DOUBLE * ln(b.mrs::DOUBLE "
+        "/ (a.kr::DOUBLE * c.kr)) * 1000000.0) AS BIGINT))::BIGINT AS ll_micro "
+        "FROM dcb b JOIN dck a ON b.lr = a.lr JOIN dck c ON b.ls = c.lr)",
+        "dcm AS (SELECT COUNT(*)::BIGINT AS two_m FROM und)",
+        f"dcg AS (SELECT COUNT(DISTINCT label)::BIGINT AS n_groups FROM l{r})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT n_groups, two_m, ll_micro, "
+        "ROUND(ll_micro::DOUBLE / 1000000.0, 6) AS ll, "
+        "ROUND(ll_micro::DOUBLE / 1000000.0 / two_m, 6) AS ll_per_edge "
+        "FROM dcg, dcm, dct"
+    )

@@ -1581,3 +1581,16 @@ def _q_rich_club_normalized(spark, sf_dir):
             ).alias("rho"),
         )
     )
+
+def _q_dcsbm(spark, sf_dir):
+    """DC-SBM profile log-likelihood of the Louvain level-1 partition
+    (plans/metrics.py:dcsbm_likelihood) — the model-based partition
+    score next to modularity and map_equation."""
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import dcsbm_likelihood
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    lab, _ = louvain_local_moving(
+        edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qdcsbm_")
+    )
+    return dcsbm_likelihood(lab, edges)

@@ -2284,3 +2284,75 @@ def kendall_rank_correlation(
             ),
         ).alias("kendall"),
     )
+
+
+def dcsbm_likelihood(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Degree-corrected SBM profile log-likelihood of a partition
+    (Karrer & Newman, PRE 2011) → one row (n_groups, two_m, ll_micro,
+    ll, ll_per_edge). The model-based partition score next to
+    modularity / map_equation / conductance:
+
+        L = Σ_{rs} m_rs · ln( m_rs / (κ_r·κ_s) )
+
+    in the doubled-endpoint convention (m_rs = und rows from group r
+    to group s, so m_rr is twice the intra-edge count; κ_r = Σ_s m_rs
+    = total degree of r). Maximizing L is exactly what a DC-SBM fit
+    does, so comparing two partitions' L is the likelihood-ratio test
+    modularity only approximates (Newman 2016 shows modularity is a
+    special case with a fixed resolution).
+
+    Exactness: every m_rs, κ_r is an integer; each term quantizes to
+    integer micro-nats as a pure function of its integer triple
+    (map_equation discipline), so the block sum is order-free; ll and
+    ll_per_edge are trailing float folds. Zero blocks contribute 0.
+
+    Scale shape: one two-sided label join over und, one groupBy to
+    ≤ groups² block rows, one marginal groupBy — same budget as the
+    community quotient.
+    """
+    und = _und(edges)
+    lab = labels.select(F.col("id").cast("long"), F.col("label").cast("long"))
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lr"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ls"))
+    blocks = (
+        und.join(la.hint("shuffle_hash"), "src")
+        .join(lb.hint("shuffle_hash"), "dst")
+        .groupBy("lr", "ls")
+        .agg(F.count(F.lit(1)).cast("long").alias("mrs"))
+    ).persist()
+    kap = blocks.groupBy("lr").agg(F.sum("mrs").cast("long").alias("kr"))
+    ka = kap.select(F.col("lr"), F.col("kr"))
+    kb = kap.select(F.col("lr").alias("ls"), F.col("kr").alias("ks"))
+    terms = (
+        blocks.join(ka.hint("shuffle_hash"), "lr")
+        .join(kb.hint("shuffle_hash"), "ls")
+        .select(
+            F.round(
+                F.col("mrs").cast("double")
+                * F.log(
+                    F.col("mrs").cast("double")
+                    / (F.col("kr").cast("double") * F.col("ks").cast("double"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("ll_micro"))
+    )
+    two_m = und.agg(F.count(F.lit(1)).cast("long").alias("two_m"))
+    ng = lab.select("label").distinct().agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    return (
+        ng.crossJoin(F.broadcast(two_m))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "n_groups",
+            "two_m",
+            "ll_micro",
+            F.round(F.col("ll_micro").cast("double") / F.lit(1e6), 6).alias("ll"),
+            F.round(
+                F.col("ll_micro").cast("double") / F.lit(1e6) / F.col("two_m").cast("double"),
+                6,
+            ).alias("ll_per_edge"),
+        )
+    )
