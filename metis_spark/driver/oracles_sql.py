@@ -4370,3 +4370,32 @@ def _dcsbm_sql() -> str:
         "ROUND(ll_micro::DOUBLE / 1000000.0 / two_m, 6) AS ll_per_edge "
         "FROM dcg, dcm, dct"
     )
+
+
+_EVENT_TRANSITIONS_SQL = (
+    "WITH etp AS (SELECT LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+    "event_type AS next_type FROM events),\n"
+    "etc AS (SELECT prev_type, next_type, COUNT(*)::BIGINT AS n FROM etp "
+    "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),\n"
+    "ett AS (SELECT prev_type, SUM(n)::BIGINT AS row_n FROM etc GROUP BY prev_type)\n"
+    "SELECT c.prev_type, c.next_type, c.n, "
+    "ROUND(c.n::DOUBLE / t.row_n, 6) AS prob "
+    "FROM etc c JOIN ett t ON c.prev_type = t.prev_type"
+)
+
+_CLUSTERING_BY_DEGREE_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+    "cbdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
+    "cbu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges), "
+    "cbtri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM cbu e1 "
+    "JOIN cbu e2 ON e1.b = e2.a JOIN cbu e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "cbm AS (SELECT x AS id FROM cbtri UNION ALL SELECT y FROM cbtri "
+    "UNION ALL SELECT z FROM cbtri), "
+    "cbc AS (SELECT id, COUNT(*)::BIGINT AS t FROM cbm GROUP BY id), "
+    "cbv AS (SELECT d.deg, CASE WHEN d.deg >= 2 THEN "
+    "CAST(ROUND(2000000.0 * COALESCE(c.t, 0) / (d.deg::DOUBLE * (d.deg - 1))) AS BIGINT) "
+    "ELSE 0 END AS m FROM cbdeg d LEFT JOIN cbc c ON d.id = c.id)\n"
+    "SELECT deg, COUNT(*)::BIGINT AS n_vertices, SUM(m)::BIGINT AS sum_lcc_micro, "
+    "ROUND(SUM(m)::DOUBLE / COUNT(*) / 1000000.0, 6) AS mean_lcc FROM cbv GROUP BY deg"
+)

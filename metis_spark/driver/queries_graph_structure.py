@@ -1594,3 +1594,41 @@ def _q_dcsbm(spark, sf_dir):
         edges, rounds=LOUVAIN_ROUNDS, checkpoint_dir=_tmpdir("metis_qdcsbm_")
     )
     return dcsbm_likelihood(lab, edges)
+
+def _q_clustering_by_degree(spark, sf_dir):
+    """C(k): mean local clustering per degree → (deg, n_vertices,
+    sum_lcc_micro, mean_lcc). The standard hierarchical-structure plot
+    (Ravasz & Barabási 2003): C(k) ~ k^-1 signals modules nested under
+    hubs; flat C(k) signals none. Per-vertex lcc = 2T/(d(d−1)) is a
+    pure function of the integer pair (T, d), quantized to micro units
+    BEFORE the per-degree mean so the sum is order-free; deg < 2
+    vertices report lcc 0 (same convention as local_clustering)."""
+    from metis_spark.plans.metrics import local_clustering
+
+    lcc = local_clustering(derived_edges_sparse(spark, sf_dir))
+    micro = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            F.lit(2e6) * F.col("triangles").cast("double")
+            / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double"))
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        lcc.select("deg", micro.alias("m"))
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("m").cast("long").alias("sum_lcc_micro"),
+        )
+        .select(
+            "deg",
+            "n_vertices",
+            "sum_lcc_micro",
+            F.round(
+                F.col("sum_lcc_micro").cast("double")
+                / F.col("n_vertices").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_lcc"),
+        )
+    )

@@ -475,3 +475,31 @@ def _q_ordered_funnel(spark, sf_dir):
     return spark.createDataFrame(
         rows, "step long, event_type string, n_users long, conversion double"
     )
+
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix between event types →
+    (prev_type, next_type, n, prob). Per-user sequences ordered by
+    (ts, event_id); prob is row-normalized over each prev_type. The
+    sequence-structure summary behind session modelling and
+    next-event prediction baselines.
+
+    Exactness: integer pair counts off one per-user LAG window (the
+    sessionize shape — partitioned by user, never global); prob is a
+    trailing ROUND of an integer ratio.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return cnt.join(tot.hint("shuffle_hash"), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 6).alias("prob"),
+    )
