@@ -4399,3 +4399,27 @@ _CLUSTERING_BY_DEGREE_SQL = (
     "SELECT deg, COUNT(*)::BIGINT AS n_vertices, SUM(m)::BIGINT AS sum_lcc_micro, "
     "ROUND(SUM(m)::DOUBLE / COUNT(*) / 1000000.0, 6) AS mean_lcc FROM cbv GROUP BY deg"
 )
+
+
+def _kmeans_silhouette_sql(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    scale: int = KMEANS_SCALE,
+    dim: int = 64,
+) -> str:
+    """Twin of kmeans_silhouette: the shared kmeans chain's dfin holds
+    every point-to-centroid dist2; fold (a2, b2) -> micro silhouette."""
+    return (
+        _kmeans_chain(k, iters, scale, dim)
+        + """,
+silb AS (SELECT d.id, MIN(d.dist2)::BIGINT AS b2
+  FROM dfin d JOIN afin a ON d.id = a.id AND d.cid <> a.cid GROUP BY d.id),
+sils AS (SELECT a.cid, CASE WHEN GREATEST(a.dist2, b.b2) > 0 THEN
+  CAST(ROUND((sqrt(b.b2::DOUBLE) - sqrt(a.dist2::DOUBLE))
+       / GREATEST(sqrt(a.dist2::DOUBLE), sqrt(b.b2::DOUBLE)) * 1000000.0) AS BIGINT)
+  ELSE 0 END AS sm
+  FROM afin a JOIN silb b ON a.id = b.id)
+SELECT cid, COUNT(*)::BIGINT AS n_members,
+       ROUND(SUM(sm)::DOUBLE / COUNT(*) / 1000000.0, 6) AS mean_silhouette
+FROM sils GROUP BY cid"""
+    )

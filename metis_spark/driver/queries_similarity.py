@@ -334,3 +334,12 @@ def _q_label_separation(spark, sf_dir):
     class-geometry audit of the embedding table."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.label_centroid_separation(emb)
+
+def _q_kmeans_silhouette(spark, sf_dir):
+    """Simplified silhouette per cluster on the engine-exact k-means
+    model (operators/similarity.py:kmeans_silhouette) — the k-quality
+    gate next to the wss report."""
+    from metis_spark.driver.common import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_silhouette(emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE)

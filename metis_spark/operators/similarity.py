@@ -1030,3 +1030,91 @@ def label_centroid_separation(
             "cohesion_b",
         )
     )
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Simplified silhouette per k-means cluster → (cid, n_members,
+    mean_silhouette). The cluster-quality gate after kmeans_quantized:
+    s_i = (b_i − a_i) / max(a_i, b_i) with a_i = distance to the OWN
+    centroid and b_i = distance to the NEAREST OTHER centroid (the
+    centroid-based simplification of Rousseeuw 1987 — O(n·k) instead
+    of the O(n²) full silhouette, the standard at-scale variant).
+    mean near 0 → clusters touch; negative → points sit closer to a
+    foreign centroid than their own (k is wrong).
+
+    Exactness: every point-to-centroid dist² is an exact integer on
+    the shared quantized model (the kmeans_quantized trajectory); s_i
+    is a pure double function of the integer pair (a², b²), quantized
+    to micro units BEFORE the per-cluster mean (order-free sums).
+
+    Scale shape: one broadcast join of the n·d point table against
+    the k·d model + two map-side-combined groupBys. The n·k scored
+    table is the same intermediate the assignment step already builds.
+
+    If Lloyd collapses to a SINGLE live cluster (dead clusters drop,
+    standard behavior) there is no "nearest other centroid" and the
+    result is EMPTY — silhouette is undefined at k_live = 1, and both
+    engines agree on that emptiness.
+    """
+    asg, model = kmeans_quantized(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale, return_model=True,
+    )
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "id",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast("long").alias("q"),
+    )
+    scored = (
+        pts.join(F.broadcast(model), "pos")
+        .groupBy("id", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    own = asg.select("id", F.col("cid").alias("own_cid"), F.col("dist2").alias("a2"))
+    other = (
+        scored.join(own.select("id", "own_cid"), "id")
+        .where(F.col("cid") != F.col("own_cid"))
+        .groupBy("id")
+        .agg(F.min("dist2").cast("long").alias("b2"))
+    )
+    s = (F.sqrt(F.col("b2").cast("double")) - F.sqrt(F.col("a2").cast("double"))) / F.greatest(
+        F.sqrt(F.col("a2").cast("double")), F.sqrt(F.col("b2").cast("double"))
+    )
+    micro = F.when(
+        F.greatest(F.col("a2"), F.col("b2")) > 0,
+        F.round(s * F.lit(1e6)).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        own.join(other, "id")
+        .select(F.col("own_cid").alias("cid"), micro.alias("sm"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("sm").cast("long").alias("sum_sil_micro"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            F.round(
+                F.col("sum_sil_micro").cast("double")
+                / F.col("n_members").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )
