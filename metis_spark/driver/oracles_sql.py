@@ -4423,3 +4423,22 @@ SELECT cid, COUNT(*)::BIGINT AS n_members,
        ROUND(SUM(sm)::DOUBLE / COUNT(*) / 1000000.0, 6) AS mean_silhouette
 FROM sils GROUP BY cid"""
     )
+
+
+_MAD_OUTLIERS_SQL = (
+    "WITH mde AS (SELECT event_type, value FROM events),\n"
+    "mdm AS (SELECT event_type, quantile_cont(value, 0.5) AS med, "
+    "COUNT(*)::BIGINT AS n FROM mde GROUP BY event_type),\n"
+    "mdd AS (SELECT e.event_type, m.n, m.med, ABS(e.value - m.med) AS adev "
+    "FROM mde e JOIN mdm m ON e.event_type = m.event_type),\n"
+    "mda AS (SELECT event_type, MAX(n)::BIGINT AS n, MAX(med) AS med, "
+    "quantile_cont(adev, 0.5) AS mad FROM mdd GROUP BY event_type),\n"
+    "mdf AS (SELECT e.event_type, SUM(CASE WHEN ABS(e.value - a.med) > 3.5 * a.mad "
+    "THEN 1 ELSE 0 END)::BIGINT AS n_outliers FROM mde e JOIN mda a "
+    "ON e.event_type = a.event_type WHERE a.mad > 0 GROUP BY e.event_type)\n"
+    "SELECT a.event_type, a.n, ROUND(a.med, 6) AS med, ROUND(a.mad, 6) AS mad, "
+    "COALESCE(f.n_outliers, 0)::BIGINT AS n_outliers, "
+    "CASE WHEN a.mad > 0 THEN ROUND(COALESCE(f.n_outliers, 0)::DOUBLE / a.n, 6) END "
+    "AS outlier_rate "
+    "FROM mda a LEFT JOIN mdf f ON a.event_type = f.event_type"
+)

@@ -503,3 +503,61 @@ def _q_event_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.col("row_n").cast("double"), 6).alias("prob"),
     )
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust outlier audit per event type → (event_type, n, med,
+    mad, n_outliers, outlier_rate). Median/MAD replace mean/stddev so
+    the contamination being hunted can't mask itself (the classic
+    robust-z screen: |v − med| > 3.5·MAD ≈ Iglewicz–Hoaglin with the
+    1.4826 consistency constant folded into the cutoff).
+
+    Exactness: Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolated-median definition, so med and mad agree bitwise on
+    the same doubles; the outlier predicate compares those shared
+    doubles; counts are integers and the rate one trailing ROUND.
+    Degenerate types (MAD = 0) report NULL rate rather than flagging
+    every tied row.
+
+    Scale shape: two grouped percentile passes (map-side partial
+    digests per type) + one broadcast join of the ≤ #types medians —
+    no windows.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    flags = (
+        ev.join(F.broadcast(mad.select("event_type", F.col("med").alias("m2"), F.col("mad").alias("d2"))), "event_type")
+        .where(F.col("d2") > 0)
+        .select(
+            "event_type",
+            (F.abs(F.col("value") - F.col("m2")) > F.lit(3.5) * F.col("d2")).cast("long").alias("o"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("o").cast("long").alias("n_outliers"))
+    )
+    return (
+        mad.join(flags, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+            F.when(
+                F.col("mad") > 0,
+                F.round(
+                    F.coalesce("n_outliers", F.lit(0)).cast("double") / F.col("n").cast("double"), 6
+                ),
+            ).alias("outlier_rate"),
+        )
+    )
