@@ -229,6 +229,12 @@ def main() -> None:
         "scc_condensation",
         "good_turing_richness",
         "label_centroid_separation",
+        "dcsbm_likelihood",
+        "event_transitions",
+        "clustering_by_degree",
+        "kmeans_silhouette",
+        "mad_outliers",
+        "global_efficiency",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -4442,3 +4442,21 @@ _MAD_OUTLIERS_SQL = (
     "AS outlier_rate "
     "FROM mda a LEFT JOIN mdf f ON a.event_type = f.event_type"
 )
+
+
+def _global_efficiency_sql() -> str:
+    """Twin of global_efficiency on the _anf_exact_sql chain."""
+    base = _anf_exact_sql()
+    return (
+        f"WITH genf AS MATERIALIZED ({base}),\n"
+        "ged AS (SELECT t, pairs, pairs - LAG(pairs) OVER (ORDER BY t) AS new_pairs "
+        "FROM genf),\n"
+        "gea AS (SELECT MAX(t)::BIGINT AS horizon, MIN(pairs)::BIGINT AS n0, "
+        "COALESCE(SUM(CASE WHEN t > 0 THEN "
+        "CAST(ROUND(1000000.0 / t) AS HUGEINT) * new_pairs END), 0)::BIGINT AS eff_micro "
+        "FROM ged)\n"
+        "SELECT horizon, n0 AS n_vertices, (n0::HUGEINT * (n0 - 1))::BIGINT AS ordered_pairs, "
+        "eff_micro, CASE WHEN n0 > 1 THEN "
+        "ROUND(eff_micro::DOUBLE / 1000000.0 / (n0::DOUBLE * (n0 - 1)), 6) END AS efficiency "
+        "FROM gea"
+    )

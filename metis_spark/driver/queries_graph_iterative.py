@@ -951,3 +951,11 @@ def _q_scc_condensation(spark, sf_dir):
             ).alias("edge_reduction"),
         )
     )
+
+def _q_global_efficiency(spark, sf_dir):
+    """Truncated global efficiency (plans/anf.py:global_efficiency) —
+    the disconnection-proof average-connectivity scalar on the exact
+    N(t) spine."""
+    from metis_spark.plans.anf import global_efficiency
+
+    return global_efficiency(derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS)

@@ -258,3 +258,58 @@ def mean_distance_exact(edges: DataFrame, rounds: int = 3) -> DataFrame:
             ),
         ).alias("mean_distance"),
     )
+
+
+def global_efficiency(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Truncated global efficiency (Latora & Marchiori 2001) → one row
+    (horizon, n_vertices, ordered_pairs, eff_micro, efficiency). The
+    disconnection-proof partner of mean_distance_exact: E = mean over
+    ALL ordered pairs of 1/d(u,v), with unreachable (and beyond-
+    horizon) pairs contributing 0 instead of poisoning the mean.
+
+        eff_micro = Σ_{t=1..h} round(1e6/t) · (N(t) − N(t−1))
+        efficiency = eff_micro / 1e6 / (n(n−1))
+
+    Exactness: per-distance reciprocals quantize to micro units BEFORE
+    multiplying the exact integer pair increments, so the fold is
+    order-free integer arithmetic; one trailing ROUND.
+
+    Scale shape: shares the exact N(t) spine (at 100 TB substitute the
+    ANF sketch estimates); the fold sees h+1 rows.
+    """
+    nf = neighborhood_function(edges, rounds=rounds)
+    w = Window.orderBy("t")
+    dec = "decimal(38,0)"
+    diffs = nf.select(
+        "t",
+        "pairs",
+        (F.col("pairs") - F.lag("pairs").over(w)).alias("new_pairs"),
+    )
+    agg = diffs.agg(
+        F.max("t").cast("long").alias("horizon"),
+        F.min("pairs").cast("long").alias("n0"),
+        F.sum(
+            F.when(
+                F.col("t") > 0,
+                F.round(F.lit(1e6) / F.col("t").cast("double")).cast(dec)
+                * F.col("new_pairs").cast(dec),
+            )
+        )
+        .cast("long")
+        .alias("eff_micro"),
+    )
+    return agg.select(
+        "horizon",
+        F.col("n0").alias("n_vertices"),
+        (F.col("n0") * (F.col("n0") - 1)).cast("long").alias("ordered_pairs"),
+        F.coalesce("eff_micro", F.lit(0)).cast("long").alias("eff_micro"),
+        F.when(
+            F.col("n0") > 1,
+            F.round(
+                F.col("eff_micro").cast("double")
+                / F.lit(1e6)
+                / (F.col("n0") * (F.col("n0") - 1)).cast("double"),
+                6,
+            ),
+        ).alias("efficiency"),
+    )
