@@ -4460,3 +4460,30 @@ def _global_efficiency_sql() -> str:
         "ROUND(eff_micro::DOUBLE / 1000000.0 / (n0::DOUBLE * (n0 - 1)), 6) END AS efficiency "
         "FROM gea"
     )
+
+
+def _pq_ann_recall_sql() -> str:
+    """Twin of the PQ recall gate: the full _pq_ann_sql ranking as a
+    subquery vs an exact quantized-L2 top-k on the same floor-quantized
+    points."""
+    from metis_spark.driver.common import PQ_TOPK
+
+    pq = _pq_ann_sql()
+    return (
+        f"WITH pqr AS MATERIALIZED ({pq}),\n"
+        "prqid AS (SELECT MIN(vec_id)::BIGINT AS id FROM embeddings),\n"
+        "prpts AS MATERIALIZED (SELECT vec_id AS id, ix.i AS pos, "
+        "floor(embedding[ix.i + 1]::DOUBLE * 1000.0)::BIGINT AS q "
+        "FROM embeddings, (SELECT unnest(range(0, 64)) AS i) ix),\n"
+        "prq AS (SELECT pos, q AS qq FROM prpts WHERE id = (SELECT id FROM prqid)),\n"
+        "prd AS (SELECT p.id, SUM((p.q - e.qq) * (p.q - e.qq))::BIGINT AS d2 "
+        "FROM prpts p JOIN prq e ON p.pos = e.pos "
+        "WHERE p.id <> (SELECT id FROM prqid) GROUP BY p.id),\n"
+        "prtop AS (SELECT id FROM (SELECT id, ROW_NUMBER() OVER (ORDER BY d2, id) AS rn "
+        f"FROM prd) WHERE rn <= {PQ_TOPK}),\n"
+        "prh AS (SELECT COUNT(*)::BIGINT AS n_overlap FROM prtop t "
+        "JOIN pqr ON t.id = pqr.id),\n"
+        "prn AS (SELECT COUNT(*)::BIGINT AS n_exact FROM prtop)\n"
+        "SELECT n_exact, n_overlap, ROUND(n_overlap::DOUBLE / n_exact, 6) AS recall "
+        "FROM prn, prh"
+    )

@@ -343,3 +343,49 @@ def _q_kmeans_silhouette(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.kmeans_silhouette(emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE)
+
+def _q_pq_ann_recall(spark, sf_dir):
+    """Quality gate for the PQ/ADC path → one row (n_exact, n_overlap,
+    recall): overlap between pq_ann_topk's ADC ranking and the exact
+    quantized-L2 top-k for the same self-query — the measured recall
+    gate the LSH and IVF paths already carry (ann_lsh_recall /
+    ann_ivf_recall), closing the trio. Exact side uses the IDENTICAL
+    floor-quantization, so the comparison isolates exactly the PQ
+    approximation (sub-space independence), not float noise."""
+    from metis_spark.driver.common import PQ_ITERS, PQ_K, PQ_M, PQ_TOPK
+    from metis_spark.operators.similarity import pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = pq_ann_topk(emb, k_top=PQ_TOPK, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    qrow = (
+        emb.orderBy(F.col("vec_id").asc()).select("vec_id", "embedding").limit(1).collect()[0]
+    )
+    qid = int(qrow["vec_id"])
+    import math
+
+    qdf = spark.createDataFrame(
+        [(p, int(math.floor(float(v) * 1000.0))) for p, v in enumerate(qrow["embedding"])],
+        "pos int, qq long",
+    )
+    pts = emb.select(
+        F.col("vec_id").alias("id"), F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "id", "pos", F.floor(F.col("val").cast("double") * F.lit(1000.0)).cast("long").alias("q")
+    )
+    exact = (
+        pts.where(F.col("id") != qid)
+        .join(F.broadcast(qdf), "pos")
+        .groupBy("id")
+        .agg(F.sum((F.col("q") - F.col("qq")) * (F.col("q") - F.col("qq"))).cast("long").alias("d2"))
+        .orderBy("d2", "id")
+        .limit(PQ_TOPK)
+    )
+    hits = exact.join(approx.select("id"), "id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return ne.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_exact").cast("double"), 6).alias("recall"),
+    )
