@@ -4487,3 +4487,19 @@ def _pq_ann_recall_sql() -> str:
         "SELECT n_exact, n_overlap, ROUND(n_overlap::DOUBLE / n_exact, 6) AS recall "
         "FROM prn, prh"
     )
+
+
+_VOCAB_COVERAGE_SQL = (
+    f"WITH {_TOKS_SQL},\n"
+    "vce AS (SELECT unnest(t) AS term FROM toks),\n"
+    "vcf AS (SELECT term, COUNT(*)::BIGINT AS c FROM vce GROUP BY term),\n"
+    "vct AS (SELECT SUM(c)::BIGINT AS total_tokens FROM vcf),\n"
+    "vch AS (SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC)::BIGINT AS rn "
+    "FROM vcf ORDER BY c DESC, term ASC LIMIT 10000),\n"
+    "vcs(k) AS (VALUES (100::BIGINT), (1000::BIGINT), (10000::BIGINT)),\n"
+    "vcp AS (SELECT s.k, COUNT(*)::BIGINT AS vocab_size, SUM(h.c)::BIGINT AS covered_tokens "
+    "FROM vcs s JOIN vch h ON h.rn <= s.k GROUP BY s.k)\n"
+    "SELECT p.k, p.vocab_size, p.covered_tokens, t.total_tokens, "
+    "ROUND(p.covered_tokens::DOUBLE / t.total_tokens, 6) AS coverage "
+    "FROM vcp p, vct t"
+)

@@ -562,3 +562,10 @@ def _q_good_turing(spark, sf_dir):
     forecast next to heaps_fit's growth curve."""
     docs = _t(spark, sf_dir, "documents")
     return CS.good_turing_richness(docs, lang_col="lang")
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Top-K vocabulary coverage curve (operators/corpus_stats.py:
+    vocab_coverage_curve) — what each order of magnitude of vocabulary
+    buys; the curve behind oov_rate's single point."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.vocab_coverage_curve(docs, ks=(100, 1000, 10000))

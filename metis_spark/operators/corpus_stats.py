@@ -1364,3 +1364,58 @@ def good_turing_richness(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
             6,
         ).alias("chao1"),
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame, ks: tuple = (100, 1000, 10000), text_col: str = "text"
+) -> DataFrame:
+    """Token-occurrence coverage of the top-K vocabulary for each K →
+    (k, vocab_size, covered_tokens, total_tokens, coverage). The curve
+    behind every vocabulary-size decision: oov_rate answers "how bad is
+    THIS K", this answers "what does each extra order of magnitude of
+    vocabulary buy". vocab_size < k when the corpus has fewer types.
+
+    Exactness: term frequencies are integers; the head is a distributed
+    sort-limit of max(ks) rows ranked by (freq DESC, term ASC) — the
+    oov_rate/bounded-window discipline — and the per-K folds are
+    integer sums over that bounded head; coverage is one trailing
+    ROUND per row.
+
+    Scale shape: one (term) groupBy with map-side partials, one
+    TakeOrdered head of max(ks) rows, the K spine a literal explode
+    over the head — the corpus is never rescanned per K.
+    """
+    from metis_spark.functions.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tf.agg(F.sum("c").cast("long").alias("total_tokens"))
+    kmax = max(ks)
+    head = tf.orderBy(F.desc("c"), F.asc("term")).limit(kmax)
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = head.withColumn("rn", F.row_number().over(w).cast("long"))
+    spine = F.array([F.lit(int(k)) for k in sorted(ks)])
+    per_k = (
+        ranked.select(F.explode(spine).alias("k"), "rn", "c")
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        per_k.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total_tokens").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
