@@ -235,6 +235,8 @@ def main() -> None:
         "kmeans_silhouette",
         "mad_outliers",
         "global_efficiency",
+        "pq_ann_recall",
+        "vocab_coverage_curve",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

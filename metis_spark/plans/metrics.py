@@ -2319,7 +2319,11 @@ def dcsbm_likelihood(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .join(lb.hint("shuffle_hash"), "dst")
         .groupBy("lr", "ls")
         .agg(F.count(F.lit(1)).cast("long").alias("mrs"))
-    ).persist()
+    )
+    # deliberately NOT persisted: the returned frame is lazy, so a
+    # persist here would outlive the query (the ngram_jaccard_pairs
+    # rationale); the block table is ≤ groups² rows and cheap to
+    # recompute for its three consumers.
     kap = blocks.groupBy("lr").agg(F.sum("mrs").cast("long").alias("kr"))
     ka = kap.select(F.col("lr"), F.col("kr"))
     kb = kap.select(F.col("lr").alias("ls"), F.col("kr").alias("ks"))
