@@ -561,3 +561,58 @@ def streaming_global_heavy_hitters(
         .queryName(out_table)
         .start()
     )
+
+
+def streaming_event_transitions(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "transitions",
+):
+    """Streaming first-order Markov transition emitter: for every event
+    after a user's first, append one (prev_kind, next_kind) row — the
+    live twin of the batch `event_transitions` matrix (an aggregation
+    over this table reproduces it exactly; pinned streamed ≡ batch).
+
+    The transition depends on the PREVIOUS event of the same key, so
+    (like threshold_crossers) it is arbitrary-keyed-state territory:
+    state per live user is ONE string (the last kind seen) — bounded by
+    #users, never #events. Rows inside a micro-batch are ordered by
+    (ts, event_id) before folding, and the carried state bridges
+    batch boundaries, so an in-order per-user feed yields exactly the
+    batch LAG pairs regardless of how the drains are chunked.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for k in pdf["kind"]:
+                if last is not None:
+                    out.append((int(key[0]), last, k))
+                last = k
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "prev_kind", "next_kind"])
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, prev_kind string, next_kind string",
+        stateStructType="last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )
