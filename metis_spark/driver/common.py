@@ -130,6 +130,18 @@ PR_CONV_TOL = 1e-12  # both engines land within ~1e-12 L1 of the unique
 
 PR_CONV_ORACLE_ITERS = 30  # cold power iteration needs ≤18 at either sf
 
+# heat-kernel PPR (plans/diffusion.py): t = HK_T_NUM/HK_T_DEN, truncated
+# at HK_TERMS Taylor terms (t^k/k! < 1% of peak past k=6 for t=3)
+HK_SEED_MOD = 10
+HK_T_NUM, HK_T_DEN = 3, 1
+HK_TERMS = 6
+HK_SCALE = 10**12
+HK_TOPK = 20
+
+# quantized PageRank convergence trajectory (plans/diffusion.py)
+PRDC_ITERS = 8
+PRDC_SCALE = 10**12
+
 ROB_KS = (0, 8, 64)  # hubs removed per robustness point
 
 ROB_ROUNDS = 24  # min-label flood unroll for the REDUCED graphs (hub
@@ -286,6 +298,11 @@ FROM gaps WHERE gap IS NOT NULL GROUP BY 1
 N_MEDIA = 200
 
 KCENTER_K = 4
+
+# MMR diverse selection (operators/similarity.py:mmr_topk): k greedy
+# picks from a relevance-pruned pool (λ = 7/10 as integer literals)
+MMR_K = 8
+MMR_POOL = 64
 
 def _kcenter_cos(a: str, b: str) -> str:
     return (

@@ -4503,3 +4503,141 @@ _VOCAB_COVERAGE_SQL = (
     "ROUND(p.covered_tokens::DOUBLE / t.total_tokens, 6) AS coverage "
     "FROM vcp p, vct t"
 )
+
+def _heat_kernel_sql() -> str:
+    """Twin of plans/diffusion.py:heat_kernel_ppr — the unrolled integer
+    Taylor recurrence (share = x // outdeg, x_k = (T·gather) // (T_den·k)),
+    truncating division of non-negative BIGINTs matching Spark DIV."""
+    from metis_spark.driver.common import (
+        HK_SCALE, HK_SEED_MOD, HK_T_DEN, HK_T_NUM, HK_TERMS, HK_TOPK,
+    )
+
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "hkdeg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        f"hx0 AS MATERIALIZED (SELECT id, CASE WHEN id % {HK_SEED_MOD} = 0 "
+        f"THEN {HK_SCALE} ELSE 0 END::BIGINT AS x FROM verts)",
+        "hh0 AS (SELECT id, x AS hk FROM hx0)",
+    ]
+    for k in range(1, HK_TERMS + 1):
+        pv = k - 1
+        ctes.append(
+            f"hs{k} AS (SELECT x.id AS src, (x.x // o.deg)::BIGINT AS share "
+            f"FROM hx{pv} x JOIN hkdeg o ON x.id = o.src)"
+        )
+        ctes.append(
+            f"hg{k} AS (SELECT e.dst AS id, SUM(s.share)::BIGINT AS g "
+            f"FROM edges e JOIN hs{k} s ON e.src = s.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"hx{k} AS MATERIALIZED (SELECT v.id, (({HK_T_NUM} * COALESCE(g.g, 0)) "
+            f"// {HK_T_DEN * k})::BIGINT AS x "
+            f"FROM verts v LEFT JOIN hg{k} g ON v.id = g.id)"
+        )
+        ctes.append(
+            f"hh{k} AS MATERIALIZED (SELECT h.id, (h.hk + COALESCE(x.x, 0))::BIGINT AS hk "
+            f"FROM hh{pv} h LEFT JOIN hx{k} x ON h.id = x.id)"
+        )
+    ctes.append(f"hkt AS (SELECT SUM(hk)::BIGINT AS t FROM hh{HK_TERMS})")
+    ctes.append(
+        f"hktop AS (SELECT id, hk, ROW_NUMBER() OVER (ORDER BY hk DESC, id ASC) AS rn "
+        f"FROM hh{HK_TERMS} WHERE hk > 0)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT id, hk::BIGINT AS hk_scaled, "
+        "ROUND(hk::DOUBLE / (SELECT t FROM hkt), 6) AS hk_norm, rn::BIGINT AS rn "
+        f"FROM hktop WHERE rn <= {HK_TOPK}"
+    )
+
+
+def _pagerank_delta_curve_sql() -> str:
+    """Twin of plans/diffusion.py:pagerank_delta_curve — the unrolled
+    quantized power iteration with exact integer L1/L∞ deltas per round
+    (d = 17/20, dangling mass folded via dm // n, all ops on BIGINTs)."""
+    from metis_spark.driver.common import PRDC_ITERS, PRDC_SCALE
+
+    num, den = 17, 20
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "pdeg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        "pbase AS (SELECT v.id, COALESCE(o.deg, 0)::BIGINT AS deg "
+        "FROM verts v LEFT JOIN pdeg o ON v.id = o.src)",
+        "pnn AS (SELECT COUNT(*)::BIGINT AS n FROM pbase)",
+        f"pr0 AS MATERIALIZED (SELECT id, {PRDC_SCALE}::BIGINT AS r FROM pbase)",
+    ]
+    for i in range(1, PRDC_ITERS + 1):
+        pv = i - 1
+        ctes.append(
+            f"pdm{i} AS (SELECT (COALESCE(SUM(r.r), 0)::BIGINT "
+            f"// (SELECT n FROM pnn))::BIGINT AS dmper "
+            f"FROM pr{pv} r JOIN pbase b ON r.id = b.id WHERE b.deg = 0)"
+        )
+        ctes.append(
+            f"ps{i} AS (SELECT b.id AS src, (r.r // b.deg)::BIGINT AS share "
+            f"FROM pbase b JOIN pr{pv} r ON b.id = r.id WHERE b.deg > 0)"
+        )
+        ctes.append(
+            f"pg{i} AS (SELECT e.dst AS id, SUM(s.share)::BIGINT AS g "
+            f"FROM edges e JOIN ps{i} s ON e.src = s.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT b.id, ((({den - num})::BIGINT * {PRDC_SCALE} "
+            f"+ {num} * (COALESCE(g.g, 0) + (SELECT dmper FROM pdm{i}))) "
+            f"// {den})::BIGINT AS r "
+            f"FROM pbase b LEFT JOIN pg{i} g ON b.id = g.id)"
+        )
+        ctes.append(
+            f"pd{i} AS (SELECT {i}::BIGINT AS iter, "
+            "SUM(ABS(a.r - b.r))::BIGINT AS l1_delta, "
+            "MAX(ABS(a.r - b.r))::BIGINT AS linf_delta, "
+            "SUM(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END)::BIGINT AS moved_vertices "
+            f"FROM pr{i} a JOIN pr{pv} b ON a.id = b.id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM pd{i}" for i in range(1, PRDC_ITERS + 1))
+    return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY iter"
+
+def _mmr_sql() -> str:
+    """Twin of operators/similarity.py:mmr_topk — relevance pool prune
+    then MMR_K unrolled greedy rounds; per-round state MATERIALIZED
+    (referenced by both the selection and the next round — the CTE
+    inlining blowup the delta-curve twin hit). λ mix = (7·rel −
+    3·maxsim)/10 with integer literals on already-rounded doubles."""
+    from metis_spark.driver.common import MMR_K, MMR_POOL
+
+    ctes = [
+        "mq AS (SELECT MIN(vec_id)::BIGINT AS qid FROM embeddings)",
+        "mqv AS (SELECT embedding AS qv FROM embeddings "
+        "WHERE vec_id = (SELECT qid FROM mq))",
+        "mc0 AS MATERIALIZED (SELECT vec_id, v, rel, CAST(-1.0 AS DOUBLE) AS maxsim "
+        "FROM (SELECT e.vec_id::BIGINT AS vec_id, e.embedding AS v, "
+        f"ROUND({_cos_expr('e.embedding', 'q.qv')}, 6) AS rel, "
+        "ROW_NUMBER() OVER (ORDER BY "
+        f"ROUND({_cos_expr('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC) AS prn "
+        "FROM embeddings e, mqv q WHERE e.vec_id <> (SELECT qid FROM mq)) "
+        f"WHERE prn <= {MMR_POOL})",
+    ]
+    for i in range(1, MMR_K + 1):
+        pv = i - 1
+        ctes.append(
+            f"mp{i} AS MATERIALIZED (SELECT vec_id, v, rel, maxsim, "
+            "ROUND((7 * rel - 3 * maxsim) / 10, 6) AS mmr, "
+            "ROW_NUMBER() OVER (ORDER BY "
+            "ROUND((7 * rel - 3 * maxsim) / 10, 6) DESC, vec_id ASC) AS srn "
+            f"FROM mc{pv})"
+        )
+        ctes.append(
+            f"msel{i} AS (SELECT {i}::BIGINT AS rn, vec_id, v, "
+            f"rel AS relevance, maxsim AS max_sim, mmr FROM mp{i} WHERE srn = 1)"
+        )
+        if i < MMR_K:
+            ctes.append(
+                f"mc{i} AS MATERIALIZED (SELECT c.vec_id, c.v, c.rel, "
+                f"GREATEST(c.maxsim, ROUND({_cos_expr('c.v', 's.v')}, 6)) AS maxsim "
+                f"FROM mp{i} c, msel{i} s WHERE c.srn > 1)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT rn, vec_id, relevance, max_sim, mmr FROM msel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY rn"

@@ -959,3 +959,33 @@ def _q_global_efficiency(spark, sf_dir):
     from metis_spark.plans.anf import global_efficiency
 
     return global_efficiency(derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS)
+
+def _q_heat_kernel(spark, sf_dir):
+    """Truncated-Taylor heat-kernel PPR from the id % HK_SEED_MOD seed
+    set (plans/diffusion.py:heat_kernel_ppr) — the 1/k!-damped member
+    of the diffusion family next to ppr_5iter / katz_5iter. Exact
+    integer trajectory: the DuckDB twin replays every term bit-for-bit."""
+    from metis_spark.driver.common import (
+        HK_SCALE, HK_SEED_MOD, HK_T_DEN, HK_T_NUM, HK_TERMS, HK_TOPK,
+    )
+    from metis_spark.plans.diffusion import heat_kernel_ppr
+
+    out, _ = heat_kernel_ppr(
+        derived_edges(spark, sf_dir),
+        seed_mod=HK_SEED_MOD, t_num=HK_T_NUM, t_den=HK_T_DEN,
+        n_terms=HK_TERMS, scale=HK_SCALE, topk=HK_TOPK,
+    )
+    return out
+
+def _q_pagerank_delta_curve(spark, sf_dir):
+    """Exact integer convergence trajectory of the quantized power
+    iteration (plans/diffusion.py:pagerank_delta_curve) — the
+    iteration-by-iteration L1/L∞ decay behind the north-rule
+    "iterations to L1 < 1e-9" criterion, behind the oracle gate."""
+    from metis_spark.driver.common import PRDC_ITERS, PRDC_SCALE
+    from metis_spark.plans.diffusion import pagerank_delta_curve
+
+    out, _ = pagerank_delta_curve(
+        derived_edges(spark, sf_dir), n_iters=PRDC_ITERS, scale=PRDC_SCALE,
+    )
+    return out

@@ -389,3 +389,14 @@ def _q_pq_ann_recall(spark, sf_dir):
         "n_overlap",
         F.round(F.col("n_overlap").cast("double") / F.col("n_exact").cast("double"), 6).alias("recall"),
     )
+
+def _q_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance diverse top-k for the min-id
+    self-query (operators/similarity.py:mmr_topk) — the λ-mixed
+    relevance/diversity selector between cosine_topk (pure relevance)
+    and kcenter_seeds (pure diversity); RAG context packing's default."""
+    from metis_spark.driver.common import MMR_K, MMR_POOL
+    from metis_spark.operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, k=MMR_K, pool=MMR_POOL)

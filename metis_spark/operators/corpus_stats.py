@@ -1419,3 +1419,82 @@ def vocab_coverage_curve(
             ).alias("coverage"),
         )
     )
+
+
+def kneser_ney_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d_num: int = 3,
+    d_den: int = 4,
+    topk: int = 30,
+) -> DataFrame:
+    """→ (w1, w2, c12, c1, n_fwd, n_bwd, p_mle, p_kn, rn): interpolated
+    Kneser–Ney bigram probabilities (Kneser & Ney 1995; Chen & Goodman
+    1999's recommended smoothing) for the top-k bigrams by count — the
+    LM-smoothing member of the corpus family next to the MLE-based
+    surprisal filters and good_turing_richness (which estimates the
+    same unseen mass KN redistributes):
+
+        P_KN(w2|w1) = (max(c12 − D, 0) + D·n_fwd(w1)·n_bwd(w2)/B) / c1
+
+    with discount D = d_num/d_den (default 3/4), c1 = Σ_w c(w1,w) the
+    CONTEXT total, n_fwd(w1) = |{w : c(w1,w) > 0}|, n_bwd(w2) =
+    |{w : c(w,w2) > 0}| (the continuation count — KN's insight: "how
+    many contexts does w2 complete" beats raw frequency for backoff),
+    B = total distinct bigram types.
+
+    ENGINE-EXACT: with D rational the probability is a single division
+    of exact BIGINTs —
+        p_kn = (max(d_den·c12 − d_num, 0)·B + d_num·n_fwd·n_bwd)
+               / (d_den·c1·B)
+    rounded once to 6; no float enters before the final division.
+
+    Scale shape: the bigram explode partial-aggregates map-side into
+    the bigram-type table; the three stat tables key on w1/w2 (bounded
+    by vocab²-observed, in practice ≪ corpus size); B is one scalar.
+    Output is TakeOrdered top-k — text never rides a shuffle past
+    tokenization."""
+    toks = docs.select(tokens(F.col(text_col)).alias("t")).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", (i + 1).cast("int")).alias("w1"),
+                    F.element_at("t", (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c12 = c12.persist()
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_bwd"))
+    b_types = c12.count()
+    scored = (
+        c12.join(ctx, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1", "w2", "c12", "c1", "n_fwd", "n_bwd",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_mle"),
+            F.round(
+                (
+                    F.greatest(
+                        F.lit(d_den) * F.col("c12") - F.lit(d_num), F.lit(0)
+                    ).cast("long") * F.lit(b_types)
+                    + F.lit(d_num) * F.col("n_fwd") * F.col("n_bwd")
+                )
+                / (F.lit(d_den) * F.col("c1") * F.lit(b_types)),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    top = scored.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")).limit(topk)
+    w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))  # ≤ topk rows
+    out = top.withColumn("rn", F.row_number().over(w).cast("long"))
+    c12.unpersist()
+    return out

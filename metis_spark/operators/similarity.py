@@ -1118,3 +1118,84 @@ def kmeans_silhouette(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def mmr_topk(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    pool: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) → (rn, vec_id, relevance, max_sim, mmr): the standard
+    diversity-aware top-k for RAG context packing and diverse
+    training-sample selection, next to kcenter_seeds (pure diversity)
+    and cosine_topk (pure relevance).
+
+    Query = the min-id vector (the deterministic self-query convention
+    of pq_ann/bm25). Stage 1 prunes to the top-``pool`` candidates by
+    ROUND(cos, 6) relevance — a distributed TakeOrdered, the only pass
+    over the full corpus. Stage 2 runs k greedy rounds over the pool:
+
+        mmr(v) = ROUND((7·rel(v) − 3·maxsim(v)) / 10, 6)   (λ = 0.7)
+
+    with maxsim(v) = running max over selected s of ROUND(cos(v,s), 6),
+    initialized to −1 (so round 1 is pure relevance order). The λ mix
+    uses INTEGER literals 7/3/10 on already-rounded doubles — both
+    engines compute bit-identical IEEE results from identical inputs,
+    the round-before-rank discipline (kcenter_seeds docstring), and the
+    1−λ = 0.30000000000000004 float-literal trap never arises.
+
+    Shape at scale: one corpus scan + TakeOrdered(pool), then k
+    broadcast-one-vector map rounds over ≤ pool rows; driver holds k
+    rows. The pool bound is the same candidate-shedding move as
+    lsh_bucket_topk — MMR's pairwise term never touches the corpus.
+    """
+    spark = points.sparkSession
+    state = points.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    qrow = state.orderBy("vec_id").limit(1).collect()[0]
+    qid = int(qrow["vec_id"])
+    qcol = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    cands = (
+        state.where(F.col("vec_id") != qid)
+        .select(
+            "vec_id", "v", F.round(cosine(F.col("v"), qcol), 6).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool)
+        .withColumn("maxsim", F.lit(-1.0))
+        .localCheckpoint(eager=True)
+    )
+    rows: list[tuple] = []
+    cur_vec = None
+    for rn in range(1, k + 1):
+        if cur_vec is not None:
+            cv = F.array(*[F.lit(float(x)) for x in cur_vec])
+            cands = cands.select(
+                "vec_id", "v", "rel",
+                F.greatest(
+                    F.col("maxsim"), F.round(cosine(F.col("v"), cv), 6)
+                ).alias("maxsim"),
+            ).localCheckpoint(eager=True)
+        scored = cands.select(
+            "vec_id", "v", "rel", "maxsim",
+            F.round(
+                (F.lit(7) * F.col("rel") - F.lit(3) * F.col("maxsim")) / F.lit(10),
+                6,
+            ).alias("mmr"),
+        )
+        top = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()
+        if not top:
+            break
+        t = top[0]
+        rows.append(
+            (rn, int(t["vec_id"]), float(t["rel"]), float(t["maxsim"]), float(t["mmr"]))
+        )
+        cur_vec = t["v"]
+        cands = cands.where(F.col("vec_id") != int(t["vec_id"]))
+    return spark.createDataFrame(
+        rows, "rn long, vec_id long, relevance double, max_sim double, mmr double"
+    )
