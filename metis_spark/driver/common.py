@@ -299,6 +299,9 @@ N_MEDIA = 200
 
 KCENTER_K = 4
 
+# Kneser-Ney bigram smoothing (operators/corpus_stats.py:kneser_ney_topk)
+KN_TOPK = 30
+
 # MMR diverse selection (operators/similarity.py:mmr_topk): k greedy
 # picks from a relevance-pruned pool (λ = 7/10 as integer literals)
 MMR_K = 8

@@ -4641,3 +4641,31 @@ def _mmr_sql() -> str:
         for i in range(1, MMR_K + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY rn"
+
+def _kneser_ney_sql() -> str:
+    """Twin of corpus_stats.kneser_ney_topk (D = 3/4 as in the Spark
+    default): all stats integer-exact, one double division per row of
+    exactly-representable BIGINTs (num ≤ ~1e12, den ≤ ~1e13 < 2^53)."""
+    from metis_spark.driver.common import KN_TOPK
+
+    return (
+        f"WITH {_TOKS_SQL},\n"
+        "knp AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1])) AS bg FROM toks WHERE len(t) >= 2),\n"
+        "knc AS MATERIALIZED (SELECT split_part(bg, ' ', 1) AS w1, "
+        "split_part(bg, ' ', 2) AS w2, COUNT(*)::BIGINT AS c12 "
+        "FROM knp GROUP BY bg),\n"
+        "knx AS (SELECT w1, SUM(c12)::BIGINT AS c1, COUNT(*)::BIGINT AS n_fwd "
+        "FROM knc GROUP BY w1),\n"
+        "knb AS (SELECT w2, COUNT(*)::BIGINT AS n_bwd FROM knc GROUP BY w2),\n"
+        "knt AS (SELECT COUNT(*)::BIGINT AS b FROM knc),\n"
+        "kns AS (SELECT c.w1, c.w2, c.c12, x.c1, x.n_fwd, b.n_bwd, "
+        "ROUND(c.c12::DOUBLE / x.c1, 6) AS p_mle, "
+        "ROUND((GREATEST(4 * c.c12 - 3, 0)::BIGINT * (SELECT b FROM knt) "
+        "+ 3 * x.n_fwd * b.n_bwd)::DOUBLE "
+        "/ (4 * x.c1 * (SELECT b FROM knt))::DOUBLE, 6) AS p_kn "
+        "FROM knc c JOIN knx x ON c.w1 = x.w1 JOIN knb b ON c.w2 = b.w2)\n"
+        "SELECT w1, w2, c12, c1, n_fwd, n_bwd, p_mle, p_kn, "
+        "ROW_NUMBER() OVER (ORDER BY c12 DESC, w1 ASC, w2 ASC)::BIGINT AS rn "
+        f"FROM kns ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT {KN_TOPK}"
+    )

@@ -569,3 +569,13 @@ def _q_vocab_coverage(spark, sf_dir):
     buys; the curve behind oov_rate's single point."""
     docs = _t(spark, sf_dir, "documents")
     return CS.vocab_coverage_curve(docs, ks=(100, 1000, 10000))
+
+def _q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities for the top-30
+    bigrams (operators/corpus_stats.py:kneser_ney_topk) — the
+    LM-smoothing member of the corpus family; exact-integer numerator/
+    denominator with one final division."""
+    from metis_spark.driver.common import KN_TOPK
+    from metis_spark.operators.corpus_stats import kneser_ney_topk
+
+    return kneser_ney_topk(_t(spark, sf_dir, "documents"), topk=KN_TOPK)
