@@ -237,6 +237,12 @@ def main() -> None:
         "global_efficiency",
         "pq_ann_recall",
         "vocab_coverage_curve",
+        # round-5 closing batch
+        "heat_kernel_ppr",
+        "pagerank_delta_curve",
+        "mmr_diverse_topk",
+        "kneser_ney_bigrams",
+        "dag_critical_path",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

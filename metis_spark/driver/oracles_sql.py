@@ -4669,3 +4669,49 @@ def _kneser_ney_sql() -> str:
         "ROW_NUMBER() OVER (ORDER BY c12 DESC, w1 ASC, w2 ASC)::BIGINT AS rn "
         f"FROM kns ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT {KN_TOPK}"
     )
+
+def _dag_critical_path_sql() -> str:
+    """Twin of plans/scc.py:condensation_critical_path on the _scc_sql
+    spine: ef fixpoint unrolled DAG_ROUNDS+1 rounds, backtrace unrolled
+    DAG_ROUNDS+1 hops (each LIMIT 1 by ef desc, c asc), path re-ranked
+    by ef asc — strictly increasing along the path, so the order is
+    total and engine-replayable."""
+    scc = _scc_sql()
+    head, union = scc.rsplit("\n", 1)
+    rounds = DAG_ROUNDS + 1
+    ctes = [head[len("WITH "):]]
+    ctes.append(f"sccall AS MATERIALIZED ({union})")
+    ctes.append(
+        "cedges AS MATERIALIZED (SELECT DISTINCT a.scc AS cs, b.scc AS cd "
+        "FROM edges e JOIN sccall a ON e.src = a.id JOIN sccall b ON e.dst = b.id "
+        "WHERE a.scc <> b.scc)"
+    )
+    ctes.append(
+        "csz AS MATERIALIZED (SELECT scc AS c, COUNT(*)::BIGINT AS sz "
+        "FROM sccall GROUP BY scc)"
+    )
+    ctes.append("cef0 AS (SELECT c, sz, sz AS ef FROM csz)")
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"cef{r} AS MATERIALIZED (SELECT s.c, s.sz, "
+            f"(s.sz + COALESCE(m.pef, 0))::BIGINT AS ef "
+            f"FROM csz s LEFT JOIN (SELECT e.cd AS c, MAX(l.ef) AS pef "
+            f"FROM cedges e JOIN cef{r-1} l ON e.cs = l.c GROUP BY e.cd) m "
+            f"ON s.c = m.c)"
+        )
+    last = f"cef{rounds}"
+    ctes.append(
+        f"cbt0 AS (SELECT c, sz, ef FROM {last} ORDER BY ef DESC, c ASC LIMIT 1)"
+    )
+    for s in range(1, rounds + 1):
+        ctes.append(
+            f"cbt{s} AS (SELECT f.c, f.sz, f.ef FROM cbt{s-1} p "
+            f"JOIN cedges e ON e.cd = p.c JOIN {last} f ON e.cs = f.c "
+            f"ORDER BY f.ef DESC, f.c ASC LIMIT 1)"
+        )
+    union_bt = " UNION ALL ".join(f"SELECT * FROM cbt{s}" for s in range(rounds + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT ROW_NUMBER() OVER (ORDER BY ef ASC)::BIGINT AS step, "
+        "c AS scc, sz AS scc_size, ef FROM (" + union_bt + ") ORDER BY step"
+    )

@@ -989,3 +989,20 @@ def _q_pagerank_delta_curve(spark, sf_dir):
         derived_edges(spark, sf_dir), n_iters=PRDC_ITERS, scale=PRDC_SCALE,
     )
     return out
+
+def _q_dag_critical_path(spark, sf_dir):
+    """Weighted critical path of the SCC condensation DAG
+    (plans/scc.py:condensation_critical_path) — the makespan-bounding
+    build chain with node cost = SCC size, one level past dag_levels."""
+    from metis_spark.plans.scc import (
+        condensation_critical_path,
+        strongly_connected_components,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    labels, info = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qdcp_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+    )
+    assert info["converged"], info
+    return condensation_critical_path(edges, labels, max_rounds=DAG_ROUNDS + 1)

@@ -254,3 +254,93 @@ def condensation_levels(
         lab.join(lv.hint("shuffle_hash"), lab["scc"] == lv["c"])
         .select("id", "scc", "level")
     )
+
+
+def condensation_critical_path(
+    edges: DataFrame,
+    labels: DataFrame,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Weighted critical path of the SCC condensation DAG → (step, scc,
+    scc_size, ef) — THE build-scheduling query one level past
+    condensation_levels: with node cost = SCC size (a cycle tangle
+    builds as one unit, so its cost is its member count), earliest
+    finish is
+
+        ef(c) = size(c) + max(ef(pred), 0)
+
+    and the critical path (the chain that lower-bounds any parallel
+    build's makespan) is the backtrace from the argmax-ef sink, at each
+    hop to the max-ef predecessor. Rows are emitted in build order
+    (step 1 = root); ef is strictly increasing along the path (size ≥ 1),
+    so (step ↔ ef asc) is a total order any engine replays.
+
+    Scale shape: the quotient DAG is |SCC-classes| nodes — the fixpoint
+    is one join+max-agg per round for DAG-depth rounds (Observation
+    early-exit, localCheckpoint truncation, as condensation_levels);
+    the backtrace is ≤ depth driver steps of orderBy().limit(1) on the
+    quotient, each a TakeOrdered over one vertex's predecessor set.
+    """
+    lab = labels.select("id", "scc")
+    ls = lab.select(F.col("id").alias("src"), F.col("scc").alias("cs"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("scc").alias("cd"))
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    num_partitions = max(8, e.sparkSession.sparkContext.defaultParallelism)
+    ec = (
+        e.join(ls.hint("shuffle_hash"), "src")
+        .join(ld.hint("shuffle_hash"), "dst")
+        .where(F.col("cs") != F.col("cd"))
+        .select("cs", "cd")
+        .distinct()
+        .repartition(num_partitions, "cs")
+        .persist()
+    )
+    sizes = (
+        lab.groupBy(F.col("scc").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .persist()
+    )
+    ef = sizes.select("c", "sz", F.col("sz").alias("ef")).localCheckpoint(eager=True)
+    for r in range(max_rounds):
+        obs = Observation(f"dag_cp_{r}")
+        incoming = (
+            ec.join(ef.hint("shuffle_hash"), ec["cs"] == ef["c"])
+            .groupBy("cd")
+            .agg(F.max("ef").alias("pef"))
+        )
+        nxt = (
+            sizes.join(incoming.hint("shuffle_hash"), sizes["c"] == incoming["cd"], "left")
+            .select(
+                "c", "sz",
+                (F.col("sz") + F.coalesce(F.col("pef"), F.lit(0))).cast("long").alias("ef"),
+                )
+            .join(ef.select(F.col("c").alias("c2"), F.col("ef").alias("old")),
+                  F.col("c") == F.col("c2"))
+            .observe(obs, F.sum((F.col("ef") > F.col("old")).cast("long")).alias("changed"))
+            .select("c", "sz", "ef")
+            .localCheckpoint(eager=True)
+        )
+        ef = nxt
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    # backtrace: argmax-ef sink, then max-ef predecessor per hop
+    path = []
+    cur = ef.orderBy(F.desc("ef"), F.asc("c")).limit(1).collect()
+    while cur:
+        row = cur[0]
+        path.append((int(row["c"]), int(row["sz"]), int(row["ef"])))
+        cur = (
+            ec.where(F.col("cd") == int(row["c"]))
+            .join(ef, ec["cs"] == ef["c"])
+            .orderBy(F.desc("ef"), F.asc("c"))
+            .limit(1)
+            .collect()
+        )
+    ec.unpersist()
+    sizes.unpersist()
+    path.reverse()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, c, sz, e_) for i, (c, sz, e_) in enumerate(path)],
+        "step long, scc long, scc_size long, ef long",
+    )
