@@ -243,6 +243,9 @@ def main() -> None:
         "mmr_diverse_topk",
         "kneser_ney_bigrams",
         "dag_critical_path",
+        "directed_assortativity",
+        "walk_entropy_rate",
+        "spectral_moments",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -4715,3 +4715,75 @@ def _dag_critical_path_sql() -> str:
         + f"\nSELECT ROW_NUMBER() OVER (ORDER BY ef ASC)::BIGINT AS step, "
         "c AS scc, sz AS scc_size, ef FROM (" + union_bt + ") ORDER BY step"
     )
+
+def _directed_assortativity_sql() -> str:
+    """Twin of plans/metrics.py:directed_assortativity — HUGEINT moment
+    sums, identical IEEE-double Pearson expression per mode."""
+    modes = [
+        ("out_in", "so", "tin", "x_oi"),
+        ("out_out", "so", "tout", "x_oo"),
+        ("in_in", "si", "tin", "x_ii"),
+        ("in_out", "si", "tout", "x_io"),
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS mode, n::BIGINT AS n_edges, "
+        f"ROUND((n * {xs} - s_{sx} * s_{sy})::DOUBLE "
+        f"/ sqrt(((n * q_{sx} - s_{sx} * s_{sx}) "
+        f"* (n * q_{sy} - s_{sy} * s_{sy}))::DOUBLE), 6) AS r FROM dm"
+        for name, sx, sy, xs in modes
+    )
+    return (
+        f"WITH {_EDGES_SQL.strip()},\n"
+        "dout AS (SELECT src AS id, COUNT(*)::BIGINT AS od FROM edges GROUP BY src),\n"
+        "din AS (SELECT dst AS id, COUNT(*)::BIGINT AS idg FROM edges GROUP BY dst),\n"
+        "ddeg AS MATERIALIZED (SELECT v.id, COALESCE(o.od, 0)::BIGINT AS od, "
+        "COALESCE(i.idg, 0)::BIGINT AS idg "
+        "FROM verts v LEFT JOIN dout o ON v.id = o.id LEFT JOIN din i ON v.id = i.id),\n"
+        "dj AS MATERIALIZED (SELECT s.od AS so, s.idg AS si, t.od AS tout, t.idg AS tin "
+        "FROM edges e JOIN ddeg s ON e.src = s.id JOIN ddeg t ON e.dst = t.id),\n"
+        "dm AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n, "
+        "SUM(so::HUGEINT) AS s_so, SUM(si::HUGEINT) AS s_si, "
+        "SUM(tout::HUGEINT) AS s_tout, SUM(tin::HUGEINT) AS s_tin, "
+        "SUM((so * so)::HUGEINT) AS q_so, SUM((si * si)::HUGEINT) AS q_si, "
+        "SUM((tout * tout)::HUGEINT) AS q_tout, SUM((tin * tin)::HUGEINT) AS q_tin, "
+        "SUM((so * tin)::HUGEINT) AS x_oi, SUM((so * tout)::HUGEINT) AS x_oo, "
+        "SUM((si * tin)::HUGEINT) AS x_ii, SUM((si * tout)::HUGEINT) AS x_io FROM dj)\n"
+        + rows
+    )
+
+
+_WALK_ENTROPY_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "wdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "wdl AS (SELECT deg, COUNT(*)::BIGINT AS cnt FROM wdeg GROUP BY deg),\n"
+    "wsc AS (SELECT deg, cnt, CAST(ROUND(ln(deg::DOUBLE) * 1000000.0) AS BIGINT) "
+    "AS ln_micro FROM wdl),\n"
+    "wag AS (SELECT SUM(cnt)::BIGINT AS n_vertices, (SUM(deg * cnt) // 2)::BIGINT AS m, "
+    "SUM(cnt * deg * ln_micro)::BIGINT AS entropy_micro_sum FROM wsc)\n"
+    "SELECT n_vertices, m AS n_und_edges, entropy_micro_sum, "
+    "ROUND(entropy_micro_sum / (2 * m) / 1000000.0, 6) AS entropy_rate FROM wag"
+)
+
+
+def _spectral_moments_sql() -> str:
+    """Twin of plans/metrics.py:spectral_moments on the sparse graph:
+    identical hub-capped wedge set for the Σ n_ij² term, the
+    once-per-triangle ordered join for trace(A³)."""
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src),\n"
+        f"{_WEDGE_SQL},\n"
+        "smc AS (SELECT u, v, COUNT(*)::BIGINT AS c FROM wedge GROUP BY u, v),\n"
+        "smp AS (SELECT COALESCE(SUM((c * c)::HUGEINT), 0)::BIGINT AS sum_c2 FROM smc),\n"
+        "smd AS (SELECT COUNT(*)::BIGINT AS n_vertices, (SUM(deg) // 2)::BIGINT AS m, "
+        "SUM((deg * deg)::HUGEINT)::BIGINT AS sum_deg2 FROM deg),\n"
+        "smu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges),\n"
+        "smt AS (SELECT COUNT(*)::BIGINT AS t FROM smu e1 "
+        "JOIN smu e2 ON e1.b = e2.a JOIN smu e3 ON e3.a = e1.a AND e3.b = e2.b)\n"
+        "SELECT d.n_vertices, d.m AS n_edges, (2 * d.m)::BIGINT AS closed_walks_2, "
+        "(6 * t.t)::BIGINT AS closed_walks_3, "
+        "(d.sum_deg2 + 2 * p.sum_c2)::BIGINT AS closed_walks_4 "
+        "FROM smd d, smp p, smt t"
+    )

@@ -1632,3 +1632,29 @@ def _q_clustering_by_degree(spark, sf_dir):
             ).alias("mean_lcc"),
         )
     )
+
+def _q_directed_assortativity(spark, sf_dir):
+    """Foster et al. four-mode directed assortativity
+    (plans/metrics.py:directed_assortativity) — the directed
+    refinement of the scalar degree_assortativity; exact decimal
+    moments, one double expression per mode."""
+    from metis_spark.plans.metrics import directed_assortativity
+
+    return directed_assortativity(derived_edges(spark, sf_dir))
+
+def _q_walk_entropy(spark, sf_dir):
+    """Closed-form random-walk entropy rate h = Σ deg·ln(deg)/2m
+    (plans/metrics.py:walk_entropy_rate) — stationary distribution is
+    exactly deg/2m on an undirected graph, no iteration needed."""
+    from metis_spark.plans.metrics import walk_entropy_rate
+
+    return walk_entropy_rate(derived_edges_sparse(spark, sf_dir))
+
+def _q_spectral_moments(spark, sf_dir):
+    """Exact trace(A^2..A^4) from the motif spines
+    (plans/metrics.py:spectral_moments) — the power-sum checkpoints an
+    estimated spectrum must satisfy; hub-capped wedge discipline."""
+    from metis_spark.driver.common import HUB_CAP
+    from metis_spark.plans.metrics import spectral_moments
+
+    return spectral_moments(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)

@@ -2360,3 +2360,174 @@ def dcsbm_likelihood(labels: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("ll_per_edge"),
         )
     )
+
+
+def directed_assortativity(edges: DataFrame) -> DataFrame:
+    """Four-mode directed degree assortativity (Foster, Foster, Grassberger
+    & Paczuski, PNAS 2010) → (mode, n_edges, r) for mode ∈ {out_in,
+    out_out, in_in, in_out}: the Pearson correlation of (x-degree of
+    source, y-degree of target) over directed edges — the directed
+    refinement of degree_assortativity, which collapses the four
+    hub-wiring signatures (e.g. a dependency graph can be out_in
+    disassortative yet in_in assortative) into one number.
+
+    ENGINE-EXACT: every moment (Σx, Σx², Σxy per mode) is an exact
+    decimal(38,0) sum of BIGINT products; the four r values are derived
+    as one double expression per mode over exact integers —
+    (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)) — so both
+    engines evaluate identical correctly-rounded IEEE doubles. Shape:
+    one degree groupBy per direction, two broadcast-able joins, one
+    map-side-combined moment agg; the 4-row result is an explode of
+    one aggregate row.
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("idg")
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = (
+        verts.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            "id",
+            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.coalesce("idg", F.lit(0)).cast("long").alias("idg"),
+        )
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("od").alias("so"), F.col("idg").alias("si"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("od").alias("to"), F.col("idg").alias("ti"))
+    j = e.join(ds.hint("shuffle_hash"), "src").join(dd.hint("shuffle_hash"), "dst")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(dec(F.col(c))).alias("s_" + c) for c in ("so", "si", "to", "ti")],
+        *[F.sum(dec(F.col(c) * F.col(c))).alias("q_" + c) for c in ("so", "si", "to", "ti")],
+        F.sum(dec(F.col("so") * F.col("ti"))).alias("x_oi"),
+        F.sum(dec(F.col("so") * F.col("to"))).alias("x_oo"),
+        F.sum(dec(F.col("si") * F.col("ti"))).alias("x_ii"),
+        F.sum(dec(F.col("si") * F.col("to"))).alias("x_io"),
+    )
+    modes = [
+        ("out_in", "so", "ti", "x_oi"),
+        ("out_out", "so", "to", "x_oo"),
+        ("in_in", "si", "ti", "x_ii"),
+        ("in_out", "si", "to", "x_io"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("mode"),
+            F.round(
+                (F.col("n") * F.col(xs) - F.col("s_" + sx) * F.col("s_" + sy)).cast("double")
+                / F.sqrt(
+                    (
+                        (F.col("n") * F.col("q_" + sx) - F.col("s_" + sx) * F.col("s_" + sx))
+                        * (F.col("n") * F.col("q_" + sy) - F.col("s_" + sy) * F.col("s_" + sy))
+                    ).cast("double")
+                ),
+                6,
+            ).alias("r"),
+        )
+        for name, sx, sy, xs in modes
+    ]
+    return (
+        m.select(F.col("n").alias("n_edges"), F.explode(F.array(*structs)).alias("s"))
+        .select(F.col("s.mode").alias("mode"), "n_edges", F.col("s.r").alias("r"))
+    )
+
+
+def walk_entropy_rate(edges: DataFrame) -> DataFrame:
+    """Entropy rate of the unbiased random walk → one row (n_vertices,
+    n_und_edges, entropy_micro_sum, entropy_rate).
+
+    For an undirected graph the walk's stationary distribution is
+    EXACTLY π(v) = deg(v)/2m (no power iteration needed), and each
+    step's conditional entropy is ln deg(v), so the rate is the closed
+    form h = Σ_v deg(v)·ln deg(v) / 2m nats/step (Burda et al., PRL
+    2009 — the ceiling maximal-entropy walks are measured against).
+
+    Integer discipline: ln(d) is quantized to micro-nats once per
+    DISTINCT degree value (a |distinct-degrees|-sized table — O(100)
+    rows even at 100 TB by power-law collapse), the weighted sum is
+    exact BIGINT arithmetic, and the two final divisions are the only
+    float ops.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    dl = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    scored = dl.select(
+        "deg", "cnt",
+        F.round(F.log(F.col("deg").cast("double")) * F.lit(1000000.0))
+        .cast("long").alias("ln_micro"),
+    )
+    return (
+        scored.agg(
+            F.sum("cnt").cast("long").alias("n_vertices"),
+            (F.sum(F.col("deg") * F.col("cnt")) / F.lit(2)).cast("long").alias("m"),
+            F.sum(F.col("cnt") * F.col("deg") * F.col("ln_micro"))
+            .cast("long").alias("entropy_micro_sum"),
+        )
+        .select(
+            "n_vertices",
+            F.col("m").alias("n_und_edges"),
+            "entropy_micro_sum",
+            F.round(
+                F.col("entropy_micro_sum") / (F.lit(2) * F.col("m")) / F.lit(1000000.0),
+                6,
+            ).alias("entropy_rate"),
+        )
+    )
+
+
+def spectral_moments(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
+    """Exact low-order spectral moments of the adjacency matrix → one
+    row (n_vertices, n_edges, closed_walks_2, closed_walks_3,
+    closed_walks_4) — trace(A^k) = Σ λ_i^k, the motif↔spectrum bridge:
+
+        trace(A²) = 2m,  trace(A³) = 6·triangles,
+        trace(A⁴) = Σ deg² + Σ_{i≠j} n_ij²   (n_ij = common neighbors)
+
+    so the same counting spines that power triangle_count and
+    square_count pin the spectrum's power sums (the first Lanczos/
+    kernel-polynomial checkpoints, and together with spectral_radius
+    _bounds a bracket any estimated spectrum must satisfy).
+
+    The Σ n_ij² term reuses the HUB-CAPPED wedge plan of square_count
+    (deg(center) ≤ hub_cap before the self-join — the declared fan-out
+    bound; exact whenever the cap exceeds the max degree, as on the
+    sparse driver graph, and the twin applies the identical cap).
+    """
+    from metis_spark.plans.triangles import triangle_count
+
+    und = _und(edges).persist()
+    deg = _und_degrees(und)
+    tri = triangle_count(edges)
+    dm = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * F.col("deg")).cast("long").alias("sum_deg2"),
+    )
+    pair2 = (
+        _wedges(und, hub_cap)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)).cast("long").alias("sum_c2"))
+    )
+    out = dm.crossJoin(F.broadcast(pair2)).select(
+        "n_vertices",
+        "n_edges",
+        (F.lit(2) * F.col("n_edges")).cast("long").alias("closed_walks_2"),
+        F.lit(6 * tri).cast("long").alias("closed_walks_3"),
+        (F.col("sum_deg2") + F.lit(2) * F.col("sum_c2")).cast("long").alias("closed_walks_4"),
+    )
+    und.unpersist()
+    return out
