@@ -246,6 +246,7 @@ def main() -> None:
         "directed_assortativity",
         "walk_entropy_rate",
         "spectral_moments",
+        "textrank_top_sentences",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -302,6 +302,11 @@ KCENTER_K = 4
 # Kneser-Ney bigram smoothing (operators/corpus_stats.py:kneser_ney_topk)
 KN_TOPK = 30
 
+# TextRank (operators/corpus_stats.py:textrank_top_sentences)
+TR_MIN_SHARED = 2
+TR_ITERS = 3
+TR_SCALE = 10**9
+
 # MMR diverse selection (operators/similarity.py:mmr_topk): k greedy
 # picks from a relevance-pruned pool (λ = 7/10 as integer literals)
 MMR_K = 8

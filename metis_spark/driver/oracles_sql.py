@@ -4787,3 +4787,55 @@ def _spectral_moments_sql() -> str:
         "(d.sum_deg2 + 2 * p.sum_c2)::BIGINT AS closed_walks_4 "
         "FROM smd d, smp p, smt t"
     )
+
+def _textrank_sql() -> str:
+    """Twin of corpus_stats.textrank_top_sentences: identical sentence
+    numbering over the raw `[.!?]+` split, identical integer PageRank
+    recurrence per doc; per-round state MATERIALIZED."""
+    from metis_spark.driver.common import TR_ITERS, TR_MIN_SHARED, TR_SCALE
+
+    ctes = [
+        "trsl AS (SELECT doc_id, string_split_regex(text, '[.!?]+') AS sl "
+        "FROM documents)",
+        "trse AS (SELECT doc_id, unnest(list_transform(range(1, len(sl) + 1), "
+        "i -> struct_pack(sidx := i - 1, s := sl[i]))) AS u FROM trsl)",
+        "trto AS (SELECT doc_id, u.sidx::BIGINT AS sidx, "
+        "list_filter(string_split_regex(lower(u.s), '[^a-z0-9]+'), x -> x <> '') AS t "
+        "FROM trse)",
+        "trv AS MATERIALIZED (SELECT doc_id, sidx FROM trto WHERE len(t) >= 1)",
+        "trst AS MATERIALIZED (SELECT DISTINCT doc_id, sidx, tok FROM "
+        "(SELECT doc_id, sidx, unnest(t) AS tok FROM trto WHERE len(t) >= 1))",
+        "trh AS MATERIALIZED (SELECT a.doc_id, a.sidx AS u, b.sidx AS v, "
+        "COUNT(*)::BIGINT AS w FROM trst a JOIN trst b "
+        "ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sidx < b.sidx "
+        f"GROUP BY a.doc_id, a.sidx, b.sidx HAVING COUNT(*) >= {TR_MIN_SHARED})",
+        "tru AS MATERIALIZED (SELECT doc_id, u, v, w FROM trh "
+        "UNION ALL SELECT doc_id, v, u, w FROM trh)",
+        "trwu AS MATERIALIZED (SELECT doc_id, u, SUM(w)::BIGINT AS wu "
+        "FROM tru GROUP BY doc_id, u)",
+        f"trr0 AS MATERIALIZED (SELECT doc_id, sidx, {TR_SCALE}::BIGINT AS r FROM trv)",
+    ]
+    for i in range(1, TR_ITERS + 1):
+        pv = i - 1
+        ctes.append(
+            f"trg{i} AS (SELECT e.doc_id, e.v AS sidx, "
+            f"SUM((r.r * e.w) // u.wu)::BIGINT AS g "
+            f"FROM tru e JOIN trr{pv} r ON e.doc_id = r.doc_id AND e.u = r.sidx "
+            f"JOIN trwu u ON e.doc_id = u.doc_id AND e.u = u.u "
+            f"GROUP BY e.doc_id, e.v)"
+        )
+        ctes.append(
+            f"trr{i} AS MATERIALIZED (SELECT v.doc_id, v.sidx, "
+            f"((3 * {TR_SCALE}::BIGINT + 17 * COALESCE(g.g, 0)) // 20)::BIGINT AS r "
+            f"FROM trv v LEFT JOIN trg{i} g "
+            f"ON v.doc_id = g.doc_id AND v.sidx = g.sidx)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        "trn AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sentences FROM trv GROUP BY doc_id),\n"
+        f"trb AS (SELECT doc_id, sidx, r FROM (SELECT doc_id, sidx, r, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r DESC, sidx ASC) AS rn "
+        f"FROM trr{TR_ITERS}) WHERE rn = 1)\n"
+        "SELECT b.doc_id, b.sidx AS best_sidx, b.r AS score_scaled, n.n_sentences "
+        "FROM trb b JOIN trn n ON b.doc_id = n.doc_id"
+    )

@@ -579,3 +579,15 @@ def _q_kneser_ney(spark, sf_dir):
     from metis_spark.operators.corpus_stats import kneser_ney_topk
 
     return kneser_ney_topk(_t(spark, sf_dir, "documents"), topk=KN_TOPK)
+
+def _q_textrank(spark, sf_dir):
+    """TextRank top sentence per document
+    (operators/corpus_stats.py:textrank_top_sentences) — weighted
+    quantized PageRank on the per-doc sentence-similarity graph."""
+    from metis_spark.driver.common import TR_ITERS, TR_MIN_SHARED, TR_SCALE
+    from metis_spark.operators.corpus_stats import textrank_top_sentences
+
+    return textrank_top_sentences(
+        _t(spark, sf_dir, "documents"),
+        min_shared=TR_MIN_SHARED, n_iters=TR_ITERS, scale=TR_SCALE,
+    )

@@ -1498,3 +1498,105 @@ def kneser_ney_topk(
     out = top.withColumn("rn", F.row_number().over(w).cast("long"))
     c12.unpersist()
     return out
+
+
+def textrank_top_sentences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    n_iters: int = 3,
+    scale: int = 10**9,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau, EMNLP 2004)
+    → (doc_id, best_sidx, score_scaled, n_sentences): the top-ranked
+    sentence per document under weighted PageRank on the per-document
+    sentence-similarity graph — the classic pick-the-summary-sentence
+    scorer a curation pipeline uses for snippet/preview extraction.
+
+    Sentences split on the readability() convention `[.!?]+` (indices
+    count raw split fragments, so both engines number identically);
+    edge (i,j) iff the sentences share ≥ min_shared distinct tokens,
+    weight = shared-token count. Ranks run the quantized-integer
+    weighted PageRank of plans/diffusion.py (d = 17/20, per-edge share
+    = (r·w) DIV W_u), so the n_iters-round trajectory is engine-exact.
+
+    Scale shape: everything keys on (doc_id, sentence) — the token
+    self-join, the per-round gather, and the final argmax window are
+    all partitioned by doc_id, so the whole operator is per-document
+    parallel with no global shuffle; common-token fan-out is bounded by
+    n_sents² within a document (cap documents upstream via chunk_plan
+    for pathological inputs)."""
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("sidx", "s"),
+    ).select("doc_id", F.col("sidx").cast("long").alias("sidx"), tokens(F.col("s")).alias("t"))
+    verts = sents.where(F.size("t") >= 1).select("doc_id", "sidx", "t").persist()
+    st = verts.select("doc_id", "sidx", F.explode("t").alias("tok")).distinct()
+    half = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sidx") < F.col("b.sidx")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sidx").alias("u"),
+            F.col("b.sidx").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where(F.col("w") >= min_shared)
+    )
+    und = half.unionByName(
+        half.select("doc_id", F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).persist()
+    wu = und.groupBy("doc_id", "u").agg(F.sum("w").cast("long").alias("wu"))
+    r = verts.select("doc_id", "sidx", F.lit(scale).cast("long").alias("r")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iters):
+        gathered = (
+            und.join(
+                r.select("doc_id", F.col("sidx").alias("u"), "r"), ["doc_id", "u"]
+            )
+            .join(wu, ["doc_id", "u"])
+            .select(
+                "doc_id",
+                F.col("v").alias("sidx"),
+                F.expr("(r * w) div wu").cast("long").alias("sh"),
+            )
+            .groupBy("doc_id", "sidx")
+            .agg(F.sum("sh").cast("long").alias("g"))
+        )
+        r = (
+            verts.select("doc_id", "sidx")
+            .join(gathered, ["doc_id", "sidx"], "left")
+            .select(
+                "doc_id", "sidx",
+                F.expr(
+                    f"(({d_den - d_num}) * cast({scale} as bigint)"
+                    f" + {d_num} * coalesce(g, 0)) div {d_den}"
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_s = verts.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sentences"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("r"), F.asc("sidx"))
+    out = (
+        r.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .join(n_s, "doc_id")
+        .select(
+            "doc_id",
+            F.col("sidx").alias("best_sidx"),
+            F.col("r").alias("score_scaled"),
+            "n_sentences",
+        )
+    )
+    verts.unpersist()
+    und.unpersist()
+    return out
