@@ -247,6 +247,7 @@ def main() -> None:
         "walk_entropy_rate",
         "spectral_moments",
         "textrank_top_sentences",
+        "kleinberg_bursts",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

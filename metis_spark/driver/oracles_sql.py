@@ -4839,3 +4839,54 @@ def _textrank_sql() -> str:
         "SELECT b.doc_id, b.sidx AS best_sidx, b.r AS score_scaled, n.n_sentences "
         "FROM trb b JOIN trn n ON b.doc_id = n.doc_id"
     )
+
+def _kleinberg_sql() -> str:
+    """Twin of operators/bursts.py:kleinberg_bursts — per-user constants
+    quantized by the identical double expressions, then the integer
+    Viterbi replayed as a linear recursive CTE with the same pinned
+    tie-breaks (arrive-at-0 prefers from-0 on ties; arrive-at-1 prefers
+    staying). SCALE literals cast ::BIGINT (INT32 overflow trap)."""
+    from metis_spark.operators.bursts import INF, SCALE
+
+    return (
+        "WITH RECURSIVE "
+        "kbe AS (SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events),\n"
+        "kbr AS (SELECT user_id, es, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY es) AS rid, "
+        "LEAD(es) OVER (PARTITION BY user_id ORDER BY es) AS nxt FROM kbe),\n"
+        "kuc AS MATERIALIZED (SELECT user_id, COUNT(*)::BIGINT AS n, "
+        "(MAX(es) - MIN(es))::BIGINT AS t_span, "
+        "CAST(ROUND(1000000.0 * (MAX(es) - MIN(es)) "
+        "* ln((COUNT(*) - 1)::DOUBLE / (MAX(es) - MIN(es)))) AS BIGINT) AS l0, "
+        "CAST(ROUND(1000000.0 * (MAX(es) - MIN(es)) "
+        "* ln(2.0 * (COUNT(*) - 1) / (MAX(es) - MIN(es)))) AS BIGINT) AS l1, "
+        "CAST(ROUND(1000000.0 * (MAX(es) - MIN(es)) "
+        "* ln(COUNT(*)::DOUBLE)) AS BIGINT) AS tr "
+        "FROM kbe GROUP BY user_id "
+        "HAVING COUNT(*) >= 3 AND MAX(es) - MIN(es) >= 1),\n"
+        "kgap AS MATERIALIZED (SELECT r.user_id, r.rid AS idx, "
+        "(r.nxt - r.es)::BIGINT AS gap FROM kbr r "
+        "JOIN kuc u ON r.user_id = u.user_id WHERE r.rid < u.n),\n"
+        "kdp AS (\n"
+        "  SELECT user_id, 0::BIGINT AS idx, 0::BIGINT AS c0, "
+        f"{INF}::BIGINT AS c1, 0::BIGINT AS nb0, 0::BIGINT AS nb1, "
+        "0::BIGINT AS kg0, 0::BIGINT AS kg1 FROM kuc\n"
+        "  UNION ALL\n"
+        "  SELECT d.user_id, d.idx + 1,\n"
+        "    (CASE WHEN d.c0 <= d.c1 THEN d.c0 ELSE d.c1 END) "
+        f"+ {SCALE}::BIGINT * (u.n - 1) * g.gap - u.l0,\n"
+        "    (CASE WHEN d.c0 + u.tr < d.c1 THEN d.c0 + u.tr ELSE d.c1 END) "
+        f"+ 2 * {SCALE}::BIGINT * (u.n - 1) * g.gap - u.l1,\n"
+        "    CASE WHEN d.c0 <= d.c1 THEN d.nb0 ELSE d.nb1 END,\n"
+        "    CASE WHEN d.c0 + u.tr < d.c1 THEN d.nb0 + 1 ELSE d.nb1 END,\n"
+        "    CASE WHEN d.c0 <= d.c1 THEN d.kg0 ELSE d.kg1 END,\n"
+        "    (CASE WHEN d.c0 + u.tr < d.c1 THEN d.kg0 ELSE d.kg1 END) + 1\n"
+        "  FROM kdp d JOIN kuc u ON d.user_id = u.user_id\n"
+        "  JOIN kgap g ON g.user_id = d.user_id AND g.idx = d.idx + 1\n"
+        ")\n"
+        "SELECT u.user_id, u.n AS n_events, u.t_span AS span_seconds, "
+        "(CASE WHEN d.c0 <= d.c1 THEN d.nb0 ELSE d.nb1 END)::BIGINT AS n_bursts, "
+        "(CASE WHEN d.c0 <= d.c1 THEN d.kg0 ELSE d.kg1 END)::BIGINT AS burst_gaps, "
+        "LEAST(d.c0, d.c1)::BIGINT AS total_cost_scaled "
+        "FROM kdp d JOIN kuc u ON d.user_id = u.user_id AND d.idx = u.n - 1"
+    )

@@ -561,3 +561,12 @@ def _q_mad_outliers(spark, sf_dir):
             ).alias("outlier_rate"),
         )
     )
+
+def _q_kleinberg_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst detection per user
+    (operators/bursts.py:kleinberg_bursts) — integer-scaled Viterbi
+    folded JVM-side with F.aggregate; the DuckDB twin replays the DP
+    as a recursive CTE."""
+    from metis_spark.operators.bursts import kleinberg_bursts
+
+    return kleinberg_bursts(_t(spark, sf_dir, "events"))
