@@ -248,6 +248,7 @@ def main() -> None:
         "spectral_moments",
         "textrank_top_sentences",
         "kleinberg_bursts",
+        "cdc_chunk_dedup",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

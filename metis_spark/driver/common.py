@@ -302,6 +302,11 @@ KCENTER_K = 4
 # Kneser-Ney bigram smoothing (operators/corpus_stats.py:kneser_ney_topk)
 KN_TOPK = 30
 
+# Content-defined chunking (operators/dedup.py:cdc_chunk_dedup)
+CDC_DIV = 64
+CDC_MIN_LEN = 8
+CDC_TOPK = 20
+
 # TextRank (operators/corpus_stats.py:textrank_top_sentences)
 TR_MIN_SHARED = 2
 TR_ITERS = 3

@@ -4890,3 +4890,31 @@ def _kleinberg_sql() -> str:
         "LEAST(d.c0, d.c1)::BIGINT AS total_cost_scaled "
         "FROM kdp d JOIN kuc u ON d.user_id = u.user_id AND d.idx = u.n - 1"
     )
+
+def _cdc_chunks_sql() -> str:
+    """Twin of operators/dedup.py:cdc_chunk_dedup — identical 60-bit
+    md5 anchor predicate, identical start/end slicing, identical
+    min-length and top-k discipline."""
+    from metis_spark.driver.common import CDC_DIV, CDC_MIN_LEN, CDC_TOPK
+
+    return (
+        "WITH cdb AS (SELECT doc_id, text, length(text) AS ln, "
+        "list_filter(range(4, length(text) + 1), "
+        f"i -> ('0x' || substr(md5(substr(text, i - 3, 4)), 1, 15))::BIGINT "
+        f"% {CDC_DIV} = 0) AS bpos FROM documents),\n"
+        "cds AS (SELECT doc_id, text, "
+        "list_concat([1], list_transform(bpos, b -> b + 1)) AS starts, "
+        "list_concat(bpos, [ln]) AS ends FROM cdb),\n"
+        "cdc AS (SELECT doc_id, unnest(list_filter(list_transform("
+        "range(1, len(starts) + 1), "
+        "k -> substr(text, starts[k], ends[k] - starts[k] + 1)), "
+        f"c -> length(c) >= {CDC_MIN_LEN})) AS chunk FROM cds),\n"
+        "cdh AS MATERIALIZED (SELECT doc_id, md5(chunk) AS chunk_hash, "
+        "length(chunk)::BIGINT AS clen FROM cdc),\n"
+        "cda AS (SELECT chunk_hash, MAX(clen)::BIGINT AS chunk_len, "
+        "COUNT(DISTINCT doc_id)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_occurrences "
+        "FROM cdh GROUP BY chunk_hash HAVING COUNT(*) >= 2)\n"
+        "SELECT chunk_hash, chunk_len, n_docs, n_occurrences, "
+        "ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, chunk_hash ASC)::BIGINT AS rn "
+        f"FROM cda ORDER BY n_occurrences DESC, chunk_hash ASC LIMIT {CDC_TOPK}"
+    )

@@ -591,3 +591,14 @@ def _q_textrank(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         min_shared=TR_MIN_SHARED, n_iters=TR_ITERS, scale=TR_SCALE,
     )
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunk dedup (operators/dedup.py:cdc_chunk_dedup)
+    — block-granularity boilerplate detection via md5-anchor chunking."""
+    from metis_spark.driver.common import CDC_DIV, CDC_MIN_LEN, CDC_TOPK
+    from metis_spark.operators.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(
+        _t(spark, sf_dir, "documents"),
+        divisor=CDC_DIV, min_len=CDC_MIN_LEN, topk=CDC_TOPK,
+    )

@@ -459,3 +459,72 @@ def minhash_estimate_error(
             F.round(F.abs(est - jac), 6).alias("abs_err"),
         )
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 64,
+    min_len: int = 8,
+    topk: int = 20,
+) -> DataFrame:
+    """Content-defined chunk dedup → (chunk_hash, chunk_len, n_docs,
+    n_occurrences, rn): the top-k most duplicated content chunks under
+    anchor-based content-defined chunking — the block-granularity
+    dedup that catches shared boilerplate/license/header blocks that
+    whole-document hashing misses and shingle-Jaccard only scores.
+
+    Chunking: a boundary falls AFTER position i iff the 60-bit md5 of
+    the 4-gram ending at i ≡ 0 (mod divisor) — boundaries depend only
+    on LOCAL content, so an insertion near the top of a document shifts
+    offsets but every later chunk re-synchronizes (the CDC property
+    rsync/LBFS/dedup stores rely on; this is the anchor variant without
+    min/max clamps, which would re-introduce sequential state). Expected
+    chunk length ≈ divisor chars; chunks < min_len chars are dropped
+    from dup statistics as noise.
+
+    Scale shape: map-only per document (one array expression computes
+    all boundaries; no window, no shuffle until the final chunk-hash
+    groupBy, which partial-aggregates map-side into the chunk-hash
+    space) + one TakeOrdered top-k. The per-position md5 is the same
+    60-bit idiom as the hash-derived inits (driver/common.py).
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    ln = F.length(text)
+    gram = lambda i: F.substring(text, i - 3, 4)  # noqa: E731
+    h60 = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    bpos = F.filter(
+        F.when(ln >= 4, F.sequence(F.lit(4), ln)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: h60(gram(i)) % divisor == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(ln))
+    chunks = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.substring(text, s, e - s + 1)
+        ),
+        lambda c: F.length(c) >= min_len,
+    )
+    ch = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"), F.length("chunk").alias("clen"))
+    )
+    agg = (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.max("clen").cast("long").alias("chunk_len"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    top = agg.orderBy(F.desc("n_occurrences"), F.asc("chunk_hash")).limit(topk)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))  # ≤ topk rows
+    return top.withColumn("rn", F.row_number().over(w).cast("long")).select(
+        "chunk_hash", "chunk_len", "n_docs", "n_occurrences", "rn"
+    )
