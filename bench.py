@@ -249,6 +249,7 @@ def main() -> None:
         "textrank_top_sentences",
         "kleinberg_bursts",
         "cdc_chunk_dedup",
+        "facility_location_seeds",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -312,6 +312,10 @@ TR_MIN_SHARED = 2
 TR_ITERS = 3
 TR_SCALE = 10**9
 
+# Facility-location greedy (operators/similarity.py:facility_location_seeds)
+FL_K = 4
+FL_POOL = 32
+
 # MMR diverse selection (operators/similarity.py:mmr_topk): k greedy
 # picks from a relevance-pruned pool (λ = 7/10 as integer literals)
 MMR_K = 8

@@ -4918,3 +4918,52 @@ def _cdc_chunks_sql() -> str:
         "ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, chunk_hash ASC)::BIGINT AS rn "
         f"FROM cda ORDER BY n_occurrences DESC, chunk_hash ASC LIMIT {CDC_TOPK}"
     )
+
+def _facility_location_sql() -> str:
+    """Twin of similarity.facility_location_seeds — identical hash
+    pool, one micro-quantized pool×N similarity table, k unrolled
+    greedy rounds with MATERIALIZED state."""
+    from metis_spark.driver.common import FL_K, FL_POOL
+
+    ctes = [
+        "flh AS MATERIALIZED (SELECT vec_id::BIGINT AS pid, embedding AS v, "
+        "('0x' || substr(md5('fl' || vec_id::VARCHAR), 1, 15))::BIGINT AS h "
+        "FROM embeddings)",
+        "flc AS MATERIALIZED (SELECT pid AS cid, v AS cv FROM "
+        "(SELECT pid, v, ROW_NUMBER() OVER (ORDER BY h ASC, pid ASC) AS hr FROM flh) "
+        f"WHERE hr <= {FL_POOL})",
+        "fls AS MATERIALIZED (SELECT p.pid, c.cid, "
+        f"CAST(ROUND(({_cos_expr('p.v', 'c.cv')}) * 1000000.0) AS BIGINT) AS sim_micro "
+        "FROM flh p CROSS JOIN flc c)",
+        "flb0 AS MATERIALIZED (SELECT pid, 0::BIGINT AS b FROM flh)",
+    ]
+    for r in range(1, FL_K + 1):
+        pv = r - 1
+        prior = (
+            " AND s.cid NOT IN (" + " UNION ALL ".join(
+                f"SELECT cid FROM flsel{j}" for j in range(1, r)
+            ) + ")"
+        ) if r > 1 else ""
+        ctes.append(
+            f"flm{r} AS (SELECT s.cid, "
+            "SUM(GREATEST(s.sim_micro - b.b, 0))::BIGINT AS marginal "
+            f"FROM fls s JOIN flb{pv} b ON s.pid = b.pid WHERE TRUE{prior} "
+            "GROUP BY s.cid)"
+        )
+        ctes.append(
+            f"flsel{r} AS (SELECT {r}::BIGINT AS rn, cid, marginal "
+            f"FROM flm{r} ORDER BY marginal DESC, cid ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"flb{r} AS MATERIALIZED (SELECT b.pid, "
+            "GREATEST(b.b, COALESCE(s.sim_micro, 0))::BIGINT AS b "
+            f"FROM flb{pv} b LEFT JOIN (SELECT pid, sim_micro FROM fls "
+            f"WHERE cid = (SELECT cid FROM flsel{r})) s ON b.pid = s.pid)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM flsel{r}" for r in range(1, FL_K + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT rn, cid AS vec_id, marginal AS marginal_micro, "
+        "SUM(marginal) OVER (ORDER BY rn)::BIGINT AS coverage_micro "
+        f"FROM ({union}) ORDER BY rn"
+    )

@@ -400,3 +400,14 @@ def _q_mmr(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return mmr_topk(emb, k=MMR_K, pool=MMR_POOL)
+
+def _q_facility_location(spark, sf_dir):
+    """Greedy facility-location coreset seeds
+    (operators/similarity.py:facility_location_seeds) — submodular
+    coverage maximization over the embedding corpus; integer-micro
+    exact marginals."""
+    from metis_spark.driver.common import FL_K, FL_POOL
+    from metis_spark.operators.similarity import facility_location_seeds
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return facility_location_seeds(emb, k=FL_K, pool=FL_POOL)

@@ -1199,3 +1199,95 @@ def mmr_topk(
     return spark.createDataFrame(
         rows, "rn long, vec_id long, relevance double, max_sim double, mmr double"
     )
+
+
+def facility_location_seeds(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    pool: int = 32,
+) -> DataFrame:
+    """Greedy facility-location selection → (rn, vec_id, marginal_micro,
+    coverage_micro): maximize the submodular coverage objective
+    F(S) = Σ_p max(0, max_{s∈S} sim(p, s)) — the coreset-selection
+    greedy (1−1/e guarantee, Nemhauser et al. 1978) that data-pruning
+    pipelines use to pick representatives that COVER the corpus, where
+    kcenter_seeds picks points that SPREAD (max-min) and mmr_topk
+    balances per-query relevance.
+
+    Candidates are a deterministic md5-hash pool of ``pool`` vectors
+    (the house pseudo-random sample idiom); the objective is evaluated
+    over ALL points. ENGINE-EXACT: similarities quantize once to
+    integer micro (ROUND(cos·1e6)) in the static pool×N table, the
+    per-point best-coverage state is an integer column, and every
+    marginal is an exact BIGINT sum — no float ever rides an
+    aggregation.
+
+    Shape at scale: ONE pool×N broadcast-join similarity table
+    (fan-out = pool, computed once, persisted), then k rounds of one
+    map-side-combined groupBy + TakeOrdered(1) + one state-update
+    join. Driver holds k rows.
+    """
+    state = points.select(
+        F.col(id_col).cast("long").alias("pid"), F.col(vec_col).alias("v")
+    )
+    hsh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fl"), F.col("pid").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    cand = (
+        state.select("pid", "v", hsh.alias("h"))
+        .orderBy(F.asc("h"), F.asc("pid"))
+        .limit(pool)
+        .select(F.col("pid").alias("cid"), F.col("v").alias("cv"))
+    )
+    sims = (
+        state.crossJoin(F.broadcast(cand))
+        .select(
+            "pid", "cid",
+            F.round(cosine(F.col("v"), F.col("cv")) * F.lit(1000000.0))
+            .cast("long").alias("sim_micro"),
+        )
+        .persist()
+    )
+    best = state.select("pid", F.lit(0).cast("long").alias("b")).localCheckpoint(
+        eager=True
+    )
+    chosen: list[tuple] = []
+    taken: list[int] = []
+    total = 0
+    for rn in range(1, k + 1):
+        marg = (
+            sims.where(~F.col("cid").isin(taken) if taken else F.lit(True))
+            .join(best.hint("shuffle_hash"), "pid")
+            .select(
+                "cid",
+                F.greatest(F.col("sim_micro") - F.col("b"), F.lit(0))
+                .cast("long").alias("g"),
+            )
+            .groupBy("cid")
+            .agg(F.sum("g").cast("long").alias("marginal"))
+        )
+        top = marg.orderBy(F.desc("marginal"), F.asc("cid")).limit(1).collect()
+        if not top:
+            break
+        cid, gain = int(top[0]["cid"]), int(top[0]["marginal"])
+        total += gain
+        chosen.append((rn, cid, gain, total))
+        taken.append(cid)
+        best = (
+            best.join(
+                sims.where(F.col("cid") == cid).select("pid", "sim_micro"), "pid", "left"
+            )
+            .select(
+                "pid",
+                F.greatest(F.col("b"), F.coalesce("sim_micro", F.lit(0)))
+                .cast("long").alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sims.unpersist()
+    return points.sparkSession.createDataFrame(
+        chosen, "rn long, vec_id long, marginal_micro long, coverage_micro long"
+    )
