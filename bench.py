@@ -250,6 +250,8 @@ def main() -> None:
         "kleinberg_bursts",
         "cdc_chunk_dedup",
         "facility_location_seeds",
+        "blocking_quality",
+        "lsh_parameter_plan",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

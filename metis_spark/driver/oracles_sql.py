@@ -4967,3 +4967,49 @@ def _facility_location_sql() -> str:
         "SUM(marginal) OVER (ORDER BY rn)::BIGINT AS coverage_micro "
         f"FROM ({union}) ORDER BY rn"
     )
+
+_BLOCKING_QUALITY_SQL = (
+    f"WITH {_MINHASH_CTES},\n"
+    "bqs AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),\n"
+    "bqh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared "
+    "FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2),\n"
+    "bqt AS MATERIALIZED (SELECT doc_a, doc_b FROM bqh "
+    "JOIN bqs sa ON sa.doc_id = doc_a JOIN bqs sb ON sb.doc_id = doc_b "
+    "WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8),\n"
+    "bqn AS (SELECT COUNT(*)::BIGINT AS nd FROM bqs),\n"
+    "bqnt AS (SELECT COUNT(*)::BIGINT AS n_truth FROM bqt),\n"
+    "bqnc AS (SELECT COUNT(*)::BIGINT AS n_candidates FROM cand),\n"
+    "bqnj AS (SELECT COUNT(*)::BIGINT AS n_caught FROM bqt t "
+    "JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)\n"
+    "SELECT nd AS n_docs, (nd * (nd - 1) // 2)::BIGINT AS total_pairs, "
+    "n_candidates, n_truth, n_caught, "
+    "ROUND(n_caught::DOUBLE / n_truth, 6) AS pair_completeness, "
+    "ROUND(1.0 - n_candidates::DOUBLE / (nd * (nd - 1) // 2), 6) AS reduction_ratio, "
+    "ROUND(n_caught::DOUBLE / n_candidates, 6) AS candidate_precision "
+    "FROM bqn, bqnt, bqnc, bqnj"
+)
+
+_LSH_PLAN_SQL = (
+    f"WITH {_TOKS_SQL}, {_SHINGLES_SQL},\n"
+    "lpe AS (SELECT doc_id, unnest(s) AS shingle FROM sh),\n"
+    "lps AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),\n"
+    "lph AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared "
+    "FROM lpe a JOIN lpe b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2),\n"
+    "lpt AS MATERIALIZED (SELECT "
+    "ROUND(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS j FROM lph "
+    "JOIN lps sa ON sa.doc_id = doc_a JOIN lps sb ON sb.doc_id = doc_b "
+    "WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.8),\n"
+    "lpg(rows_per_band, n_bands) AS (VALUES (1::BIGINT, 8::BIGINT), "
+    "(2::BIGINT, 4::BIGINT), (4::BIGINT, 2::BIGINT), (8::BIGINT, 1::BIGINT)),\n"
+    "lpsc AS (SELECT rows_per_band, n_bands, "
+    "CAST(ROUND((1.0 - pow(1.0 - pow(j, rows_per_band), n_bands)) * 1000000.0) "
+    "AS BIGINT) AS p_micro FROM lpt, lpg)\n"
+    "SELECT rows_per_band, n_bands, "
+    "ROUND(pow(1.0 - pow(0.5, 1.0 / n_bands), 1.0 / rows_per_band), 6) AS s50, "
+    "ROUND(SUM(p_micro)::BIGINT / COUNT(*)::BIGINT / 1000000.0, 6) AS expected_recall, "
+    "COUNT(*)::BIGINT AS n_truth_pairs, "
+    "(rows_per_band = 2) AS is_shipped "
+    "FROM lpsc GROUP BY rows_per_band, n_bands"
+)

@@ -602,3 +602,21 @@ def _q_cdc_chunks(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         divisor=CDC_DIV, min_len=CDC_MIN_LEN, topk=CDC_TOPK,
     )
+
+def _q_blocking_quality(spark, sf_dir):
+    """MinHash-LSH blocking audit (operators/dedup.py:blocking_quality)
+    — pair completeness + reduction ratio of the shipped banding vs
+    exact-Jaccard truth."""
+    return DD.blocking_quality(
+        _t(spark, sf_dir, "documents"),
+        "doc_id", "text", k=3, num_hashes=8, rows_per_band=2, min_jaccard=0.8,
+    )
+
+def _q_lsh_parameter_plan(spark, sf_dir):
+    """LSH banding planner (operators/dedup.py:lsh_parameter_plan) —
+    the analytic S-curve recall of every (r, b) split of the signature
+    budget, evaluated at the measured truth-pair Jaccards."""
+    return DD.lsh_parameter_plan(
+        _t(spark, sf_dir, "documents"),
+        "doc_id", "text", k=3, num_hashes=8, min_jaccard=0.8,
+    )

@@ -528,3 +528,122 @@ def cdc_chunk_dedup(
     return top.withColumn("rn", F.row_number().over(w).cast("long")).select(
         "chunk_hash", "chunk_len", "n_docs", "n_occurrences", "rn"
     )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Entity-resolution blocking audit → one row (n_docs, total_pairs,
+    n_candidates, n_truth, n_caught, pair_completeness, reduction_ratio,
+    candidate_precision): the two standard blocking metrics (Christen,
+    TKDE 2012) for the shipped MinHash-LSH scheme against exact-Jaccard
+    ground truth — "how many true duplicate pairs does banding catch"
+    (pair completeness ≈ recall) and "how much of the quadratic pair
+    space does it prune" (reduction ratio). The measured counterpart of
+    the analytic S-curve in lsh_parameter_plan.
+
+    Truth = all-pairs exact shingle Jaccard ≥ min_jaccard — the declared
+    oracle-scale path (at 100 TB the truth set comes from an eval slice,
+    exactly like the ANN recall gates). Candidates = the production
+    banding. All counts are exact BIGINTs joined as 1-row aggregates;
+    the three ratios are the only float folds."""
+    truth = ngram_jaccard_pairs(
+        docs, id_col, text_col, k=k, min_jaccard=min_jaccard
+    ).select("doc_a", "doc_b")
+    cand = minhash_candidates(
+        docs, id_col, text_col, k=k, num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+    )
+    nd = (
+        exploded_shingles(docs, id_col, text_col, k)
+        .select("doc").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nj = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    )
+    total = F.expr("nd * (nd - 1) div 2").cast("long")
+    return (
+        nd.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nj))
+        .select(
+            F.col("nd").alias("n_docs"),
+            total.alias("total_pairs"),
+            "n_candidates", "n_truth", "n_caught",
+            F.round(F.col("n_caught") / F.col("n_truth"), 6).alias("pair_completeness"),
+            F.round(F.lit(1.0) - F.col("n_candidates") / total, 6).alias("reduction_ratio"),
+            F.round(F.col("n_caught") / F.col("n_candidates"), 6).alias("candidate_precision"),
+        )
+    )
+
+
+def lsh_parameter_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """LSH banding planner → (rows_per_band, n_bands, s50, expected_recall,
+    n_truth_pairs, is_shipped): for every (r, b) split of the signature
+    budget (r·b = num_hashes), the analytic S-curve P(s) = 1−(1−s^r)^b
+    evaluated at the MEASURED exact-Jaccard values of the true duplicate
+    pairs — the data-driven expected recall of each banding choice, plus
+    the half-catch threshold s50 = (1−2^(−1/b))^(1/r). This is the
+    planning table an operator reads before re-sharding a 100 TB dedup
+    run; blocking_quality then measures the shipped choice.
+
+    ENGINE-STABLE: each pair's catch probability is computed from its
+    ROUND(j, 6) double (identical in both engines), micro-quantized per
+    pair, then integer-mean-folded."""
+    truth = ngram_jaccard_pairs(
+        docs, id_col, text_col, k=k, min_jaccard=min_jaccard
+    ).select(F.round("jaccard", 6).alias("j"))
+    grid = [(r, num_hashes // r) for r in (1, 2, 4, 8) if num_hashes % r == 0]
+    spark = docs.sparkSession
+    gdf = spark.createDataFrame(grid, "rows_per_band long, n_bands long")
+    scored = truth.crossJoin(F.broadcast(gdf)).select(
+        "rows_per_band", "n_bands",
+        F.round(
+            (
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("j"), F.col("rows_per_band")),
+                    F.col("n_bands"),
+                )
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("p_micro"),
+    )
+    return (
+        scored.groupBy("rows_per_band", "n_bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+            F.sum("p_micro").cast("long").alias("psum"),
+        )
+        .select(
+            "rows_per_band", "n_bands",
+            F.round(
+                F.pow(
+                    F.lit(1.0) - F.pow(F.lit(0.5), F.lit(1.0) / F.col("n_bands")),
+                    F.lit(1.0) / F.col("rows_per_band"),
+                ),
+                6,
+            ).alias("s50"),
+            F.round(F.col("psum") / F.col("n_truth_pairs") / F.lit(1000000.0), 6)
+            .alias("expected_recall"),
+            "n_truth_pairs",
+            (F.col("rows_per_band") == 2).alias("is_shipped"),
+        )
+    )
