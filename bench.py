@@ -252,6 +252,7 @@ def main() -> None:
         "facility_location_seeds",
         "blocking_quality",
         "lsh_parameter_plan",
+        "skew_salt_advisor",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5013,3 +5013,25 @@ _LSH_PLAN_SQL = (
     "(rows_per_band = 2) AS is_shipped "
     "FROM lpsc GROUP BY rows_per_band, n_bands"
 )
+
+_SKEW_SALT_SQL = (
+    f"WITH {_EDGES_SQL.strip()},\n"
+    "ssk AS MATERIALIZED (SELECT src AS k, COUNT(*)::BIGINT AS c "
+    "FROM edges GROUP BY src),\n"
+    "ssh AS (SELECT c, COUNT(*)::BIGINT AS freq FROM ssk GROUP BY c),\n"
+    "sshc AS (SELECT c, freq, SUM(freq) OVER (ORDER BY c ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM ssh),\n"
+    "sss AS (SELECT SUM(freq)::BIGINT AS n_keys, SUM(c * freq)::BIGINT AS m FROM ssh),\n"
+    "sst AS (SELECT k AS top_key, c AS top_count FROM ssk "
+    "ORDER BY c DESC, k ASC LIMIT 1),\n"
+    "ssm AS (SELECT MIN(c)::BIGINT AS median_count FROM sshc, sss "
+    "WHERE cum >= (n_keys + 1) // 2),\n"
+    "ssp AS (SELECT MIN(c)::BIGINT AS p99_count FROM sshc, sss "
+    "WHERE cum >= (99 * n_keys + 99) // 100)\n"
+    "SELECT n_keys, m AS n_edges, top_key, top_count, median_count, p99_count, "
+    "((1000000 * top_count) // m)::BIGINT AS top_share_micro, "
+    "((1000 * top_count * n_keys) // m)::BIGINT AS skew_ratio_milli, "
+    "LEAST(32::BIGINT, GREATEST(1::BIGINT, "
+    "(top_count * 32 + m - 1) // m))::BIGINT AS recommended_salt "
+    "FROM sss, sst, ssm, ssp"
+)

@@ -1658,3 +1658,11 @@ def _q_spectral_moments(spark, sf_dir):
     from metis_spark.plans.metrics import spectral_moments
 
     return spectral_moments(derived_edges_sparse(spark, sf_dir), hub_cap=HUB_CAP)
+
+def _q_skew_salt_advisor(spark, sf_dir):
+    """Join-key skew audit + salt recommendation
+    (plans/sizing.py:skew_salt_advisor) — the pre-shuffle planning
+    query behind the north-rule's explicit hub salting; all-integer."""
+    from metis_spark.plans.sizing import skew_salt_advisor
+
+    return skew_salt_advisor(derived_edges(spark, sf_dir), parallelism=32)
