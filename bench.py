@@ -253,6 +253,7 @@ def main() -> None:
         "blocking_quality",
         "lsh_parameter_plan",
         "skew_salt_advisor",
+        "hk_sweep_cut",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

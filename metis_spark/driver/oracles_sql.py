@@ -5035,3 +5035,65 @@ _SKEW_SALT_SQL = (
     "(top_count * 32 + m - 1) // m))::BIGINT AS recommended_salt "
     "FROM sss, sst, ssm, ssp"
 )
+
+def _hk_sweep_sql() -> str:
+    """Twin of plans/sweep.py:hk_sweep_cut — the unrolled integer
+    heat-kernel chain over the symmetric sparse graph, s = hk // deg,
+    then the identical sweep tail as _ppr_sweep_sql."""
+    from metis_spark.driver.common import (
+        HK_SCALE, HK_T_DEN, HK_T_NUM, HK_TERMS,
+    )
+
+    ctes = [
+        _EDGES_SPARSE_SQL.strip(),
+        "hsv AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "hsd AS MATERIALIZED (SELECT src, COUNT(*)::BIGINT AS deg "
+        "FROM und GROUP BY src)",
+        f"hsx0 AS MATERIALIZED (SELECT id, CASE WHEN id % {SWEEP_SEED_MOD} = 0 "
+        f"THEN {HK_SCALE} ELSE 0 END::BIGINT AS x FROM hsv)",
+        "hsh0 AS (SELECT id, x AS hk FROM hsx0)",
+    ]
+    for k in range(1, HK_TERMS + 1):
+        pv = k - 1
+        ctes.append(
+            f"hss{k} AS (SELECT x.id AS src, (x.x // o.deg)::BIGINT AS share "
+            f"FROM hsx{pv} x JOIN hsd o ON x.id = o.src)"
+        )
+        ctes.append(
+            f"hsg{k} AS (SELECT u.dst AS id, SUM(s.share)::BIGINT AS g "
+            f"FROM und u JOIN hss{k} s ON u.src = s.src GROUP BY u.dst)"
+        )
+        ctes.append(
+            f"hsx{k} AS MATERIALIZED (SELECT v.id, (({HK_T_NUM} * COALESCE(g.g, 0)) "
+            f"// {HK_T_DEN * k})::BIGINT AS x "
+            f"FROM hsv v LEFT JOIN hsg{k} g ON v.id = g.id)"
+        )
+        ctes.append(
+            f"hsh{k} AS MATERIALIZED (SELECT h.id, (h.hk + COALESCE(x.x, 0))::BIGINT AS hk "
+            f"FROM hsh{pv} h LEFT JOIN hsx{k} x ON h.id = x.id)"
+        )
+    ctes += [
+        f"hsc AS (SELECT h.id, d.deg, (h.hk // d.deg)::BIGINT AS s "
+        f"FROM hsh{HK_TERMS} h JOIN hsd d ON h.id = d.src)",
+        "htk AS MATERIALIZED (SELECT id, deg, k FROM (SELECT id, deg, "
+        "ROW_NUMBER() OVER (ORDER BY s DESC, id ASC)::BIGINT AS k FROM hsc) "
+        f"WHERE k <= {SWEEP_L})",
+        "hm2 AS (SELECT COUNT(*)::BIGINT AS c2 FROM und)",
+        "huu AS (SELECT src AS a, dst AS b FROM und WHERE src < dst)",
+        f"her AS (SELECT LEAST(COALESCE(ta.k, {SWEEP_L + 1}), COALESCE(tb.k, {SWEEP_L + 1})) AS lo, "
+        f"GREATEST(COALESCE(ta.k, {SWEEP_L + 1}), COALESCE(tb.k, {SWEEP_L + 1})) AS hi "
+        "FROM huu LEFT JOIN htk ta ON huu.a = ta.id LEFT JOIN htk tb ON huu.b = tb.id)",
+        f"hst AS (SELECT lo AS k, COUNT(*)::BIGINT AS n_open FROM her WHERE lo <= {SWEEP_L} GROUP BY lo)",
+        f"hen AS (SELECT hi AS k, COUNT(*)::BIGINT AS n_close FROM her WHERE hi <= {SWEEP_L} GROUP BY hi)",
+        "hax AS (SELECT t.k, t.id, t.deg, COALESCE(hst.n_open, 0) AS o, "
+        "COALESCE(hen.n_close, 0) AS c FROM htk t "
+        "LEFT JOIN hst ON hst.k = t.k LEFT JOIN hen ON hen.k = t.k)",
+        "hfin AS (SELECT k, id, deg, CAST(SUM(deg) OVER (ORDER BY k) AS BIGINT) AS vol, "
+        "CAST(SUM(o - c) OVER (ORDER BY k) AS BIGINT) AS cut FROM hax)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT k, id, deg, vol, cut, "
+        "CASE WHEN LEAST(vol, (SELECT c2 FROM hm2) - vol) > 0 THEN "
+        "ROUND(cut / LEAST(vol, (SELECT c2 FROM hm2) - vol), 6) END AS phi FROM hfin"
+    )

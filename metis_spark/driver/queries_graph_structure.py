@@ -1666,3 +1666,19 @@ def _q_skew_salt_advisor(spark, sf_dir):
     from metis_spark.plans.sizing import skew_salt_advisor
 
     return skew_salt_advisor(derived_edges(spark, sf_dir), parallelism=32)
+
+def _q_hk_sweep_cut(spark, sf_dir):
+    """Heat-kernel local community (plans/sweep.py:hk_sweep_cut) — the
+    hk-relax sweep endgame next to ppr_sweep_cut on the same seeds;
+    integer hk scores, shared conductance-sweep kernel."""
+    from metis_spark.driver.common import (
+        HK_SCALE, HK_T_DEN, HK_T_NUM, HK_TERMS, SWEEP_SEED_MOD,
+    )
+    from metis_spark.plans.sweep import hk_sweep_cut
+
+    out, _ = hk_sweep_cut(
+        derived_edges_sparse(spark, sf_dir),
+        seed_mod=SWEEP_SEED_MOD, t_num=HK_T_NUM, t_den=HK_T_DEN,
+        n_terms=HK_TERMS, scale=HK_SCALE, sweep_l=SWEEP_L,
+    )
+    return out

@@ -63,32 +63,22 @@ def _out_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def heat_kernel_ppr(
+def hk_scores(
     edges: DataFrame,
     seed_mod: int = 10,
     t_num: int = 3,
     t_den: int = 1,
     n_terms: int = 6,
     scale: int = 10**12,
-    topk: int = 20,
     num_partitions: int | None = None,
-) -> tuple[DataFrame, dict]:
-    """edges(src,dst) directed → ((id, hk_scaled, hk_norm, rn), info).
-
-    Seeds are the deterministic set id % seed_mod == 0 (the same
-    distributed-seed-predicate convention as seeded PageRank — the seed
-    set never touches the driver). hk_scaled is the exact integer
-    Σ_k x_k(v); hk_norm divides by the exact integer total (one
-    correctly-rounded double division per emitted row, rounded to 6).
-    Only the top-k rows by (hk_scaled desc, id asc) are emitted — the
-    distributed sort+limit runs FIRST, the rank window sees ≤ topk rows.
-    """
-    spark = edges.sparkSession
+) -> DataFrame:
+    """The full (id, hk) integer heat-kernel state — the shared spine
+    behind heat_kernel_ppr (top-k view) and hk_sweep_cut (local
+    community endgame). See module docstring for the recurrence."""
     if num_partitions is None:
         from metis_spark.plans.sizing import auto_partitions
 
         num_partitions = auto_partitions(edges)
-    t0 = time.monotonic()
     fwd = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .repartition(num_partitions, "src")
@@ -137,6 +127,36 @@ def heat_kernel_ppr(
             )
             .localCheckpoint(eager=True)
         )
+    fwd.unpersist()
+    outdeg.unpersist()
+    return hk
+
+
+def heat_kernel_ppr(
+    edges: DataFrame,
+    seed_mod: int = 10,
+    t_num: int = 3,
+    t_den: int = 1,
+    n_terms: int = 6,
+    scale: int = 10**12,
+    topk: int = 20,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) directed → ((id, hk_scaled, hk_norm, rn), info).
+
+    Seeds are the deterministic set id % seed_mod == 0 (the same
+    distributed-seed-predicate convention as seeded PageRank — the seed
+    set never touches the driver). hk_scaled is the exact integer
+    Σ_k x_k(v); hk_norm divides by the exact integer total (one
+    correctly-rounded double division per emitted row, rounded to 6).
+    Only the top-k rows by (hk_scaled desc, id asc) are emitted — the
+    distributed sort+limit runs FIRST, the rank window sees ≤ topk rows.
+    """
+    t0 = time.monotonic()
+    hk = hk_scores(
+        edges, seed_mod=seed_mod, t_num=t_num, t_den=t_den,
+        n_terms=n_terms, scale=scale, num_partitions=num_partitions,
+    )
     total = int(hk.agg(F.sum("hk")).collect()[0][0] or 0)
     top = (
         hk.where(F.col("hk") > 0)
@@ -155,8 +175,6 @@ def heat_kernel_ppr(
             "rn",
         )
     )
-    fwd.unpersist()
-    outdeg.unpersist()
     return out, {
         "terms": n_terms,
         "total_scaled": total,

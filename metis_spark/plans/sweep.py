@@ -200,3 +200,58 @@ def fiedler_sweep_cut(
         "m": m2 // 2,
         "seconds": time.monotonic() - t0,
     }
+
+
+def hk_sweep_cut(
+    edges: DataFrame,
+    seed_mod: int = 10,
+    t_num: int = 3,
+    t_den: int = 1,
+    n_terms: int = 6,
+    scale: int = 10**12,
+    sweep_l: int = 64,
+) -> tuple[DataFrame, dict]:
+    """edges(src,dst) undirected-ized + hash seeds → the heat-kernel
+    local community: ((k, id, deg, vol, cut, phi), info) — the hk-relax
+    endgame (Kloster & Gleich KDD'14): heat-kernel diffusion's 1/k!
+    damping concentrates mass on SHORT paths from the seed, which the
+    paper shows yields lower-conductance sweep cuts than ACL/PPR on the
+    same seeds. Scores are the exact integer hk state degree-normalized
+    by integer division (hk DIV deg — deterministic rank order in both
+    engines); the sweep reuses the shared ±1 difference-histogram
+    kernel of ppr_sweep_cut.
+    """
+    from metis_spark.plans.diffusion import hk_scores
+
+    t0 = time.monotonic()
+    fwd = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    m2 = und.count()
+    hk = hk_scores(
+        und, seed_mod=seed_mod, t_num=t_num, t_den=t_den,
+        n_terms=n_terms, scale=scale,
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    score = hk.join(deg, "id").select(
+        "id", "deg", F.expr("hk div deg").cast("long").alias("s")
+    )
+    top = score.orderBy(F.desc("s"), F.asc("id")).limit(sweep_l)
+    wk = Window.orderBy(F.desc("s"), F.asc("id"))
+    ranked = top.select(
+        "id", "deg", F.row_number().over(wk).cast("long").alias("k")
+    ).localCheckpoint(eager=True)
+    out, best = _conductance_sweep(und, ranked, m2, sweep_l)
+    und.unpersist()
+    return out, {
+        "best_k": int(best["k"]),
+        "best_phi": float(best["phi"]) if best["phi"] is not None else None,
+        "m": m2 // 2,
+        "seconds": time.monotonic() - t0,
+    }
