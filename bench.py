@@ -254,6 +254,7 @@ def main() -> None:
         "lsh_parameter_plan",
         "skew_salt_advisor",
         "hk_sweep_cut",
+        "script_histogram",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

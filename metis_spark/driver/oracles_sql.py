@@ -5097,3 +5097,21 @@ def _hk_sweep_sql() -> str:
         "CASE WHEN LEAST(vol, (SELECT c2 FROM hm2) - vol) > 0 THEN "
         "ROUND(cut / LEAST(vol, (SELECT c2 FROM hm2) - vol), 6) END AS phi FROM hfin"
     )
+
+_SCRIPT_HISTOGRAM_SQL = (
+    "WITH shc AS (SELECT lang, length(text)::BIGINT AS total, "
+    "len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS alpha, "
+    "len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digit, "
+    "len(regexp_extract_all(text, '\\s'))::BIGINT AS space, "
+    "len(regexp_extract_all(text, '[^\\x00-\\x7f]'))::BIGINT AS nonascii FROM documents),\n"
+    "sha AS (SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(total)::BIGINT AS n_chars, "
+    "SUM(alpha)::BIGINT AS a, SUM(digit)::BIGINT AS d, SUM(space)::BIGINT AS s, "
+    "SUM(nonascii)::BIGINT AS na FROM shc GROUP BY lang)\n"
+    "SELECT lang, n_docs, n_chars, "
+    "((1000000 * a) // n_chars)::BIGINT AS alpha_micro, "
+    "((1000000 * d) // n_chars)::BIGINT AS digit_micro, "
+    "((1000000 * s) // n_chars)::BIGINT AS space_micro, "
+    "((1000000 * na) // n_chars)::BIGINT AS nonascii_micro, "
+    "((1000000 * (n_chars - a - d - s - na)) // n_chars)::BIGINT AS other_micro "
+    "FROM sha WHERE n_chars > 0"
+)

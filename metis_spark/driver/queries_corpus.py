@@ -620,3 +620,11 @@ def _q_lsh_parameter_plan(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         "doc_id", "text", k=3, num_hashes=8, min_jaccard=0.8,
     )
+
+def _q_script_histogram(spark, sf_dir):
+    """Per-language character-class composition
+    (operators/corpus_stats.py:script_histogram) — the script/charset
+    sanity dial behind lang_id; all-integer micro shares."""
+    from metis_spark.operators.corpus_stats import script_histogram
+
+    return script_histogram(_t(spark, sf_dir, "documents"))

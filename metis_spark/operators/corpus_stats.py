@@ -1600,3 +1600,45 @@ def textrank_top_sentences(
     verts.unpersist()
     und.unpersist()
     return out
+
+
+def script_histogram(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language character-class composition → (lang, n_docs,
+    n_chars, alpha_micro, digit_micro, space_micro, nonascii_micro,
+    other_micro): the script/charset dial a curation pipeline reads
+    before trusting lang-id — mislabeled or transliterated slices show
+    up as a non-ASCII share inconsistent with their language tag, and
+    code-vs-prose mixtures as digit/punctuation skew.
+
+    All counts are exact integers (one regexp_count per class per row,
+    map-only; the groupBy partial-aggregates map-side into |langs|
+    rows); the five shares are integer micro DIVisions — no float at
+    all."""
+    counts = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("total"),
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]")).cast("long").alias("alpha"),
+        F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).cast("long").alias("digit"),
+        F.regexp_count(F.col(text_col), F.lit(r"\s")).cast("long").alias("space"),
+        F.regexp_count(F.col(text_col), F.lit(r"[^\x00-\x7f]")).cast("long").alias("nonascii"),
+    )
+    agg = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("total").cast("long").alias("n_chars"),
+        F.sum("alpha").cast("long").alias("a"),
+        F.sum("digit").cast("long").alias("d"),
+        F.sum("space").cast("long").alias("s"),
+        F.sum("nonascii").cast("long").alias("na"),
+    )
+    return agg.where(F.col("n_chars") > 0).select(
+        "lang", "n_docs", "n_chars",
+        F.expr("(1000000 * a) div n_chars").cast("long").alias("alpha_micro"),
+        F.expr("(1000000 * d) div n_chars").cast("long").alias("digit_micro"),
+        F.expr("(1000000 * s) div n_chars").cast("long").alias("space_micro"),
+        F.expr("(1000000 * na) div n_chars").cast("long").alias("nonascii_micro"),
+        F.expr(
+            "(1000000 * (n_chars - a - d - s - na)) div n_chars"
+        ).cast("long").alias("other_micro"),
+    )

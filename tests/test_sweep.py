@@ -104,3 +104,23 @@ def test_fiedler_sweep_finds_planted_cluster(spark):
     assert members in (set(range(8)), set(range(100, 108)))
     best = out.where(out["k"] == 8).collect()[0]
     assert best["cut"] == 1 and best["vol"] == 57
+
+
+def test_hk_sweep_finds_planted_cluster(spark):
+    """Heat-kernel sweep on the two-cliques-and-a-bridge graph: the
+    1/k!-damped diffusion from vertex 0 (the only id % 1000 == 0 seed)
+    concentrates on clique 1 and the minimum-conductance prefix is
+    exactly that clique (cut 1, vol 57) — the hk-relax claim."""
+    from metis_spark.plans.sweep import hk_sweep_cut
+
+    k8a = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    k8b = [(a, b) for a in range(100, 108) for b in range(a + 1, 108)]
+    pairs = k8a + k8b + [(7, 100)]
+    out, info = hk_sweep_cut(
+        edges_df(spark, pairs), seed_mod=1000, n_terms=6, sweep_l=16
+    )
+    assert info["best_k"] == 8
+    members = {r["id"] for r in out.orderBy("k").limit(8).collect()}
+    assert members == set(range(8))
+    best = out.where(out["k"] == 8).collect()[0]
+    assert best["cut"] == 1 and best["vol"] == 57
