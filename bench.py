@@ -255,6 +255,8 @@ def main() -> None:
         "skew_salt_advisor",
         "hk_sweep_cut",
         "script_histogram",
+        "package_instability",
+        "table_profile",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5115,3 +5115,39 @@ _SCRIPT_HISTOGRAM_SQL = (
     "((1000000 * (n_chars - a - d - s - na)) // n_chars)::BIGINT AS other_micro "
     "FROM sha WHERE n_chars > 0"
 )
+
+_PACKAGE_INSTABILITY_SQL = (
+    f"WITH {_EDGES_SQL.strip()},\n"
+    "pie AS (SELECT src % 16 AS ps, dst % 16 AS pd FROM edges),\n"
+    "piv AS (SELECT id % 16 AS package, COUNT(*)::BIGINT AS n_vertices "
+    "FROM verts GROUP BY 1),\n"
+    "pii AS (SELECT ps AS package, COUNT(*)::BIGINT AS internal_edges "
+    "FROM pie WHERE ps = pd GROUP BY ps),\n"
+    "pic AS (SELECT ps AS package, COUNT(*)::BIGINT AS ce "
+    "FROM pie WHERE ps <> pd GROUP BY ps),\n"
+    "pia AS (SELECT pd AS package, COUNT(*)::BIGINT AS ca "
+    "FROM pie WHERE ps <> pd GROUP BY pd)\n"
+    "SELECT v.package, v.n_vertices, "
+    "COALESCE(i.internal_edges, 0)::BIGINT AS internal_edges, "
+    "COALESCE(a.ca, 0)::BIGINT AS ca, COALESCE(c.ce, 0)::BIGINT AS ce, "
+    "CASE WHEN COALESCE(a.ca, 0) + COALESCE(c.ce, 0) > 0 THEN "
+    "(1000000 * COALESCE(c.ce, 0)) // (COALESCE(a.ca, 0) + COALESCE(c.ce, 0)) "
+    "END::BIGINT AS instability_micro, "
+    "CASE WHEN COALESCE(i.internal_edges, 0) + COALESCE(a.ca, 0) + COALESCE(c.ce, 0) > 0 THEN "
+    "(1000000 * (COALESCE(a.ca, 0) + COALESCE(c.ce, 0))) "
+    "// (COALESCE(i.internal_edges, 0) + COALESCE(a.ca, 0) + COALESCE(c.ce, 0)) "
+    "END::BIGINT AS fan_ratio_micro "
+    "FROM piv v LEFT JOIN pii i ON v.package = i.package "
+    "LEFT JOIN pic c ON v.package = c.package "
+    "LEFT JOIN pia a ON v.package = a.package"
+)
+
+_TABLE_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, COUNT(*)::BIGINT AS n_rows, "
+    f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, "
+    f"COUNT(DISTINCT {c})::BIGINT AS n_distinct FROM orders"
+    for c in (
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+)

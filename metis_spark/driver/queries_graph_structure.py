@@ -1682,3 +1682,11 @@ def _q_hk_sweep_cut(spark, sf_dir):
         n_terms=HK_TERMS, scale=HK_SCALE, sweep_l=SWEEP_L,
     )
     return out
+
+def _q_package_instability(spark, sf_dir):
+    """Martin afferent/efferent coupling + instability per package
+    (plans/metrics.py:package_instability) — the stable-dependencies
+    dashboard over the quotient dependency graph."""
+    from metis_spark.plans.metrics import package_instability
+
+    return package_instability(derived_edges(spark, sf_dir), n_packages=16)

@@ -570,3 +570,34 @@ def _q_kleinberg_bursts(spark, sf_dir):
     from metis_spark.operators.bursts import kleinberg_bursts
 
     return kleinberg_bursts(_t(spark, sf_dir, "events"))
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+def _q_table_profile(spark, sf_dir):
+    """Per-column data profile of the orders table → (column, n_rows,
+    n_null, n_distinct) — the schema-drift / null-regression audit
+    every ingest pipeline runs before trusting a new snapshot. One
+    pass: all per-column aggregates fold into a single map-side-
+    combined aggregation, then the 1-row result explodes into one row
+    per column (no per-column scans)."""
+    df = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        one.select("n_rows", F.explode(F.array(*structs)).alias("s"))
+        .select(F.col("s.column").alias("column"), "n_rows", "s.n_null", "s.n_distinct")
+    )

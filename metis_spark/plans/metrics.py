@@ -2531,3 +2531,69 @@ def spectral_moments(edges: DataFrame, hub_cap: int = 128) -> DataFrame:
     )
     und.unpersist()
     return out
+
+
+def package_instability(edges: DataFrame, n_packages: int = 16) -> DataFrame:
+    """Martin coupling metrics over the package-grouped dependency graph
+    → (package, n_vertices, internal_edges, ca, ce, instability_micro,
+    fan_ratio_micro): afferent coupling Ca (cross-package in-edges),
+    efferent coupling Ce (cross-package out-edges), and instability
+    I = Ce/(Ca+Ce) (Martin, "Agile Software Development" — I→1 depends
+    on everyone, I→0 everyone depends on it; stable-dependencies
+    violations are edges from low-I to high-I packages).
+
+    Packages are the deterministic grouping id % n_packages — the same
+    quotient-graph move as community_quotient, standing in for the
+    repo/module column a real code corpus carries. All counts exact;
+    the two ratios are integer micro DIVisions.
+    """
+    e = edges.select(
+        (F.col("src") % n_packages).cast("long").alias("ps"),
+        (F.col("dst") % n_packages).cast("long").alias("pd"),
+        F.col("src").cast("long"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select((F.col("id") % n_packages).cast("long").alias("package"))
+        .groupBy("package")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+    internal = (
+        e.where(F.col("ps") == F.col("pd"))
+        .groupBy(F.col("ps").alias("package"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    ce = (
+        e.where(F.col("ps") != F.col("pd"))
+        .groupBy(F.col("ps").alias("package"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ce"))
+    )
+    ca = (
+        e.where(F.col("ps") != F.col("pd"))
+        .groupBy(F.col("pd").alias("package"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    return (
+        verts.join(internal, "package", "left")
+        .join(ce, "package", "left")
+        .join(ca, "package", "left")
+        .select(
+            "package", "n_vertices",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias("internal_edges"),
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("ce", F.lit(0)).cast("long").alias("ce"),
+        )
+        .select(
+            "package", "n_vertices", "internal_edges", "ca", "ce",
+            F.when(
+                F.col("ca") + F.col("ce") > 0,
+                F.expr("(1000000 * ce) div (ca + ce)"),
+            ).cast("long").alias("instability_micro"),
+            F.when(
+                F.col("internal_edges") + F.col("ca") + F.col("ce") > 0,
+                F.expr("(1000000 * (ca + ce)) div (internal_edges + ca + ce)"),
+            ).cast("long").alias("fan_ratio_micro"),
+        )
+    )
