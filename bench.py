@@ -257,6 +257,8 @@ def main() -> None:
         "script_histogram",
         "package_instability",
         "table_profile",
+        "sssp_parents",
+        "cyclomatic_number",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5151,3 +5151,32 @@ _TABLE_PROFILE_SQL = " UNION ALL ".join(
         "o_totalprice", "o_orderdate", "o_orderpriority",
     )
 )
+
+def _sssp_parents_sql() -> str:
+    """Twin of _q_sssp_parents: the _sssp_sql distance chain + the
+    min-id shortest-path-tree parent per reached vertex."""
+    base = _sssp_sql()
+    head, final = base.rsplit("\n", 1)
+    last = final.split("FROM ")[1].strip()
+    return (
+        head + ",\n"
+        f"sspd AS MATERIALIZED (SELECT id, dist FROM {last}),\n"
+        "sspp AS (SELECT e.dst AS id, MIN(e.src)::BIGINT AS parent "
+        "FROM edges e JOIN sspd a ON e.src = a.id JOIN sspd b ON e.dst = b.id "
+        "WHERE a.dist + 1 = b.dist GROUP BY e.dst)\n"
+        "SELECT d.id, d.dist, p.parent FROM sspd d LEFT JOIN sspp p ON d.id = p.id"
+    )
+
+
+def _cyclomatic_sql() -> str:
+    """Twin of _q_cyclomatic_number on the _cc_sql component chain."""
+    return (
+        f"WITH ccq AS MATERIALIZED ({_cc_sql()}),\n"
+        f"{_EDGES_SQL.strip()},\n"
+        "cyn AS (SELECT COUNT(*)::BIGINT AS n_vertices, "
+        "COUNT(DISTINCT component)::BIGINT AS n_components FROM ccq),\n"
+        "cym AS (SELECT (COUNT(*) // 2)::BIGINT AS n_und_edges FROM und)\n"
+        "SELECT n_vertices, n_und_edges, n_components, "
+        "(n_und_edges - n_vertices + n_components)::BIGINT AS cycle_rank "
+        "FROM cyn, cym"
+    )

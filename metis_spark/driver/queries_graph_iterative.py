@@ -1006,3 +1006,57 @@ def _q_dag_critical_path(spark, sf_dir):
     )
     assert info["converged"], info
     return condensation_critical_path(edges, labels, max_rounds=DAG_ROUNDS + 1)
+
+def _q_sssp_parents(spark, sf_dir):
+    """BFS shortest-path TREE from the min vertex: (id, dist, parent)
+    with parent = min-id predecessor on a shortest path — the path-
+    reconstruction companion to sssp_hops (at scale, routing/provenance
+    queries walk parent pointers instead of re-running BFS per query)."""
+    from metis_spark.plans.sssp import shortest_hops
+
+    edges = derived_edges(spark, sf_dir)
+    src = edges.selectExpr("least(min(src), min(dst)) AS s").collect()[0]["s"]
+    dists, _ = shortest_hops(
+        edges, sources=[int(src)],
+        checkpoint_dir=_tmpdir("metis_qssspp_"),
+        max_iter=SSSP_ROUNDS,
+    )
+    du = dists.select(F.col("id").alias("src"), F.col("dist").alias("du"))
+    dv = dists.select(F.col("id").alias("dst"), F.col("dist").alias("dv"))
+    parents = (
+        edges.join(du.hint("shuffle_hash"), "src")
+        .join(dv.hint("shuffle_hash"), "dst")
+        .where(F.col("du") + 1 == F.col("dv"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").cast("long").alias("parent"))
+    )
+    return dists.join(parents, "id", "left").select("id", "dist", "parent")
+
+def _q_cyclomatic_number(spark, sf_dir):
+    """Cycle rank of the undirected dependency graph: r = m − n + c
+    (the graph-level McCabe cyclomatic number) — how many independent
+    cycles the corpus carries; r = 0 ⇔ forest."""
+    from metis_spark.plans.components import connected_components
+
+    edges = derived_edges(spark, sf_dir)
+    und = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels, info = connected_components(
+        edges, max_iter=30, checkpoint_dir=_tmpdir("metis_qcyc_")
+    )
+    assert info["converged"], info
+    nc = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    me = und.agg((F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_und_edges"))
+    return nc.crossJoin(F.broadcast(me)).select(
+        "n_vertices", "n_und_edges", "n_components",
+        (F.col("n_und_edges") - F.col("n_vertices") + F.col("n_components"))
+        .cast("long").alias("cycle_rank"),
+    )
