@@ -1,0 +1,81 @@
+"""Closing-batch pins: package_instability, cyclomatic_number spine,
+sssp_parents, script_histogram (hand-computed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metis_spark.plans.metrics import package_instability
+
+from tests.conftest import edges_df
+
+
+def test_package_instability_hand(spark):
+    # packages (id % 4): 1,5 -> pkg1; 2 -> pkg2. internal 5->1;
+    # cross 1->2 (ce of 1, ca of 2) and 2->5 (ce of 2, ca of 1)
+    out = {
+        r["package"]: r
+        for r in package_instability(
+            edges_df(spark, [(1, 2), (2, 5), (5, 1)]), n_packages=4
+        ).collect()
+    }
+    p1, p2 = out[1], out[2]
+    assert p1["n_vertices"] == 2 and p2["n_vertices"] == 1
+    assert p1["internal_edges"] == 1 and p2["internal_edges"] == 0
+    assert p1["ca"] == 1 and p1["ce"] == 1 and p1["instability_micro"] == 500000
+    assert p1["fan_ratio_micro"] == (1000000 * 2) // 3
+    assert p2["instability_micro"] == 500000 and p2["fan_ratio_micro"] == 1000000
+
+
+def test_sssp_parents_hand(spark):
+    from metis_spark.plans.sssp import shortest_hops
+
+    edges = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    dists, _ = shortest_hops(edges, sources=[1], max_iter=4)
+    du = dists.select(F.col("id").alias("src"), F.col("dist").alias("du"))
+    dv = dists.select(F.col("id").alias("dst"), F.col("dist").alias("dv"))
+    parents = (
+        edges.join(du, "src").join(dv, "dst")
+        .where(F.col("du") + 1 == F.col("dv"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("parent"))
+    )
+    got = {
+        r["id"]: (r["dist"], r["parent"])
+        for r in dists.join(parents, "id", "left").collect()
+    }
+    assert got == {1: (0, None), 2: (1, 1), 3: (1, 1)}
+
+
+def test_cyclomatic_rank_values(spark):
+    from metis_spark.plans.components import connected_components
+
+    def rank(pairs, tmp):
+        e = edges_df(spark, pairs)
+        und = (
+            e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst")).distinct()
+        )
+        labels, _ = connected_components(e, max_iter=20, checkpoint_dir=tmp)
+        n = labels.count()
+        c = labels.select("component").distinct().count()
+        m = und.count() // 2
+        return m - n + c
+
+    import tempfile
+
+    assert rank([(1, 2), (2, 3), (3, 1), (3, 4)], tempfile.mkdtemp()) == 1
+    assert rank([(1, 2), (3, 4)], tempfile.mkdtemp()) == 0
+
+
+def test_script_histogram_hand(spark):
+    from metis_spark.operators.corpus_stats import script_histogram
+
+    df = spark.createDataFrame([("en", "ab 12!")], "lang string, text string")
+    r = script_histogram(df).collect()[0]
+    assert r["n_chars"] == 6
+    assert r["alpha_micro"] == (1000000 * 2) // 6
+    assert r["digit_micro"] == (1000000 * 2) // 6
+    assert r["space_micro"] == (1000000 * 1) // 6
+    assert r["nonascii_micro"] == 0
+    assert r["other_micro"] == (1000000 * 1) // 6
