@@ -259,6 +259,7 @@ def main() -> None:
         "table_profile",
         "sssp_parents",
         "cyclomatic_number",
+        "code_switching_score",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

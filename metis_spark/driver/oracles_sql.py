@@ -5180,3 +5180,39 @@ def _cyclomatic_sql() -> str:
         "(n_und_edges - n_vertices + n_components)::BIGINT AS cycle_rank "
         "FROM cyn, cym"
     )
+
+def _code_switching_sql() -> str:
+    """Twin of corpus_stats.code_switching_score — identical sentence
+    split, identical integer marker-hit argmax (alphabetical ties,
+    'und' on zero), identical (n·L(n) − Σ c·L(c)) // n entropy."""
+    from metis_spark.driver.common import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    hit_cols = ", ".join(
+        f"len(regexp_extract_all(lower(s), '{_LANG_MARKERS[lg]}'))::BIGINT AS h_{lg}"
+        for lg in langs
+    )
+    m_expr = "GREATEST(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    lang_case = "CASE WHEN " + m_expr + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {m_expr} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return (
+        "WITH csx AS (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s "
+        "FROM documents),\n"
+        f"csh AS (SELECT doc_id, {hit_cols} FROM csx WHERE trim(s) <> ''),\n"
+        f"csl AS (SELECT doc_id, {lang_case} AS lang FROM csh),\n"
+        "csc AS MATERIALIZED (SELECT doc_id, lang, COUNT(*)::BIGINT AS c "
+        "FROM csl GROUP BY doc_id, lang),\n"
+        "csa AS (SELECT doc_id, SUM(c)::BIGINT AS n_sents, COUNT(*)::BIGINT AS n_langs, "
+        "MAX(c)::BIGINT AS cmax, "
+        "SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS clnc "
+        "FROM csc GROUP BY doc_id),\n"
+        "csm AS (SELECT doc_id, lang AS majority_lang FROM (SELECT doc_id, lang, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) AS rn "
+        "FROM csc) WHERE rn = 1)\n"
+        "SELECT a.doc_id, a.n_sents, a.n_langs, m.majority_lang, "
+        "((1000000 * a.cmax) // a.n_sents)::BIGINT AS majority_micro, "
+        "((a.n_sents * CAST(ROUND(ln(a.n_sents::DOUBLE) * 1000000.0) AS BIGINT) "
+        "- a.clnc) // a.n_sents)::BIGINT AS switch_entropy_micro "
+        "FROM csa a JOIN csm m ON a.doc_id = m.doc_id"
+    )

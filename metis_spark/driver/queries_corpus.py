@@ -628,3 +628,11 @@ def _q_script_histogram(spark, sf_dir):
     from metis_spark.operators.corpus_stats import script_histogram
 
     return script_histogram(_t(spark, sf_dir, "documents"))
+
+def _q_code_switching(spark, sf_dir):
+    """Sentence-level language-mixing audit
+    (operators/corpus_stats.py:code_switching_score) — flags documents
+    a doc-level lang-id mislabels; integer-exact mixing entropy."""
+    from metis_spark.operators.corpus_stats import code_switching_score
+
+    return code_switching_score(_t(spark, sf_dir, "documents"), dict(_LANG_MARKERS))

@@ -1642,3 +1642,66 @@ def script_histogram(
             "(1000000 * (n_chars - a - d - s - na)) div n_chars"
         ).cast("long").alias("other_micro"),
     )
+
+
+def code_switching_score(
+    docs: DataFrame,
+    markers: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-level language-mixing audit → (doc_id, n_sents, n_langs,
+    majority_lang, majority_micro, switch_entropy_micro): classify each
+    sentence with the integer marker-hit heuristic (argmax hit count,
+    alphabetical tie-break, 'und' when nothing fires), then score the
+    document's mixing — the code-switching / wrong-granularity detector
+    multilingual curation needs (a doc-level lang-id happily labels a
+    50/50 en/de document "en"; this operator flags it).
+
+    ENGINE-EXACT entropy: H = ln n − (1/n)·Σ c·ln c over the per-lang
+    sentence counts, computed as (n·L(n) − Σ c·L(c)) DIV n with
+    L(x) = ROUND(1e6·ln x) — integer arithmetic after one quantization
+    per count value (the map_equation plogp discipline). Majority pick
+    via a per-doc rank window (partitioned by doc — scale-safe).
+    """
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("s"),
+    ).where(F.trim("s") != "")
+    low = F.lower(F.col("s"))
+    hits = {
+        lg: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")
+        for lg, pat in markers.items()
+    }
+    m = F.greatest(*hits.values())
+    lang = F.when(m == 0, "und")
+    for lg in sorted(hits):
+        lang = lang.when(hits[lg] == m, lg)
+    lc = (
+        sents.select("doc_id", lang.alias("lang"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lnm = lambda col: F.round(F.log(col.cast("double")) * F.lit(1000000.0)).cast("long")  # noqa: E731
+    agg = lc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_sents"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("c").cast("long").alias("cmax"),
+        F.sum(F.col("c") * lnm(F.col("c"))).cast("long").alias("clnc"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("lang"))
+    maj = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("majority_lang"))
+    )
+    return agg.join(maj, "doc_id").select(
+        "doc_id", "n_sents", "n_langs", "majority_lang",
+        F.expr("(1000000 * cmax) div n_sents").cast("long").alias("majority_micro"),
+        (
+            (F.col("n_sents") * lnm(F.col("n_sents")) - F.col("clnc"))
+        ).alias("hnum"),
+    ).select(
+        "doc_id", "n_sents", "n_langs", "majority_lang", "majority_micro",
+        F.expr("hnum div n_sents").cast("long").alias("switch_entropy_micro"),
+    )
