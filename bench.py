@@ -260,6 +260,7 @@ def main() -> None:
         "sssp_parents",
         "cyclomatic_number",
         "code_switching_score",
+        "rrf_centrality_fusion",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

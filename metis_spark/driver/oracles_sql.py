@@ -5216,3 +5216,28 @@ def _code_switching_sql() -> str:
         "- a.clnc) // a.n_sents)::BIGINT AS switch_entropy_micro "
         "FROM csa a JOIN csm m ON a.doc_id = m.doc_id"
     )
+
+_RRF_FUSION_SQL = (
+    f"WITH {_EDGES_SQL.strip()},\n"
+    "rfd AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "rfdr AS (SELECT id, rd FROM (SELECT id, "
+    "ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC)::BIGINT AS rd FROM rfd) "
+    "WHERE rd <= 64),\n"
+    "rfu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),\n"
+    "rft AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM rfu e1 "
+    "JOIN rfu e2 ON e1.b = e2.a JOIN rfu e3 ON e3.a = e1.a AND e3.b = e2.b),\n"
+    "rfm AS (SELECT x AS id FROM rft UNION ALL SELECT y FROM rft "
+    "UNION ALL SELECT z FROM rft),\n"
+    "rfc AS (SELECT v.id, COALESCE(c.n, 0)::BIGINT AS triangles FROM verts v "
+    "LEFT JOIN (SELECT id, COUNT(*)::BIGINT AS n FROM rfm GROUP BY id) c "
+    "ON v.id = c.id),\n"
+    "rftr AS (SELECT id, rt FROM (SELECT id, "
+    "ROW_NUMBER() OVER (ORDER BY triangles DESC, id ASC)::BIGINT AS rt FROM rfc) "
+    "WHERE rt <= 64),\n"
+    "rff AS (SELECT COALESCE(d.id, t.id) AS id, "
+    "(COALESCE(1000000 // (60 + d.rd), 0) + COALESCE(1000000 // (60 + t.rt), 0))"
+    "::BIGINT AS rrf_micro FROM rfdr d FULL OUTER JOIN rftr t ON d.id = t.id)\n"
+    "SELECT id, rrf_micro, "
+    "ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, id ASC)::BIGINT AS rn "
+    "FROM rff ORDER BY rrf_micro DESC, id ASC LIMIT 20"
+)

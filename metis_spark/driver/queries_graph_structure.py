@@ -1690,3 +1690,43 @@ def _q_package_instability(spark, sf_dir):
     from metis_spark.plans.metrics import package_instability
 
     return package_instability(derived_edges(spark, sf_dir), n_packages=16)
+
+def _q_rrf_fusion(spark, sf_dir):
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009) of the degree
+    and triangles-per-vertex heads: rrf(v) = Σ_r 1e6 // (60 + rank_r(v))
+    over the two top-64 rankings — the hybrid-ranking combiner retrieval
+    stacks use, here fusing two exact structural signals. All integer;
+    the only windows run over TakeOrdered 64-row heads."""
+    from pyspark.sql import Window
+    from metis_spark.plans.triangles import triangle_count_per_vertex
+
+    K = 64
+    e = derived_edges(spark, sf_dir)
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dtop = deg.orderBy(F.desc("deg"), F.asc("id")).limit(K)
+    wd = Window.orderBy(F.desc("deg"), F.asc("id"))  # ≤ K rows
+    dr = dtop.withColumn("rd", F.row_number().over(wd).cast("long")).select("id", "rd")
+    tri = triangle_count_per_vertex(e)
+    ttop = tri.orderBy(F.desc("triangles"), F.asc("id")).limit(K)
+    wt = Window.orderBy(F.desc("triangles"), F.asc("id"))  # ≤ K rows
+    tr = ttop.withColumn("rt", F.row_number().over(wt).cast("long")).select("id", "rt")
+    fused = (
+        dr.join(tr, "id", "full")
+        .select(
+            "id",
+            (
+                F.coalesce(F.expr("1000000 div (60 + rd)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + rt)"), F.lit(0))
+            ).cast("long").alias("rrf_micro"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(20)
+    wf = Window.orderBy(F.desc("rrf_micro"), F.asc("id"))  # ≤ 20 rows
+    return top.withColumn("rn", F.row_number().over(wf).cast("long"))
