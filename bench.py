@@ -261,6 +261,8 @@ def main() -> None:
         "cyclomatic_number",
         "code_switching_score",
         "rrf_centrality_fusion",
+        "persistent_heavy_hitters",
+        "negative_sampling_table",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

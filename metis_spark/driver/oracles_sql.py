@@ -5241,3 +5241,28 @@ _RRF_FUSION_SQL = (
     "ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, id ASC)::BIGINT AS rn "
     "FROM rff ORDER BY rrf_micro DESC, id ASC LIMIT 20"
 )
+
+_PERSISTENT_HH_SQL = (
+    "WITH phw AS (SELECT user_id, "
+    "(floor(epoch(ts))::BIGINT // 3600)::BIGINT AS w FROM events),\n"
+    "phc AS (SELECT user_id, w, COUNT(*)::BIGINT AS c FROM phw "
+    "GROUP BY user_id, w HAVING COUNT(*) >= 3)\n"
+    "SELECT user_id, COUNT(*)::BIGINT AS n_heavy_windows, "
+    "SUM(c)::BIGINT AS events_in_heavy, MAX(c)::BIGINT AS peak_window "
+    "FROM phc GROUP BY user_id HAVING COUNT(*) >= 2"
+)
+
+_NEG_SAMPLING_SQL = (
+    "WITH nst AS (SELECT unnest(list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+    "FROM documents),\n"
+    "nsf AS (SELECT term, COUNT(*)::BIGINT AS c FROM nst GROUP BY term),\n"
+    "nsh AS MATERIALIZED (SELECT term, c, rn FROM (SELECT term, c, "
+    "ROW_NUMBER() OVER (ORDER BY c DESC, term ASC)::BIGINT AS rn FROM nsf) "
+    "WHERE rn <= 50),\n"
+    "nsw AS MATERIALIZED (SELECT term, c, rn, "
+    "CAST(ROUND(pow(c::DOUBLE, 0.75) * 1000000.0) AS BIGINT) AS w_micro FROM nsh),\n"
+    "nstot AS (SELECT SUM(w_micro)::BIGINT AS tw FROM nsw)\n"
+    "SELECT term, c, rn, w_micro, "
+    "((1000000 * w_micro) // (SELECT tw FROM nstot))::BIGINT AS share_micro FROM nsw"
+)

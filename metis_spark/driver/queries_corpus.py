@@ -636,3 +636,26 @@ def _q_code_switching(spark, sf_dir):
     from metis_spark.operators.corpus_stats import code_switching_score
 
     return code_switching_score(_t(spark, sf_dir, "documents"), dict(_LANG_MARKERS))
+
+def _q_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling table: per-term weight ∝ count^0.75
+    (Mikolov et al. 2013) for the top-50 vocabulary, with each term's
+    micro share of the total smoothed mass — the smoothing that keeps
+    frequent terms from dominating negatives. Weight quantized once per
+    term from its exact count; the share division is exact-integer."""
+    from metis_spark.operators.corpus_stats import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    head = vocab_topk(docs, k=50).select(
+        "term", F.col("freq").cast("long").alias("c"), F.col("rank").alias("rn")
+    )
+    scored = head.withColumn(
+        "w_micro",
+        F.round(F.pow(F.col("c").cast("double"), F.lit(0.75)) * F.lit(1000000.0))
+        .cast("long"),
+    )
+    tot = scored.agg(F.sum("w_micro").cast("long").alias("tw"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "term", "c", "rn", "w_micro",
+        F.expr("(1000000 * w_micro) div tw").cast("long").alias("share_micro"),
+    )

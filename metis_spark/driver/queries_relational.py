@@ -601,3 +601,32 @@ def _q_table_profile(spark, sf_dir):
         one.select("n_rows", F.explode(F.array(*structs)).alias("s"))
         .select(F.col("s.column").alias("column"), "n_rows", "s.n_null", "s.n_distinct")
     )
+
+def _q_persistent_heavy_hitters(spark, sf_dir):
+    """Persistent heavy hitters: users exceeding PHH_MIN events in
+    ≥ PHH_WINDOWS distinct hour windows — the STABILITY refinement of
+    window_heavy_users (a one-hour burst and a steady abuser both top a
+    single window; only the abuser persists). Two map-side-combined
+    groupBys, all integer."""
+    ev = _t(spark, sf_dir, "events")
+    per_w = (
+        ev.select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / F.lit(3600))).cast("long").alias("w"),
+        )
+        .groupBy("user_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= PHH_MIN)
+    )
+    return (
+        per_w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_heavy_windows"),
+            F.sum("c").cast("long").alias("events_in_heavy"),
+            F.max("c").cast("long").alias("peak_window"),
+        )
+        .where(F.col("n_heavy_windows") >= PHH_WINDOWS)
+    )
+
+PHH_MIN = 3       # events per hour window to count as heavy
+PHH_WINDOWS = 2   # distinct heavy windows to count as persistent
