@@ -263,6 +263,8 @@ def main() -> None:
         "rrf_centrality_fusion",
         "persistent_heavy_hitters",
         "negative_sampling_table",
+        "kaplan_meier_churn",
+        "user_behavior_entropy",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5266,3 +5266,34 @@ _NEG_SAMPLING_SQL = (
     "SELECT term, c, rn, w_micro, "
     "((1000000 * w_micro) // (SELECT tw FROM nstot))::BIGINT AS share_micro FROM nsw"
 )
+
+_KAPLAN_MEIER_SQL = (
+    "WITH kme AS (SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events),\n"
+    "kmp AS (SELECT user_id, MIN(es)::BIGINT AS first_es, MAX(es)::BIGINT AS last_es "
+    "FROM kme GROUP BY user_id),\n"
+    "kmc AS (SELECT MAX(last_es)::BIGINT AS cut FROM kmp),\n"
+    "kmb AS (SELECT user_id, ((last_es - first_es) // 86400)::BIGINT AS day, "
+    "(last_es >= (SELECT cut FROM kmc) - 86400) AS censored FROM kmp),\n"
+    "kmn AS (SELECT COUNT(*)::BIGINT AS n_total FROM kmb),\n"
+    "kmh AS (SELECT day, SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d, "
+    "COUNT(*)::BIGINT AS a FROM kmb GROUP BY day),\n"
+    "kmr AS (SELECT day, d, ((SELECT n_total FROM kmn) - COALESCE(SUM(a) OVER "
+    "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT "
+    "AS n_risk FROM kmh),\n"
+    "kmf AS (SELECT day, n_risk, d, ln(1.0 - d / n_risk) AS lnterm "
+    "FROM kmr WHERE d > 0)\n"
+    "SELECT day, n_risk, d AS n_events, "
+    "ROUND(exp(SUM(lnterm) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival FROM kmf"
+)
+
+_USER_ENTROPY_SQL = (
+    "WITH ube AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS c "
+    "FROM events GROUP BY user_id, event_type),\n"
+    "uba AS (SELECT user_id, SUM(c)::BIGINT AS n_events, COUNT(*)::BIGINT AS n_types, "
+    "SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS clnc "
+    "FROM ube GROUP BY user_id)\n"
+    "SELECT user_id, n_events, n_types, "
+    "((n_events * CAST(ROUND(ln(n_events::DOUBLE) * 1000000.0) AS BIGINT) - clnc) "
+    "// n_events)::BIGINT AS entropy_micro FROM uba"
+)

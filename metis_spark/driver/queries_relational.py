@@ -630,3 +630,77 @@ def _q_persistent_heavy_hitters(spark, sf_dir):
 
 PHH_MIN = 3       # events per hour window to count as heavy
 PHH_WINDOWS = 2   # distinct heavy windows to count as persistent
+
+def _q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve over user lifetimes → (day, n_risk,
+    n_events, survival): lifetime = days between a user's first and
+    last event; users whose last event falls in the corpus's final day
+    are right-censored (still alive at cutoff). S(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ) — THE churn/retention estimator that handles censoring
+    correctly where naive retention curves undercount.
+
+    Determinism: the running product is EXP of a running SUM of
+    ln(1 − dᵢ/nᵢ) terms over the day-ordered window — identical
+    addends in identical order in both engines, one ROUND(6) per row.
+    The risk set nᵢ = (users with lifetime ≥ tᵢ) comes from one
+    cumulative count over the day histogram (O(#distinct days) rows)."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.select("user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("es"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("first_es"), F.max("es").alias("last_es"))
+    )
+    cut = per.agg(F.max("last_es").alias("cut")).collect()[0]["cut"]
+    base = per.select(
+        "user_id",
+        ((F.col("last_es") - F.col("first_es")) / F.lit(86400)).cast("long").alias("day"),
+        # censored: last event within the final day of the corpus
+        (F.col("last_es") >= F.lit(int(cut)) - F.lit(86400)).alias("censored"),
+    )
+    n_total = base.count()
+    hist = base.groupBy("day").agg(
+        F.sum((~F.col("censored")).cast("long")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("a"),
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        hist.withColumn(
+            "n_risk",
+            (F.lit(int(n_total)) - F.coalesce(F.sum("a").over(wc), F.lit(0))).cast("long"),
+        )
+        .where(F.col("d") > 0)
+        .withColumn(
+            "lnterm",
+            F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+        )
+        .withColumn("survival", F.round(F.exp(F.sum("lnterm").over(wp)), 6))
+        .select("day", "n_risk", F.col("d").alias("n_events"), "survival")
+    )
+    return out
+
+def _q_user_behavior_entropy(spark, sf_dir):
+    """Per-user event-type diversity: Shannon entropy of the user's
+    event-type distribution via the exact-integer (n·L(n) − Σ c·L(c))
+    // n fold — the bot/monoculture detector next to user_burstiness
+    (a scraper fires one event type; a human mixes)."""
+    ev = _t(spark, sf_dir, "events")
+    lc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lnm = F.round(F.log(F.col("c").cast("double")) * F.lit(1000000.0)).cast("long")
+    agg = lc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * lnm).cast("long").alias("clnc"),
+    )
+    lnn = F.round(F.log(F.col("n_events").cast("double")) * F.lit(1000000.0)).cast("long")
+    return agg.select(
+        "user_id", "n_events", "n_types",
+        ((F.col("n_events") * lnn - F.col("clnc"))).alias("hnum"),
+    ).select(
+        "user_id", "n_events", "n_types",
+        F.expr("hnum div n_events").cast("long").alias("entropy_micro"),
+    )
