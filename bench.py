@@ -265,6 +265,8 @@ def main() -> None:
         "negative_sampling_table",
         "kaplan_meier_churn",
         "user_behavior_entropy",
+        "hash_uniformity_chi2",
+        "quality_dup_correlation",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5297,3 +5297,46 @@ _USER_ENTROPY_SQL = (
     "((n_events * CAST(ROUND(ln(n_events::DOUBLE) * 1000000.0) AS BIGINT) - clnc) "
     "// n_events)::BIGINT AS entropy_micro FROM uba"
 )
+
+_HASH_UNIFORMITY_SQL = (
+    "WITH hub AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT % 64 AS bucket "
+    "FROM documents),\n"
+    "huo AS (SELECT bucket, COUNT(*)::BIGINT AS o FROM hub GROUP BY bucket),\n"
+    "hua AS (SELECT SUM(o)::BIGINT AS n, COUNT(*)::BIGINT AS n_buckets_hit, "
+    "MAX(o)::BIGINT AS max_bucket, MIN(o)::BIGINT AS min_bucket, "
+    "SUM(o * o)::BIGINT AS so2 FROM huo)\n"
+    "SELECT n, n_buckets_hit, max_bucket, min_bucket, "
+    "((1000000 * (64 * so2 - n * n)) // n)::BIGINT AS chi2_micro FROM hua"
+)
+
+_QUALITY_DUP_CORR_SQL = (
+    "WITH qdq AS (SELECT doc_id, md5(text) AS content_hash, "
+    "CAST(ROUND((0.4 * least(n_tok / 100.0, 1.0) "
+    "+ 0.3 * (1.0 - n_punct / greatest(n_chars2, 1.0)) "
+    "+ 0.2 * least((n_stop / greatest(n_tok, 1.0)) * 5.0, 1.0) "
+    "+ 0.1 * least(n_chars2 / 500.0, 1.0)) * 1000.0) AS BIGINT) AS qm "
+    "FROM (SELECT doc_id, text, "
+    "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok, "
+    "length(text)::DOUBLE AS n_chars2, "
+    "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct, "
+    "len(regexp_extract_all(lower(text), "
+    "'\\b(the|a|and|of|to|in|is|for|on|with)\\b'))::DOUBLE AS n_stop "
+    "FROM documents)),\n"
+    "qdg AS (SELECT md5(text) AS content_hash, COUNT(*)::BIGINT AS dupc "
+    "FROM documents GROUP BY md5(text)),\n"
+    "qdj AS MATERIALIZED (SELECT q.qm, g.dupc FROM qdq q "
+    "JOIN qdg g ON q.content_hash = g.content_hash),\n"
+    "qdm AS (SELECT COUNT(*)::BIGINT AS n, SUM(qm::HUGEINT) AS sx, "
+    "SUM(dupc::HUGEINT) AS sy, SUM((qm * qm)::HUGEINT) AS qx, "
+    "SUM((dupc * dupc)::HUGEINT) AS qy, SUM((qm * dupc)::HUGEINT) AS xy, "
+    "SUM(CASE WHEN dupc >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup, "
+    "SUM(CASE WHEN dupc >= 2 THEN qm ELSE 0 END)::BIGINT AS q_dup, "
+    "SUM(CASE WHEN dupc = 1 THEN qm ELSE 0 END)::BIGINT AS q_uni FROM qdj)\n"
+    "SELECT n AS n_docs, n_dup AS n_dup_docs, "
+    "CASE WHEN n_dup > 0 THEN (1000 * q_dup) // n_dup END::BIGINT AS mean_q_dup_micro, "
+    "CASE WHEN n - n_dup > 0 THEN (1000 * q_uni) // (n - n_dup) END::BIGINT "
+    "AS mean_q_unique_micro, "
+    "CASE WHEN n * qx - sx * sx > 0 AND n * qy - sy * sy > 0 THEN "
+    "ROUND((n * xy - sx * sy)::DOUBLE / sqrt(((n * qx - sx * sx) "
+    "* (n * qy - sy * sy))::DOUBLE), 6) END AS pearson_r FROM qdm"
+)

@@ -659,3 +659,86 @@ def _q_negative_sampling(spark, sf_dir):
         "term", "c", "rn", "w_micro",
         F.expr("(1000000 * w_micro) div tw").cast("long").alias("share_micro"),
     )
+
+def _q_hash_uniformity(spark, sf_dir):
+    """Hash-partitioner uniformity audit: docs bucketed by 60-bit md5
+    % 64, exact chi-square statistic vs the uniform expectation — the
+    pre-flight check that the content-hash partitioning key actually
+    spreads load (a skewed hash silently serializes every downstream
+    stage). chi2_micro = 1e6·Σ(o−e)²/e computed from the exact integer
+    identity Σ(o−e)²/e = (B·Σo² − n²)/n, B = 64 buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long") % 64
+        ).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    agg = b.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+        F.max("o").cast("long").alias("max_bucket"),
+        F.min("o").cast("long").alias("min_bucket"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+    )
+    return agg.select(
+        "n", "n_buckets_hit", "max_bucket", "min_bucket",
+        F.expr("(1000000 * (64 * so2 - n * n)) div n").cast("long").alias("chi2_micro"),
+    )
+
+def _q_quality_dup_correlation(spark, sf_dir):
+    """Does low quality co-travel with duplication? Pearson r between
+    the pinned quality heuristic (milli-quantized) and each doc's
+    exact-duplicate group size, plus mean quality of duplicated vs
+    unique docs — the cross-cutting audit deciding whether dedup also
+    acts as a quality filter. Exact decimal moments, two trailing
+    folds (directed_assortativity discipline)."""
+    from metis_spark.functions.text import quality_score
+    from metis_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id"),
+        F.md5("text").alias("content_hash"),
+        F.round(quality_score(F.col("text")) * F.lit(1000.0)).cast("long").alias("qm"),
+    )
+    grp = exact_dedup_groups(docs, "doc_id", "text").select(
+        "content_hash", F.col("n_docs").cast("long").alias("dupc")
+    )
+    j = q.join(grp, "content_hash")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("qm"))).alias("sx"),
+        F.sum(dec(F.col("dupc"))).alias("sy"),
+        F.sum(dec(F.col("qm") * F.col("qm"))).alias("qx"),
+        F.sum(dec(F.col("dupc") * F.col("dupc"))).alias("qy"),
+        F.sum(dec(F.col("qm") * F.col("dupc"))).alias("xy"),
+        F.sum(F.when(F.col("dupc") >= 2, 1).otherwise(0)).cast("long").alias("n_dup"),
+        F.sum(F.when(F.col("dupc") >= 2, F.col("qm")).otherwise(0)).cast("long").alias("q_dup"),
+        F.sum(F.when(F.col("dupc") == 1, F.col("qm")).otherwise(0)).cast("long").alias("q_uni"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("n_dup").alias("n_dup_docs"),
+        F.when(F.col("n_dup") > 0, F.expr("(1000 * q_dup) div n_dup"))
+        .cast("long").alias("mean_q_dup_micro"),
+        F.when(F.col("n") - F.col("n_dup") > 0, F.expr("(1000 * q_uni) div (n - n_dup)"))
+        .cast("long").alias("mean_q_unique_micro"),
+        F.when(
+            (F.col("n") * F.col("qx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("qy") - F.col("sy") * F.col("sy") > 0),
+            F.round(
+                (F.col("n") * F.col("xy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt(
+                    (
+                        (F.col("n") * F.col("qx") - F.col("sx") * F.col("sx"))
+                        * (F.col("n") * F.col("qy") - F.col("sy") * F.col("sy"))
+                    ).cast("double")
+                ),
+                6,
+            ),
+        ).alias("pearson_r"),  # NULL under zero variance (all-unique corpus)
+    )
