@@ -616,3 +616,73 @@ def streaming_event_transitions(
         .queryName(out_table)
         .start()
     )
+
+
+def streaming_decay_register(
+    spark: SparkSession,
+    drop_dir: str,
+    out_table: str = "decay_register",
+    half_life_s: int = 86400,
+):
+    """Streaming exponential-decay register: per user, the live
+    abuse/rate score r ← round(r·2^(−Δt/half_life)) + 10⁶ folded over
+    events in (ts, event_id) order — the register a rate limiter reads
+    (recent activity dominates; idle users decay toward 0). Emits one
+    snapshot row per user per micro-batch: (user_id, last_es,
+    register_micro, n_events).
+
+    State per live user is TWO longs (last timestamp + register) —
+    bounded by #users, never #events; snapshots are append-mode, so the
+    sink is insert-only (Kafka/Iceberg-append compatible). The fold is
+    SEQUENTIAL by definition (each step rounds once), so the pinned
+    contract is streamed ≡ the same fold applied to the in-order batch
+    (tests), and the closed-form batch `decayed_event_counts` (weights
+    vs the global t_max) agrees within the accumulated ±1-micro-per-
+    event rounding envelope.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_es, reg, n = state.get
+        else:
+            last_es, reg, n = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                es = int(ts.timestamp())
+                if last_es is not None and es > last_es:
+                    reg = int(round(reg * 2.0 ** (-(es - last_es) / half_life_s)))
+                reg += 1_000_000
+                last_es = es if last_es is None else max(last_es, es)
+                n += 1
+        state.update((int(last_es), int(reg), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "last_es": [int(last_es)],
+                "register_micro": [int(reg)],
+                "n_events": [int(n)],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(drop_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, last_es long, register_micro long, n_events long",
+        stateStructType="last_es long, reg long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .start()
+    )

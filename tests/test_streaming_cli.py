@@ -675,3 +675,60 @@ def test_streaming_event_transitions_matches_batch(spark, tmp_path):
     assert got == want
     # the cross-batch bridge specifically: click -> purchase for user 1
     assert got[("click", "purchase")] == 1
+
+
+def test_streaming_decay_register_matches_sequential_fold(spark, tmp_path):
+    """The decay register's streamed state bridges micro-batches: the
+    final per-user snapshot equals the same sequential fold applied to
+    the full in-order event list (exact), and decay actually bites
+    across the batch-2 gap."""
+    from datetime import datetime, timedelta
+
+    from metis_spark.streaming.incremental import streaming_decay_register
+
+    drop = tmp_path / "dropd"
+    drop.mkdir()
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def _events(rows, start_id=0):
+        return spark.createDataFrame(
+            [
+                (start_id + i, u, "e", t0 + timedelta(seconds=s))
+                for i, (u, s) in enumerate(rows)
+            ],
+            "event_id long, user_id long, kind string, ts timestamp",
+        )
+
+    b1 = [(1, 0), (1, 3600), (2, 0)]
+    b2 = [(1, 90000), (2, 43200), (2, 90000)]  # user 1 idles > a day
+    _events(b1).coalesce(1).write.mode("overwrite").parquet(str(drop / "f1"))
+    _events(b2, start_id=100).coalesce(1).write.mode("overwrite").parquet(
+        str(drop / "f2")
+    )
+    q = streaming_decay_register(spark, str(drop) + "/*", out_table="dreg")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM dreg ORDER BY user_id, last_es"
+        ).collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["last_es"], r["register_micro"], r["n_events"])
+
+    def replica(times, half=86400):
+        last, reg = None, 0
+        base = int(t0.timestamp())
+        for s in sorted(times):
+            es = base + s
+            if last is not None and es > last:
+                reg = int(round(reg * 2.0 ** (-(es - last) / half)))
+            reg += 1_000_000
+            last = es
+        return last, reg, len(times)
+
+    assert final[1] == replica([0, 3600, 90000])
+    assert final[2] == replica([0, 43200, 90000])
+    # decay bit across the idle day: register well below 3 full events
+    assert final[1][1] < 2_600_000
