@@ -267,6 +267,7 @@ def main() -> None:
         "user_behavior_entropy",
         "hash_uniformity_chi2",
         "quality_dup_correlation",
+        "zorder_locality",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5340,3 +5340,24 @@ _QUALITY_DUP_CORR_SQL = (
     "ROUND((n * xy - sx * sy)::DOUBLE / sqrt(((n * qx - sx * sx) "
     "* (n * qy - sy * sy))::DOUBLE), 6) END AS pearson_r FROM qdm"
 )
+
+def _zorder_locality_sql() -> str:
+    """Twin of _q_zorder_locality — identical 12-bit Morton interleave
+    and block arithmetic."""
+    z_terms = " + ".join(
+        f"((((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(12)
+    )
+    return (
+        f"WITH {_EDGES_SQL.strip()},\n"
+        "zoe AS (SELECT src AS x, dst AS y FROM edges),\n"
+        f"zob AS (SELECT x, y, (({z_terms}) >> 8)::BIGINT AS zblock, "
+        "((((x << 12) + y)) >> 8)::BIGINT AS rblock FROM zoe),\n"
+        "zbox AS (SELECT * FROM zob WHERE x >= 64 AND x < 128 "
+        "AND y >= 64 AND y < 128)\n"
+        "SELECT COUNT(*)::BIGINT AS rows_in_box, "
+        "COUNT(DISTINCT zblock)::BIGINT AS zorder_blocks, "
+        "COUNT(DISTINCT rblock)::BIGINT AS rowmajor_blocks, "
+        "((1000000 * COUNT(DISTINCT zblock)) // COUNT(DISTINCT rblock))::BIGINT "
+        "AS block_ratio_micro FROM zbox"
+    )

@@ -1730,3 +1730,38 @@ def _q_rrf_fusion(spark, sf_dir):
     top = fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(20)
     wf = Window.orderBy(F.desc("rrf_micro"), F.asc("id"))  # ≤ 20 rows
     return top.withColumn("rn", F.row_number().over(wf).cast("long"))
+
+def _q_zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering audit: interleave the 12-bit
+    (src, dst) coordinates and count how many 256-cell storage blocks a
+    square range query touches under z-order vs row-major layout — the
+    measured justification for OPTIMIZE ZORDER-style clustering before
+    a multi-column-filtered 100 TB scan (fewer touched blocks ⇒ more
+    files pruned by min/max stats). All bit ops, integer-exact."""
+    e = derived_edges(spark, sf_dir).select(
+        F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
+    )
+    z = F.lit(0).cast("long")
+    for i in range(12):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    zb = e.select(
+        "x", "y",
+        F.shiftright(z.cast("long"), 8).alias("zblock"),
+        F.shiftright((F.shiftleft(F.col("x"), 12) + F.col("y")).cast("long"), 8).alias("rblock"),
+    )
+    box = zb.where(
+        (F.col("x") >= 64) & (F.col("x") < 128) & (F.col("y") >= 64) & (F.col("y") < 128)
+    )
+    return box.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_in_box"),
+        F.countDistinct("zblock").cast("long").alias("zorder_blocks"),
+        F.countDistinct("rblock").cast("long").alias("rowmajor_blocks"),
+    ).select(
+        "rows_in_box", "zorder_blocks", "rowmajor_blocks",
+        F.expr("(1000000 * zorder_blocks) div rowmajor_blocks")
+        .cast("long").alias("block_ratio_micro"),
+    )
