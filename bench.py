@@ -268,6 +268,7 @@ def main() -> None:
         "hash_uniformity_chi2",
         "quality_dup_correlation",
         "zorder_locality",
+        "split_leakage_check",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

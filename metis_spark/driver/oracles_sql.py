@@ -5361,3 +5361,18 @@ def _zorder_locality_sql() -> str:
         "((1000000 * COUNT(DISTINCT zblock)) // COUNT(DISTINCT rblock))::BIGINT "
         "AS block_ratio_micro FROM zbox"
     )
+
+_SPLIT_LEAKAGE_SQL = (
+    f"WITH {_MINHASH_CTES},\n"
+    "slsp AS (SELECT doc_id, CASE "
+    "WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 "
+    "THEN 'train' "
+    "WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 "
+    "THEN 'val' ELSE 'test' END AS split FROM documents),\n"
+    "slj AS (SELECT LEAST(a.split, b.split) AS split_lo, "
+    "GREATEST(a.split, b.split) AS split_hi FROM cand c "
+    "JOIN slsp a ON c.doc_a = a.doc_id JOIN slsp b ON c.doc_b = b.doc_id)\n"
+    "SELECT split_lo, split_hi, COUNT(*)::BIGINT AS n_candidate_pairs, "
+    "(split_lo <> split_hi) AS crosses_boundary "
+    "FROM slj GROUP BY split_lo, split_hi"
+)

@@ -742,3 +742,31 @@ def _q_quality_dup_correlation(spark, sf_dir):
             ),
         ).alias("pearson_r"),  # NULL under zero variance (all-unique corpus)
     )
+
+def _q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: MinHash-LSH near-dup candidate pairs
+    that CROSS the dataset_splits boundary — the eval-hygiene check
+    benchmark_contamination (external benchmarks) does not cover:
+    a near-duplicate of a training document sitting in the test split
+    silently inflates eval scores. One row per split pair (unordered)
+    with candidate counts; all integers."""
+    from metis_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    sp = split_assign(
+        docs, "doc_id", [("train", 80), ("val", 10), ("test", 10)]
+    ).select("doc_id", "split")
+    j = (
+        cand.join(sp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return (
+        j.groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+        .withColumn("crosses_boundary", F.col("split_lo") != F.col("split_hi"))
+    )
