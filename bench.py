@@ -269,6 +269,7 @@ def main() -> None:
         "quality_dup_correlation",
         "zorder_locality",
         "split_leakage_check",
+        "bloom_semijoin_audit",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5376,3 +5376,44 @@ _SPLIT_LEAKAGE_SQL = (
     "(split_lo <> split_hi) AS crosses_boundary "
     "FROM slj GROUP BY split_lo, split_hi"
 )
+
+def _bloom_hash_sql(salt: str, key: str, m: int) -> str:
+    """DuckDB twin of sampling.hash_bucket(key, salt) % m."""
+    return f"(('0x' || substr(md5('{salt}' || {key}::VARCHAR), 1, 15))::BIGINT % {m})"
+
+def _bloom_semijoin_sql(m: int = 4096, k: int = 3) -> str:
+    """Twin of _q_bloom_semijoin — identical md5-60bit hash family, packed
+    32-bit words, k broadcast probes, and fp accounting."""
+    pos_union = " UNION ALL ".join(
+        f"SELECT {_bloom_hash_sql(f'bloom{j}', 'key', m)} AS pos FROM blk"
+        for j in range(k)
+    )
+    probe_pos = ", ".join(
+        f"{_bloom_hash_sql(f'bloom{j}', 'o_custkey', m)} AS p{j}" for j in range(k)
+    )
+    joins = " ".join(
+        f"LEFT JOIN blw w{j} ON w{j}.word_idx = p.p{j} // 32" for j in range(k)
+    )
+    passed = " AND ".join(
+        f"(((COALESCE(w{j}.word, 0) >> CAST(p.p{j} % 32 AS INT)) & 1) = 1)"
+        for j in range(k)
+    )
+    return (
+        "WITH blk AS (SELECT DISTINCT c_custkey::BIGINT AS key FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'),\n"
+        f"blp AS ({pos_union}),\n"
+        "blw AS (SELECT pos // 32 AS word_idx, "
+        "bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word FROM blp GROUP BY 1),\n"
+        f"blpr AS (SELECT o_orderkey, o_custkey::BIGINT AS o_custkey, {probe_pos} FROM orders),\n"
+        f"blf AS (SELECT ({passed}) AS bloom_pass, "
+        "(p.o_custkey IN (SELECT key FROM blk)) AS is_match "
+        f"FROM blpr p {joins})\n"
+        "SELECT COUNT(*)::BIGINT AS n_probe_rows, "
+        "(SELECT COUNT(*) FROM blk)::BIGINT AS n_build_keys, "
+        "SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_pass_bloom, "
+        "SUM(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_true_match, "
+        "SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)::BIGINT AS n_false_positive, "
+        "((1000000 * SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)) "
+        "// (COUNT(*) - SUM(CASE WHEN is_match THEN 1 ELSE 0 END)))::BIGINT AS fp_rate_micro "
+        "FROM blf"
+    )

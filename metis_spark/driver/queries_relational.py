@@ -704,3 +704,47 @@ def _q_user_behavior_entropy(spark, sf_dir):
         "user_id", "n_events", "n_types",
         F.expr("hnum div n_events").cast("long").alias("entropy_micro"),
     )
+
+def _q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join pruning audit: build a 4096-bit / 3-hash
+    Bloom over the BUILDING-segment customer keys (operators/sketches.py
+    bloom_words — ≤128 packed words, always broadcastable), probe every
+    order through it with zero shuffle on the probed side (bloom_probe),
+    and measure what a runtime row-level filter would deliver at 100 TB:
+    rows passing, true matches, false positives, fp rate among true
+    non-matches. No false negatives by construction (pytest-pinned);
+    this is the measured case for Spark's
+    spark.sql.optimizer.runtime.bloomFilter.enabled plan shape — prune
+    the fact-table stream BEFORE its exchange so the shuffle carries
+    only (matches + fp_rate · non-matches) instead of everything."""
+    from metis_spark.operators.sketches import bloom_probe, bloom_words
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("long").alias("key")
+    ).distinct()
+    words = bloom_words(build, "key", m=4096, k=3)
+    probed = bloom_probe(
+        orders.select("o_orderkey", F.col("o_custkey").cast("long").alias("o_custkey")),
+        "o_custkey", words, m=4096, k=3,
+    )
+    flagged = probed.join(
+        F.broadcast(build.withColumnRenamed("key", "o_custkey").withColumn("is_match", F.lit(1))),
+        "o_custkey", "left",
+    ).select(
+        "bloom_pass", F.coalesce(F.col("is_match"), F.lit(0)).alias("is_match")
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass_bloom"),
+        F.sum("is_match").cast("long").alias("n_true_match"),
+        F.sum(((F.col("bloom_pass")) & (F.col("is_match") == 0)).cast("long"))
+        .cast("long").alias("n_false_positive"),
+    ).crossJoin(F.broadcast(nb)).select(
+        "n_probe_rows", "n_build_keys", "n_pass_bloom", "n_true_match",
+        "n_false_positive",
+        F.expr("(1000000 * n_false_positive) div (n_probe_rows - n_true_match)")
+        .cast("long").alias("fp_rate_micro"),
+    )

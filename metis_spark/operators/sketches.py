@@ -205,3 +205,73 @@ def approx_distinct(
     return df.groupBy(*group_cols).agg(
         F.approx_count_distinct(col, rsd).alias("approx_distinct")
     )
+
+
+def bloom_words(keys: DataFrame, key_col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """Build an m-bit Bloom filter over ``keys`` as a (word_idx, word)
+    table of ceil(m/32) packed 32-bit words — the deterministic,
+    engine-replayable form of the broadcast bitmask a runtime
+    row-level-filter join uses at 100 TB (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` is this plan shape:
+    aggregate the small side into a fixed-size bitset, broadcast it,
+    and prune the big side BEFORE its shuffle).
+
+    Hash family: position_j(key) = md5-60bit(salt="bloom{j}" || key) % m
+    (operators/sampling.hash_bucket — the corpus-wide hash idiom), so
+    DuckDB reproduces every bit. Words stay < 2^32 so all shifts are
+    safe in signed 64-bit on both engines.
+
+    Scale: the output is ≤ ceil(m/32) rows regardless of input size —
+    one map-side-combined groupBy; always broadcastable.
+    """
+    from metis_spark.operators.sampling import hash_bucket
+
+    if m % 32 != 0:
+        raise ValueError("m must be a multiple of 32")
+    cols = [
+        F.pmod(hash_bucket(F.col(key_col), f"bloom{j}"), F.lit(m)).alias(f"pos{j}")
+        for j in range(k)
+    ]
+    exploded = keys.select(F.explode(F.array(*cols)).alias("pos"))
+    return (
+        exploded.select(
+            F.expr("cast(pos div 32 as long)").alias("word_idx"),
+            # SQL expr: the Python F.shiftleft only takes a literal shift
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, probe_col: str, words: DataFrame, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """df + ``bloom_pass`` (boolean): probe each row's key against the
+    packed Bloom words via k broadcast joins (≤ m/32 rows each) — zero
+    shuffle on the probed side, which is the whole point: the pruned
+    stream enters the real join's exchange with the definite
+    non-matches already dropped. No false negatives (pytest-pinned);
+    false-positive rate ≈ (1 - e^{-kn/m})^k."""
+    from metis_spark.operators.sampling import hash_bucket
+
+    out = df
+    conds = []
+    for j in range(k):
+        pj = F.pmod(hash_bucket(F.col(probe_col), f"bloom{j}"), F.lit(m))
+        out = out.withColumn(f"_bw{j}", (pj / F.lit(32)).cast("long")).withColumn(
+            f"_bb{j}", F.pmod(pj, F.lit(32)).cast("int")
+        )
+        wj = words.select(
+            F.col("word_idx").alias(f"_bw{j}"), F.col("word").alias(f"_w{j}")
+        )
+        out = out.join(F.broadcast(wj), f"_bw{j}", "left")
+        # SQL expr: the Python F.shiftright only takes a literal shift
+        conds.append(
+            F.expr(f"(shiftright(coalesce(_w{j}, 0L), _bb{j}) & 1) = 1")
+        )
+    passed = conds[0]
+    for c in conds[1:]:
+        passed = passed & c
+    drop = [f"_bw{j}" for j in range(k)] + [f"_bb{j}" for j in range(k)] + [f"_w{j}" for j in range(k)]
+    return out.withColumn("bloom_pass", passed).drop(*drop)
