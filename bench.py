@@ -270,6 +270,7 @@ def main() -> None:
         "zorder_locality",
         "split_leakage_check",
         "bloom_semijoin_audit",
+        "transitive_deps_topk",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5417,3 +5417,15 @@ def _bloom_semijoin_sql(m: int = 4096, k: int = 3) -> str:
         "// (COUNT(*) - SUM(CASE WHEN is_match THEN 1 ELSE 0 END)))::BIGINT AS fp_rate_micro "
         "FROM blf"
     )
+
+_TRANSITIVE_DEPS_SQL = (
+    f"WITH RECURSIVE {_EDGES_SQL.strip().rstrip(',')},\n"
+    "tdroots AS (SELECT src AS root FROM ("
+    "SELECT src, COUNT(*) AS c FROM edges GROUP BY src "
+    "ORDER BY c DESC, src ASC LIMIT 12)),\n"
+    "tdreach(root, v) AS ("
+    "SELECT root, root FROM tdroots "
+    "UNION "
+    "SELECT r.root, e.dst FROM tdreach r JOIN edges e ON e.src = r.v)\n"
+    "SELECT root, COUNT(*)::BIGINT AS n_reachable FROM tdreach GROUP BY root"
+)

@@ -1060,3 +1060,34 @@ def _q_cyclomatic_number(spark, sf_dir):
         (F.col("n_und_edges") - F.col("n_vertices") + F.col("n_components"))
         .cast("long").alias("cycle_rank"),
     )
+
+def _q_transitive_deps(spark, sf_dir):
+    """Transitive dependency closure of the top-12 hub vertices via
+    bit-parallel multi-source reachability (plans/sssp.py
+    reachability_masks): all 12 BFS frontiers advance in one iterative
+    loop carrying a single 8-byte bitmask per reached vertex — the
+    answer to "how many files does each hub package transitively pull
+    in", the package-manager question a per-root BFS would pay 12
+    traversals for. Roots = top out-degree, ties → min id (the same
+    ordering the twin's window replays); converged asserted, so the
+    recursive-CTE oracle sees the exact fixpoint."""
+    from metis_spark.plans.sssp import reachability_masks
+
+    edges = derived_edges(spark, sf_dir)
+    roots = [
+        int(r["src"])
+        for r in edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("src")).limit(12).collect()
+    ]
+    masks, info = reachability_masks(
+        edges, roots, checkpoint_dir=_tmpdir("metis_reach_"), max_iter=40
+    )
+    assert info["converged"], f"reachability did not converge: {info}"
+    rdf = spark.createDataFrame(
+        [(int(v), r) for r, v in enumerate(roots)], "root long, bit int"
+    )
+    return (
+        masks.join(F.broadcast(rdf), F.expr("(shiftright(mask, bit) & 1) = 1"))
+        .groupBy("root")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reachable"))
+    )

@@ -746,3 +746,111 @@ def eccentricity_bounds(
             (F.col("ecc_lower") == F.col("ecc_upper")).alias("tight"),
         )
     )
+
+
+def reachability_masks(
+    edges: DataFrame,
+    roots: list[int],
+    max_iter: int = 60,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Bit-parallel multi-source reachability → (masks(id, mask), info).
+
+    One LONG bitmask per reached vertex: bit r set ⟺ id is reachable
+    from roots[r] (following src→dst; a root reaches itself). All
+    |roots| ≤ 63 BFS frontiers advance in ONE iterative loop — the
+    PEGASUS-style trick that answers "transitive dependency closure of
+    the top-k hub packages" without a per-root pass: per round one
+    shuffle-hash join + one map-side-combined bit_or groupBy, state
+    only holds vertices already reached (monotone, so rounds are
+    bounded by the root set's forward eccentricity). Same commit /
+    lineage / resume spine as shortest_paths above.
+
+    100 TB shape: state rows ≤ |V|, mask is 8 bytes regardless of k;
+    compare one-root-at-a-time BFS (k full traversals) or a reach(root,
+    v) pair table (k·|V| rows shuffled every round — what the DuckDB
+    recursive-CTE twin does, fine at oracle scale, wrong at cluster
+    scale).
+    """
+    spark = edges.sparkSession
+    if len(roots) > 63:
+        raise ValueError("mask is one signed long: at most 63 roots")
+    if num_partitions is None:
+        from metis_spark.plans.sizing import auto_partitions
+
+        num_partitions = auto_partitions(edges)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="metis_reach_")
+    cm = CheckpointManager(checkpoint_dir, "reach")
+
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = e.repartition(num_partitions, "src").persist()
+    e.count()
+
+    masks = spark.createDataFrame(
+        [(int(v), 1 << r) for r, v in enumerate(roots)], "id long, mask long"
+    )
+    start_iter = 0
+    if resume:
+        k0 = cm.latest()
+        if k0 is not None:
+            state, meta = cm.load(spark, k0)
+            masks = state.select("id", "mask")
+            start_iter = k0
+            if meta.get("converged"):
+                e.unpersist()
+                return masks, {
+                    "iterations": k0, "converged": True, "seconds": 0.0,
+                    "resumed": True,
+                }
+
+    t0 = time.monotonic()
+    converged = False
+    k = start_iter
+    for k in range(start_iter + 1, max_iter + 1):
+        it_t0 = time.monotonic()
+        prop = (
+            e.join(masks.hint("shuffle_hash"), e["src"] == masks["id"])
+            .select(F.col("dst").alias("id"), F.col("mask"))
+        )
+        nxt = (
+            masks.unionByName(prop)
+            .groupBy("id")
+            .agg(F.bit_or("mask").alias("mask"))
+        )
+        with_old = nxt.join(
+            masks.select("id", F.col("mask").alias("old_mask")).hint("shuffle_hash"),
+            "id",
+            "left",
+        )
+        state, totals = cm.commit(
+            k,
+            with_old,
+            {},
+            extra_aggs={
+                "changed": F.sum(
+                    (
+                        F.col("old_mask").isNull()
+                        | (F.col("mask") != F.col("old_mask"))
+                    ).cast("long")
+                )
+            },
+        )
+        changed = int(totals["changed"] or 0)
+        converged = changed == 0
+        cm.update_meta(k, {"converged": converged, "changed": changed})
+        cm.append_metrics(
+            {"iter": k, "delta": float(changed),
+             "seconds": time.monotonic() - it_t0, "rows": int(totals["rows"])}
+        )
+        masks = state.select("id", "mask")
+        if converged:
+            break
+
+    e.unpersist()
+    return masks, {
+        "iterations": k, "converged": converged,
+        "seconds": time.monotonic() - t0,
+    }
