@@ -271,6 +271,7 @@ def main() -> None:
         "split_leakage_check",
         "bloom_semijoin_audit",
         "transitive_deps_topk",
+        "truncation_recall_curve",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

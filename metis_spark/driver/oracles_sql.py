@@ -5429,3 +5429,35 @@ _TRANSITIVE_DEPS_SQL = (
     "SELECT r.root, e.dst FROM tdreach r JOIN edges e ON e.src = r.v)\n"
     "SELECT root, COUNT(*)::BIGINT AS n_reachable FROM tdreach GROUP BY root"
 )
+
+def _truncation_recall_sql(dims=(8, 16, 32), k=5) -> str:
+    """Twin of _q_truncation_recall — identical round-before-rank cosine,
+    (sim desc, id asc) tie-break, and prefix-slice semantics."""
+    ctes = [
+        "trq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5)",
+        "trex AS (SELECT qid, neighbor_id FROM ("
+        "SELECT q.qid, c.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.qid ORDER BY ROUND({_cos_expr('q.qv', 'c.embedding')}, 6) DESC, c.vec_id ASC) AS rn "
+        f"FROM embeddings c CROSS JOIN trq q WHERE c.vec_id <> q.qid) WHERE rn <= {k})",
+        "trne AS (SELECT qid, COUNT(*)::BIGINT AS n_exact FROM trex GROUP BY qid)",
+    ]
+    selects = []
+    for d in dims:
+        a, b = f"(q.qv[1:{d}])", f"(c.embedding[1:{d}])"
+        ctes.append(
+            f"trd{d} AS (SELECT qid, neighbor_id FROM ("
+            "SELECT q.qid, c.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.qid ORDER BY ROUND({_cos_expr(a, b)}, 6) DESC, c.vec_id ASC) AS rn "
+            f"FROM embeddings c CROSS JOIN trq q WHERE c.vec_id <> q.qid) WHERE rn <= {k})"
+        )
+        ctes.append(
+            f"trh{d} AS (SELECT e.qid, COUNT(*)::BIGINT AS n_overlap FROM trex e "
+            f"JOIN trd{d} a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id GROUP BY e.qid)"
+        )
+        selects.append(
+            f"SELECT {d}::BIGINT AS dim, n.qid AS query_id, n.n_exact, "
+            f"COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap, "
+            f"ROUND(COALESCE(h.n_overlap, 0) / n.n_exact::DOUBLE, 6) AS recall "
+            f"FROM trne n LEFT JOIN trh{d} h ON h.qid = n.qid"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)

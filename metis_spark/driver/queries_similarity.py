@@ -411,3 +411,26 @@ def _q_facility_location(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return facility_location_seeds(emb, k=FL_K, pool=FL_POOL)
+
+def _q_truncation_recall(spark, sf_dir):
+    """Matryoshka-truncation recall curve: exact top-5 by FULL-dim cosine
+    vs top-5 by prefix dims 8/16/32 per query — the measured decision
+    for MRL-style dimension truncation (serve a 4-8× cheaper prefix
+    index if recall holds; at 100 TB the prefix index is proportionally
+    smaller in RAM and shuffle). Same round-before-rank cosine and
+    (sim desc, id asc) tie-break as every ANN gate, so the twin replays
+    the ranking exactly; 15 rows (3 dims × 5 queries)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    out = None
+    for d in (8, 16, 32):
+        se = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        sq = se.where(F.col("vec_id") < 5)
+        appr = SIM.cosine_topk(se, sq, "vec_id", "embedding", k=5)
+        r = SIM.topk_recall(exact, appr).withColumn("dim", F.lit(d).cast("long"))
+        out = r if out is None else out.unionByName(r)
+    return out.select(
+        "dim", "query_id", F.col("n_exact").cast("long").alias("n_exact"),
+        "n_overlap", "recall",
+    )
