@@ -272,6 +272,7 @@ def main() -> None:
         "bloom_semijoin_audit",
         "transitive_deps_topk",
         "truncation_recall_curve",
+        "influence_spread_ic",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

@@ -5461,3 +5461,18 @@ def _truncation_recall_sql(dims=(8, 16, 32), k=5) -> str:
             f"FROM trne n LEFT JOIN trh{d} h ON h.qid = n.qid"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+_INFLUENCE_SPREAD_SQL = (
+    f"WITH RECURSIVE {_EDGES_SQL.strip().rstrip(',')},\n"
+    "icseed AS (SELECT src AS seed FROM ("
+    "SELECT src, COUNT(*) AS c FROM edges GROUP BY src "
+    "ORDER BY c DESC, src ASC LIMIT 4)),\n"
+    "icreach(t, v) AS ("
+    "SELECT r.t, s.seed FROM range(48) r(t) CROSS JOIN icseed s "
+    "UNION "
+    "SELECT r.t, e.dst FROM icreach r JOIN edges e ON e.src = r.v "
+    "WHERE ('0x' || substr(md5('ic' || r.t::VARCHAR || '_' || "
+    "e.src::VARCHAR || '_' || e.dst::VARCHAR), 1, 15))::BIGINT % 100 < 20)\n"
+    "SELECT t::BIGINT AS trial, COUNT(*)::BIGINT AS n_reached "
+    "FROM icreach GROUP BY t"
+)

@@ -1091,3 +1091,36 @@ def _q_transitive_deps(spark, sf_dir):
         .groupBy("root")
         .agg(F.count(F.lit(1)).cast("long").alias("n_reachable"))
     )
+
+def _q_influence_spread(spark, sf_dir):
+    """Independent-cascade influence spread of the top-4 hub seed set:
+    48 deterministic live-edge Monte Carlo trials advance in ONE
+    bit-parallel loop (plans/sssp.py ic_live_edge_spread — per-edge
+    8-byte liveness mask, vertex-mask AND edge-mask propagation,
+    map-side bit_or), the evaluation kernel of influence maximization
+    (Kempe et al.) that the per-trial-traversal textbook form pays 48
+    passes for. md5-derandomized coins, converged asserted → the
+    recursive-CTE twin replays every trial; 48 rows (trial,
+    n_reached), the spread estimate's full distribution rather than
+    just its mean."""
+    from metis_spark.plans.sssp import ic_live_edge_spread
+
+    edges = derived_edges(spark, sf_dir)
+    seeds = [
+        int(r["src"])
+        for r in edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("src")).limit(4).collect()
+    ]
+    masks, info = ic_live_edge_spread(
+        edges, seeds, n_trials=48, p_pct=20,
+        checkpoint_dir=_tmpdir("metis_ic_"), max_iter=40,
+    )
+    assert info["converged"], f"IC cascades did not converge: {info}"
+    tdf = spark.createDataFrame(
+        [(t, t) for t in range(48)], "trial long, bit int"
+    )
+    return (
+        masks.join(F.broadcast(tdf), F.expr("(shiftright(mask, bit) & 1) = 1"))
+        .groupBy("trial")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    )
