@@ -273,6 +273,7 @@ def main() -> None:
         "transitive_deps_topk",
         "truncation_recall_curve",
         "influence_spread_ic",
+        "k_anonymity_audit",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

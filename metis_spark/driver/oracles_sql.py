@@ -5476,3 +5476,13 @@ _INFLUENCE_SPREAD_SQL = (
     "SELECT t::BIGINT AS trial, COUNT(*)::BIGINT AS n_reached "
     "FROM icreach GROUP BY t"
 )
+
+_K_ANONYMITY_SQL = (
+    "WITH kacls AS (SELECT lang, source, n_chars // 500 AS len_bucket, "
+    "COUNT(*)::BIGINT AS class_size FROM documents GROUP BY 1, 2, 3),\n"
+    "kat AS (SELECT unnest([2, 5, 10])::BIGINT AS k_threshold)\n"
+    "SELECT k_threshold, COUNT(*)::BIGINT AS n_classes, "
+    "SUM(CASE WHEN class_size < k_threshold THEN 1 ELSE 0 END)::BIGINT AS n_classes_below_k, "
+    "SUM(CASE WHEN class_size < k_threshold THEN class_size ELSE 0 END)::BIGINT AS n_rows_at_risk "
+    "FROM kacls CROSS JOIN kat GROUP BY k_threshold"
+)

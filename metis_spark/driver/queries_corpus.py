@@ -770,3 +770,38 @@ def _q_split_leakage(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
         .withColumn("crosses_boundary", F.col("split_lo") != F.col("split_hi"))
     )
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (lang, source, length-bucket)
+    quasi-identifier: for k ∈ {2,5,10}, how many equivalence classes
+    fall below k and how many rows sit in them — the re-identification
+    risk screen run before releasing a corpus slice (a document alone
+    in its quasi-identifier class is linkable even with the id column
+    dropped). One map-side-combined groupBy to the class histogram
+    (≤ |langs|·|sources|·|buckets| rows), then a 3-row threshold
+    explode against it — nothing rescans the corpus per k."""
+    docs = _t(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "lang", "source",
+            F.expr("n_chars div 500").cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(2,), (5,), (10,)], "k_threshold long"
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k_threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("class_size") < F.col("k_threshold")).cast("long"))
+            .cast("long").alias("n_classes_below_k"),
+            F.sum(
+                F.when(F.col("class_size") < F.col("k_threshold"), F.col("class_size"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_rows_at_risk"),
+        )
+    )
