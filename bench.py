@@ -274,6 +274,7 @@ def main() -> None:
         "truncation_recall_curve",
         "influence_spread_ic",
         "k_anonymity_audit",
+        "ris_seed_selection",
     )
     for name in SHARED + NEW:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())

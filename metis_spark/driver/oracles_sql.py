@@ -5486,3 +5486,49 @@ _K_ANONYMITY_SQL = (
     "SUM(CASE WHEN class_size < k_threshold THEN class_size ELSE 0 END)::BIGINT AS n_rows_at_risk "
     "FROM kacls CROSS JOIN kat GROUP BY k_threshold"
 )
+
+def _ris_seeds_sql(R: int = 48, K: int = 3, P: int = 10) -> str:
+    """Twin of _q_ris_seeds — same hash-chosen roots, live-edge RR sets
+    on reversed edges, and unrolled greedy max-coverage."""
+    ctes = [
+        f"rrt AS (SELECT unnest(range({R}))::BIGINT AS t)",
+        "rrroot AS (SELECT t, id AS v FROM ("
+        "SELECT rrt.t, verts.id, ROW_NUMBER() OVER (PARTITION BY rrt.t ORDER BY "
+        "('0x' || substr(md5('rrroot' || rrt.t::VARCHAR || '_' || verts.id::VARCHAR), 1, 15))::BIGINT ASC, "
+        "verts.id ASC) AS rn FROM rrt CROSS JOIN verts) WHERE rn = 1)",
+        "rrrev AS (SELECT dst AS src, src AS dst FROM edges)",
+        "rr(t, v) AS (SELECT t, v FROM rrroot UNION "
+        "SELECT r.t, e.dst FROM rr r JOIN rrrev e ON e.src = r.v "
+        "WHERE ('0x' || substr(md5('rr' || r.t::VARCHAR || '_' || e.src::VARCHAR || '_' || e.dst::VARCHAR), 1, 15))::BIGINT "
+        f"% 100 < {P})",
+    ]
+    prev = "rr"
+    selects = []
+    cum_terms = []
+    for i in range(1, K + 1):
+        ctes.append(
+            f"rg{i} AS (SELECT v, COUNT(*) AS c FROM {prev} GROUP BY v)"
+        )
+        ctes.append(f"rp{i} AS (SELECT v FROM rg{i} ORDER BY c DESC, v ASC LIMIT 1)")
+        ctes.append(
+            f"rc{i} AS (SELECT DISTINCT t FROM {prev} WHERE v = (SELECT v FROM rp{i}))"
+        )
+        cum_terms.append(f"(SELECT COUNT(*) FROM rc{i})")
+        cum = " + ".join(cum_terms)
+        selects.append(
+            f"SELECT {i}::BIGINT AS round, (SELECT v FROM rp{i}) AS seed, "
+            f"(SELECT COUNT(*) FROM rc{i})::BIGINT AS marginal_covered, "
+            f"({cum})::BIGINT AS cum_covered "
+            f"WHERE EXISTS (SELECT 1 FROM rp{i})"
+        )
+        nxt = f"rr{i + 1}"
+        ctes.append(
+            f"{nxt} AS (SELECT * FROM {prev} WHERE t NOT IN (SELECT t FROM rc{i}))"
+        )
+        prev = nxt
+    return (
+        f"WITH RECURSIVE {_EDGES_SQL.strip().rstrip(',')},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + " UNION ALL ".join(selects)
+    )

@@ -1124,3 +1124,70 @@ def _q_influence_spread(spark, sf_dir):
         .groupBy("trial")
         .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
     )
+
+def _q_ris_seeds(spark, sf_dir):
+    """Influence maximization by reverse influence sampling (Borgs et
+    al. / TIM / IMM — the algorithm that made influence-max tractable
+    at scale): sample 48 reverse-reachable sets (random hash-chosen
+    roots, live-edge coupling on REVERSED edges, all 48 in one
+    bit-parallel loop via plans/sssp.py ic_live_edge_spread in
+    per_bit_roots mode), then greedy max-coverage picks 3 seeds — the
+    vertex in the most RR sets is exactly the one with the highest
+    estimated spread. Everything is md5-derandomized (root choice =
+    argmin hash per trial, coins per (trial, edge)), so the
+    recursive-CTE + unrolled-greedy twin replays seed-for-seed.
+    Output ≤ 3 rows: (round, seed, marginal_covered, cum_covered);
+    rounds stop early iff every RR set is already covered (both
+    engines construct this identically)."""
+    from metis_spark.operators.sampling import hash_bucket
+    from metis_spark.plans.sssp import ic_live_edge_spread
+
+    R, K, P = 48, 3, 10
+    edges = derived_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    tdf = spark.createDataFrame([(t,) for t in range(R)], "t long")
+    rkey = F.concat_ws("_", F.col("t"), F.col("id"))
+    roots_rows = (
+        verts.crossJoin(F.broadcast(tdf))
+        .select("t", "id", hash_bucket(rkey, "rrroot").alias("h"))
+        .groupBy("t")
+        .agg(F.min(F.struct("h", "id")).getField("id").alias("root"))
+        .collect()
+    )
+    roots = [int(r["root"]) for r in sorted(roots_rows, key=lambda r: r["t"])]
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    masks, info = ic_live_edge_spread(
+        rev, seeds=[], p_pct=P, per_bit_roots=roots, salt="rr",
+        checkpoint_dir=_tmpdir("metis_rr_"), max_iter=40,
+    )
+    assert info["converged"], f"RR sets did not converge: {info}"
+    bits = spark.createDataFrame([(t, t) for t in range(R)], "trial long, bit int")
+    member = (
+        masks.join(F.broadcast(bits), F.expr("(shiftright(mask, bit) & 1) = 1"))
+        .select("trial", "id")
+        .persist()
+    )
+    member.count()
+    out, covered, cum = [], set(), 0
+    for rnd in range(1, K + 1):
+        remaining = member.where(~F.col("trial").isin(sorted(covered))) if covered else member
+        top = (
+            remaining.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("id")).limit(1).collect()
+        )
+        if not top:
+            break
+        seed = int(top[0]["id"])
+        newly = {
+            int(r["trial"])
+            for r in remaining.where(F.col("id") == seed).select("trial").collect()
+        }
+        covered |= newly
+        cum += len(newly)
+        out.append((rnd, seed, len(newly), cum))
+    member.unpersist()
+    return spark.createDataFrame(
+        out, "round long, seed long, marginal_covered long, cum_covered long"
+    )

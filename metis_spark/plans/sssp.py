@@ -865,6 +865,8 @@ def ic_live_edge_spread(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     num_partitions: int | None = None,
+    per_bit_roots: list[int] | None = None,
+    salt: str = "ic",
 ) -> tuple[DataFrame, dict]:
     """Independent-cascade influence spread by bit-parallel live-edge
     Monte Carlo → (masks(id, mask), info): bit t of a vertex's mask is
@@ -885,6 +887,11 @@ def ic_live_edge_spread(
     from metis_spark.operators.sampling import hash_bucket
 
     spark = edges.sparkSession
+    if per_bit_roots is not None:
+        # RR-set mode (reverse influence sampling): trial t starts from
+        # its OWN root with only bit t — pass pre-reversed edges to get
+        # reverse-reachable sets. Coin flips stay per-(salt, t, edge).
+        n_trials = len(per_bit_roots)
     if n_trials > 63:
         raise ValueError("mask is one signed long: at most 63 trials")
     if num_partitions is None:
@@ -900,7 +907,7 @@ def ic_live_edge_spread(
     for t in range(n_trials):
         key = F.concat_ws("_", F.lit(str(t)), F.col("src"), F.col("dst"))
         alive = (
-            F.pmod(hash_bucket(key, "ic"), F.lit(100)) < F.lit(p_pct)
+            F.pmod(hash_bucket(key, salt), F.lit(100)) < F.lit(p_pct)
         ).cast("long") * F.lit(1 << t).cast("long")
         emask = alive if emask is None else emask + alive
     e = (
@@ -911,10 +918,18 @@ def ic_live_edge_spread(
     )
     e.count()
 
-    full = (1 << n_trials) - 1
-    masks = spark.createDataFrame(
-        [(int(s), full) for s in seeds], "id long, mask long"
-    )
+    if per_bit_roots is not None:
+        init = {}
+        for t, v in enumerate(per_bit_roots):
+            init[int(v)] = init.get(int(v), 0) | (1 << t)
+        masks = spark.createDataFrame(
+            sorted(init.items()), "id long, mask long"
+        )
+    else:
+        full = (1 << n_trials) - 1
+        masks = spark.createDataFrame(
+            [(int(s), full) for s in seeds], "id long, mask long"
+        )
     start_iter = 0
     if resume:
         k0 = cm.latest()
