@@ -5532,3 +5532,28 @@ def _ris_seeds_sql(R: int = 48, K: int = 3, P: int = 10) -> str:
         + "\n"
         + " UNION ALL ".join(selects)
     )
+
+
+def _kdegree_anonymity_sql() -> str:
+    """Twin of _q_kdegree_anonymity: naive rank-window replay of the
+    blocked Liu–Terzi grouping (the engine computes the same totals in
+    closed form from the degree histogram — cost is tie-independent, so
+    the arbitrary tie-break inside equal degrees cannot diverge)."""
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+        "kdeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+        "kdtot AS (SELECT COUNT(*)::BIGINT AS n, SUM(deg)::BIGINT AS sum_deg FROM kdeg),\n"
+        "kdrank AS (SELECT deg, ROW_NUMBER() OVER (ORDER BY deg DESC, id) - 1 AS r FROM kdeg),\n"
+        "kdk AS (SELECT unnest([2, 5, 10, 25, 50])::BIGINT AS k_target),\n"
+        "kdrows AS (SELECT kdk.k_target, GREATEST(kdtot.n // kdk.k_target, 1) AS g_cnt, "
+        "kdtot.sum_deg AS sum_deg, "
+        "LEAST(kdrank.r // kdk.k_target, GREATEST(kdtot.n // kdk.k_target, 1) - 1) AS grp, "
+        "kdrank.deg AS deg FROM kdrank CROSS JOIN kdk CROSS JOIN kdtot),\n"
+        "kdgrp AS (SELECT k_target, grp, ANY_VALUE(g_cnt) AS g_cnt, "
+        "MAX(deg) AS gmax, COUNT(*)::BIGINT AS sz, SUM(deg)::BIGINT AS sd "
+        "FROM kdrows GROUP BY 1, 2)\n"
+        "SELECT k_target, COUNT(*)::BIGINT AS n_groups, "
+        "MAX(CASE WHEN grp = g_cnt - 1 THEN sz END)::BIGINT AS last_group_size, "
+        "SUM(gmax * sz - sd)::BIGINT AS degree_increment "
+        "FROM kdgrp GROUP BY k_target"
+    )

@@ -1765,3 +1765,13 @@ def _q_zorder_locality(spark, sf_dir):
         F.expr("(1000000 * zorder_blocks) div rowmajor_blocks")
         .cast("long").alias("block_ratio_micro"),
     )
+
+def _q_kdegree_anonymity(spark, sf_dir):
+    """k-degree anonymity cost curve (plans/metrics.py:
+    kdegree_anonymity) — the structural privacy-release screen next to
+    the corpus-side k_anonymity_audit: for each k, the exact integer
+    degree-increment cost of the Liu–Terzi blocked grouping, computed
+    from the degree histogram (never the n-row rank sequence)."""
+    from metis_spark.plans.metrics import kdegree_anonymity
+
+    return kdegree_anonymity(derived_edges_sparse(spark, sf_dir))

@@ -2597,3 +2597,103 @@ def package_instability(edges: DataFrame, n_packages: int = 16) -> DataFrame:
             ).cast("long").alias("fan_ratio_micro"),
         )
     )
+
+
+def kdegree_anonymity(edges: DataFrame, ks=(2, 5, 10, 25, 50)) -> DataFrame:
+    """k-degree anonymity cost profile (Liu & Terzi, SIGMOD 2008,
+    blocked-grouping variant) → one row per k:
+    (k_target, n_groups, last_group_size, degree_increment).
+
+    A graph is k-degree anonymous when every degree value is shared by
+    ≥ k vertices, so an attacker who knows a target's degree cannot
+    narrow it below k candidates — the release screen run on a link
+    graph before publishing it, the structural twin of the
+    quasi-identifier k-anonymity audit on the corpus side. The blocked
+    grouping assigns ranks 0..n-1 of the DESC-sorted degree sequence to
+    G = max(n div k, 1) consecutive groups (each of size k, the last
+    absorbing the remainder so every group keeps ≥ k members) and
+    raises each member to its group maximum; degree_increment is the
+    total number of degree raises Σ (groupmax − deg) — 2× the edge
+    additions an anonymizer would have to realize.
+
+    Scale shape: everything is computed from the DEGREE HISTOGRAM
+    (≤ max-degree rows, the same bounded-input invariant as
+    degree_gini's window), never the n-row rank sequence: a degree run
+    occupying ranks [start, end) contributes deg·k·m where m counts the
+    group starts (multiples of k ≤ the last group's start) inside the
+    run — closed form per (run, k) — plus one correction for the
+    oversized last group, whose start rank lands in exactly one run.
+    Groups interior to a run raise nothing and are never enumerated, so
+    the per-k cost is O(#distinct degrees) rows regardless of n. All
+    arithmetic is exact integers; the DuckDB twin replays the naive
+    rank-window definition and must match bit-for-bit.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # bounded-input window: ≤ max-degree rows (degree_gini invariant)
+    w = Window.orderBy(F.col("deg").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    runs = hist.withColumn("end_", F.sum("c").over(w).cast("long")).withColumn(
+        "start_", (F.col("end_") - F.col("c")).cast("long")
+    )
+    dec = "decimal(38,0)"
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("deg").cast(dec) * F.col("c").cast(dec))
+        .cast("long")
+        .alias("sum_deg"),
+    )
+    kdf = deg.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k_target long"
+    )
+    per = (
+        runs.crossJoin(F.broadcast(kdf))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "g_cnt", F.greatest(F.expr("n div k_target"), F.lit(1)).cast("long")
+        )
+        .withColumn("last_start", (F.col("g_cnt") - 1) * F.col("k_target"))
+        # group starts inside this run: multiples of k_target in
+        # [start_, end_) clipped to ≤ last_start
+        .withColumn("hi", F.least(F.col("end_") - 1, F.col("last_start")))
+        .withColumn(
+            "m",
+            F.when(
+                F.col("hi") >= F.col("start_"),
+                F.expr("hi div k_target")
+                - F.expr("(start_ + k_target - 1) div k_target")
+                + F.lit(1),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn("m", F.greatest(F.col("m"), F.lit(0)))
+        # the run holding the last group's start also pays the size
+        # correction (last group has n - last_start members, not k)
+        .withColumn(
+            "last_corr",
+            F.when(
+                (F.col("start_") <= F.col("last_start"))
+                & (F.col("last_start") < F.col("end_")),
+                F.col("deg").cast(dec)
+                * (F.col("n") - F.col("last_start") - F.col("k_target")).cast(dec),
+            ).otherwise(F.lit(0).cast(dec)),
+        )
+    )
+    return (
+        per.groupBy("k_target")
+        .agg(
+            F.max("g_cnt").cast("long").alias("n_groups"),
+            F.max(F.col("n") - F.col("last_start")).cast("long").alias("last_group_size"),
+            (
+                F.sum(
+                    F.col("deg").cast(dec)
+                    * F.col("k_target").cast(dec)
+                    * F.col("m").cast(dec)
+                    + F.col("last_corr")
+                )
+                - F.max("sum_deg").cast(dec)
+            )
+            .cast("long")
+            .alias("degree_increment"),
+        )
+        .select("k_target", "n_groups", "last_group_size", "degree_increment")
+    )

@@ -79,3 +79,34 @@ def test_script_histogram_hand(spark):
     assert r["space_micro"] == (1000000 * 1) // 6
     assert r["nonascii_micro"] == 0
     assert r["other_micro"] == (1000000 * 1) // 6
+
+
+def test_kdegree_anonymity_hand(spark):
+    from metis_spark.plans.metrics import kdegree_anonymity
+
+    # star 0-{1,2,3} plus 1-2: undirected degrees desc = [3,2,2,1]
+    edges = edges_df(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    out = {
+        r["k_target"]: r for r in kdegree_anonymity(edges, ks=(2, 3)).collect()
+    }
+    # k=2: groups [3,2] and [2,1] -> raises 1 + 1
+    assert out[2]["n_groups"] == 2
+    assert out[2]["last_group_size"] == 2
+    assert out[2]["degree_increment"] == 2
+    # k=3: n div 3 = 1 group of all four, max 3 -> 0+1+1+2
+    assert out[3]["n_groups"] == 1
+    assert out[3]["last_group_size"] == 4
+    assert out[3]["degree_increment"] == 4
+
+
+def test_kdegree_anonymity_zero_when_uniform(spark):
+    from metis_spark.plans.metrics import kdegree_anonymity
+
+    # 4-cycle: every degree is 2 -> any k <= n costs nothing
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    out = {
+        r["k_target"]: r for r in kdegree_anonymity(edges, ks=(2, 4)).collect()
+    }
+    assert out[2]["degree_increment"] == 0
+    assert out[4]["degree_increment"] == 0
+    assert out[4]["n_groups"] == 1 and out[4]["last_group_size"] == 4
