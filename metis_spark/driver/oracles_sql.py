@@ -5557,3 +5557,49 @@ def _kdegree_anonymity_sql() -> str:
         "SUM(gmax * sz - sd)::BIGINT AS degree_increment "
         "FROM kdgrp GROUP BY k_target"
     )
+
+
+def _small_world_sql() -> str:
+    """Twin of _q_small_world_sigma: the transitivity twin's wedge/
+    triangle CTEs + the mean-distance N(t) fold + the identical
+    micro-quantized div chain (ln via ROUND(ln·1e6), both engines'
+    libm on the same IEEE doubles — the walk_entropy_rate precedent)."""
+    base = _anf_exact_sql()
+    return (
+        # own CTE names: the nested N(t) subquery re-binds edges/und
+        f"WITH swe AS MATERIALIZED (SELECT DISTINCT l_orderkey % {SPARSE_MOD} AS src, "
+        f"l_partkey % {SPARSE_MOD} AS dst FROM lineitem "
+        f"WHERE l_orderkey % {SPARSE_MOD} <> l_partkey % {SPARSE_MOD}),\n"
+        "swund AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM swe UNION ALL SELECT dst AS src, src AS dst FROM swe"
+        ") WHERE src <> dst),\n"
+        "swu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM swe),\n"
+        "swdeg AS (SELECT src, COUNT(*)::BIGINT AS d FROM swund GROUP BY src),\n"
+        "swbase AS (SELECT COUNT(*)::BIGINT AS n, SUM(d)::BIGINT AS two_m, "
+        "(SUM(d * (d - 1)) // 2)::BIGINT AS wedges FROM swdeg),\n"
+        "swtri AS (SELECT COUNT(*)::BIGINT AS triangles FROM swu e1 "
+        "JOIN swu e2 ON e1.b = e2.a JOIN swu e3 ON e3.a = e1.a AND e3.b = e2.b),\n"
+        f"swnf AS MATERIALIZED ({base}),\n"
+        "swd AS (SELECT t, pairs, pairs - LAG(pairs) OVER (ORDER BY t) AS new_pairs FROM swnf),\n"
+        "swa AS (SELECT COALESCE(SUM(t::HUGEINT * new_pairs), 0)::BIGINT AS sum_dist, "
+        "(MAX(pairs) - MIN(pairs))::BIGINT AS rp FROM swd),\n"
+        "swv AS (SELECT n, two_m, wedges, triangles, sum_dist, rp, "
+        "CASE WHEN wedges > 0 THEN (1000000 * 3 * triangles) // wedges END AS c_micro, "
+        "(1000000 * two_m) // (n * n) AS c_rand_micro, "
+        "CASE WHEN rp > 0 THEN (1000000 * sum_dist) // rp END AS l_micro, "
+        "(1000 * two_m) // n AS k_milli FROM swbase, swtri, swa),\n"
+        "swl AS (SELECT *, ROUND(ln(n::DOUBLE) * 1000000)::BIGINT AS ln_n_micro, "
+        "ROUND(ln(k_milli::DOUBLE / 1000.0) * 1000000)::BIGINT AS ln_k_micro FROM swv),\n"
+        "swr AS (SELECT *, CASE WHEN ln_k_micro > 0 "
+        "THEN (1000000 * ln_n_micro) // ln_k_micro END AS l_rand_micro FROM swl),\n"
+        "swf AS (SELECT *, CASE WHEN c_rand_micro > 0 AND c_micro IS NOT NULL "
+        "THEN (1000000 * c_micro) // c_rand_micro END AS ratio_c_micro, "
+        "CASE WHEN l_rand_micro IS NOT NULL AND l_rand_micro > 0 AND l_micro IS NOT NULL "
+        "THEN (1000000 * l_micro) // l_rand_micro END AS ratio_l_micro FROM swr)\n"
+        "SELECT n AS n_vertices, two_m, wedges, triangles, c_micro::BIGINT AS c_micro, "
+        "c_rand_micro::BIGINT AS c_rand_micro, l_micro::BIGINT AS l_micro, "
+        "l_rand_micro::BIGINT AS l_rand_micro, "
+        "(CASE WHEN ratio_l_micro > 0 AND ratio_c_micro IS NOT NULL "
+        "THEN (1000000 * ratio_c_micro) // ratio_l_micro END)::BIGINT AS sigma_micro "
+        "FROM swf"
+    )

@@ -110,3 +110,38 @@ def test_kdegree_anonymity_zero_when_uniform(spark):
     assert out[2]["degree_increment"] == 0
     assert out[4]["degree_increment"] == 0
     assert out[4]["n_groups"] == 1 and out[4]["last_group_size"] == 4
+
+
+def test_small_world_sigma_k4_hand(spark):
+    import math
+
+    from metis_spark.plans.metrics import small_world_sigma
+
+    # K4: n=4, two_m=12, all degrees 3 -> wedges=12, triangles=4,
+    # C = 1, every distance 1 -> L = 1
+    edges = edges_df(
+        spark, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    )
+    r = small_world_sigma(edges, rounds=3).collect()[0]
+    assert r["n_vertices"] == 4 and r["two_m"] == 12
+    assert r["wedges"] == 12 and r["triangles"] == 4
+    assert r["c_micro"] == 1000000 and r["l_micro"] == 1000000
+    assert r["c_rand_micro"] == (1000000 * 12) // 16
+    # replay the integer ln chain with python's libm
+    ln_n = round(math.log(4.0) * 1000000)
+    ln_k = round(math.log(3.0) * 1000000)
+    l_rand = (1000000 * ln_n) // ln_k
+    assert r["l_rand_micro"] == l_rand
+    ratio_c = (1000000 * 1000000) // ((1000000 * 12) // 16)
+    ratio_l = (1000000 * 1000000) // l_rand
+    assert r["sigma_micro"] == (1000000 * ratio_c) // ratio_l
+
+
+def test_small_world_sigma_null_guards(spark):
+    from metis_spark.plans.metrics import small_world_sigma
+
+    # single edge: no wedges (deg 1 each), <k> = 1 -> ln_k = 0
+    r = small_world_sigma(edges_df(spark, [(0, 1)]), rounds=2).collect()[0]
+    assert r["c_micro"] is None
+    assert r["l_rand_micro"] is None and r["sigma_micro"] is None
+    assert r["l_micro"] == 1000000  # the one reachable pair at distance 1
