@@ -169,17 +169,13 @@ def main() -> None:
     NEW = (  # round-5 additions — reported separately, not in the basis
         "leiden_communities",
         "simrank_topk",
-        "nucleus_34",
         "global_heavy_hitters_sketch",
         "kmeans_embeddings",
         "dsir_importance",
-        "graphlet4_census",
         "semdedup",
-        "scan_clusters",
         "bipartite_ab_core",
         "trustrank_spam_mass",
         "butterfly_census",
-        "cpm_communities",
         "refex_features",
         "pq_codes",
         # round-5 late additions (this session)
@@ -187,13 +183,11 @@ def main() -> None:
         "map_equation",
         "leaderrank",
         "degree_discount_seeds",
-        "k_peak",
         "disparity_backbone",
         "pmi_collocations",
         "gopher_rules",
         "readability_flesch",
         "distinct_ngrams",
-        "core_periphery",
         "heaps_fit",
         "source_scorecard",
         "bpe_merges",
@@ -208,10 +202,6 @@ def main() -> None:
         "eccentricity_bounds",
         "decayed_event_counts",
         # round-5 final batch
-        "local_bridge_span",
-        "edge_dispersion",
-        "katz_index_topk",
-        "vi_partitions",
         "degree_gini",
         "ngram_containment",
         "edge_clustering_coeff",
@@ -219,22 +209,16 @@ def main() -> None:
         "spectral_radius_bounds",
         "temporal_triangles",
         "community_conductance",
-        "centrality_kendall",
         "rich_club_normalized",
-        "mean_distance",
-        "minhash_estimate_error",
         "retention_cohorts",
         "ordered_funnel",
         "embedding_cos_histogram",
         "scc_condensation",
         "good_turing_richness",
         "label_centroid_separation",
-        "dcsbm_likelihood",
         "event_transitions",
-        "clustering_by_degree",
         "kmeans_silhouette",
         "mad_outliers",
-        "global_efficiency",
         "pq_ann_recall",
         "vocab_coverage_curve",
         # round-5 closing batch
@@ -272,15 +256,45 @@ def main() -> None:
         "bloom_semijoin_audit",
         "transitive_deps_topk",
         "truncation_recall_curve",
-        "influence_spread_ic",
         "k_anonymity_audit",
-        "ris_seed_selection",
     )
-    for name in SHARED + NEW:
+    # Heavy tier: correct and oracle-checked, but individually > ~20s at
+    # sf0.1 (N(t)-exact members, overlapping-community floods, A^3
+    # twins' engine sides, 48-trial RIS) — excluded from the default
+    # bench wall so the per-round run stays inside the driver budget
+    # (the r4 gate-timeout lesson). NOT a silent cap: the names are
+    # reported in the JSON, the full-tier solo measurement lives in
+    # BENCH/NOISE.md, and BENCH_HEAVY=1 times them all.
+    HEAVY = (
+        "mean_distance",
+        "global_efficiency",
+        "ris_seed_selection",
+        "katz_index_topk",
+        "influence_spread_ic",
+        "cpm_communities",
+        "scan_clusters",
+        "nucleus_34",
+        "graphlet4_census",
+        "centrality_kendall",
+        "k_peak",
+        "local_bridge_span",
+        "dcsbm_likelihood",
+        "core_periphery",
+        "minhash_estimate_error",
+        "clustering_by_degree",
+        "edge_dispersion",
+        "vi_partitions",
+    )
+    run_heavy = os.environ.get("BENCH_HEAVY", "") == "1"
+    basis = SHARED + NEW + (HEAVY if run_heavy else ())
+    for name in basis:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
-    new_t = {n: timings[n] for n in NEW}
-    shared_t = {n: t for n, t in timings.items() if n not in new_t}
+    new_t = {n: timings[n] for n in NEW if n in timings}
+    heavy_t = {n: timings[n] for n in HEAVY if n in timings}
+    shared_t = {
+        n: t for n, t in timings.items() if n not in new_t and n not in heavy_t
+    }
     print(
         json.dumps(
             {
@@ -292,6 +306,8 @@ def main() -> None:
                 "new": new_t,
                 "shared_total": round(sum(shared_t.values()), 3),
                 "new_total": round(sum(new_t.values()), 3),
+                "heavy": heavy_t,
+                "heavy_skipped": [n for n in HEAVY if n not in timings],
                 "sf": sf,
                 **extras,
             }
