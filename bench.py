@@ -257,6 +257,7 @@ def main() -> None:
         "transitive_deps_topk",
         "truncation_recall_curve",
         "k_anonymity_audit",
+        "kdegree_anonymity",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3
@@ -284,6 +285,7 @@ def main() -> None:
         "clustering_by_degree",
         "edge_dispersion",
         "vi_partitions",
+        "small_world_sigma",
     )
     run_heavy = os.environ.get("BENCH_HEAVY", "") == "1"
     basis = SHARED + NEW + (HEAVY if run_heavy else ())
