@@ -258,6 +258,7 @@ def main() -> None:
         "truncation_recall_curve",
         "k_anonymity_audit",
         "kdegree_anonymity",
+        "knn_degree_correlation",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -5603,3 +5603,14 @@ def _small_world_sql() -> str:
         "THEN (1000000 * ratio_c_micro) // ratio_l_micro END)::BIGINT AS sigma_micro "
         "FROM swf"
     )
+
+
+_KNN_CORRELATION_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "knd AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "knb AS (SELECT u.src, COUNT(*)::BIGINT AS k, SUM(d.deg)::BIGINT AS sum_nb "
+    "FROM und u JOIN knd d ON d.id = u.dst GROUP BY u.src)\n"
+    "SELECT k, COUNT(*)::BIGINT AS n_vertices, "
+    "((1000000 * SUM(sum_nb)) // (k * COUNT(*)))::BIGINT AS knn_micro "
+    "FROM knb GROUP BY k"
+)

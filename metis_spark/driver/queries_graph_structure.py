@@ -1784,3 +1784,11 @@ def _q_small_world_sigma(spark, sf_dir):
     from metis_spark.plans.metrics import small_world_sigma
 
     return small_world_sigma(derived_edges_sparse(spark, sf_dir), rounds=ANF_ROUNDS)
+
+def _q_knn_degree_correlation(spark, sf_dir):
+    """k_nn(k) degree-correlation spectrum (plans/metrics.py:
+    knn_degree_correlation) — the per-degree-class curve behind the
+    degree_assortativity scalar; exact-integer class means."""
+    from metis_spark.plans.metrics import knn_degree_correlation
+
+    return knn_degree_correlation(derived_edges_sparse(spark, sf_dir))

@@ -2807,3 +2807,52 @@ def small_world_sigma(edges: DataFrame, rounds: int = 3) -> DataFrame:
         .cast("long")
         .alias("sigma_micro"),
     )
+
+
+def knn_degree_correlation(edges: DataFrame) -> DataFrame:
+    """Degree-correlation spectrum k_nn(k) (Pastor-Satorras, Vázquez &
+    Vespignani, PRL 2001) → one row per degree class (k, n_vertices,
+    knn_micro): the mean over vertices of degree k of their neighbors'
+    mean degree. The CURVE behind the assortativity scalar — a rising
+    k_nn(k) is assortative hub-hub wiring, a falling one the
+    disassortative hub-leaf profile typical of dependency graphs;
+    degree_assortativity collapses this to one Pearson number and
+    avg_neighbor_degree is its per-vertex detail.
+
+    Exactness: per vertex the neighbor-degree SUM is an exact BIGINT;
+    the class mean folds as knn_micro = (1e6·Σ_v sum_nb) div (k·|class|)
+    — one integer expression, no per-vertex float means averaged.
+
+    Scale shape: one degree groupBy, one degree-annotated edge join
+    (shuffle-hash, map-side-combined per-src sum), one histogram-sized
+    groupBy — ≤ max-degree output rows at any graph size.
+    """
+    und = _und(edges)
+    deg = _und_degrees(und)
+    nb = (
+        und.join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("nb_deg")).hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("nb_deg").cast("long").alias("sum_nb"),
+        )
+    )
+    return (
+        nb.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("sum_nb").cast("long").alias("class_sum_nb"),
+        )
+        .select(
+            "k",
+            "n_vertices",
+            F.expr("(1000000 * class_sum_nb) div (k * n_vertices)")
+            .cast("long")
+            .alias("knn_micro"),
+        )
+    )

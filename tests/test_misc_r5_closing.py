@@ -145,3 +145,33 @@ def test_small_world_sigma_null_guards(spark):
     assert r["c_micro"] is None
     assert r["l_rand_micro"] is None and r["sigma_micro"] is None
     assert r["l_micro"] == 1000000  # the one reachable pair at distance 1
+
+
+def test_knn_degree_correlation_star_hand(spark):
+    from metis_spark.plans.metrics import knn_degree_correlation
+
+    # star 0-{1,2,3}: deg(0)=3 with neighbor degrees {1,1,1} -> knn=1;
+    # leaves deg 1 with neighbor degree 3 -> knn=3
+    out = {
+        r["k"]: r
+        for r in knn_degree_correlation(
+            edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+        ).collect()
+    }
+    assert out[3]["n_vertices"] == 1 and out[3]["knn_micro"] == 1000000
+    assert out[1]["n_vertices"] == 3 and out[1]["knn_micro"] == 3000000
+
+
+def test_knn_degree_correlation_exact_class_mean(spark):
+    from metis_spark.plans.metrics import knn_degree_correlation
+
+    # path 0-1-2-3: ends deg 1 (nb deg 2 -> knn 2), middles deg 2
+    # (nb degs {1,2} -> class mean (3+3)/(2*2) = 1.5)
+    out = {
+        r["k"]: r
+        for r in knn_degree_correlation(
+            edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+        ).collect()
+    }
+    assert out[1]["knn_micro"] == 2000000
+    assert out[2]["n_vertices"] == 2 and out[2]["knn_micro"] == 1500000
