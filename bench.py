@@ -259,6 +259,7 @@ def main() -> None:
         "k_anonymity_audit",
         "kdegree_anonymity",
         "knn_degree_correlation",
+        "term_burstiness",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -5614,3 +5614,17 @@ _KNN_CORRELATION_SQL = (
     "((1000000 * SUM(sum_nb)) // (k * COUNT(*)))::BIGINT AS knn_micro "
     "FROM knb GROUP BY k"
 )
+
+
+_TERM_BURSTINESS_SQL = (
+    f"WITH {_TOKS_SQL},\n"
+    "tbtf AS (SELECT doc_id, u AS term, COUNT(*)::BIGINT AS tf FROM "
+    "(SELECT doc_id, unnest(t) AS u FROM toks) GROUP BY 1, 2),\n"
+    "tbst AS (SELECT term, COUNT(*)::BIGINT AS n_docs, SUM(tf)::BIGINT AS total_tf, "
+    "SUM(tf * tf)::BIGINT AS s2 FROM tbtf GROUP BY term HAVING COUNT(*) >= 5),\n"
+    "tbtop AS (SELECT * FROM tbst ORDER BY total_tf DESC, term ASC LIMIT 100)\n"
+    "SELECT term, n_docs, total_tf, "
+    "((1000000::HUGEINT * (n_docs::HUGEINT * s2::HUGEINT - total_tf::HUGEINT * total_tf::HUGEINT)) "
+    "// (n_docs::HUGEINT * total_tf::HUGEINT))::BIGINT AS vmr_micro "
+    "FROM tbtop"
+)

@@ -805,3 +805,10 @@ def _q_k_anonymity(spark, sf_dir):
             ).cast("long").alias("n_rows_at_risk"),
         )
     )
+
+def _q_term_burstiness(spark, sf_dir):
+    """Church–Gale term burstiness top-100 (operators/corpus_stats.py:
+    term_burstiness_topk) — within-doc VMR per term over containing
+    docs; the topicality dial next to tfidf/vocab_top100."""
+    docs = _t(spark, sf_dir, "documents")
+    return CS.term_burstiness_topk(docs, "doc_id", "text", k=100, min_docs=5)

@@ -1705,3 +1705,60 @@ def code_switching_score(
         "doc_id", "n_sents", "n_langs", "majority_lang", "majority_micro",
         F.expr("hnum div n_sents").cast("long").alias("switch_entropy_micro"),
     )
+
+
+def term_burstiness_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    min_docs: int = 5,
+) -> DataFrame:
+    """→ (term, n_docs, total_tf, vmr_micro): Church–Gale term
+    burstiness ("Poisson mixtures", 1995) — the variance-to-mean ratio
+    of a term's within-document frequency over the documents that
+    CONTAIN it. Function words arrive ~Poisson (VMR ≈ 1); content
+    words are bursty (VMR ≫ 1: once a doc mentions the term it repeats
+    it) — the term-level topicality dial tf-idf's df column cannot
+    see, and the corpus-side sibling of user_burstiness on events.
+
+    Exactness: with n = docs containing the term, s1 = Σ tf,
+    s2 = Σ tf², the population VMR = (n·s2 − s1²)/(n·s1) folds as ONE
+    integer expression, vmr_micro = (1e6·(n·s2 − s1²)) div (n·s1), in
+    decimal(38,0) — no per-doc float means averaged.
+
+    Scale shape: the tf groupBy partial-aggregates map-side (the
+    vocab_topk exchange bound: |vocab| rows per partition, not
+    |tokens|); selection is n_docs ≥ min_docs then a distributed
+    TakeOrdered top-k by total_tf (ties term asc) — only k survivors
+    see the ranking window.
+    """
+    dec = "decimal(38,0)"
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    st = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    top = st.orderBy(F.desc("total_tf"), F.asc("term")).limit(k)
+    return top.select(
+        "term",
+        "n_docs",
+        "total_tf",
+        F.expr(
+            "(cast(1000000 as decimal(38,0))"
+            " * (cast(n_docs as decimal(38,0)) * cast(s2 as decimal(38,0))"
+            "    - cast(total_tf as decimal(38,0)) * cast(total_tf as decimal(38,0))))"
+            " div (cast(n_docs as decimal(38,0)) * cast(total_tf as decimal(38,0)))"
+        )
+        .cast("long")
+        .alias("vmr_micro"),
+    )

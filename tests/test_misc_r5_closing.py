@@ -175,3 +175,30 @@ def test_knn_degree_correlation_exact_class_mean(spark):
     }
     assert out[1]["knn_micro"] == 2000000
     assert out[2]["n_vertices"] == 2 and out[2]["knn_micro"] == 1500000
+
+
+def test_term_burstiness_hand(spark):
+    from metis_spark.operators.corpus_stats import term_burstiness_topk
+
+    docs = spark.createDataFrame(
+        [("a", "x x x y"), ("b", "x y"), ("c", "y y")], "doc_id string, text string"
+    )
+    rows = term_burstiness_topk(docs, k=10, min_docs=2).collect()
+    # ties on total_tf=4 break term asc: x first
+    assert [r["term"] for r in rows] == ["x", "y"]
+    x, y = rows
+    # x: tfs {3,1}: (2*10 - 16)/(2*4) = 0.5
+    assert x["n_docs"] == 2 and x["total_tf"] == 4 and x["vmr_micro"] == 500000
+    # y: tfs {1,1,2}: (3*6 - 16)/(3*4) = 1/6
+    assert y["n_docs"] == 3 and y["total_tf"] == 4 and y["vmr_micro"] == 166666
+
+
+def test_term_burstiness_poisson_floor(spark):
+    from metis_spark.operators.corpus_stats import term_burstiness_topk
+
+    # constant tf=1 in every doc -> zero variance -> VMR exactly 0
+    docs = spark.createDataFrame(
+        [("a", "z q"), ("b", "z w"), ("c", "z e")], "doc_id string, text string"
+    )
+    r = {x["term"]: x for x in term_burstiness_topk(docs, k=10, min_docs=3).collect()}
+    assert r["z"]["vmr_micro"] == 0
