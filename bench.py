@@ -260,6 +260,9 @@ def main() -> None:
         "kdegree_anonymity",
         "knn_degree_correlation",
         "term_burstiness",
+        "cusum_changepoints",
+        "max_concurrency",
+        "benford_audit",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -5628,3 +5628,78 @@ _TERM_BURSTINESS_SQL = (
     "// (n_docs::HUGEINT * total_tf::HUGEINT))::BIGINT AS vmr_micro "
     "FROM tbtop"
 )
+
+
+_CUSUM_SQL = (
+    # twin of cusum_changepoints: centered-prefix-sum argmax per type;
+    # d_i = v_i·n − Σv keeps every prefix an exact HUGEINT (mirrors
+    # Spark's decimal(38,0) discipline); only the two reporting
+    # divisions are doubles
+    "WITH cse AS (SELECT event_type, ts, event_id, "
+    "CAST(ROUND(value * 1000000) AS BIGINT) AS vm FROM events),\n"
+    "css AS (SELECT event_type, COUNT(*)::BIGINT AS n, SUM(vm)::HUGEINT AS s "
+    "FROM cse GROUP BY event_type),\n"
+    "csd AS (SELECT e.event_type, e.ts, e.event_id, t.n, "
+    "e.vm::HUGEINT * t.n - t.s AS d FROM cse e JOIN css t USING (event_type)),\n"
+    "csp AS (SELECT event_type, ts, event_id, n, "
+    "ABS(SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING)) AS ap, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx "
+    "FROM csd),\n"
+    "csr AS (SELECT event_type, n, ap, idx, floor(epoch(ts))::BIGINT AS pe, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY ap DESC, ts, event_id) AS rn FROM csp)\n"
+    "SELECT event_type, n, ROUND(ap::DOUBLE / n::DOUBLE / 1000000.0, 6) AS cusum_peak, "
+    "pe AS peak_epoch, ROUND(idx::DOUBLE / n::DOUBLE, 6) AS peak_frac "
+    "FROM csr WHERE rn = 1"
+)
+
+
+_MAX_CONCURRENCY_SQL = (
+    # twin of max_concurrency: same integer-microsecond gap sessions,
+    # then the +1/−1 sweep as one global window (the oracle needn't be
+    # scale-shaped; the engine runs the two-level per-hour variant)
+    "WITH mce AS (SELECT user_id, epoch_us(ts) AS m FROM events),\n"
+    "mcb AS (SELECT user_id, m, CASE WHEN LAG(m) OVER "
+    "(PARTITION BY user_id ORDER BY m) IS NULL OR "
+    "m - LAG(m) OVER (PARTITION BY user_id ORDER BY m) >= 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM mce),\n"
+    "mcs AS (SELECT user_id, m, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY m ROWS UNBOUNDED PRECEDING) AS sess FROM mcb),\n"
+    "mcg AS (SELECT user_id, sess, MIN(m) AS s_us, MAX(m) + 1800000000 AS e_us "
+    "FROM mcs GROUP BY user_id, sess),\n"
+    "mcd AS (SELECT s_us AS t, 1 AS d FROM mcg "
+    "UNION ALL SELECT e_us AS t, -1 AS d FROM mcg),\n"
+    "mcr AS (SELECT t, SUM(d) OVER (ORDER BY t, d "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS c FROM mcd),\n"
+    "mcp AS (SELECT MAX(c)::BIGINT AS peak FROM mcr)\n"
+    "SELECT (SELECT COUNT(*)::BIGINT FROM mcg) AS n_sessions, "
+    "p.peak AS peak_concurrency, "
+    "(MIN(r.t) // 1000000)::BIGINT AS peak_epoch "
+    "FROM mcr r JOIN mcp p ON r.c = p.peak GROUP BY p.peak"
+)
+
+
+def _benford_sql(p_micro: dict[int, int]) -> str:
+    """Twin of benford_audit: the same nine Python-computed micro-digit
+    probabilities are injected as a VALUES literal (no query-time
+    log10); chi-square contributions quantize to integer micro-units
+    before the 9-row total so the sum is exact."""
+    vals = ", ".join(f"({d}, {p})" for d, p in sorted(p_micro.items()))
+    return (
+        f"WITH bfp(digit, p_micro) AS (VALUES {vals}),\n"
+        "bfd AS (SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) "
+        "AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM lineitem "
+        "WHERE l_extendedprice > 0),\n"
+        "bfo AS (SELECT digit, COUNT(*)::BIGINT AS n_obs FROM bfd GROUP BY digit),\n"
+        "bfn AS (SELECT SUM(n_obs)::BIGINT AS n FROM bfo),\n"
+        "bfv AS (SELECT o.digit, o.n_obs, (p.p_micro * t.n)::BIGINT AS exp_micro, "
+        "o.n_obs::HUGEINT * 1000000 - p.p_micro::HUGEINT * t.n AS dev "
+        "FROM bfo o JOIN bfp p USING (digit) CROSS JOIN bfn t),\n"
+        "bfc AS (SELECT digit, n_obs, exp_micro, "
+        "CAST(ROUND((dev * dev)::DOUBLE "
+        "/ (exp_micro::DOUBLE * 1000000.0) * 1000000.0) AS BIGINT) AS chi2_micro "
+        "FROM bfv)\n"
+        "SELECT digit, n_obs, exp_micro, chi2_micro, "
+        "(SELECT SUM(chi2_micro)::BIGINT FROM bfc) AS chi2_total_micro FROM bfc"
+    )

@@ -748,3 +748,220 @@ def _q_bloom_semijoin(spark, sf_dir):
         F.expr("(1000000 * n_false_positive) div (n_probe_rows - n_true_match)")
         .cast("long").alias("fp_rate_micro"),
     )
+
+# Benford first-significant-digit probabilities, quantized to integer
+# micro-units IN PYTHON and injected as literals into BOTH engines, so
+# neither side evaluates log10 at query time (cross-libm drift is
+# structurally impossible — the same nine integers appear in the Spark
+# plan and the DuckDB oracle).
+BENFORD_P_MICRO = {
+    d: int(__import__("math").floor(__import__("math").log10(1.0 + 1.0 / d) * 1e6 + 0.5))
+    for d in range(1, 10)
+}
+
+
+def _q_cusum_changepoints(spark, sf_dir):
+    """Offline CUSUM mean-shift screen per event type → (event_type, n,
+    cusum_peak, peak_epoch, peak_frac). The centered prefix sum
+    P_i = Σ_{j≤i}(v_j − v̄) peaks at the most likely single change
+    point (Page 1954 / Pettitt's argmax-|P| estimator); cusum_peak is
+    max_i |Σ_{j≤i}(v_j − v̄)| in value units (0 for a drift-free
+    series), peak_epoch the epoch second of the argmax event and
+    peak_frac its position in the per-type sequence.
+
+    Exactness: values quantize to integer micro-units once; the
+    deviation is scaled by n (d_i = v_i·n − Σv, an exact integer) so
+    no per-row division ever happens — P rides decimal(38,0)/HUGEINT
+    and only the two final reporting divisions are doubles. Ordering
+    (ts, event_id) is total, so prefix sums and the argmax tie-break
+    (earliest event wins) replay exactly.
+
+    Scale shape: one shuffle on event_type; both windows share that
+    partitioning (sequential per-type scan is inherent to CUSUM — at
+    100 TB the type×day re-expression with per-day carry-in keeps
+    partitions bounded, same two-level trick as max_concurrency)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * F.lit(1e6)).cast("long").alias("vm"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wi = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pre = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "ts", "event_id", "n",
+            (F.col("vm").cast("decimal(38,0)") * F.col("n") - F.col("s")).alias("d"),
+        )
+        .select(
+            "event_type", "ts", "event_id", "n",
+            F.abs(F.sum("d").over(w)).alias("ap"),
+            F.row_number().over(wi).cast("long").alias("idx"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("ap"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        pre.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.round(
+                F.col("ap").cast("double") / F.col("n").cast("double") / F.lit(1e6), 6
+            ).alias("cusum_peak"),
+            F.unix_timestamp("ts").cast("long").alias("peak_epoch"),
+            F.round(F.col("idx").cast("double") / F.col("n").cast("double"), 6).alias(
+                "peak_frac"
+            ),
+        )
+    )
+
+
+def _q_max_concurrency(spark, sf_dir):
+    """Peak concurrent sessions → one row (n_sessions, peak_concurrency,
+    peak_epoch): the classic interval max-overlap sweep (+1 at session
+    start, −1 at close-open end, running sum peaks at the load
+    high-water mark) over the same gap-session definition
+    session_windows pins (30-min inactivity, end = last event + gap).
+
+    Exactness: all time arithmetic is integer MICROSECONDS
+    (unix_micros / epoch_us) — no interval-vs-float drift; ends sort
+    before starts at the same instant (delta ascending) so back-to-back
+    sessions never double-count; peak_epoch is the earliest instant
+    attaining the peak.
+
+    Scale shape: the sweep is two-level — a per-hour partitioned
+    running sum plus an hour-carry cumulative over the (calendar-
+    bounded, ≈ retention-window·24 rows) hour totals — so no unbounded
+    single-partition window ever materializes; session derivation
+    shuffles once on user_id."""
+    # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the cast to
+    # an instant is the identity and unix_micros yields exact integers
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select("user_id", us.alias("m"))
+    wu = Window.partitionBy("user_id").orderBy("m")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sess = (
+        ev.select(
+            "user_id", "m",
+            F.when(
+                F.lag("m").over(wu).isNull()
+                | (F.col("m") - F.lag("m").over(wu) >= F.lit(gap_us)),
+                1,
+            ).otherwise(0).alias("brk"),
+        )
+        .select(
+            "user_id", "m",
+            F.sum("brk").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("sess"),
+        )
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("m").alias("s_us"),
+            (F.max("m") + F.lit(gap_us)).alias("e_us"),
+        )
+    )
+    deltas = sess.select(F.col("s_us").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("e_us").alias("t"), F.lit(-1).alias("d"))
+    )
+    hour_us = 3_600_000_000
+    bucketed = deltas.withColumn("h", (F.col("t") / F.lit(hour_us)).cast("long"))
+    wh = (
+        Window.partitionBy("h")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bucketed.select("h", "t", "d", F.sum("d").over(wh).alias("run"))
+    # hour-carry: cumulative total of all PRIOR hours (bounded by the
+    # calendar span of the data — the one unpartitioned window here
+    # runs over #hours rows, not #events)
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("h")
+        .agg(F.sum("d").alias("htot"))
+        .select("h", F.coalesce(F.sum("htot").over(wc), F.lit(0)).alias("carry"))
+    )
+    conc = run.join(F.broadcast(carry), "h").select(
+        "t", (F.col("run") + F.col("carry")).cast("long").alias("c")
+    )
+    peak = conc.agg(F.max("c").alias("peak"))
+    at_peak = (
+        conc.join(F.broadcast(peak), F.col("c") == F.col("peak"))
+        .agg(F.min("t").alias("peak_us"), F.max("c").cast("long").alias("peak_concurrency"))
+    )
+    nsess = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return nsess.crossJoin(F.broadcast(at_peak)).select(
+        "n_sessions",
+        "peak_concurrency",
+        (F.col("peak_us") / F.lit(1_000_000)).cast("long").alias("peak_epoch"),
+    )
+
+
+def _q_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of l_extendedprice →
+    (digit, n_obs, exp_micro, chi2_contrib, chi2_total): the classic
+    fabricated-data / corruption screen — natural multiplicative
+    quantities follow P(d) = log10(1+1/d), and a chi-square distance
+    far above the ~15.5 (α=0.05, 8 df) line flags a synthetic or
+    truncated column.
+
+    Exactness: the nine Benford probabilities are Python-computed
+    integer micro-literals injected into BOTH engines (no query-time
+    log10 anywhere); digits come from the exact FLOOR of the price
+    (prices ≥ 1 in this schema, so the leading digit of the integer
+    part IS the first significant digit); obs·10⁶ and n·p_micro are
+    exact integers and the chi-square ratio is the single double step,
+    rounded once.
+
+    Scale shape: one map-side-combined 9-group aggregate over the scan
+    + a broadcast of the 9-row total — no shuffle wider than 9 rows."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    n = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    pmap = F.create_map(
+        *[F.lit(x) for d, p in sorted(BENFORD_P_MICRO.items()) for x in (d, p)]
+    )
+    per = (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "digit", "n_obs",
+            (pmap[F.col("digit")].cast("long") * F.col("n")).alias("exp_micro"),
+            (
+                (
+                    F.col("n_obs").cast("decimal(38,0)") * F.lit(1_000_000)
+                    - pmap[F.col("digit")].cast("decimal(38,0)") * F.col("n")
+                )
+            ).alias("dev"),
+        )
+        .select(
+            "digit", "n_obs", "exp_micro",
+            # per-digit contribution quantized to integer micro-units
+            # BEFORE the 9-row total, so the total is an exact integer
+            # sum in both engines (no float-accumulation-order drift)
+            F.round(
+                (F.col("dev") * F.col("dev")).cast("double")
+                / (F.col("exp_micro").cast("double") * F.lit(1e6))
+                * F.lit(1e6)
+            ).cast("long").alias("chi2_micro"),
+        )
+    )
+    tot = per.agg(F.sum("chi2_micro").cast("long").alias("chi2_total_micro"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("digit", "n_obs", "exp_micro", "chi2_micro", "chi2_total_micro")
+    )
