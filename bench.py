@@ -263,6 +263,8 @@ def main() -> None:
         "cusum_changepoints",
         "max_concurrency",
         "benford_audit",
+        "yule_k",
+        "llr_collocations",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -5703,3 +5703,51 @@ def _benford_sql(p_micro: dict[int, int]) -> str:
         "SELECT digit, n_obs, exp_micro, chi2_micro, "
         "(SELECT SUM(chi2_micro)::BIGINT FROM bfc) AS chi2_total_micro FROM bfc"
     )
+
+
+_YULE_K_SQL = (
+    # twin of yule_k: the same frequency-spectrum fold per language;
+    # Σm² rides HUGEINT, the single K division is the one double step
+    "WITH yktf AS (SELECT lang, u AS tok, COUNT(*)::BIGINT AS m FROM "
+    "(SELECT lang, unnest(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS u FROM documents) GROUP BY 1, 2)\n"
+    "SELECT lang, SUM(m)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_types, "
+    "ROUND(10000.0 * (SUM(m::HUGEINT * m) - SUM(m))::DOUBLE "
+    "/ (SUM(m)::DOUBLE * SUM(m)::DOUBLE), 6) AS yule_k "
+    "FROM yktf GROUP BY lang"
+)
+
+
+def _llr_collocations_sql(min_count: int, k: int) -> str:
+    """Twin of llr_collocations: the pmi_collocations contingency CTEs,
+    scored with Dunning G² — four O·ln(O·N/(R·C)) terms summed in the
+    same left-associative order as the Spark expression."""
+    term = (
+        "CASE WHEN {o} > 0 THEN ({o})::DOUBLE * "
+        "ln((({o})::DOUBLE * nn.n::DOUBLE) / (({r})::DOUBLE * ({c})::DOUBLE)) "
+        "ELSE 0.0 END"
+    )
+    t11 = term.format(o="c.c12", r="a.c1", c="b.c2")
+    t12 = term.format(o="a.c1 - c.c12", r="a.c1", c="nn.n - b.c2")
+    t21 = term.format(o="b.c2 - c.c12", r="nn.n - a.c1", c="b.c2")
+    t22 = term.format(o="nn.n - a.c1 - b.c2 + c.c12", r="nn.n - a.c1", c="nn.n - b.c2")
+    return (
+        "WITH ltoks AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+        "FROM documents),\n"
+        "lbgs AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i + 1])) AS bg FROM ltoks WHERE len(t) >= 2),\n"
+        "lc12 AS MATERIALIZED (SELECT bg, COUNT(*)::BIGINT AS c12 FROM lbgs GROUP BY bg),\n"
+        "lnn AS (SELECT SUM(c12)::BIGINT AS n FROM lc12),\n"
+        "lw1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12)::BIGINT AS c1 FROM lc12 GROUP BY 1),\n"
+        "lw2 AS (SELECT split_part(bg, ' ', 2) AS w2, SUM(c12)::BIGINT AS c2 FROM lc12 GROUP BY 1),\n"
+        "lsc AS (SELECT c.bg, c.c12, CAST(ROUND(2.0 * "
+        f"(({t11}) + ({t12}) + ({t21}) + ({t22})) * 1000000.0) AS BIGINT) AS llr_micro "
+        "FROM lc12 c JOIN lw1 a ON split_part(c.bg, ' ', 1) = a.w1 "
+        "JOIN lw2 b ON split_part(c.bg, ' ', 2) = b.w2 CROSS JOIN lnn nn "
+        f"WHERE c.c12 >= {min_count})\n"
+        "SELECT bg AS bigram, c12, llr_micro, rank FROM "
+        "(SELECT bg, c12, llr_micro, ROW_NUMBER() OVER "
+        "(ORDER BY llr_micro DESC, bg ASC)::BIGINT AS rank FROM lsc) "
+        f"WHERE rank <= {k}"
+    )

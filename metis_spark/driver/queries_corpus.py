@@ -812,3 +812,20 @@ def _q_term_burstiness(spark, sf_dir):
     docs; the topicality dial next to tfidf/vocab_top100."""
     docs = _t(spark, sf_dir, "documents")
     return CS.term_burstiness_topk(docs, "doc_id", "text", k=100, min_docs=5)
+
+def _q_yule_k(spark, sf_dir):
+    """Yule's characteristic K per language (operators/corpus_stats.py:
+    yule_k) — length-invariant repeat-rate lexical diversity from the
+    frequency spectrum; integer-exact numerator, one division."""
+    return CS.yule_k(_t(spark, sf_dir, "documents"))
+
+def _q_llr_collocations(spark, sf_dir):
+    """Dunning G² log-likelihood collocations (operators/corpus_stats
+    .py:llr_collocations) — the count-weighted significance ranking
+    next to pmi_collocations' rare-pair-skewed one; micro-nat
+    quantized, deterministic top-k."""
+    from metis_spark.driver.common import PMI_K, PMI_MIN_COUNT
+
+    return CS.llr_collocations(
+        _t(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT, k=PMI_K
+    )

@@ -1762,3 +1762,152 @@ def term_burstiness_topk(
         .cast("long")
         .alias("vmr_micro"),
     )
+
+
+def yule_k(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Yule's characteristic K per language → (lang, n_tokens, n_types,
+    yule_k) — the classic repeat-rate lexical-diversity constant
+    (Yule 1944): K = 10⁴·(Σ m²·V_m − N)/N² over the frequency spectrum
+    (V_m types occurring m times, N tokens). Unlike raw TTR, K is
+    (approximately) text-length invariant, which is what makes it a
+    usable corpus-mix dial: templated/boilerplate-heavy languages show
+    high K (few types dominate), diverse prose low K. Complements
+    good_turing_richness (which forecasts UNSEEN mass from the same
+    spectrum's low end).
+
+    Exactness: Σ m²·V_m ≡ Σ_types m² rides decimal(38,0); N is a
+    plain long; the single K division is the one double step, rounded
+    once — both engines agree bit-for-bit on the integer pair.
+
+    Scale shape: token explode → map-side-combined (lang, tok) count →
+    map-side-combined per-lang fold; text never rides a shuffle past
+    tokenization, output is one row per language."""
+    tf = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("m").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(
+                (F.col("m").cast("decimal(38,0)") * F.col("m"))
+            ).alias("s2"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.lit(1e4)
+                * (F.col("s2") - F.col("n_tokens")).cast("double")
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")),
+                6,
+            ).alias("yule_k"),
+        )
+    )
+
+
+def llr_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by Dunning's log-likelihood ratio → (bigram,
+    c12, llr_micro, rank) — the G² test (Dunning CL 1993) over the
+    same directional adjacent-bigram contingency table PMI scores:
+    G² = 2·Σ_{ij} O_ij·ln(O_ij·N/(R_i·C_j)). Where PMI over-rewards
+    rare pairs (its known defect — hence the min_count floor), G²
+    weights evidence by COUNT, so it ranks high-volume collocations a
+    tokenizer actually benefits from promoting; shipping both lets a
+    vocab pipeline calibrate one against the other on the same table.
+
+    Exactness: every ln argument is a ratio of exact integer products
+    (all < 2⁵³ at bench scales — at 100 TB requantize c·N into
+    64-entry log-lookup space first); the four terms quantize to
+    micro-nats only after the weighted sum, one ROUND, long out.
+    Ranking (llr_micro DESC, bigram ASC) replays exactly.
+
+    Scale shape: identical to pmi_collocations — bigram explode
+    partial-aggregates map-side into the bigram vocabulary; positional
+    unigram tables join back on vocabulary rows; TakeOrdered top-k."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("t", (i + 1).cast("int")),
+            F.element_at("t", (i + 2).cast("int")),
+        ),
+    )
+    bg = toks.select(F.explode(grams).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    n = c12.agg(F.sum("c12").cast("long").alias("n"))
+    w1 = (
+        c12.select(F.split("bg", " ")[0].alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+    )
+    w2 = (
+        c12.select(F.split("bg", " ")[1].alias("w2"), "c12")
+        .groupBy("w2")
+        .agg(F.sum("c12").cast("long").alias("c2"))
+    )
+
+    def term(o, r, c):
+        # O·ln(O·N/(R·C)), zero-observation cells contribute 0
+        return F.when(
+            o > 0,
+            o.cast("double")
+            * F.log(
+                (o.cast("double") * F.col("n").cast("double"))
+                / (r.cast("double") * c.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    o11 = F.col("c12")
+    o12 = F.col("c1") - F.col("c12")
+    o21 = F.col("c2") - F.col("c12")
+    o22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+    r2 = F.col("n") - F.col("c1")
+    cc2 = F.col("n") - F.col("c2")
+    scored = (
+        c12.where(F.col("c12") >= min_count)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(w1.hint("shuffle_hash"), "w1")
+        .join(w2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bg",
+            "c12",
+            F.round(
+                F.lit(2.0)
+                * (
+                    term(o11, F.col("c1"), F.col("c2"))
+                    + term(o12, F.col("c1"), cc2)
+                    + term(o21, r2, F.col("c2"))
+                    + term(o22, r2, cc2)
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("llr_micro"),
+        )
+    )
+    order = [F.desc("llr_micro"), F.asc("bg")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("bg").alias("bigram"), "c12", "llr_micro", "rank"
+    )
