@@ -5751,3 +5751,23 @@ def _llr_collocations_sql(min_count: int, k: int) -> str:
         "(ORDER BY llr_micro DESC, bg ASC)::BIGINT AS rank FROM lsc) "
         f"WHERE rank <= {k}"
     )
+
+
+def _core_strength_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+    """Twin of core_strength: the unrolled coreness chain, then one
+    neighbour-count pass CS(u) = |{v: core(v) ≥ core(u)}| − core(u) + 1
+    on the same und edges."""
+    ctes = _coreness_ctes(rounds)
+    ctes.append(
+        f"csg AS (SELECT u.src AS id, COUNT(*)::BIGINT AS n_ge "
+        f"FROM und u JOIN c{rounds} a ON u.src = a.id "
+        f"JOIN c{rounds} b ON u.dst = b.id "
+        f"WHERE b.core >= a.core GROUP BY u.src)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT c.id, c.core, "
+        "(COALESCE(g.n_ge, 0) - c.core + 1)::BIGINT AS core_strength "
+        f"FROM c{rounds} c LEFT JOIN csg g ON c.id = g.id"
+    )

@@ -1792,3 +1792,19 @@ def _q_knn_degree_correlation(spark, sf_dir):
     from metis_spark.plans.metrics import knn_degree_correlation
 
     return knn_degree_correlation(derived_edges_sparse(spark, sf_dir))
+
+def _q_core_strength(spark, sf_dir):
+    """Core strength / resilience (plans/coreness.py:core_strength):
+    which vertices' core numbers rest on minimum support — composed on
+    the coreness fixpoint with one extra neighbour-count pass."""
+    from metis_spark.plans.coreness import core_strength, coreness
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    cores, info = coreness(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qcstrength_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"], info
+    return core_strength(edges, cores)

@@ -250,3 +250,47 @@ def coreness(
         "seconds": time.monotonic() - t0,
         "n": n,
     }
+
+
+def core_strength(edges: DataFrame, cores: DataFrame) -> DataFrame:
+    """Per-vertex core strength → (id, core, core_strength): CS(u) =
+    |{v ∈ N(u): core(v) ≥ core(u)}| − core(u) + 1 (Laishram et al.,
+    WWW'18 "core resilience") — how many same-or-higher-core neighbours
+    u can LOSE before its own core number must drop. CS = 1 marks the
+    fragile vertices whose coreness rests on exactly the minimum
+    support (the first to cascade under edge removal / crawl loss);
+    high CS marks redundantly-supported vertices. The decremental
+    maintenance story (coreness init_cores=) tells you how to repair
+    after a deletion; this tells you WHERE repairs will be needed.
+
+    ``cores`` is the (id, core) fixpoint from coreness() — computed
+    once, composed here without re-running the decomposition. CS ≥ 1
+    always (a vertex of core k has ≥ k neighbours of core ≥ k — the
+    defining property of the k-core).
+
+    Scale shape: one symmetrized edge pass joined twice against the
+    vertex-sized core table (shuffle-hash on src/dst), one map-side-
+    combined count — same shape as a single h-index round, so anywhere
+    coreness() runs, this runs too."""
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cu = cores.select(F.col("id").alias("src"), F.col("core").alias("cu"))
+    cv = cores.select(F.col("id").alias("dst"), F.col("core").alias("cv"))
+    n_ge = (
+        und.join(cu.hint("shuffle_hash"), "src")
+        .join(cv.hint("shuffle_hash"), "dst")
+        .where(F.col("cv") >= F.col("cu"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ge"))
+    )
+    return cores.join(n_ge, "id", "left").select(
+        "id",
+        "core",
+        (F.coalesce("n_ge", F.lit(0)) - F.col("core") + F.lit(1))
+        .cast("long")
+        .alias("core_strength"),
+    )
