@@ -5771,3 +5771,21 @@ def _core_strength_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
         "(COALESCE(g.n_ge, 0) - c.core + 1)::BIGINT AS core_strength "
         f"FROM c{rounds} c LEFT JOIN csg g ON c.id = g.id"
     )
+
+
+def _dag_width_sql() -> str:
+    """Twin of dag_width_profile on the _dag_levels_sql chain: distinct
+    (scc, level) tasks, histogram width per level, Brent's
+    max(⌈n/p⌉, depth) makespan floors — all integers."""
+    base = _dag_levels_sql()
+    return (
+        f"WITH dwbase AS MATERIALIZED ({base}),\n"
+        "dwc AS (SELECT DISTINCT scc, level FROM dwbase),\n"
+        "dww AS (SELECT level, COUNT(*)::BIGINT AS width FROM dwc GROUP BY level),\n"
+        "dws AS (SELECT COUNT(*)::BIGINT AS n_tasks, "
+        "(MAX(level) + 1)::BIGINT AS critical_path FROM dwc)\n"
+        "SELECT w.level, w.width, s.n_tasks, s.critical_path, "
+        "GREATEST((s.n_tasks + 7) // 8, s.critical_path)::BIGINT AS makespan_p8, "
+        "GREATEST((s.n_tasks + 31) // 32, s.critical_path)::BIGINT AS makespan_p32 "
+        "FROM dww w CROSS JOIN dws s"
+    )

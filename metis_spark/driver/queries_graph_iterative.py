@@ -1191,3 +1191,32 @@ def _q_ris_seeds(spark, sf_dir):
     return spark.createDataFrame(
         out, "round long, seed long, marginal_covered long, cum_covered long"
     )
+
+def _q_dag_width_profile(spark, sf_dir):
+    """Build-parallelism profile of the condensation DAG → one row per
+    level (level, width, n_tasks, critical_path, makespan_p8,
+    makespan_p32). Treating each SCC as one composite build task (a
+    cyclic clump can only build together), width(k) = how many tasks
+    level k admits in parallel; the two makespan columns are Brent's
+    bound max(⌈n/p⌉, critical_path) — the floor on wall-clock for a
+    p-worker build farm, and the number that says when adding workers
+    stops helping (p where ⌈n/p⌉ < depth). All-integer arithmetic on
+    the verified SCC + longest-path-levels spine; the per-level
+    groupBy is histogram-sized and the scalar summary broadcasts
+    back."""
+    from metis_spark.plans.scc import (
+        condensation_levels,
+        strongly_connected_components,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    labels, info = strongly_connected_components(
+        edges, checkpoint_dir=_tmpdir("metis_qdagw_"),
+        max_phases=SCC_PHASES, max_rounds=SCC_ROUNDS,
+    )
+    assert info["converged"], info
+    from metis_spark.plans.scc import dag_width_profile
+
+    return dag_width_profile(
+        condensation_levels(edges, labels, max_rounds=DAG_ROUNDS)
+    )

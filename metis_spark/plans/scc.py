@@ -344,3 +344,31 @@ def condensation_critical_path(
         [(i + 1, c, sz, e_) for i, (c, sz, e_) in enumerate(path)],
         "step long, scc long, scc_size long, ef long",
     )
+
+
+def dag_width_profile(levels: DataFrame) -> DataFrame:
+    """(scc, level) rows → per-level build-parallelism profile (level,
+    width, n_tasks, critical_path, makespan_p8, makespan_p32). Each
+    distinct SCC is one composite build task; width(k) is the
+    parallelism level k admits, and the makespan columns are Brent's
+    bound max(⌈n/p⌉, depth) — the wall-clock floor for a p-worker
+    build farm. All-integer; the per-level groupBy is histogram-sized
+    and the one-row summary broadcasts back."""
+    comps = levels.select("scc", "level").distinct()
+    width = comps.groupBy("level").agg(F.count(F.lit(1)).cast("long").alias("width"))
+    summary = comps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        (F.max("level") + 1).cast("long").alias("critical_path"),
+    ).select(
+        "n_tasks",
+        "critical_path",
+        F.greatest(
+            F.expr("(n_tasks + 7) div 8"), F.col("critical_path")
+        ).cast("long").alias("makespan_p8"),
+        F.greatest(
+            F.expr("(n_tasks + 31) div 32"), F.col("critical_path")
+        ).cast("long").alias("makespan_p32"),
+    )
+    return width.crossJoin(F.broadcast(summary)).select(
+        "level", "width", "n_tasks", "critical_path", "makespan_p8", "makespan_p32"
+    )
