@@ -265,6 +265,7 @@ def main() -> None:
         "benford_audit",
         "yule_k",
         "llr_collocations",
+        "rocchio_confusion",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -5789,3 +5789,32 @@ def _dag_width_sql() -> str:
         "GREATEST((s.n_tasks + 31) // 32, s.critical_path)::BIGINT AS makespan_p32 "
         "FROM dww w CROSS JOIN dws s"
     )
+
+
+_ROCCHIO_SQL = (
+    # twin of nearest_centroid_confusion on the _LABEL_SEP_SQL point/
+    # model CTE shapes: per-point best-cosine centroid, cross-tab,
+    # exact integer accuracy
+    "WITH rcp AS MATERIALIZED (SELECT label::BIGINT AS lab, vec_id AS id, "
+    "i - 1 AS pos, floor(embedding[i]::DOUBLE * 1000.0)::BIGINT AS q "
+    "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),\n"
+    "rcv AS MATERIALIZED (SELECT lab, pos, SUM(q)::BIGINT AS sv FROM rcp "
+    "GROUP BY lab, pos),\n"
+    "rcn AS (SELECT lab, SUM(sv::HUGEINT * sv) AS nrm FROM rcv GROUP BY lab),\n"
+    "rcd AS (SELECT p.id, p.lab, v.lab AS cand, SUM(p.q::HUGEINT * v.sv) AS dot "
+    "FROM rcp p JOIN rcv v ON p.pos = v.pos GROUP BY p.id, p.lab, v.lab),\n"
+    "rcq AS (SELECT id, SUM(q::HUGEINT * q) AS nq FROM rcp GROUP BY id),\n"
+    "rcs AS (SELECT d.id, d.lab, d.cand, CAST(ROUND(d.dot::DOUBLE / "
+    "sqrt(q.nq::DOUBLE * n.nrm::DOUBLE) * 1000000.0) AS BIGINT) AS cos_micro "
+    "FROM rcd d JOIN rcq q ON d.id = q.id JOIN rcn n ON d.cand = n.lab "
+    "WHERE q.nq > 0),\n"
+    "rcpred AS (SELECT lab AS true_label, cand AS pred_label FROM "
+    "(SELECT lab, cand, ROW_NUMBER() OVER (PARTITION BY id "
+    "ORDER BY cos_micro DESC, cand ASC) AS rn FROM rcs) WHERE rn = 1),\n"
+    "rcc AS (SELECT true_label, pred_label, COUNT(*)::BIGINT AS n "
+    "FROM rcpred GROUP BY 1, 2),\n"
+    "rct AS (SELECT ((1000000 * SUM(CASE WHEN true_label = pred_label "
+    "THEN n ELSE 0 END)) // SUM(n))::BIGINT AS accuracy_micro FROM rcc)\n"
+    "SELECT c.true_label, c.pred_label, c.n, t.accuracy_micro "
+    "FROM rcc c CROSS JOIN rct t"
+)

@@ -434,3 +434,10 @@ def _q_truncation_recall(spark, sf_dir):
         "dim", "query_id", F.col("n_exact").cast("long").alias("n_exact"),
         "n_overlap", "recall",
     )
+
+def _q_rocchio_confusion(spark, sf_dir):
+    """Nearest-centroid confusion matrix (operators/similarity.py:
+    nearest_centroid_confusion) — the is-it-linearly-classifiable
+    eval on the labeled embedding table; quantized-integer cosines,
+    deterministic argmax."""
+    return SIM.nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))

@@ -1291,3 +1291,88 @@ def facility_location_seeds(
     return points.sparkSession.createDataFrame(
         chosen, "rn long, vec_id long, marginal_micro long, coverage_micro long"
     )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Rocchio / nearest-centroid classification replay → confusion
+    matrix (true_label, pred_label, n, accuracy_micro): assign every
+    vector to its max-cosine class centroid and cross-tabulate against
+    the true labels — the five-minute "is this embedding linearly
+    classifiable, and which classes bleed into which" eval that comes
+    before training anything, and the per-pair detail behind
+    label_centroid_separation's geometry summary.
+
+    Engine-exactness (the kmeans_quantized discipline): vectors
+    quantize once to q = FLOOR(val·scale); cos(x, centroid_c) =
+    cos(x, sum_c) (counts cancel), each cosine is one double fold of
+    exact integer dot/norm products, micro-quantized BEFORE the
+    argmax, and the argmax tie-breaks on the smaller label — fully
+    deterministic in both engines. Zero vectors (nq = 0) are excluded
+    rather than assigned arbitrarily.
+
+    Scale shape: the class-sum model is (L·d) rows — broadcast-size
+    for any realistic label count — so scoring is one broadcast join
+    expanding n·d point rows by L, map-side-combined per (point,
+    class); the only window is per-point over L candidate rows. The
+    confusion output is L² rows."""
+    pts = df.select(
+        F.col(label_col).cast("long").alias("lab"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "lab", "id", "pos",
+        F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast("long").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    sumv = pts.groupBy("lab", "pos").agg(F.sum("q").cast("long").alias("sv"))
+    norms = sumv.groupBy("lab").agg(
+        F.sum(F.col("sv").cast(dec) * F.col("sv").cast(dec)).alias("nrm")
+    )
+    cand = sumv.select(F.col("lab").alias("cand"), "pos", "sv")
+    dots = (
+        pts.join(F.broadcast(cand), "pos")
+        .groupBy("id", "lab", "cand")
+        .agg(F.sum(F.col("q").cast(dec) * F.col("sv").cast(dec)).alias("dot"))
+    )
+    nq = pts.groupBy("id").agg(
+        F.sum(F.col("q").cast(dec) * F.col("q").cast(dec)).alias("nq")
+    )
+    scores = (
+        dots.join(nq.hint("shuffle_hash"), "id")
+        .join(F.broadcast(norms.select(F.col("lab").alias("cand"), "nrm")), "cand")
+        .where(F.col("nq") > 0)
+        .select(
+            "id", "lab", "cand",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nq").cast("double") * F.col("nrm").cast("double"))
+                * F.lit(1e6)
+            ).cast("long").alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_micro"), F.asc("cand"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("lab").alias("true_label"), F.col("cand").alias("pred_label"))
+    )
+    conf = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), F.col("n")).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    ).select(
+        F.expr("(1000000 * n_correct) div n_total").cast("long").alias("accuracy_micro")
+    )
+    return conf.crossJoin(F.broadcast(tot)).select(
+        "true_label", "pred_label", "n", "accuracy_micro"
+    )
