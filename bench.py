@@ -266,6 +266,7 @@ def main() -> None:
         "yule_k",
         "llr_collocations",
         "rocchio_confusion",
+        "ann_hubness",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -5818,3 +5818,33 @@ _ROCCHIO_SQL = (
     "SELECT c.true_label, c.pred_label, c.n, t.accuracy_micro "
     "FROM rcc c CROSS JOIN rct t"
 )
+
+
+def _ann_hubness_sql(mod: int, k: int) -> str:
+    """Twin of knn_hubness: exact cosine top-k within the residue
+    slice, k-occurrence counts with zero-occurrence members kept, the
+    integer moment sums, and the pinned-shape skew division chain."""
+    cos = _cos_expr("a.embedding", "b.embedding")
+    return (
+        f"WITH hsl AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % {mod} = 0),\n"
+        "hpk AS (SELECT ia, ib FROM (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        f"ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+        f"ORDER BY ROUND({cos}, 6) DESC, b.vec_id ASC) AS rn "
+        "FROM hsl a CROSS JOIN hsl b WHERE a.vec_id <> b.vec_id) "
+        f"WHERE rn <= {k}),\n"
+        "hoc AS (SELECT s.vec_id, COALESCE(o.occ, 0)::BIGINT AS occ FROM hsl s "
+        "LEFT JOIN (SELECT ib, COUNT(*)::BIGINT AS occ FROM hpk GROUP BY ib) o "
+        "ON s.vec_id = o.ib),\n"
+        "hmm AS (SELECT COUNT(*)::BIGINT AS n, SUM(occ)::HUGEINT AS s1, "
+        "SUM(occ::HUGEINT * occ) AS s2, SUM(occ::HUGEINT * occ * occ) AS s3 "
+        "FROM hoc),\n"
+        "hsk AS (SELECT n AS n_slice, CASE WHEN n::HUGEINT * s2 - s1 * s1 > 0 THEN "
+        "CAST(ROUND(((n::HUGEINT * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)::DOUBLE "
+        "/ (n::HUGEINT * n * n)::DOUBLE) "
+        "/ pow((n::HUGEINT * s2 - s1 * s1)::DOUBLE / (n::HUGEINT * n)::DOUBLE, 1.5) "
+        "* 1000000.0) AS BIGINT) END AS skew_micro FROM hmm)\n"
+        "SELECT h.occ AS k_occurrence, COUNT(*)::BIGINT AS n_vectors, "
+        "s.n_slice, s.skew_micro "
+        "FROM hoc h CROSS JOIN hsk s GROUP BY h.occ, s.n_slice, s.skew_micro"
+    )

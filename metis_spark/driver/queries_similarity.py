@@ -441,3 +441,14 @@ def _q_rocchio_confusion(spark, sf_dir):
     eval on the labeled embedding table; quantized-integer cosines,
     deterministic argmax."""
     return SIM.nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+def _q_ann_hubness(spark, sf_dir):
+    """k-occurrence hubness audit (operators/similarity.py:
+    knn_hubness) — is the cosine k-NN digraph hub-distorted; exact
+    quantized top-k on the deterministic 1/8 slice, zero-occurrence
+    vectors included in the skew."""
+    from metis_spark.driver.common import HUBNESS_K, HUBNESS_MOD
+
+    return SIM.knn_hubness(
+        _t(spark, sf_dir, "embeddings"), mod=HUBNESS_MOD, k=HUBNESS_K
+    )

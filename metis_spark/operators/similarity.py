@@ -1376,3 +1376,88 @@ def nearest_centroid_confusion(
     return conf.crossJoin(F.broadcast(tot)).select(
         "true_label", "pred_label", "n", "accuracy_micro"
     )
+
+
+def knn_hubness(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mod: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """k-occurrence hubness audit → (k_occurrence, n_vectors, n_slice,
+    skew_micro): in the exact cosine k-NN digraph of a deterministic
+    hash slice, N_k(v) = how many vectors list v among their top-k.
+    High-dimensional similarity spaces concentrate — a few "hub"
+    vectors appear in everyone's neighbour lists while antihubs appear
+    in none (Radovanović et al. JMLR 2010) — and a right-skewed N_k
+    distribution is THE diagnostic that cosine k-NN results (ANN
+    search, semdedup, kNN-classification) are being distorted by
+    hubness rather than reflecting semantic neighbourhoods. skew_micro
+    is the classical m₃/m₂^1.5 of N_k (zero-occurrence vectors
+    included), micro-quantized.
+
+    Engine-exactness: the slice is a residue class (|slice| = n/mod,
+    pair work (n/mod)² — fixed by the mod, never n²); cosines are the
+    same sequential-fold doubles the ANN family hash-matches, rounded
+    at 6 BEFORE the (sim DESC, id ASC) rank; the three moment sums are
+    exact integers and the one skew division chain is pinned-shape
+    doubles.
+
+    Scale shape: per-query ranking windows are partitioned by query
+    over slice-sized candidate sets; at 100 TB the slice stays fixed-
+    size by raising mod (the cos-histogram discipline) or the pair
+    stage swaps for the LSH-bucketed candidate generator."""
+    s = df.where(F.col(id_col) % mod == 0)
+    a = s.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("ea"))
+    b = s.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    w = Window.partitionBy("ia").orderBy(F.desc("sim"), F.asc("ib"))
+    picks = (
+        a.crossJoin(b)
+        .where(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    occ = picks.groupBy("ib").agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    nk = (
+        s.select(F.col(id_col).alias("ib"))
+        .join(occ, "ib", "left")
+        .select(F.coalesce("occ", F.lit(0)).cast("long").alias("occ"))
+    )
+    dec = "decimal(38,0)"
+    mom = nk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("occ").cast(dec).alias("s1"),
+        F.sum(F.col("occ").cast(dec) * F.col("occ")).alias("s2"),
+        F.sum(F.col("occ").cast(dec) * F.col("occ") * F.col("occ")).alias("s3"),
+    )
+    skew = mom.select(
+        F.col("n").alias("n_slice"),
+        F.when(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) > 0,
+            F.round(
+                (
+                    (
+                        F.col("n").cast(dec) * F.col("n") * F.col("s3")
+                        - F.lit(3) * F.col("n") * F.col("s1") * F.col("s2")
+                        + F.lit(2) * F.col("s1") * F.col("s1") * F.col("s1")
+                    ).cast("double")
+                    / (F.col("n").cast(dec) * F.col("n") * F.col("n")).cast("double")
+                )
+                / F.pow(
+                    (F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+                    / (F.col("n").cast(dec) * F.col("n")).cast("double"),
+                    F.lit(1.5),
+                )
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("skew_micro"),
+    )
+    hist = nk.groupBy(F.col("occ").alias("k_occurrence")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return hist.crossJoin(F.broadcast(skew)).select(
+        "k_occurrence", "n_vectors", "n_slice", "skew_micro"
+    )
