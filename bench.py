@@ -267,6 +267,7 @@ def main() -> None:
         "llr_collocations",
         "rocchio_confusion",
         "ann_hubness",
+        "burrows_delta",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

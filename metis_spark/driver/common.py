@@ -987,3 +987,4 @@ EDH_MOD = 8  # cosine-histogram vertex sample: two disjoint 1/8 slices
 
 HUBNESS_MOD = 8  # hubness slice: one 1/8 residue class (cos-histogram discipline)
 HUBNESS_K = 5  # neighbour-list size for the k-occurrence counts
+BURROWS_F = 30  # Burrows' Delta feature count (top-F corpus tokens)

@@ -5848,3 +5848,34 @@ def _ann_hubness_sql(mod: int, k: int) -> str:
         "s.n_slice, s.skew_micro "
         "FROM hoc h CROSS JOIN hsk s GROUP BY h.occ, s.n_slice, s.skew_micro"
     )
+
+
+def _burrows_delta_sql(n_features: int) -> str:
+    """Twin of burrows_delta: completed source×feature grid, exact
+    integer dev/cvar pair, per-term micro quantization before the
+    F-term sum, integer-division mean."""
+    return (
+        f"WITH bdt AS MATERIALIZED (SELECT source AS src_name, u AS tok, "
+        "COUNT(*)::BIGINT AS c FROM (SELECT source, "
+        "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')) AS u FROM documents) GROUP BY 1, 2),\n"
+        "bdn AS (SELECT src_name, SUM(c)::BIGINT AS n FROM bdt GROUP BY src_name),\n"
+        "bdf AS (SELECT tok FROM (SELECT tok, SUM(c)::BIGINT AS ct FROM bdt "
+        f"GROUP BY tok ORDER BY ct DESC, tok ASC LIMIT {n_features})),\n"
+        "bdg AS MATERIALIZED (SELECT t.src_name, f.tok, "
+        "((1000000 * COALESCE(c.c, 0)) // t.n)::BIGINT AS rf "
+        "FROM bdn t CROSS JOIN bdf f LEFT JOIN bdt c "
+        "ON c.src_name = t.src_name AND c.tok = f.tok),\n"
+        "bdm AS (SELECT tok, COUNT(*)::BIGINT AS s, SUM(rf)::HUGEINT AS srf, "
+        "SUM(rf::HUGEINT * rf) AS srf2 FROM bdg GROUP BY tok),\n"
+        "bdd AS (SELECT g.tok, g.src_name, m.s::HUGEINT * g.rf - m.srf AS dev, "
+        "m.s::HUGEINT * m.srf2 - m.srf * m.srf AS cvar "
+        "FROM bdg g JOIN bdm m ON g.tok = m.tok),\n"
+        "bdp AS (SELECT a.src_name AS source_a, b.src_name AS source_b, "
+        "CASE WHEN a.cvar > 0 THEN CAST(ROUND(ABS((a.dev - b.dev)::DOUBLE) "
+        "/ sqrt(a.cvar::DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END AS tm "
+        "FROM bdd a JOIN bdd b ON a.tok = b.tok AND a.src_name < b.src_name)\n"
+        "SELECT source_a, source_b, "
+        f"(SUM(tm) // {n_features})::BIGINT AS delta_micro "
+        "FROM bdp GROUP BY source_a, source_b"
+    )

@@ -829,3 +829,11 @@ def _q_llr_collocations(spark, sf_dir):
     return CS.llr_collocations(
         _t(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT, k=PMI_K
     )
+
+def _q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance per source pair
+    (operators/corpus_stats.py:burrows_delta) — function-word z-score
+    profiles; low Delta flags same-pipeline provenance."""
+    from metis_spark.driver.common import BURROWS_F
+
+    return CS.burrows_delta(_t(spark, sf_dir, "documents"), n_features=BURROWS_F)

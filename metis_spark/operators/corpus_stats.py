@@ -1911,3 +1911,106 @@ def llr_collocations(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         F.col("bg").alias("bigram"), "c12", "llr_micro", "rank"
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n_features: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance per source pair →
+    (source_a, source_b, delta_micro): mean |z_a − z_b| over the
+    corpus's ``n_features`` most frequent tokens, z-scored per token
+    across sources (Burrows LLC 2002; the standard authorship /
+    style-drift measure — high-frequency "function word" profiles
+    survive topic change, so a LOW Delta between two domains flags
+    same-pipeline/boilerplate provenance and a high one genuine
+    stylistic diversity in the mix).
+
+    Exactness: relative frequencies quantize to (10⁶·c) div n per
+    source (exact integer); the z-difference folds to
+    |dev_a − dev_b| / √(S·Σrf² − (Σrf)²) with BOTH arguments exact
+    integers (the S·σ denominator stays under the root), each term
+    micro-quantized BEFORE the F-term sum, and the final mean is an
+    integer division — no float accumulation anywhere. Sources
+    missing a feature contribute rf = 0 (the grid is completed, not
+    inner-joined). σ = 0 features contribute 0 but still divide by F.
+
+    Scale shape: token counts partial-aggregate map-side; the feature
+    list is a TakeOrdered F-row broadcast; the completed grid is
+    S·F rows and every join after it is broadcast-sized. Pair output
+    is S²/2 rows."""
+    toks = docs.select(
+        F.col(source_col).alias("src_name"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    c = toks.groupBy("src_name", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = c.groupBy("src_name").agg(F.sum("c").cast("long").alias("n"))
+    feats = (
+        c.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("tok"))
+        .limit(n_features)
+        .select("tok")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(feats))
+        .join(c, ["src_name", "tok"], "left")
+        .select(
+            "src_name",
+            "tok",
+            F.expr("(1000000 * coalesce(c, 0)) div n").cast("long").alias("rf"),
+        )
+    )
+    dec = "decimal(38,0)"
+    per_tok = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("rf").cast(dec).alias("srf"),
+        F.sum(F.col("rf").cast(dec) * F.col("rf")).alias("srf2"),
+    ).select(
+        "tok",
+        "s",
+        "srf",
+        (F.col("s") * F.col("srf2") - F.col("srf") * F.col("srf")).alias("cvar"),
+    )
+    dev = grid.join(F.broadcast(per_tok), "tok").select(
+        "tok",
+        "src_name",
+        (F.col("s") * F.col("rf").cast(dec) - F.col("srf")).alias("dev"),
+        "cvar",
+    )
+    a = dev.select(
+        F.col("tok"), F.col("src_name").alias("source_a"),
+        F.col("dev").alias("da"), "cvar",
+    )
+    b = dev.select(
+        F.col("tok"), F.col("src_name").alias("source_b"), F.col("dev").alias("db")
+    )
+    terms = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("cvar") > 0,
+                F.round(
+                    F.abs((F.col("da") - F.col("db")).cast("double"))
+                    / F.sqrt(F.col("cvar").cast("double"))
+                    * F.lit(1e6)
+                ).cast("long"),
+            ).otherwise(F.lit(0)).alias("tm"),
+        )
+    )
+    return (
+        terms.groupBy("source_a", "source_b")
+        .agg(F.sum("tm").cast("long").alias("tsum"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(f"tsum div {n_features}").cast("long").alias("delta_micro"),
+        )
+    )
