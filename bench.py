@@ -268,6 +268,9 @@ def main() -> None:
         "rocchio_confusion",
         "ann_hubness",
         "burrows_delta",
+        "tpch_q3_topk",
+        "event_type_correlation",
+        "session_colift",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

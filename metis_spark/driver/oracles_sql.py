@@ -5879,3 +5879,71 @@ def _burrows_delta_sql(n_features: int) -> str:
         f"(SUM(tm) // {n_features})::BIGINT AS delta_micro "
         "FROM bdp GROUP BY source_a, source_b"
     )
+
+
+def _tpch_q3_sql(date: str, k: int) -> str:
+    """Twin of tpch_q3_topk: same pushed filters, per-row cent
+    quantization before the per-order sum, rank ties on l_orderkey."""
+    return (
+        f"WITH q3l AS (SELECT l_orderkey, CAST(ROUND(l_extendedprice * "
+        "(1.0 - l_discount) * 100) AS BIGINT) AS rev_cents FROM lineitem "
+        f"WHERE l_shipdate > TIMESTAMP '{date}'),\n"
+        "q3o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        f"WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '{date}'),\n"
+        "q3a AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
+        "SUM(rev_cents)::BIGINT AS revenue_cents FROM q3l l "
+        "JOIN q3o o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2, 3)\n"
+        "SELECT l_orderkey, floor(epoch(o_orderdate))::BIGINT AS odate_epoch, "
+        "o_orderpriority, revenue_cents, rank FROM (SELECT l_orderkey, "
+        "o_orderdate, o_orderpriority, revenue_cents, ROW_NUMBER() OVER "
+        "(ORDER BY revenue_cents DESC, l_orderkey ASC)::BIGINT AS rank FROM q3a) "
+        f"WHERE rank <= {k}"
+    )
+
+
+_EVENT_CORR_SQL = (
+    # twin of event_type_correlation: completed hour×type grid, exact
+    # integer Pearson numerator/variances, one double division
+    "WITH ecc AS (SELECT event_type AS t, "
+    "floor(epoch(date_trunc('hour', ts)))::BIGINT AS h, COUNT(*)::BIGINT AS c "
+    "FROM events GROUP BY 1, 2),\n"
+    "ech AS (SELECT DISTINCT h FROM ecc),\n"
+    "ect AS (SELECT DISTINCT t FROM ecc),\n"
+    "ecg AS MATERIALIZED (SELECT t.t, h.h, COALESCE(c.c, 0)::BIGINT AS c "
+    "FROM ech h CROSS JOIN ect t LEFT JOIN ecc c ON c.t = t.t AND c.h = h.h),\n"
+    "ecm AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*)::BIGINT AS n_hours, "
+    "SUM(a.c)::HUGEINT AS sx, SUM(b.c)::HUGEINT AS sy, "
+    "SUM(a.c::HUGEINT * a.c) AS sxx, SUM(b.c::HUGEINT * b.c) AS syy, "
+    "SUM(a.c::HUGEINT * b.c) AS sxy "
+    "FROM ecg a JOIN ecg b ON a.h = b.h AND a.t < b.t GROUP BY 1, 2)\n"
+    "SELECT type_a, type_b, n_hours, "
+    "CASE WHEN n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0 THEN "
+    "CAST(ROUND((n_hours * sxy - sx * sy)::DOUBLE "
+    "/ sqrt((n_hours * sxx - sx * sx)::DOUBLE * (n_hours * syy - sy * sy)::DOUBLE) "
+    "* 1000000.0) AS BIGINT) END AS r_micro FROM ecm"
+)
+
+
+_SESSION_COLIFT_SQL = (
+    # twin of session_colift: identical integer-microsecond gap
+    # sessions, distinct per-session item sets, all-integer lift
+    "WITH sle AS (SELECT user_id, epoch_us(ts) AS m, event_type AS t FROM events),\n"
+    "slb AS (SELECT user_id, m, t, CASE WHEN LAG(m) OVER "
+    "(PARTITION BY user_id ORDER BY m) IS NULL OR "
+    "m - LAG(m) OVER (PARTITION BY user_id ORDER BY m) >= 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM sle),\n"
+    "sls AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY m ROWS UNBOUNDED PRECEDING) AS sess FROM slb),\n"
+    "sli AS MATERIALIZED (SELECT DISTINCT user_id, sess, t FROM sls),\n"
+    "sln AS (SELECT COUNT(*)::BIGINT AS n FROM "
+    "(SELECT DISTINCT user_id, sess FROM sli)),\n"
+    "slc AS (SELECT t, COUNT(*)::BIGINT AS c FROM sli GROUP BY t),\n"
+    "slp AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*)::BIGINT AS c_ab "
+    "FROM sli a JOIN sli b ON a.user_id = b.user_id AND a.sess = b.sess "
+    "AND a.t < b.t GROUP BY 1, 2)\n"
+    "SELECT p.type_a, p.type_b, ca.c AS c_a, cb.c AS c_b, p.c_ab, "
+    "((1000000 * n.n * p.c_ab) // (ca.c * cb.c))::BIGINT AS lift_micro "
+    "FROM slp p JOIN slc ca ON p.type_a = ca.t "
+    "JOIN slc cb ON p.type_b = cb.t CROSS JOIN sln n"
+)

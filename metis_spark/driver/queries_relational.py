@@ -965,3 +965,191 @@ def _q_benford_audit(spark, sf_dir):
         per.crossJoin(F.broadcast(tot))
         .select("digit", "n_obs", "exp_micro", "chi2_micro", "chi2_total_micro")
     )
+
+
+TPCH_Q3_DATE = "1998-06-01"  # mid-range cut, shared by engine and twin
+TPCH_Q3_K = 10
+
+
+def _q_tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority revenue top-k): the canonical
+    3-way selective join — σ(customer) ⨝ σ(orders) ⨝ σ(lineitem) →
+    per-order revenue → top-k. THE multi-join benchmark pattern:
+    Catalyst pushes all three filters to the scans, broadcast-joins
+    the filtered customer side, and the top-k is a
+    TakeOrderedAndProject — no global sort.
+
+    Exactness: revenue quantizes per ROW to integer cents
+    (ROUND(price·(1−disc)·100)) before the per-order sum, so the
+    aggregate is order-free exact; ranking ties break on l_orderkey.
+
+    Scale shape: the date/segment filters reach the parquet scans
+    (PushedFilters), customer is the broadcast side, the groupBy
+    partial-aggregates map-side, top-k never materializes a sort."""
+    d = F.lit(TPCH_Q3_DATE).cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > d)
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100)
+            ).cast("long").alias("rev_cents"),
+        )
+    )
+    agg = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_cents").cast("long").alias("revenue_cents"))
+    )
+    order = [F.desc("revenue_cents"), F.asc("l_orderkey")]
+    top = agg.orderBy(*order).limit(TPCH_Q3_K)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "l_orderkey",
+        F.unix_timestamp("o_orderdate").cast("long").alias("odate_epoch"),
+        "o_orderpriority",
+        "revenue_cents",
+        "rank",
+    )
+
+
+def _q_event_type_correlation(spark, sf_dir):
+    """Pearson correlation of hourly activity between event types →
+    (type_a, type_b, n_hours, r_micro): which metric streams move
+    together — the co-incident-load / shared-driver screen behind
+    alert dedup and capacity modelling. The hour×type grid is
+    COMPLETED (absent cells are true zeros, not missing rows) — the
+    classic correlation-of-counts pitfall.
+
+    Exactness: with x, y integer hourly counts, r's numerator
+    H·Σxy − Σx·Σy and both variance terms are exact integers
+    (decimal(38,0)/HUGEINT); one double division + sqrt, micro-
+    rounded. Degenerate (constant) series report NULL.
+
+    Scale shape: one map-side-combined (type, hour) count, the grid
+    completion crossJoins the (calendar-bounded) hour list against the
+    (vocabulary-bounded) type list, and the pair join runs on hour
+    with T² fan-out — T = #types, not data-sized."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long").alias("h"),
+    )
+    counts = ev.groupBy("t", "h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hours = counts.select("h").distinct()
+    types = counts.select("t").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["t", "h"], "left")
+        .select("t", "h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    a = grid.select(F.col("t").alias("type_a"), "h", F.col("c").alias("x"))
+    b = grid.select(F.col("t").alias("type_b"), "h", F.col("c").alias("y"))
+    dec = "decimal(38,0)"
+    mom = (
+        a.join(b, "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast(dec).alias("sx"),
+            F.sum("y").cast(dec).alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("r_micro"),
+    )
+
+
+def _q_session_colift(spark, sf_dir):
+    """Market-basket lift between event types over gap sessions →
+    (type_a, type_b, c_a, c_b, c_ab, lift_micro): within the same
+    30-min session definition session_windows pins, how much more
+    often do two event types co-occur than independence predicts —
+    the association screen behind funnel design and bundle/abuse
+    detection (lift ≫ 1 = coupled behaviours, ≪ 1 = substitutes).
+
+    Exactness: lift = N·c_ab/(c_a·c_b) on exact integer session
+    counts, micro-quantized by integer division — no floats at all.
+
+    Scale shape: session ids via the per-user gap window; per-session
+    distinct-type item sets partial-aggregate map-side; the pair join
+    fans out per session by its own type count (vocabulary-bounded),
+    and the final table is T² rows."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", us.alias("m"), F.col("event_type").alias("t")
+    )
+    wu = Window.partitionBy("user_id").orderBy("m")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sess = ev.select(
+        "user_id", "t",
+        F.sum(
+            F.when(
+                F.lag("m").over(wu).isNull()
+                | (F.col("m") - F.lag("m").over(wu) >= F.lit(gap_us)),
+                1,
+            ).otherwise(0)
+        ).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sess"),
+    )
+    items = sess.select("user_id", "sess", "t").distinct()
+    n_sess = items.select("user_id", "sess").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    singles = items.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = items.select("user_id", "sess", F.col("t").alias("type_a"))
+    b = items.select("user_id", "sess", F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sess"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("t").alias("type_a"), F.col("c").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("t").alias("type_b"), F.col("c").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            F.expr("(1000000 * n * c_ab) div (c_a * c_b)").cast("long").alias("lift_micro"),
+        )
+    )
