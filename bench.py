@@ -271,6 +271,8 @@ def main() -> None:
         "tpch_q3_topk",
         "event_type_correlation",
         "session_colift",
+        "randic_index",
+        "degree_powerlaw_fit",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -988,3 +988,18 @@ EDH_MOD = 8  # cosine-histogram vertex sample: two disjoint 1/8 slices
 HUBNESS_MOD = 8  # hubness slice: one 1/8 residue class (cos-histogram discipline)
 HUBNESS_K = 5  # neighbour-list size for the k-occurrence counts
 BURROWS_F = 30  # Burrows' Delta feature count (top-F corpus tokens)
+
+# Riondato–Kornaropoulos sample-size planner grid: (ε, δ) with the
+# c/ε² factor and ln(1/δ) Python-computed to integer micro LITERALS
+# shared by both engines (the Benford discipline — no query-time
+# transcendentals). c = 0.5, the universal VC constant.
+BETW_PLAN_GRID = [
+    (
+        int(round(eps * 1e6)),
+        int(round(delta * 1e6)),
+        int(round(0.5 / (eps * eps) * 1e6)),
+        int(round(__import__("math").log(1.0 / delta) * 1e6)),
+    )
+    for eps in (0.05, 0.1)
+    for delta in (0.1, 0.01)
+]

@@ -5947,3 +5947,56 @@ _SESSION_COLIFT_SQL = (
     "FROM slp p JOIN slc ca ON p.type_a = ca.t "
     "JOIN slc cb ON p.type_b = cb.t CROSS JOIN sln n"
 )
+
+
+_RANDIC_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "rdg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "rdt AS (SELECT CAST(ROUND(1000000.0 / sqrt(a.deg::DOUBLE * b.deg::DOUBLE)) "
+    "AS BIGINT) AS tm FROM und u JOIN rdg a ON u.src = a.id "
+    "JOIN rdg b ON u.dst = b.id WHERE u.src < u.dst),\n"
+    "rds AS (SELECT COUNT(*)::BIGINT AS n_edges, SUM(tm)::BIGINT AS randic_micro FROM rdt)\n"
+    "SELECT (SELECT COUNT(*)::BIGINT FROM rdg) AS n_vertices, n_edges, randic_micro, "
+    "(randic_micro // n_edges)::BIGINT AS norm_ratio_micro FROM rds"
+)
+
+
+_POWERLAW_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "pldeg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "plh AS (SELECT deg, COUNT(*)::BIGINT AS c FROM pldeg GROUP BY deg),\n"
+    "plb AS (SELECT SUM(c)::BIGINT AS n, MIN(deg)::BIGINT AS d_min, "
+    "MAX(deg)::BIGINT AS d_max FROM plh),\n"
+    "plt AS (SELECT b.n, b.d_min, b.d_max, "
+    "SUM(h.c * CAST(ROUND(ln((2.0 * h.deg) / (2.0 * b.d_min - 1.0)) "
+    "* 1000000.0) AS BIGINT))::BIGINT AS sml, "
+    "SUM(h.c * CAST(ROUND(ln(h.c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS shl "
+    "FROM plh h CROSS JOIN plb b GROUP BY b.n, b.d_min, b.d_max)\n"
+    "SELECT n AS n_vertices, d_min, d_max, "
+    "CASE WHEN sml > 0 THEN 1000000 + "
+    "((1000000000000::HUGEINT * n) // sml)::BIGINT END AS alpha_micro, "
+    "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
+    "AS entropy_micro FROM plt"
+)
+
+
+def _betw_plan_sql(grid: list, n_sources: int) -> str:
+    """Twin of betweenness_sample_plan: the _diameter_sql chain feeds
+    VD; the (ε, δ) grid and its transcendental factors are the same
+    Python micro-literals; ⌊log₂⌋ via binary-string length; ceiling by
+    exact integer division."""
+    base = _diameter_sql()
+    vals = ", ".join(f"({e}, {d}, {a}, {l})" for e, d, a, l in grid)
+    return (
+        f"WITH bpbase AS MATERIALIZED ({base}),\n"
+        f"bpgrid(eps_micro, delta_micro, a_micro, lnd_micro) AS (VALUES {vals}),\n"
+        "bpvd AS (SELECT (diameter_lb + 1)::BIGINT AS vd FROM bpbase),\n"
+        "bpf AS (SELECT vd, CASE WHEN vd > 2 THEN length(bin(vd - 2)) - 1 "
+        "ELSE 0 END::BIGINT AS floor_log2 FROM bpvd)\n"
+        "SELECT g.eps_micro::BIGINT AS eps_micro, g.delta_micro::BIGINT AS delta_micro, "
+        "f.vd, f.floor_log2, "
+        "((g.a_micro::HUGEINT * ((f.floor_log2 + 1) * 1000000 + g.lnd_micro) "
+        "+ 999999999999) // 1000000000000)::BIGINT AS sample_size, "
+        f"{n_sources}::BIGINT AS current_sources "
+        "FROM bpgrid g CROSS JOIN bpf f"
+    )

@@ -1220,3 +1220,50 @@ def _q_dag_width_profile(spark, sf_dir):
     return dag_width_profile(
         condensation_levels(edges, labels, max_rounds=DAG_ROUNDS)
     )
+
+def _q_betweenness_sample_plan(spark, sf_dir):
+    """Riondato–Kornaropoulos betweenness sample-size planner → one
+    row per (ε, δ): r = ⌈(c/ε²)(⌊log₂(VD−2)⌋ + 1 + ln(1/δ))⌉ with the
+    vertex-diameter VD = double-sweep bound + 1 — the THEORY column
+    next to betweenness_approx's N_BETW_SOURCES practice: how many
+    source BFS trees buy (ε, δ)-approximation of EVERY vertex's
+    betweenness (VC dimension of shortest-path ranges, SDM'16).
+    ⌊log₂⌋ is computed exactly from the binary-string length and the
+    transcendental factors are Python micro-literals, so the ceiling
+    is one exact integer expression.
+
+    Scale: the double sweep is two BFS runs on the verified
+    shortest_hops spine; the planner grid is 4 literal rows."""
+    from metis_spark.driver.common import BETW_PLAN_GRID
+    from metis_spark.plans.sssp import diameter_double_sweep
+
+    out, info = diameter_double_sweep(
+        derived_edges_sparse(spark, sf_dir),
+        checkpoint_dir=_tmpdir("metis_qbetwplan_"),
+    )
+    assert info["converged"], info
+    vd = out.select((F.col("diameter_lb") + 1).cast("long").alias("vd"))
+    grid = out.sparkSession.createDataFrame(
+        BETW_PLAN_GRID, "eps_micro long, delta_micro long, a_micro long, lnd_micro long"
+    )
+    # floor(log2(vd-2)) = len(bin(vd-2)) - 1 exactly; vd <= 2 -> 0
+    flog = F.when(
+        F.col("vd") > 2,
+        F.length(F.conv((F.col("vd") - 2).cast("string"), 10, 2)) - 1,
+    ).otherwise(0).cast("long")
+    return (
+        grid.crossJoin(F.broadcast(vd))
+        .select(
+            "eps_micro", "delta_micro", "vd",
+            flog.alias("floor_log2"),
+            "a_micro", "lnd_micro",
+        )
+        .select(
+            "eps_micro", "delta_micro", "vd", "floor_log2",
+            F.expr(
+                "(a_micro * ((floor_log2 + 1) * 1000000 + lnd_micro) "
+                "+ 999999999999) div 1000000000000"
+            ).cast("long").alias("sample_size"),
+            F.lit(N_BETW_SOURCES).cast("long").alias("current_sources"),
+        )
+    )

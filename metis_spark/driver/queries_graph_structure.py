@@ -1808,3 +1808,19 @@ def _q_core_strength(spark, sf_dir):
     )
     assert info["converged"], info
     return core_strength(edges, cores)
+
+def _q_randic_index(spark, sf_dir):
+    """Randić connectivity index / GCN normalized-mass ratio
+    (plans/metrics.py:randic_index) — per-edge 1/sqrt(d_u d_v)
+    micro-quantized before the exact integer sum."""
+    from metis_spark.plans.metrics import randic_index
+
+    return randic_index(derived_edges_sparse(spark, sf_dir))
+
+def _q_degree_powerlaw_fit(spark, sf_dir):
+    """Clauset-Shalizi-Newman continuous-MLE power-law exponent +
+    degree-histogram entropy (plans/metrics.py:degree_powerlaw_fit) —
+    the tail-heaviness dial behind salting decisions."""
+    from metis_spark.plans.metrics import degree_powerlaw_fit
+
+    return degree_powerlaw_fit(derived_edges_sparse(spark, sf_dir))

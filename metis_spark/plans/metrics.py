@@ -2856,3 +2856,125 @@ def knn_degree_correlation(edges: DataFrame) -> DataFrame:
             .alias("knn_micro"),
         )
     )
+
+
+def randic_index(edges: DataFrame) -> DataFrame:
+    """Randić connectivity index → one row (n_vertices, n_edges,
+    randic_micro, norm_ratio_micro): R = Σ_{(u,v)∈E} 1/√(d_u·d_v) over
+    the undirected simple graph (Randić JACS 1975). R is exactly the
+    total entry mass of the GCN-style symmetric-normalized adjacency
+    D^{-1/2}AD^{-1/2} — so norm_ratio = R/m says how much signal a
+    mean-aggregating graph conv keeps relative to an unnormalized sum
+    (1 for a regular graph, → 0 under extreme hub skew: the SAME skew
+    degree_gini dials for salting shows up here as feature-wash).
+    R ≤ n/2 always, with equality iff every component is regular.
+
+    Exactness: each edge term 1/√(d_u·d_v) is one double of two exact
+    integer degrees, micro-quantized BEFORE the sum, so the fold is an
+    exact integer sum; the ratio is one integer division.
+
+    Scale shape: one degree groupBy + two shuffle-hash degree
+    annotations + a scalar agg — a triangle-count-lite pass."""
+    und = _und(edges)
+    deg = _und_degrees(und)
+    canon = und.where(F.col("src") < F.col("dst"))
+    terms = (
+        canon.join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("da")).hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("db")).hint("shuffle_hash"),
+            "dst",
+        )
+        .select(
+            F.round(
+                F.lit(1e6)
+                / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double"))
+            ).cast("long").alias("tm")
+        )
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("tm").cast("long").alias("randic_micro"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "randic_micro",
+            F.expr("randic_micro div n_edges").cast("long").alias("norm_ratio_micro"),
+        )
+    )
+
+
+def degree_powerlaw_fit(edges: DataFrame) -> DataFrame:
+    """Degree-distribution shape card → one row (n_vertices, d_min,
+    d_max, alpha_micro, entropy_micro): the continuous-MLE power-law
+    exponent α = 1 + n/Σᵢ ln(dᵢ/(d_min − ½)) (Clauset–Shalizi–Newman
+    SIAM Rev 2009) plus the Shannon entropy of the degree histogram —
+    together the "how heavy is the tail really" dial that decides
+    whether hub salting and AQE skew handling are mandatory (α ≤ 2.5,
+    low entropy = a few hubs own the graph) or cosmetic. Complements
+    degree_gini (inequality) and spectral_radius_bounds (λ₁ ≥ √d_max).
+
+    Exactness: the MLE folds over DISTINCT degrees — per degree class
+    ln(2k/(2·d_min−1)) is micro-quantized once and multiplied by the
+    exact class count, so the sum is an exact integer regardless of
+    row order; entropy uses H = ln n − (Σ c_k·ln c_k)/n with the same
+    per-class quantization. Final divisions are integer div.
+
+    Scale shape: one degree groupBy to the histogram (≤ max-degree
+    rows), everything after is histogram-sized."""
+    und = _und(edges)
+    deg = _und_degrees(und)
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    base = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.min("deg").cast("long").alias("d_min"),
+        F.max("deg").cast("long").alias("d_max"),
+    )
+    # per-class micro terms: c·ROUND(1e6·ln(2k/(2·d_min−1))) and
+    # c·ROUND(1e6·ln c) — exact integer sums
+    terms = hist.crossJoin(F.broadcast(base)).select(
+        "n", "d_min", "d_max",
+        (
+            F.col("c")
+            * F.round(
+                F.log(
+                    (F.lit(2.0) * F.col("deg").cast("double"))
+                    / (F.lit(2.0) * F.col("d_min").cast("double") - F.lit(1.0))
+                )
+                * F.lit(1e6)
+            ).cast("long")
+        ).alias("ml"),
+        (
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+        ).alias("hl"),
+    )
+    return (
+        terms.groupBy("n", "d_min", "d_max")
+        .agg(
+            F.sum("ml").cast("long").alias("sml"),
+            F.sum("hl").cast("long").alias("shl"),
+        )
+        .select(
+            F.col("n").alias("n_vertices"),
+            "d_min",
+            "d_max",
+            F.when(
+                F.col("sml") > 0,
+                F.lit(1_000_000)
+                + F.expr(
+                    "(cast(1000000000000 as decimal(38,0)) * n) div sml"
+                ).cast("long"),
+            ).cast("long").alias("alpha_micro"),
+            (
+                F.round(F.log(F.col("n").cast("double")) * F.lit(1e6)).cast("long")
+                - F.expr("shl div n")
+            ).cast("long").alias("entropy_micro"),
+        )
+    )
