@@ -273,6 +273,9 @@ def main() -> None:
         "session_colift",
         "randic_index",
         "degree_powerlaw_fit",
+        "markov_next_accuracy",
+        "l_diversity_audit",
+        "triangle_delta_insert",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -1003,3 +1003,4 @@ BETW_PLAN_GRID = [
     for eps in (0.05, 0.1)
     for delta in (0.1, 0.01)
 ]
+TRI_INS_MOD = 7  # triangle-maintenance pseudo-insert batch selector

@@ -6000,3 +6000,58 @@ def _betw_plan_sql(grid: list, n_sources: int) -> str:
         f"{n_sources}::BIGINT AS current_sources "
         "FROM bpgrid g CROSS JOIN bpf f"
     )
+
+
+_MARKOV_ACC_SQL = (
+    # twin of markov_next_accuracy on the event_transitions pair window
+    "WITH map_ AS (SELECT prev_type, next_type, COUNT(*)::BIGINT AS n FROM "
+    "(SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_type, event_type AS next_type FROM events) "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2),\n"
+    "mapred AS (SELECT prev_type, next_type AS pred_type, n AS c_pred FROM "
+    "(SELECT prev_type, next_type, n, ROW_NUMBER() OVER (PARTITION BY prev_type "
+    "ORDER BY n DESC, next_type ASC) AS rn FROM map_) WHERE rn = 1),\n"
+    "matot AS (SELECT prev_type, SUM(n)::BIGINT AS c_total FROM map_ GROUP BY 1),\n"
+    "maper AS (SELECT p.prev_type, p.pred_type, p.c_pred, t.c_total "
+    "FROM mapred p JOIN matot t ON p.prev_type = t.prev_type),\n"
+    "maacc AS (SELECT ((1000000 * SUM(c_pred)) // SUM(c_total))::BIGINT "
+    "AS accuracy_micro FROM maper)\n"
+    "SELECT m.prev_type, m.pred_type, m.c_pred, m.c_total, "
+    "((1000000 * m.c_pred) // m.c_total)::BIGINT AS hit_rate_micro, "
+    "a.accuracy_micro FROM maper m CROSS JOIN maacc a"
+)
+
+
+_L_DIVERSITY_SQL = (
+    # twin of l_diversity_audit: distinct-secret counts per
+    # (event_type, hour-of-day) class, 3-row threshold explode
+    "WITH ldc AS (SELECT event_type, hour(ts)::BIGINT AS hod, "
+    "COUNT(*)::BIGINT AS class_rows, "
+    "COUNT(DISTINCT user_id)::BIGINT AS n_secrets "
+    "FROM events GROUP BY 1, 2),\n"
+    "ldl(l_threshold) AS (VALUES (2), (5), (10))\n"
+    "SELECT l_threshold::BIGINT AS l_threshold, COUNT(*)::BIGINT AS n_classes, "
+    "SUM(CASE WHEN n_secrets < l_threshold THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_classes_below_l, "
+    "SUM(CASE WHEN n_secrets < l_threshold THEN class_rows ELSE 0 END)::BIGINT "
+    "AS n_rows_at_risk "
+    "FROM ldc CROSS JOIN ldl GROUP BY l_threshold"
+)
+
+
+def _triangle_delta_sql(mod: int) -> str:
+    """Twin of triangle_delta_insert: the same canonical slice plays
+    the inserts; delta = common-neighbour count in the base graph."""
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+        "tdc AS (SELECT src, dst FROM und WHERE src < dst),\n"
+        f"tdi AS MATERIALIZED (SELECT src, dst FROM tdc WHERE (src * 31 + dst) % {mod} = 0),\n"
+        f"tdbc AS (SELECT src, dst FROM tdc WHERE (src * 31 + dst) % {mod} <> 0),\n"
+        "tdb AS MATERIALIZED (SELECT src, dst FROM tdbc "
+        "UNION ALL SELECT dst AS src, src AS dst FROM tdbc),\n"
+        "tdd AS (SELECT i.src, i.dst, COUNT(*)::BIGINT AS delta FROM tdi i "
+        "JOIN tdb a ON a.src = i.src JOIN tdb b ON b.src = i.dst AND b.dst = a.dst "
+        "GROUP BY i.src, i.dst)\n"
+        "SELECT i.src, i.dst, COALESCE(d.delta, 0)::BIGINT AS delta "
+        "FROM tdi i LEFT JOIN tdd d ON i.src = d.src AND i.dst = d.dst"
+    )

@@ -1824,3 +1824,28 @@ def _q_degree_powerlaw_fit(spark, sf_dir):
     from metis_spark.plans.metrics import degree_powerlaw_fit
 
     return degree_powerlaw_fit(derived_edges_sparse(spark, sf_dir))
+
+def _q_triangle_delta_insert(spark, sf_dir):
+    """Incremental triangle maintenance (plans/triangles.py:
+    triangle_delta_on_insert): a deterministic 1/TRI_INS_MOD slice of
+    the canonical edges plays the insert batch; each edge's delta is
+    its common-neighbour count in the remaining base graph."""
+    from metis_spark.driver.common import TRI_INS_MOD
+    from metis_spark.plans.triangles import triangle_delta_on_insert
+
+    e0 = derived_edges_sparse(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    canon = und.where(F.col("src") < F.col("dst"))
+    sel = (F.col("src") * 31 + F.col("dst")) % TRI_INS_MOD == 0
+    inserts = canon.where(sel)
+    base_canon = canon.where(~sel)
+    base_und = base_canon.unionByName(
+        base_canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return triangle_delta_on_insert(base_und, inserts)

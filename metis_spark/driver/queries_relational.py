@@ -1153,3 +1153,93 @@ def _q_session_colift(spark, sf_dir):
             F.expr("(1000000 * n * c_ab) div (c_a * c_b)").cast("long").alias("lift_micro"),
         )
     )
+
+
+def _q_markov_next_accuracy(spark, sf_dir):
+    """Markov next-event baseline accuracy → (prev_type, pred_type,
+    c_pred, c_total, hit_rate, accuracy_micro): predict each next
+    event as the argmax of the first-order transition row
+    (event_transitions' matrix turned into a CLASSIFIER) and score it
+    on the same sequences — the floor any sequence model must beat,
+    and per-row the "how predictable is behaviour after X" detail.
+    In-sample by construction (the majority-class baseline is
+    evaluated on its own training data — the standard baseline
+    convention; a held-out variant splits by user hash).
+
+    Exactness: all counts integers off the same per-user LAG window;
+    argmax tie-breaks on the smaller type; accuracy is one integer
+    division.
+
+    Scale shape: the transition matrix is T² rows — every join after
+    the pair count is broadcast-sized; the argmax window runs over T
+    rows per prev_type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wr = Window.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    pred = (
+        cnt.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("pred_type"), F.col("n").alias("c_pred"))
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").cast("long").alias("c_total"))
+    per = pred.join(F.broadcast(tot), "prev_type")
+    acc = per.agg(
+        F.expr("(1000000 * sum(c_pred)) div sum(c_total)").cast("long").alias("accuracy_micro")
+    )
+    return per.crossJoin(F.broadcast(acc)).select(
+        "prev_type",
+        "pred_type",
+        "c_pred",
+        "c_total",
+        F.expr("(1000000 * c_pred) div c_total").cast("long").alias("hit_rate_micro"),
+        "accuracy_micro",
+    )
+
+
+def _q_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit of the event stream → per l ∈ {2,5,10}:
+    (l_threshold, n_classes, n_classes_below_l, n_rows_at_risk). The
+    quasi-identifier is (event_type, hour-of-day); the sensitive
+    attribute is user_id — a class whose rows all belong to < l
+    distinct users lets an observer who knows "a purchase happened in
+    hour H" pin the user even after k-anonymity passes (k counts ROWS,
+    l counts distinct SECRETS — the Machanavajjhala et al. refinement;
+    the release-gate sibling of k_anonymity_audit / pii_scrub).
+
+    All integers: one groupBy to (class, distinct-user) counts, the
+    3-row threshold explode runs against the class table, never the
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hod"),
+            "user_id",
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_secrets"),
+        )
+    )
+    ls = spark.createDataFrame([(2,), (5,), (10,)], "l_threshold long")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l_threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("n_secrets") < F.col("l_threshold")).cast("long"))
+            .cast("long").alias("n_classes_below_l"),
+            F.sum(
+                F.when(F.col("n_secrets") < F.col("l_threshold"), F.col("class_rows"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_rows_at_risk"),
+        )
+    )

@@ -331,3 +331,37 @@ def doulion_triangle_estimate(
         ],
         "n_und_edges long, n_sampled long, sampled_triangles long, triangle_estimate long",
     )
+
+
+def triangle_delta_on_insert(base_und: DataFrame, inserts: DataFrame) -> DataFrame:
+    """Per-edge triangle delta for a batch of inserted edges →
+    (src, dst, delta): for each inserted canonical pair (a < b), the
+    number of triangles it closes against the BASE graph —
+    |N_base(a) ∩ N_base(b)|, the O(d_a + d_b) primitive every
+    streaming-triangle maintainer (and the incremental twin of
+    trussness support) is built from. Deltas are measured edge-by-edge
+    against the base alone (the sequential-application contract:
+    new-new wedges count when the earlier insert has already been
+    folded into the base — fold and re-call per batch round).
+
+    Scale shape: two shuffle-hash joins of the insert batch against
+    the base adjacency (the exact intersection-by-join triangle shape,
+    restricted to the batch), one map-side-combined count; zero-delta
+    inserts are kept via the left join."""
+    ins = inserts.select("src", "dst")
+    n1 = base_und.select(F.col("src").alias("a_id"), F.col("dst").alias("x"))
+    n2 = base_und.select(F.col("src").alias("b_id"), F.col("dst").alias("y"))
+    closed = (
+        ins.join(
+            n1.hint("shuffle_hash"), ins.src == n1.a_id
+        )
+        .join(
+            n2.hint("shuffle_hash"),
+            (F.col("dst") == F.col("b_id")) & (F.col("x") == F.col("y")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("delta"))
+    )
+    return ins.join(closed, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("delta", F.lit(0)).cast("long").alias("delta")
+    )
