@@ -276,6 +276,9 @@ def main() -> None:
         "markov_next_accuracy",
         "l_diversity_audit",
         "triangle_delta_insert",
+        "intrinsic_dimension",
+        "conversion_time_stats",
+        "dp_noise_plan",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

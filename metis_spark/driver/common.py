@@ -1004,3 +1004,14 @@ BETW_PLAN_GRID = [
     for delta in (0.1, 0.01)
 ]
 TRI_INS_MOD = 7  # triangle-maintenance pseudo-insert batch selector
+
+# DP-release noise planner grid: (ε, Laplace scale b = 1/ε, p95 |noise|
+# = b·ln 20) as Python-computed micro literals (Benford discipline)
+DP_PLAN_GRID = [
+    (
+        int(round(eps * 1e6)),
+        int(round(1e6 / eps)),
+        int(round(__import__("math").log(20.0) * 1e6 / eps)),
+    )
+    for eps in (0.1, 1.0)
+]

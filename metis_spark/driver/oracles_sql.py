@@ -6055,3 +6055,63 @@ def _triangle_delta_sql(mod: int) -> str:
         "SELECT i.src, i.dst, COALESCE(d.delta, 0)::BIGINT AS delta "
         "FROM tdi i LEFT JOIN tdd d ON i.src = d.src AND i.dst = d.dst"
     )
+
+
+def _intrinsic_dim_sql(mod: int, scale: int = 1000) -> str:
+    """Twin of intrinsic_dimension: exact integer squared distances,
+    per-point ln-ratio micro-quantized before the sum."""
+    return (
+        f"WITH idp AS MATERIALIZED (SELECT vec_id AS id, "
+        f"list_transform(embedding, x -> floor(x::DOUBLE * {scale}.0)::BIGINT) AS q "
+        f"FROM embeddings WHERE vec_id % {mod} = 0),\n"
+        "idd AS (SELECT a.id AS ia, b.id AS ib, "
+        "list_sum(list_transform(range(1, len(a.q) + 1), "
+        "i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2 "
+        "FROM idp a CROSS JOIN idp b WHERE a.id <> b.id),\n"
+        "idr AS (SELECT ia, d2, rn FROM (SELECT ia, d2, ROW_NUMBER() OVER "
+        "(PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS rn FROM idd WHERE d2 > 0) "
+        "WHERE rn <= 2),\n"
+        "idt AS (SELECT ia, COUNT(*)::BIGINT AS k, "
+        "MIN(CASE WHEN rn = 1 THEN d2 END) AS d1sq, "
+        "MIN(CASE WHEN rn = 2 THEN d2 END) AS d2sq FROM idr GROUP BY ia),\n"
+        "idl AS (SELECT CAST(ROUND((ln(d2sq::DOUBLE) - ln(d1sq::DOUBLE)) / 2.0 "
+        "* 1000000.0) AS BIGINT) AS lnmu FROM idt WHERE k = 2),\n"
+        "ids AS (SELECT COUNT(*)::BIGINT AS n_used, SUM(lnmu)::BIGINT AS slm FROM idl)\n"
+        "SELECT (SELECT COUNT(*)::BIGINT FROM idp) AS n_slice, n_used, "
+        "CASE WHEN slm > 0 THEN ((1000000000000::HUGEINT * n_used) // slm)::BIGINT END "
+        "AS id_micro FROM ids"
+    )
+
+
+_CONVERSION_TIME_SQL = (
+    "WITH cte AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es "
+    "FROM events),\n"
+    "ctc AS (SELECT user_id, MIN(es) AS t_click FROM cte "
+    "WHERE event_type = 'click' GROUP BY 1),\n"
+    "ctg AS (SELECT p.user_id, (MIN(p.es) - MAX(c.t_click))::BIGINT AS gap_s "
+    "FROM cte p JOIN ctc c ON p.user_id = c.user_id "
+    "AND p.event_type = 'purchase' AND p.es > c.t_click GROUP BY p.user_id)\n"
+    "SELECT COUNT(*)::BIGINT AS n_converted, "
+    "ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_s, "
+    "ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_s, "
+    "CASE WHEN COUNT(*) > 0 THEN ((1000000 * SUM(gap_s)) // COUNT(*))::BIGINT END "
+    "AS mean_s_micro FROM ctg"
+)
+
+
+def _dp_plan_sql(grid: list) -> str:
+    """Twin of dp_noise_plan on the k-anonymity class histogram with
+    the same Python micro-literal (ε, b, p95) grid."""
+    vals = ", ".join(f"({e}, {s}, {p})" for e, s, p in grid)
+    return (
+        "WITH dpc AS (SELECT lang, source, n_chars // 500 AS len_bucket, "
+        "COUNT(*)::BIGINT AS class_size FROM documents GROUP BY 1, 2, 3),\n"
+        f"dpg(eps_micro, scale_micro, p95_noise_micro) AS (VALUES {vals})\n"
+        "SELECT eps_micro::BIGINT AS eps_micro, scale_micro::BIGINT AS scale_micro, "
+        "p95_noise_micro::BIGINT AS p95_noise_micro, COUNT(*)::BIGINT AS n_classes, "
+        "SUM(CASE WHEN class_size * 1000000 < p95_noise_micro THEN 1 ELSE 0 END)::BIGINT "
+        "AS n_classes_drowned, "
+        "SUM(CASE WHEN class_size * 1000000 < p95_noise_micro THEN class_size ELSE 0 END)::BIGINT "
+        "AS rows_in_drowned "
+        "FROM dpc CROSS JOIN dpg GROUP BY 1, 2, 3"
+    )

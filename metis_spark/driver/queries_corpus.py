@@ -837,3 +837,46 @@ def _q_burrows_delta(spark, sf_dir):
     from metis_spark.driver.common import BURROWS_F
 
     return CS.burrows_delta(_t(spark, sf_dir, "documents"), n_features=BURROWS_F)
+
+def _q_dp_noise_plan(spark, sf_dir):
+    """ε-DP release planner for the k-anonymity class histogram → one
+    row per ε: (eps_micro, scale_micro, p95_noise_micro, n_classes,
+    n_classes_drowned, rows_in_drowned). Laplace(1/ε) noise on
+    sensitivity-1 class counts: a class whose true count is below the
+    p95 noise magnitude b·ln20 publishes mostly noise — so the
+    planner says, per ε, how much of the (lang, source, length-bucket)
+    histogram the privacy budget actually destroys (the quantitative
+    sequel to k_anonymity_audit / l_diversity_audit: suppress, or
+    spend more ε). All factors are Python micro-literals; the class
+    scan is the same histogram-sized groupBy."""
+    from metis_spark.driver.common import DP_PLAN_GRID
+
+    docs = _t(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "lang", "source",
+            F.expr("n_chars div 500").cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    grid = spark.createDataFrame(
+        DP_PLAN_GRID, "eps_micro long, scale_micro long, p95_noise_micro long"
+    )
+    return (
+        classes.crossJoin(F.broadcast(grid))
+        .groupBy("eps_micro", "scale_micro", "p95_noise_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(
+                (F.col("class_size") * F.lit(1_000_000) < F.col("p95_noise_micro"))
+                .cast("long")
+            ).cast("long").alias("n_classes_drowned"),
+            F.sum(
+                F.when(
+                    F.col("class_size") * F.lit(1_000_000) < F.col("p95_noise_micro"),
+                    F.col("class_size"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("rows_in_drowned"),
+        )
+    )

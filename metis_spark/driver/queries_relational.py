@@ -1243,3 +1243,49 @@ def _q_l_diversity_audit(spark, sf_dir):
             ).cast("long").alias("n_rows_at_risk"),
         )
     )
+
+
+def _q_conversion_time_stats(spark, sf_dir):
+    """Click→purchase conversion-time card → one row (n_converted,
+    p50_s, p90_s, mean_s): per user, the gap between the FIRST click
+    and the first purchase strictly after it — the time-to-convert
+    distribution behind attribution windows and session-timeout
+    choices (a p90 beyond the session gap says the funnel crosses
+    sessions and per-session attribution undercounts).
+
+    Exactness: gaps are exact integer seconds (floor-epoch
+    difference); Spark `percentile` and DuckDB `quantile_cont` share
+    the interpolated definition on the same integers; the mean is an
+    integer-division micro value.
+
+    Scale shape: two per-user min-aggregates (map-side combined), one
+    broadcast-size join, one scalar agg — no windows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_click"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "es")
+    conv = (
+        purch.join(first_click.hint("shuffle_hash"), "user_id")
+        .where(F.col("es") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg((F.min("es") - F.max("t_click")).cast("long").alias("gap_s"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_s"),
+        F.sum("gap_s").cast("long").alias("sum_s"),
+    ).select(
+        "n_converted",
+        "p50_s",
+        "p90_s",
+        F.when(
+            F.col("n_converted") > 0,
+            F.expr("(1000000 * sum_s) div n_converted"),
+        ).cast("long").alias("mean_s_micro"),
+    )

@@ -452,3 +452,12 @@ def _q_ann_hubness(spark, sf_dir):
     return SIM.knn_hubness(
         _t(spark, sf_dir, "embeddings"), mod=HUBNESS_MOD, k=HUBNESS_K
     )
+
+def _q_intrinsic_dimension(spark, sf_dir):
+    """Two-NN intrinsic-dimension estimate (operators/similarity.py:
+    intrinsic_dimension) — predicts how hard the embedding can be
+    truncated/quantized; exact-integer distance ratios on the 1/8
+    slice."""
+    from metis_spark.driver.common import HUBNESS_MOD
+
+    return SIM.intrinsic_dimension(_t(spark, sf_dir, "embeddings"), mod=HUBNESS_MOD)

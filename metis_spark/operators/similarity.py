@@ -1461,3 +1461,92 @@ def knn_hubness(
     return hist.crossJoin(F.broadcast(skew)).select(
         "k_occurrence", "n_vectors", "n_slice", "skew_micro"
     )
+
+
+def intrinsic_dimension(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mod: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate → one row (n_slice, n_used,
+    id_micro): Facco et al. (Sci. Rep. 2017) — with μᵢ = r₂/r₁ the
+    ratio of each point's two nearest-neighbour distances, the
+    manifold dimension d satisfies d = n / Σᵢ ln μᵢ. The "how many
+    dimensions does this embedding REALLY use" diagnostic: an ID far
+    below the ambient width means aggressive PQ/Matryoshka truncation
+    is safe (truncation_recall_curve measures what this predicts), an
+    ID near ambient means it isn't.
+
+    Engine-exactness: squared L2 distances on floor-quantized integer
+    coordinates are exact integers; ln μᵢ = ½(ln d₂² − ln d₁²) is a
+    difference of ln's of exact integers, micro-quantized per point
+    BEFORE the sum; the final estimate is one integer division.
+    Exact-duplicate neighbours (d² = 0) are excluded (μ undefined),
+    as are points with fewer than two distinct-distance neighbours.
+
+    Scale shape: pair work is (n/mod)² on the deterministic residue
+    slice (the cos-histogram discipline); per-point ranking windows
+    are partitioned by query."""
+    s = df.where(F.col(id_col) % mod == 0)
+    pts = s.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("q"),
+    )
+    a = pts.select(F.col("id").alias("ia"), F.col("q").alias("qa"))
+    b = pts.select(F.col("id").alias("ib"), F.col("q").alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("ia").orderBy(F.asc("d2"), F.asc("ib"))
+    ranked = (
+        a.crossJoin(b)
+        .where(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", d2.alias("d2"))
+        .where(F.col("d2") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    two = (
+        ranked.groupBy("ia")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1sq"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2sq"),
+        )
+        .where(F.col("k") == 2)
+        .select(
+            F.round(
+                (
+                    F.log(F.col("d2sq").cast("double"))
+                    - F.log(F.col("d1sq").cast("double"))
+                )
+                / F.lit(2.0)
+                * F.lit(1e6)
+            ).cast("long").alias("lnmu"),
+        )
+    )
+    n_slice = pts.agg(F.count(F.lit(1)).cast("long").alias("n_slice"))
+    return (
+        two.agg(
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+            F.sum("lnmu").cast("long").alias("slm"),
+        )
+        .crossJoin(F.broadcast(n_slice))
+        .select(
+            "n_slice",
+            "n_used",
+            F.when(
+                F.col("slm") > 0,
+                F.expr("(cast(1000000000000 as decimal(38,0)) * n_used) div slm"),
+            ).cast("long").alias("id_micro"),
+        )
+    )
