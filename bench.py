@@ -279,6 +279,11 @@ def main() -> None:
         "intrinsic_dimension",
         "conversion_time_stats",
         "dp_noise_plan",
+        "source_perplexity",
+        "top_user_journeys",
+        "session_stats",
+        "graph_h_index",
+        "blocklist_rate",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

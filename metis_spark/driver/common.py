@@ -1015,3 +1015,6 @@ DP_PLAN_GRID = [
     )
     for eps in (0.1, 1.0)
 ]
+# spam-marker blocklist for the rate filter (generic markers, shared
+# verbatim by engine and twin)
+BLOCKLIST_TERMS = ("buy", "free", "click", "subscribe", "winner")

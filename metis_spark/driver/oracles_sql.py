@@ -6115,3 +6115,107 @@ def _dp_plan_sql(grid: list) -> str:
         "AS rows_in_drowned "
         "FROM dpc CROSS JOIN dpg GROUP BY 1, 2, 3"
     )
+
+
+_SOURCE_PERPLEXITY_SQL = (
+    # twin of source_perplexity: per-vocabulary-row micro ln's × exact
+    # counts, order-free integer entropy sums, integer-div endings
+    "WITH sptf AS MATERIALIZED (SELECT source AS src_name, u AS tok, "
+    "COUNT(*)::BIGINT AS c FROM (SELECT source, "
+    "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')) AS u FROM documents) GROUP BY 1, 2),\n"
+    "spcw AS (SELECT tok, SUM(c)::BIGINT AS cw FROM sptf GROUP BY tok),\n"
+    "spn AS (SELECT SUM(cw)::BIGINT AS nn FROM spcw),\n"
+    "splc AS (SELECT tok, CAST(ROUND(ln(cw::DOUBLE) * 1000000.0) AS BIGINT) "
+    "AS lncw FROM spcw),\n"
+    "spt AS (SELECT f.src_name, SUM(f.c)::BIGINT AS n_tokens, "
+    "SUM(f.c * (l.lncw - CAST(ROUND(ln(n.nn::DOUBLE) * 1000000.0) AS BIGINT)))::BIGINT AS sx, "
+    "SUM(f.c * CAST(ROUND(ln(f.c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS so "
+    "FROM sptf f JOIN splc l ON f.tok = l.tok CROSS JOIN spn n GROUP BY f.src_name),\n"
+    "spo AS (SELECT src_name AS source, n_tokens, "
+    "-(sx // n_tokens)::BIGINT AS cross_entropy_micro, "
+    "(CAST(ROUND(ln(n_tokens::DOUBLE) * 1000000.0) AS BIGINT) - so // n_tokens)::BIGINT "
+    "AS entropy_micro FROM spt)\n"
+    "SELECT source, n_tokens, cross_entropy_micro, entropy_micro, "
+    "(cross_entropy_micro - entropy_micro)::BIGINT AS kl_micro FROM spo"
+)
+
+
+def _journeys_sql(length: int, k: int) -> str:
+    """Twin of top_user_journeys: the pinned microsecond gap sessions,
+    ordered prefix string_agg, deterministic top-k."""
+    return (
+        "WITH jse AS (SELECT user_id, epoch_us(ts) AS m, event_id, "
+        "event_type AS t FROM events),\n"
+        "jsb AS (SELECT user_id, m, event_id, t, CASE WHEN LAG(m) OVER "
+        "(PARTITION BY user_id ORDER BY m, event_id) IS NULL OR "
+        "m - LAG(m) OVER (PARTITION BY user_id ORDER BY m, event_id) >= 1800000000 "
+        "THEN 1 ELSE 0 END AS brk FROM jse),\n"
+        "jss AS (SELECT user_id, m, event_id, t, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY m, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS sess FROM jsb),\n"
+        "jsp AS (SELECT user_id, sess, t, rn FROM (SELECT user_id, sess, t, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY m, event_id) AS rn "
+        f"FROM jss) WHERE rn <= {length}),\n"
+        "jsj AS (SELECT string_agg(t, '>' ORDER BY rn) AS journey "
+        "FROM jsp GROUP BY user_id, sess),\n"
+        "jsc AS (SELECT journey, COUNT(*)::BIGINT AS n FROM jsj GROUP BY journey)\n"
+        "SELECT journey, n, rank FROM (SELECT journey, n, ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, journey ASC)::BIGINT AS rank FROM jsc) "
+        f"WHERE rank <= {k}"
+    )
+
+
+_SESSION_STATS_SQL = (
+    "WITH sse AS (SELECT user_id, epoch_us(ts) AS m FROM events),\n"
+    "ssb AS (SELECT user_id, m, CASE WHEN LAG(m) OVER "
+    "(PARTITION BY user_id ORDER BY m) IS NULL OR "
+    "m - LAG(m) OVER (PARTITION BY user_id ORDER BY m) >= 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM sse),\n"
+    "sss AS (SELECT user_id, m, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY m ROWS UNBOUNDED PRECEDING) AS sess FROM ssb),\n"
+    "ssg AS (SELECT user_id, sess, COUNT(*)::BIGINT AS n_events, "
+    "((MAX(m) - MIN(m)) // 1000000)::BIGINT AS dur_s "
+    "FROM sss GROUP BY user_id, sess),\n"
+    "ssa AS (SELECT COUNT(*)::BIGINT AS n_sessions, "
+    "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce, "
+    "ROUND(quantile_cont(n_events, 0.5), 4) AS p50_events, "
+    "ROUND(quantile_cont(n_events, 0.9), 4) AS p90_events, "
+    "ROUND(quantile_cont(dur_s, 0.5), 4) AS p50_duration_s, "
+    "ROUND(quantile_cont(dur_s, 0.9), 4) AS p90_duration_s, "
+    "SUM(n_events)::BIGINT AS sum_events FROM ssg)\n"
+    "SELECT n_sessions, ((1000000 * n_bounce) // n_sessions)::BIGINT "
+    "AS bounce_rate_micro, p50_events, p90_events, p50_duration_s, "
+    "p90_duration_s, ((1000000 * sum_events) // n_sessions)::BIGINT "
+    "AS mean_events_micro FROM ssa"
+)
+
+
+_GRAPH_H_INDEX_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+    "ghd AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+    "ghh AS (SELECT deg, COUNT(*)::BIGINT AS c FROM ghd GROUP BY deg),\n"
+    "ghc AS (SELECT deg, LEAST(deg, SUM(c) OVER (ORDER BY deg DESC "
+    "ROWS UNBOUNDED PRECEDING)) AS h_cand FROM ghh)\n"
+    "SELECT (SELECT COUNT(*)::BIGINT FROM ghd) AS n_vertices, "
+    "(SELECT MAX(deg)::BIGINT FROM ghd) AS d_max, "
+    "MAX(h_cand)::BIGINT AS h_index FROM ghc"
+)
+
+
+def _blocklist_sql(terms: tuple) -> str:
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH blr AS (SELECT source, "
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> ''))::BIGINT AS n_toks, "
+        "len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        f"x -> x <> ''), x -> x IN ({lst})))::BIGINT AS n_hits FROM documents),\n"
+        "bla AS (SELECT source, COUNT(*)::BIGINT AS n_docs, "
+        "SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged_docs, "
+        "SUM(n_toks)::BIGINT AS st, SUM(n_hits)::BIGINT AS sh "
+        "FROM blr GROUP BY source)\n"
+        "SELECT source, n_docs, n_flagged_docs, "
+        "CASE WHEN st > 0 THEN ((1000000 * sh) // st)::BIGINT ELSE 0 END "
+        "AS marker_rate_micro FROM bla"
+    )

@@ -880,3 +880,48 @@ def _q_dp_noise_plan(spark, sf_dir):
             ).cast("long").alias("rows_in_drowned"),
         )
     )
+
+def _q_source_perplexity(spark, sf_dir):
+    """Per-source cross-entropy / KL against the corpus unigram model
+    (operators/corpus_stats.py:source_perplexity) — the OOD-source
+    quarantine screen."""
+    return CS.source_perplexity(_t(spark, sf_dir, "documents"))
+
+def _q_blocklist_rate(spark, sf_dir):
+    """Blocklist-marker rate per source → (source, n_docs,
+    n_flagged_docs, marker_rate_micro): the classic wordlist filter
+    pass (spam/boilerplate markers here; the same plumbing runs any
+    curated blocklist) — per source, how many documents contain any
+    marker and what fraction of the token stream the markers are.
+    The blunt-but-cheap screen that runs BEFORE model-based quality
+    scoring; gopher_rules' sibling with an explicit list.
+
+    All integers: marker hits counted inside the token array (one
+    filter per row, no joins), two integer divisions at the end."""
+    from metis_spark.driver.common import BLOCKLIST_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    hits = F.size(F.filter(toks, lambda x: x.isin(*BLOCKLIST_TERMS))).cast("long")
+    per = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        hits.alias("n_hits"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long")).cast("long").alias("n_flagged_docs"),
+            F.sum("n_toks").cast("long").alias("st"),
+            F.sum("n_hits").cast("long").alias("sh"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged_docs",
+            F.when(
+                F.col("st") > 0, F.expr("(1000000 * sh) div st")
+            ).otherwise(F.lit(0)).cast("long").alias("marker_rate_micro"),
+        )
+    )

@@ -1849,3 +1849,11 @@ def _q_triangle_delta_insert(spark, sf_dir):
         base_canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return triangle_delta_on_insert(base_und, inserts)
+
+def _q_graph_h_index(spark, sf_dir):
+    """Hirsch index of the degree sequence (plans/metrics.py:
+    graph_h_index) — closed-form from the degree histogram; the
+    scalar the coreness h-iteration starts from."""
+    from metis_spark.plans.metrics import graph_h_index
+
+    return graph_h_index(derived_edges_sparse(spark, sf_dir))

@@ -1289,3 +1289,120 @@ def _q_conversion_time_stats(spark, sf_dir):
             F.expr("(1000000 * sum_s) div n_converted"),
         ).cast("long").alias("mean_s_micro"),
     )
+
+
+JOURNEY_LEN = 5
+JOURNEY_K = 20
+
+
+def _q_top_user_journeys(spark, sf_dir):
+    """Top-k session journeys → (journey, n, rank): the exact ordered
+    sequence of the first JOURNEY_LEN event types in each gap session,
+    counted and ranked — the "what do users actually do" product
+    read behind funnel design (ordered_funnel tests ONE hypothesized
+    path; this surfaces the real ones).
+
+    Exactness: sessions are the pinned integer-microsecond gap
+    definition; within-session order is total on (ts, event_id); the
+    journey string is an ordered join of the first L types, so counts
+    are exact and ranking ties break on the journey string.
+
+    Scale shape: the per-session prefix runs on the per-user session
+    window (partitioned); journey counting partial-aggregates map-side
+    into journey-vocabulary rows; top-k is a TakeOrderedAndProject."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", us.alias("m"), "event_id", F.col("event_type").alias("t")
+    )
+    wu = Window.partitionBy("user_id").orderBy("m", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sess = ev.select(
+        "user_id", "m", "event_id", "t",
+        F.sum(
+            F.when(
+                F.lag("m").over(wu).isNull()
+                | (F.col("m") - F.lag("m").over(wu) >= F.lit(gap_us)),
+                1,
+            ).otherwise(0)
+        ).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sess"),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("m", "event_id")
+    prefix = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= JOURNEY_LEN)
+    )
+    journeys = (
+        prefix.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "t"))),
+                    lambda s: s["t"],
+                ),
+                ">",
+            ).alias("journey")
+        )
+        .groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    order = [F.desc("n"), F.asc("journey")]
+    top = journeys.orderBy(*order).limit(JOURNEY_K)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "journey", "n", "rank"
+    )
+
+
+def _q_session_stats(spark, sf_dir):
+    """Session shape card → one row (n_sessions, bounce_rate_micro,
+    p50_events, p90_events, p50_duration_s, p90_duration_s,
+    mean_events_micro): the distributional summary of the pinned
+    30-min gap sessions — bounce share (single-event sessions), event
+    counts and wall durations at the percentiles product dashboards
+    quote. Complements session_windows (the per-session rows) and
+    max_concurrency (their overlap peak).
+
+    Exactness: counts and floor-second durations are exact integers
+    off the same microsecond gap definition; percentiles share the
+    interpolated definition; the mean is one integer division.
+
+    Scale shape: one per-user session window, one map-side-combined
+    per-session agg, one scalar fold."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events").select("user_id", us.alias("m"))
+    wu = Window.partitionBy("user_id").orderBy("m")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sess = (
+        ev.select(
+            "user_id", "m",
+            F.sum(
+                F.when(
+                    F.lag("m").over(wu).isNull()
+                    | (F.col("m") - F.lag("m").over(wu) >= F.lit(gap_us)),
+                    1,
+                ).otherwise(0)
+            ).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("sess"),
+        )
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            ((F.max("m") - F.min("m")) / F.lit(1_000_000)).cast("long").alias("dur_s"),
+        )
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("long").alias("n_bounce"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 4).alias("p50_events"),
+        F.round(F.expr("percentile(n_events, 0.9)"), 4).alias("p90_events"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 4).alias("p50_duration_s"),
+        F.round(F.expr("percentile(dur_s, 0.9)"), 4).alias("p90_duration_s"),
+        F.sum("n_events").cast("long").alias("sum_events"),
+    ).select(
+        "n_sessions",
+        F.expr("(1000000 * n_bounce) div n_sessions").cast("long").alias("bounce_rate_micro"),
+        "p50_events",
+        "p90_events",
+        "p50_duration_s",
+        "p90_duration_s",
+        F.expr("(1000000 * sum_events) div n_sessions").cast("long").alias("mean_events_micro"),
+    )

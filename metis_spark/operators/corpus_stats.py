@@ -2014,3 +2014,80 @@ def burrows_delta(
             F.expr(f"tsum div {n_features}").cast("long").alias("delta_micro"),
         )
     )
+
+
+def source_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source language-model divergence card → (source, n_tokens,
+    cross_entropy_micro, entropy_micro, kl_micro): the cross-entropy
+    of each source's unigram stream under the CORPUS unigram model,
+    its own entropy, and their difference KL(source ‖ corpus) — the
+    per-source out-of-distribution detector (high KL = this domain's
+    word mix is nothing like the rest of the mix: quarantine or
+    re-weight before it skews training). The per-source sibling of
+    corpus_js_divergence's per-language pair matrix, and the
+    model-based read behind source_scorecard's heuristics.
+
+    Exactness: ln C_w and ln c_sw are micro-quantized per DISTINCT
+    vocabulary row and multiplied by exact integer counts, so both
+    entropy sums are order-free exact integers; the two trailing
+    per-source divisions are integer div, and KL is their exact
+    difference (≥ 0 up to the two roundings — pytest pins the clean
+    inequality on hand data).
+
+    Scale shape: one (source, token) count (map-side combined), one
+    token-vocabulary count broadcast back onto vocabulary rows — the
+    token STREAM never rides a join; output is one row per source."""
+    tf = (
+        docs.select(
+            F.col(source_col).alias("src_name"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("src_name", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    corpus = tf.groupBy("tok").agg(F.sum("c").cast("long").alias("cw"))
+    n_corpus = corpus.agg(F.sum("cw").cast("long").alias("nn"))
+    lncw = corpus.select(
+        "tok", F.round(F.log(F.col("cw").cast("double")) * F.lit(1e6)).cast("long").alias("lncw")
+    )
+    terms = (
+        tf.join(lncw.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "src_name",
+            "c",
+            "lncw",
+            F.round(F.log(F.col("nn").cast("double")) * F.lit(1e6)).cast("long").alias("lnn"),
+            F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long").alias("lnc"),
+        )
+    )
+    return (
+        terms.groupBy("src_name")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * (F.col("lncw") - F.col("lnn"))).cast("long").alias("sx"),
+            F.sum(F.col("c") * F.col("lnc")).cast("long").alias("so"),
+            F.max("lnn").alias("lnn"),
+        )
+        .select(
+            F.col("src_name").alias("source"),
+            "n_tokens",
+            F.expr("-(sx div n_tokens)").cast("long").alias("cross_entropy_micro"),
+            # H(s) = ln n_s − (Σ c·ln c)/n_s
+            (
+                F.round(F.log(F.col("n_tokens").cast("double")) * F.lit(1e6)).cast("long")
+                - F.expr("so div n_tokens")
+            ).cast("long").alias("entropy_micro"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "cross_entropy_micro",
+            "entropy_micro",
+            (F.col("cross_entropy_micro") - F.col("entropy_micro")).cast("long").alias("kl_micro"),
+        )
+    )

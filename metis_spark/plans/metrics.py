@@ -2978,3 +2978,30 @@ def degree_powerlaw_fit(edges: DataFrame) -> DataFrame:
             ).cast("long").alias("entropy_micro"),
         )
     )
+
+
+def graph_h_index(edges: DataFrame) -> DataFrame:
+    """Graph h-index → one row (n_vertices, d_max, h_index): the
+    largest h such that ≥ h vertices have degree ≥ h (the Hirsch
+    index of the degree sequence) — a one-number hub-richness scalar
+    that upper-bounds the densest fully-mutual hub club and seeds the
+    h-index iteration coreness starts from. Computed in closed form
+    from the degree HISTOGRAM: h = max over realized degrees d of
+    min(d, N≥(d)) — exact integers, no iteration.
+
+    Scale shape: one degree groupBy to ≤ max-degree histogram rows;
+    the cumulative N≥ window runs over the histogram, not vertices."""
+    und = _und(edges)
+    deg = _und_degrees(und)
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.desc("deg")).rowsBetween(Window.unboundedPreceding, 0)
+    cand = hist.select(
+        "deg",
+        F.least(F.col("deg"), F.sum("c").over(w)).alias("h_cand"),
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.max("deg").cast("long").alias("d_max"),
+    )
+    h = cand.agg(F.max("h_cand").cast("long").alias("h_index"))
+    return base.crossJoin(F.broadcast(h))
