@@ -284,6 +284,8 @@ def main() -> None:
         "session_stats",
         "graph_h_index",
         "blocklist_rate",
+        "user_activity_gini",
+        "hour_of_week_profile",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6219,3 +6219,41 @@ def _blocklist_sql(terms: tuple) -> str:
         "CASE WHEN st > 0 THEN ((1000000 * sh) // st)::BIGINT ELSE 0 END "
         "AS marker_rate_micro FROM bla"
     )
+
+
+_USER_GINI_SQL = (
+    # twin of user_activity_gini: the _DEGREE_GINI_SQL block
+    # arithmetic with events-per-user counts as the value column
+    "WITH gdeg AS (SELECT user_id AS id, COUNT(*)::BIGINT AS deg "
+    "FROM events GROUP BY user_id),\n"
+    "h AS (SELECT deg, COUNT(*)::BIGINT AS c FROM gdeg GROUP BY deg),\n"
+    "cumh AS (SELECT deg, c, SUM(c) OVER (ORDER BY deg)::BIGINT AS cum FROM h),\n"
+    "blocks AS (SELECT deg, c, cum, cum - c AS r, "
+    "deg::HUGEINT * (c::HUGEINT * (cum - c) + (c::HUGEINT * (c + 1)) // 2) AS rsum "
+    "FROM cumh),\n"
+    "tot AS (SELECT SUM(c)::BIGINT AS n, SUM(deg::HUGEINT * c)::BIGINT AS sum_deg, "
+    "SUM(rsum)::BIGINT AS ranked_sum FROM blocks),\n"
+    "kk AS (SELECT n, sum_deg, ranked_sum, "
+    "GREATEST(1, (n + 99) // 100)::BIGINT AS k FROM tot),\n"
+    "tm AS (SELECT SUM(GREATEST(0, LEAST(b.cum, kk.n) - GREATEST(b.r, kk.n - kk.k)) "
+    "* b.deg)::BIGINT AS top_mass FROM blocks b, kk)\n"
+    "SELECT n, sum_deg, ranked_sum, "
+    "ROUND(2.0 * ranked_sum / (n::DOUBLE * sum_deg) - (n + 1)::DOUBLE / n, 6) AS gini, "
+    "k AS top1pct_k, "
+    "ROUND(top_mass::DOUBLE / sum_deg, 6) AS top1pct_share "
+    "FROM kk, tm"
+)
+
+
+_HOUR_OF_WEEK_SQL = (
+    "WITH hwc AS (SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, "
+    "COUNT(*)::BIGINT AS n FROM events GROUP BY 1, 2),\n"
+    "hwt AS (SELECT SUM(n)::BIGINT AS nt, COUNT(*)::BIGINT AS n_cells FROM hwc),\n"
+    "hwp AS (SELECT c.dow, c.hod, c.n, "
+    "((1000000 * c.n) // t.nt)::BIGINT AS share_micro, "
+    "CAST(ROUND(((c.n::HUGEINT * t.n_cells - t.nt) * (c.n::HUGEINT * t.n_cells - t.nt))::DOUBLE "
+    "/ (t.nt::DOUBLE * t.n_cells::DOUBLE) * 1000000.0) AS BIGINT) AS chi2_micro "
+    "FROM hwc c CROSS JOIN hwt t)\n"
+    "SELECT dow, hod, n, share_micro, "
+    "(SELECT SUM(chi2_micro)::BIGINT FROM hwp) AS chi2_total_micro FROM hwp"
+)

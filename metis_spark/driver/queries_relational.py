@@ -1406,3 +1406,58 @@ def _q_session_stats(spark, sf_dir):
         "p90_duration_s",
         F.expr("(1000000 * sum_events) div n_sessions").cast("long").alias("mean_events_micro"),
     )
+
+
+def _q_user_activity_gini(spark, sf_dir):
+    """Gini + top-1% share of events per user (plans/metrics.py:
+    gini_profile — the degree_gini machinery pointed at the event
+    stream): the activity-concentration dial behind rate limiting and
+    the per-user skew the HH family hunts; a Gini near 1 says a few
+    accounts generate the traffic (bots/abuse or power users)."""
+    from metis_spark.plans.metrics import gini_profile
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return gini_profile(counts)
+
+
+def _q_hour_of_week_profile(spark, sf_dir):
+    """Hour-of-week traffic heatmap → (dow, hod, n, share_micro,
+    chi2_total_micro): the 168-cell seasonality profile every
+    capacity plan and anomaly baseline starts from, plus the
+    chi-square distance from uniform (0 = flat traffic; large = sharp
+    weekly structure worth a per-hour baseline in the CUSUM/burst
+    detectors). dow is pinned 0=Sunday in both engines.
+
+    All integers until the single χ² double per cell (micro-quantized
+    before the exact total — the Benford discipline); share is an
+    integer division."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    cells = ev.groupBy("dow", "hod").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    per = cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hod", "n",
+        F.expr("(1000000 * n) div nt").cast("long").alias("share_micro"),
+        # exp = nt / n_cells; chi2 cell = (n·n_cells − nt)² / (nt·n_cells)
+        F.round(
+            (
+                (F.col("n").cast("decimal(38,0)") * F.col("n_cells") - F.col("nt"))
+                * (F.col("n").cast("decimal(38,0)") * F.col("n_cells") - F.col("nt"))
+            ).cast("double")
+            / (F.col("nt").cast("double") * F.col("n_cells").cast("double"))
+            * F.lit(1e6)
+        ).cast("long").alias("chi2_micro"),
+    )
+    ctot = per.agg(F.sum("chi2_micro").cast("long").alias("chi2_total_micro"))
+    return per.crossJoin(F.broadcast(ctot)).select(
+        "dow", "hod", "n", "share_micro", "chi2_total_micro"
+    )

@@ -1953,6 +1953,15 @@ def degree_gini(edges: DataFrame) -> DataFrame:
     """
     und = _und(edges)
     deg = _und_degrees(und)
+    return gini_profile(deg)
+
+
+def gini_profile(deg: DataFrame) -> DataFrame:
+    """Generic Gini + top-1%-share profile of any positive integer
+    count column named ``deg`` (one row per holder) — the histogram
+    block arithmetic degree_gini documents, shared so the same exact
+    machinery audits OTHER count inequalities (events per user, bytes
+    per source, ...). Output columns as degree_gini."""
     hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
     dec = "decimal(38,0)"
