@@ -6257,3 +6257,29 @@ _HOUR_OF_WEEK_SQL = (
     "SELECT dow, hod, n, share_micro, "
     "(SELECT SUM(chi2_micro)::BIGINT FROM hwp) AS chi2_total_micro FROM hwp"
 )
+
+
+def _community_size_fit_sql() -> str:
+    """Twin of community_size_fit: Louvain level-1 sizes through the
+    _POWERLAW_SQL histogram fold."""
+    ctes = _louvain_level1_ctes(LOUVAIN_ROUNDS)
+    r = LOUVAIN_ROUNDS
+    ctes += [
+        f"pldeg AS (SELECT label, COUNT(*)::BIGINT AS deg FROM l{r} GROUP BY label)",
+        "plh AS (SELECT deg, COUNT(*)::BIGINT AS c FROM pldeg GROUP BY deg)",
+        "plb AS (SELECT SUM(c)::BIGINT AS n, MIN(deg)::BIGINT AS d_min, "
+        "MAX(deg)::BIGINT AS d_max FROM plh)",
+        "plt AS (SELECT b.n, b.d_min, b.d_max, "
+        "SUM(h.c * CAST(ROUND(ln((2.0 * h.deg) / (2.0 * b.d_min - 1.0)) "
+        "* 1000000.0) AS BIGINT))::BIGINT AS sml, "
+        "SUM(h.c * CAST(ROUND(ln(h.c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS shl "
+        "FROM plh h CROSS JOIN plb b GROUP BY b.n, b.d_min, b.d_max)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT n AS n_vertices, d_min, d_max, "
+        "CASE WHEN sml > 0 THEN 1000000 + "
+        "((1000000000000::HUGEINT * n) // sml)::BIGINT END AS alpha_micro, "
+        "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
+        "AS entropy_micro FROM plt"
+    )

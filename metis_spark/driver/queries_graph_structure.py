@@ -1857,3 +1857,24 @@ def _q_graph_h_index(spark, sf_dir):
     from metis_spark.plans.metrics import graph_h_index
 
     return graph_h_index(derived_edges_sparse(spark, sf_dir))
+
+def _q_community_size_fit(spark, sf_dir):
+    """CSN power-law fit + entropy of the Louvain level-1 community
+    SIZE distribution (plans/metrics.py:powerlaw_profile on the
+    louvain_local_moving labels) — real modular structure shows
+    heavy-tailed community sizes (alpha ~ 2-3); a near-uniform size
+    histogram (high entropy, huge alpha) says the partition is
+    slicing noise, the distributional companion to
+    community_modularity's single score."""
+    from metis_spark.plans.louvain import louvain_local_moving
+    from metis_spark.plans.metrics import powerlaw_profile
+
+    labels, _ = louvain_local_moving(
+        derived_edges_sparse(spark, sf_dir),
+        rounds=LOUVAIN_ROUNDS,
+        checkpoint_dir=_tmpdir("metis_qcsfit_"),
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return powerlaw_profile(sizes)

@@ -2939,6 +2939,16 @@ def degree_powerlaw_fit(edges: DataFrame) -> DataFrame:
     rows), everything after is histogram-sized."""
     und = _und(edges)
     deg = _und_degrees(und)
+    return powerlaw_profile(deg)
+
+
+def powerlaw_profile(deg: DataFrame) -> DataFrame:
+    """Generic CSN continuous-MLE exponent + histogram entropy of any
+    positive integer count column named ``deg`` — the
+    degree_powerlaw_fit machinery shared so the same exact fold
+    audits OTHER heavy-tailed size distributions (community sizes,
+    component sizes, session lengths). Output columns as
+    degree_powerlaw_fit."""
     hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
     base = hist.agg(
         F.sum("c").cast("long").alias("n"),

@@ -65,3 +65,13 @@ def test_betweenness_sample_plan_matches_closed_form(spark):
         by_eps[(50_000, 100_000)]["sample_size"]
         > by_eps[(100_000, 100_000)]["sample_size"]
     )
+
+
+def test_powerlaw_profile_generic_reuse(spark):
+    # uniform sizes: one class ⇒ entropy 0; alpha reflects d_min
+    from metis_spark.plans.metrics import powerlaw_profile
+
+    eq = spark.createDataFrame([(i, 4) for i in range(6)], "id long, deg long")
+    row = powerlaw_profile(eq).collect()[0]
+    assert (row["n_vertices"], row["d_min"], row["d_max"]) == (6, 4, 4)
+    assert row["entropy_micro"] == 0
