@@ -286,6 +286,8 @@ def main() -> None:
         "blocklist_rate",
         "user_activity_gini",
         "hour_of_week_profile",
+        "watermark_lateness_audit",
+        "edge_hygiene_audit",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

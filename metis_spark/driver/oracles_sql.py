@@ -6283,3 +6283,47 @@ def _community_size_fit_sql() -> str:
         "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
         "AS entropy_micro FROM plt"
     )
+
+
+def _watermark_sql(delays: tuple) -> str:
+    """Twin of watermark_lateness_audit: single global prefix-max by
+    arrival order (the oracle needn't be scale-shaped), same integer
+    lateness and grid."""
+    vals = ", ".join(f"({d})" for d in delays)
+    return (
+        "WITH wme AS (SELECT event_id, floor(epoch(ts))::BIGINT AS es FROM events),\n"
+        "wml AS (SELECT GREATEST(0, COALESCE(MAX(es) OVER "
+        "(ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), es) "
+        "- es)::BIGINT AS late_s FROM wme),\n"
+        "wms AS (SELECT COUNT(*)::BIGINT AS n_events, "
+        "ROUND(quantile_cont(late_s, 0.99), 4) AS p99_late_s FROM wml),\n"
+        f"wmg(delay_s) AS (VALUES {vals}),\n"
+        "wmp AS (SELECT g.delay_s::BIGINT AS delay_s, "
+        "SUM(CASE WHEN l.late_s > g.delay_s THEN 1 ELSE 0 END)::BIGINT AS n_late "
+        "FROM wml l CROSS JOIN wmg g GROUP BY g.delay_s)\n"
+        "SELECT p.delay_s, s.n_events, p.n_late, "
+        "((1000000 * p.n_late) // s.n_events)::BIGINT AS late_rate_micro, "
+        "s.p99_late_s FROM wmp p CROSS JOIN wms s"
+    )
+
+
+_EDGE_HYGIENE_SQL = (
+    # twin of edge_hygiene_audit on the RAW derived edges CTE
+    f"WITH {_EDGES_SQL.strip()},\n"
+    "ehb AS (SELECT COUNT(*)::BIGINT AS n_raw, "
+    "SUM(CASE WHEN src = dst THEN 1 ELSE 0 END)::BIGINT AS n_self_loops FROM edges),\n"
+    "ehd AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),\n"
+    "ehn AS (SELECT COUNT(*)::BIGINT AS n_distinct FROM ehd),\n"
+    "ehm AS (SELECT COUNT(*)::BIGINT AS n_mutual FROM ehd a "
+    "JOIN ehd b ON a.src = b.dst AND a.dst = b.src),\n"
+    "ehs AS (SELECT COUNT(*)::BIGINT AS n_sources_only FROM "
+    "(SELECT DISTINCT src FROM ehd) s WHERE src NOT IN (SELECT dst FROM ehd)),\n"
+    "ehk AS (SELECT COUNT(*)::BIGINT AS n_sinks_only FROM "
+    "(SELECT DISTINCT dst FROM ehd) t WHERE dst NOT IN (SELECT src FROM ehd))\n"
+    "SELECT b.n_raw, b.n_self_loops, "
+    "(b.n_raw - b.n_self_loops - n.n_distinct)::BIGINT AS n_dup_directed, "
+    "n.n_distinct, s.n_sources_only, k.n_sinks_only, "
+    "CASE WHEN n.n_distinct > 0 THEN ((1000000 * m.n_mutual) // n.n_distinct)::BIGINT "
+    "ELSE 0 END AS reciprocity_micro "
+    "FROM ehb b, ehn n, ehm m, ehs s, ehk k"
+)

@@ -1878,3 +1878,51 @@ def _q_community_size_fit(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("deg")
     )
     return powerlaw_profile(sizes)
+
+def _q_edge_hygiene_audit(spark, sf_dir):
+    """Ingest hygiene card for the derived edge table → one row
+    (n_raw, n_self_loops, n_dup_directed, n_distinct, n_sources_only,
+    n_sinks_only, reciprocity_micro): what the edge-extraction
+    pipeline silently normalizes away — self-loops and duplicate
+    directed pairs dropped by the canonical view, pure-source /
+    pure-sink vertex counts (the dangling set PageRank redistributes),
+    and the share of directed pairs that are mutual. The audit a data
+    engineer reads BEFORE trusting any downstream graph number.
+
+    All integers; reciprocity is one integer division. Every count is
+    a 1-row aggregate crossJoin-broadcast back together — no driver
+    collects, one composable plan."""
+    raw = derived_edges(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    base = raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).cast("long").alias("n_self_loops"),
+    )
+    dedup = raw.where(F.col("src") != F.col("dst")).distinct()
+    nd = dedup.agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    rev = dedup.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nm = dedup.intersect(rev).agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+    srcs = dedup.select(F.col("src").alias("id")).distinct()
+    dsts = dedup.select(F.col("dst").alias("id")).distinct()
+    nso = srcs.exceptAll(dsts).agg(F.count(F.lit(1)).cast("long").alias("n_sources_only"))
+    nsi = dsts.exceptAll(srcs).agg(F.count(F.lit(1)).cast("long").alias("n_sinks_only"))
+    return (
+        base.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nso))
+        .crossJoin(F.broadcast(nsi))
+        .select(
+            "n_raw",
+            "n_self_loops",
+            (F.col("n_raw") - F.col("n_self_loops") - F.col("n_distinct"))
+            .cast("long").alias("n_dup_directed"),
+            "n_distinct",
+            "n_sources_only",
+            "n_sinks_only",
+            F.when(
+                F.col("n_distinct") > 0,
+                F.expr("(1000000 * n_mutual) div n_distinct"),
+            ).otherwise(F.lit(0)).cast("long").alias("reciprocity_micro"),
+        )
+    )

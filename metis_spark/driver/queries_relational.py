@@ -1461,3 +1461,71 @@ def _q_hour_of_week_profile(spark, sf_dir):
     return per.crossJoin(F.broadcast(ctot)).select(
         "dow", "hod", "n", "share_micro", "chi2_total_micro"
     )
+
+
+WATERMARK_DELAYS_S = (0, 60, 600)
+
+
+def _q_watermark_lateness_audit(spark, sf_dir):
+    """Out-of-order depth audit → one row per candidate watermark
+    delay (delay_s, n_events, n_late, late_rate_micro, p99_late_s):
+    with event_id as the arrival sequence, an event's lateness is the
+    high-water-mark timestamp already seen minus its own — exactly
+    the events a `withWatermark(delay)` streaming aggregation would
+    DROP. The table answers the one question every streaming job
+    asks first: which delay bounds state while losing < x% of events
+    (streaming/incremental.py's watermarked paths consume the answer).
+
+    Exactness: integer floor-second lateness; the high-water mark is
+    a TWO-LEVEL prefix max (per 4096-event arrival bucket + bucket
+    carry), so no unbounded single-partition window — the same trick
+    as max_concurrency; percentile shares the interpolated
+    definition; rates are integer divisions.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").cast("long").alias("es")
+    )
+    b = (F.col("event_id") / F.lit(4096)).cast("long")
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucketed = ev.withColumn("b", b).withColumn("inmax", F.max("es").over(wb))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("b")
+        .agg(F.max("es").alias("bmax"))
+        .select("b", F.max("bmax").over(wc).alias("carry"))
+    )
+    late = (
+        bucketed.join(F.broadcast(carry), "b")
+        .select(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.greatest(
+                    F.coalesce("inmax", F.lit(None).cast("long")),
+                    F.col("carry"),
+                )
+                - F.col("es"),
+            ).alias("late_s"),
+        )
+        .select(F.coalesce("late_s", F.lit(0)).cast("long").alias("late_s"))
+    )
+    grid = spark.createDataFrame([(d,) for d in WATERMARK_DELAYS_S], "delay_s long")
+    stats = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.expr("percentile(late_s, 0.99)"), 4).alias("p99_late_s"),
+    )
+    per = (
+        late.crossJoin(F.broadcast(grid))
+        .groupBy("delay_s")
+        .agg(F.sum((F.col("late_s") > F.col("delay_s")).cast("long")).cast("long").alias("n_late"))
+    )
+    return per.crossJoin(F.broadcast(stats)).select(
+        "delay_s",
+        "n_events",
+        "n_late",
+        F.expr("(1000000 * n_late) div n_events").cast("long").alias("late_rate_micro"),
+        "p99_late_s",
+    )
