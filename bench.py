@@ -288,6 +288,9 @@ def main() -> None:
         "hour_of_week_profile",
         "watermark_lateness_audit",
         "edge_hygiene_audit",
+        "bridging_coefficient",
+        "embedding_norm_profile",
+        "doc_length_powerlaw",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6327,3 +6327,57 @@ _EDGE_HYGIENE_SQL = (
     "ELSE 0 END AS reciprocity_micro "
     "FROM ehb b, ehn n, ehm m, ehs s, ehk k"
 )
+
+
+def _bridging_sql(k: int) -> str:
+    """Twin of bridging_coefficient_topk: micro reciprocals summed as
+    exact integers, integer-division score, (bc DESC, id ASC) rank."""
+    return (
+        f"WITH {_EDGES_SPARSE_SQL.strip()},\n"
+        "bgd AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src),\n"
+        "bgs AS (SELECT u.src AS id, SUM(1000000 // d.deg)::BIGINT AS s_micro "
+        "FROM und u JOIN bgd d ON u.dst = d.id GROUP BY u.src),\n"
+        "bgc AS (SELECT g.id, g.deg, s.s_micro, "
+        "(1000000000000 // (g.deg * s.s_micro))::BIGINT AS bc_micro "
+        "FROM bgd g JOIN bgs s ON g.id = s.id)\n"
+        "SELECT id, deg, s_micro, bc_micro, rank FROM (SELECT id, deg, s_micro, "
+        "bc_micro, ROW_NUMBER() OVER (ORDER BY bc_micro DESC, id ASC)::BIGINT AS rank "
+        f"FROM bgc) WHERE rank <= {k}"
+    )
+
+
+_EMB_NORM_SQL = (
+    "WITH enp AS (SELECT list_sum(list_transform(embedding, "
+    "x -> floor(x::DOUBLE * 1000.0)::BIGINT * floor(x::DOUBLE * 1000.0)::BIGINT"
+    "))::HUGEINT AS nsq FROM embeddings),\n"
+    "ena AS (SELECT COUNT(*)::BIGINT AS n_vectors, MIN(nsq)::BIGINT AS min_nsq, "
+    "MAX(nsq)::BIGINT AS max_nsq, SUM(nsq)::HUGEINT AS s1, "
+    "SUM(nsq * nsq)::HUGEINT AS s2, "
+    "SUM(CASE WHEN nsq BETWEEN 960400 AND 1040400 THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_unit FROM enp)\n"
+    "SELECT n_vectors, min_nsq, max_nsq, "
+    "((1000000::HUGEINT * s1) // n_vectors)::BIGINT AS mean_nsq_micro, "
+    "CAST(ROUND((n_vectors::HUGEINT * s2)::DOUBLE / (s1 * s1)::DOUBLE "
+    "* 1000000.0 - 1000000.0) AS BIGINT) AS cv2_micro, "
+    "((1000000 * n_unit) // n_vectors)::BIGINT AS frac_unit_micro FROM ena"
+)
+
+
+_DOC_LENGTH_POWERLAW_SQL = (
+    "WITH pldeg AS (SELECT len(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> ''))::BIGINT AS deg FROM documents),\n"
+    "plf AS (SELECT deg FROM pldeg WHERE deg >= 1),\n"
+    "plh AS (SELECT deg, COUNT(*)::BIGINT AS c FROM plf GROUP BY deg),\n"
+    "plb AS (SELECT SUM(c)::BIGINT AS n, MIN(deg)::BIGINT AS d_min, "
+    "MAX(deg)::BIGINT AS d_max FROM plh),\n"
+    "plt AS (SELECT b.n, b.d_min, b.d_max, "
+    "SUM(h.c * CAST(ROUND(ln((2.0 * h.deg) / (2.0 * b.d_min - 1.0)) "
+    "* 1000000.0) AS BIGINT))::BIGINT AS sml, "
+    "SUM(h.c * CAST(ROUND(ln(h.c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS shl "
+    "FROM plh h CROSS JOIN plb b GROUP BY b.n, b.d_min, b.d_max)\n"
+    "SELECT n AS n_vertices, d_min, d_max, "
+    "CASE WHEN sml > 0 THEN 1000000 + "
+    "((1000000000000::HUGEINT * n) // sml)::BIGINT END AS alpha_micro, "
+    "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
+    "AS entropy_micro FROM plt"
+)

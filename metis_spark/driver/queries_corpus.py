@@ -925,3 +925,18 @@ def _q_blocklist_rate(spark, sf_dir):
             ).otherwise(F.lit(0)).cast("long").alias("marker_rate_micro"),
         )
     )
+
+def _q_doc_length_powerlaw(spark, sf_dir):
+    """CSN power-law fit + entropy of the document TOKEN-LENGTH
+    distribution (plans/metrics.py:powerlaw_profile on whitespace
+    token counts) — the packing/truncation planner's distributional
+    input: a heavy tail (small alpha) means sequence packing
+    (chunk_plan / sequence packing) must split a few huge docs, a
+    light tail means fixed-length batching wastes little."""
+    from metis_spark.plans.metrics import powerlaw_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        TX.whitespace_token_count(F.col("text")).alias("deg")
+    ).where(F.col("deg") >= 1)
+    return powerlaw_profile(lens)

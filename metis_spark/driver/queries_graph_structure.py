@@ -1926,3 +1926,11 @@ def _q_edge_hygiene_audit(spark, sf_dir):
             ).otherwise(F.lit(0)).cast("long").alias("reciprocity_micro"),
         )
     )
+
+def _q_bridging_coefficient(spark, sf_dir):
+    """Hwang bridging coefficient top-50 (plans/metrics.py:
+    bridging_coefficient_topk) — the thin-waist detector; all-integer
+    scoring, zero doubles."""
+    from metis_spark.plans.metrics import bridging_coefficient_topk
+
+    return bridging_coefficient_topk(derived_edges_sparse(spark, sf_dir), k=50)

@@ -461,3 +461,54 @@ def _q_intrinsic_dimension(spark, sf_dir):
     from metis_spark.driver.common import HUBNESS_MOD
 
     return SIM.intrinsic_dimension(_t(spark, sf_dir, "embeddings"), mod=HUBNESS_MOD)
+
+def _q_embedding_norm_profile(spark, sf_dir):
+    """Embedding norm-geometry card → one row (n_vectors, min_nsq,
+    max_nsq, mean_nsq_micro, cv2_micro, frac_unit_micro): moments of
+    the exact quantized squared L2 norm plus the share of vectors
+    within ±2% of unit norm — the precondition audit for every
+    cosine-vs-dot choice downstream (a normalized table makes dot ≡
+    cosine and SQ8/PQ error isotropic; a wide norm spread says
+    normalize first or switch metrics). Complements
+    embedding_cos_histogram (angles) with the radial axis.
+
+    Exactness: nsq = Σ floor(v·1000)² is an exact integer; moments
+    ride decimal/HUGEINT; cv² = n·Σnsq²/(Σnsq)² − 1 is the single
+    double; the unit band compare is integer vs literal bounds."""
+    pts = _t(spark, sf_dir, "embeddings").select(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * F.lit(1000.0)).cast("long"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, q: acc + q * q,
+        ).alias("nsq")
+    )
+    dec = "decimal(38,0)"
+    lo, hi = 960_400, 1_040_400  # (0.98·1000)², (1.02·1000)²
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("nsq").cast("long").alias("min_nsq"),
+        F.max("nsq").cast("long").alias("max_nsq"),
+        F.sum("nsq").cast(dec).alias("s1"),
+        F.sum(F.col("nsq") * F.col("nsq")).cast(dec).alias("s2"),
+        F.sum(
+            ((F.col("nsq") >= lo) & (F.col("nsq") <= hi)).cast("long")
+        ).cast("long").alias("n_unit"),
+    ).select(
+        "n_vectors",
+        "min_nsq",
+        "max_nsq",
+        F.expr("(cast(1000000 as decimal(38,0)) * s1) div n_vectors")
+        .cast("long").alias("mean_nsq_micro"),
+        F.round(
+            (
+                F.col("n_vectors").cast(dec) * F.col("s2")
+            ).cast("double")
+            / (F.col("s1") * F.col("s1")).cast("double")
+            * F.lit(1e6)
+            - F.lit(1e6)
+        ).cast("long").alias("cv2_micro"),
+        F.expr("(1000000 * n_unit) div n_vectors").cast("long").alias("frac_unit_micro"),
+    )

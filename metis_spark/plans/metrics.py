@@ -3024,3 +3024,45 @@ def graph_h_index(edges: DataFrame) -> DataFrame:
     )
     h = cand.agg(F.max("h_cand").cast("long").alias("h_index"))
     return base.crossJoin(F.broadcast(h))
+
+
+def bridging_coefficient_topk(edges: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k bridging coefficient → (id, deg, s_micro, bc_micro,
+    rank): BC(v) = (1/d_v) / Σ_{u∈N(v)} 1/d_u (Hwang et al., the
+    bridging-centrality local factor) — high BC marks LOW-degree
+    vertices whose neighbours are themselves poorly connected
+    elsewhere: the thin waists between regions, invisible to degree
+    and complementary to local bridges (span) and structural holes
+    (constraint). Betweenness × BC is Hwang's full bridging
+    centrality; both factors ship here (betweenness_approx).
+
+    Exactness: per-neighbour reciprocals quantize to micro BEFORE the
+    sum (exact integer S_micro), then bc_micro = 10¹² div (d_v·S_micro)
+    — no doubles anywhere in the score. Ranking ties break on id.
+
+    Scale shape: one degree groupBy + one degree-annotated edge pass
+    (shuffle-hash, map-side-combined per-src sum) + TakeOrdered."""
+    und = _und(edges)
+    deg = _und_degrees(und)
+    s = (
+        und.join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("nd")).hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.expr("1000000 div nd")).cast("long").alias("s_micro"))
+    )
+    scored = deg.join(s.hint("shuffle_hash"), "id").select(
+        "id",
+        "deg",
+        "s_micro",
+        F.expr("1000000000000 div (deg * s_micro)").cast("long").alias("bc_micro"),
+    )
+    order = [F.desc("bc_micro"), F.asc("id")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "id", "deg", "s_micro", "bc_micro", "rank"
+    )
