@@ -6381,3 +6381,27 @@ _DOC_LENGTH_POWERLAW_SQL = (
     "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
     "AS entropy_micro FROM plt"
 )
+
+
+def _dup_cluster_size_fit_sql() -> str:
+    """Twin of dup_cluster_size_fit: the _dedup_clusters_sql chain's
+    cluster sizes through the powerlaw histogram fold."""
+    base = _dedup_clusters_sql()
+    return (
+        f"WITH dcbase AS MATERIALIZED ({base}),\n"
+        "pldeg AS (SELECT cluster, MAX(cluster_size)::BIGINT AS deg "
+        "FROM dcbase GROUP BY cluster),\n"
+        "plh AS (SELECT deg, COUNT(*)::BIGINT AS c FROM pldeg GROUP BY deg),\n"
+        "plb AS (SELECT SUM(c)::BIGINT AS n, MIN(deg)::BIGINT AS d_min, "
+        "MAX(deg)::BIGINT AS d_max FROM plh),\n"
+        "plt AS (SELECT b.n, b.d_min, b.d_max, "
+        "SUM(h.c * CAST(ROUND(ln((2.0 * h.deg) / (2.0 * b.d_min - 1.0)) "
+        "* 1000000.0) AS BIGINT))::BIGINT AS sml, "
+        "SUM(h.c * CAST(ROUND(ln(h.c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS shl "
+        "FROM plh h CROSS JOIN plb b GROUP BY b.n, b.d_min, b.d_max)\n"
+        "SELECT n AS n_vertices, d_min, d_max, "
+        "CASE WHEN sml > 0 THEN 1000000 + "
+        "((1000000000000::HUGEINT * n) // sml)::BIGINT END AS alpha_micro, "
+        "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
+        "AS entropy_micro FROM plt"
+    )

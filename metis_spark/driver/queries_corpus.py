@@ -940,3 +940,22 @@ def _q_doc_length_powerlaw(spark, sf_dir):
         TX.whitespace_token_count(F.col("text")).alias("deg")
     ).where(F.col("deg") >= 1)
     return powerlaw_profile(lens)
+
+def _q_dup_cluster_size_fit(spark, sf_dir):
+    """CSN fit + entropy of the MinHash duplicate-cluster SIZE
+    distribution (powerlaw_profile on dedup_clusters' components) —
+    the shape that picks the dedup strategy: a heavy tail (one mega
+    boilerplate cluster) rewards template removal before pairwise
+    dedup; many small clusters reward keep-best-per-cluster as-is."""
+    from metis_spark.plans.metrics import powerlaw_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = DD.minhash_candidates(docs, "doc_id", "text", k=3, num_hashes=8, rows_per_band=2)
+    edges = cands.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = connected_components(
+        edges, max_iter=DEDUP_CC_ROUNDS, checkpoint_dir=_tmpdir("metis_qdcsf_")
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return powerlaw_profile(sizes)
