@@ -291,6 +291,9 @@ def main() -> None:
         "bridging_coefficient",
         "embedding_norm_profile",
         "doc_length_powerlaw",
+        "order_priority_semijoin",
+        "tpch_q5_lite",
+        "brand_return_rates",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6405,3 +6405,32 @@ def _dup_cluster_size_fit_sql() -> str:
         "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
         "AS entropy_micro FROM plt"
     )
+
+
+_Q4_SEMIJOIN_SQL = (
+    "SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate) GROUP BY o_orderpriority"
+)
+
+
+_Q5_LITE_SQL = (
+    "WITH q5l AS (SELECT l_suppkey, CAST(ROUND(l_extendedprice * "
+    "(1.0 - l_discount) * 100) AS BIGINT) AS rev_cents FROM lineitem)\n"
+    "SELECT n.n_name, COUNT(*)::BIGINT AS n_items, "
+    "SUM(l.rev_cents)::BIGINT AS revenue_cents "
+    "FROM q5l l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
+)
+
+
+_BRAND_RETURNS_SQL = (
+    "WITH brp AS (SELECT p.p_brand, COUNT(*)::BIGINT AS n_items, "
+    "SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_brand),\n"
+    "brt AS (SELECT ((1000000 * SUM(n_returned)) // SUM(n_items))::BIGINT "
+    "AS overall_rate_micro FROM brp)\n"
+    "SELECT p.p_brand, p.n_items, p.n_returned, "
+    "((1000000 * p.n_returned) // p.n_items)::BIGINT AS return_rate_micro, "
+    "t.overall_rate_micro FROM brp p CROSS JOIN brt t"
+)

@@ -1529,3 +1529,80 @@ def _q_watermark_lateness_audit(spark, sf_dir):
         F.expr("(1000000 * n_late) div n_events").cast("long").alias("late_rate_micro"),
         "p99_late_s",
     )
+
+
+def _q_order_priority_semijoin(spark, sf_dir):
+    """TPC-H Q4 shape (priority counts over a semi-join): orders that
+    have at least one line item shipped after the order date, counted
+    by priority — the canonical EXISTS/LEFT-SEMI pattern: the probe
+    side never duplicates (semi-join, not inner), the filter pushes
+    to both scans, and the count is grouped on a vocabulary-sized
+    key. All integers."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    has_late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return has_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def _q_tpch_q5_lite(spark, sf_dir):
+    """TPC-H Q5 shape (revenue by supplier nation): lineitem ⨝
+    supplier ⨝ nation with per-row cent quantization before the
+    per-nation sum — the star-join rollup whose two dimension sides
+    broadcast; complements tpch_q3_topk's selective-filter shape.
+    Exact integer revenue."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100)
+        ).cast("long").alias("rev_cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def _q_brand_return_rates(spark, sf_dir):
+    """Return-rate screen per part brand → (p_brand, n_items,
+    n_returned, return_rate_micro, overall_rate_micro): which brands'
+    items come back — the vendor-quality BI read; rates are exact
+    integer divisions and the overall rate broadcasts back so each
+    row carries its own baseline."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("long").alias("ret")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("ret").cast("long").alias("n_returned"),
+        )
+    )
+    tot = per.agg(
+        F.expr("(1000000 * sum(n_returned)) div sum(n_items)")
+        .cast("long").alias("overall_rate_micro")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "n_items",
+        "n_returned",
+        F.expr("(1000000 * n_returned) div n_items").cast("long").alias("return_rate_micro"),
+        "overall_rate_micro",
+    )

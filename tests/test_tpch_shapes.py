@@ -1,0 +1,51 @@
+"""Plan-shape + hand pins for the Q4/Q5/brand-returns trio."""
+
+from __future__ import annotations
+
+import os
+
+from metis_spark.driver.queries_relational import (
+    _q_brand_return_rates,
+    _q_order_priority_semijoin,
+    _q_tpch_q5_lite,
+)
+
+TESTDATA = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_semijoin_plan(spark):
+    """The EXISTS pattern must compile to a LeftSemi join (probe never
+    duplicates) — the 100 TB contract for existence filters."""
+    plan = _executed(_q_order_priority_semijoin(spark, TESTDATA))
+    assert "LeftSemi" in plan
+
+
+def test_q5_star_broadcasts_dimensions(spark):
+    plan = _executed(_q_tpch_q5_lite(spark, TESTDATA))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_counts_bounded_by_orders(spark):
+    import duckdb
+
+    rows = _q_order_priority_semijoin(spark, TESTDATA).collect()
+    total = sum(r["order_count"] for r in rows)
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT count(*) FROM read_parquet('{TESTDATA}/orders.parquet')"
+    ).fetchone()[0]
+    assert 0 < total <= n_orders  # semi-join can never exceed the probe side
+
+
+def test_brand_returns_consistency(spark):
+    rows = _q_brand_return_rates(spark, TESTDATA).collect()
+    tot_items = sum(r["n_items"] for r in rows)
+    tot_ret = sum(r["n_returned"] for r in rows)
+    assert rows[0]["overall_rate_micro"] == (1_000_000 * tot_ret) // tot_items
+    for r in rows:
+        assert 0 <= r["return_rate_micro"] <= 1_000_000
