@@ -6434,3 +6434,23 @@ _BRAND_RETURNS_SQL = (
     "((1000000 * p.n_returned) // p.n_items)::BIGINT AS return_rate_micro, "
     "t.overall_rate_micro FROM brp p CROSS JOIN brt t"
 )
+
+
+def _media_frame_plan_sql() -> str:
+    """Twin of media_frame_plan from the synthesis closed form."""
+    return f"""
+WITH m AS (SELECT unnest(range(0, {N_MEDIA})) AS mid),
+fpa AS (SELECT mid, 1 + mid % 2 AS ch, 8000*(1 + mid % 4) AS rate, 50 + mid % 200 AS frames
+        FROM m WHERE mid % 3 = 1),
+fpv AS (SELECT mid, 208 + mid % 256 AS n_bytes, 1000 + (13*mid) % 5000 AS dur
+        FROM m WHERE mid % 3 = 2),
+fpu AS (
+  SELECT mid::BIGINT AS media_id, 'audio' AS kind,
+         (frames*1000 // rate)::BIGINT AS duration_ms,
+         (44 + 2*frames*ch)::BIGINT AS n_bytes FROM fpa
+  UNION ALL
+  SELECT mid::BIGINT, 'video', dur::BIGINT, n_bytes::BIGINT FROM fpv)
+SELECT media_id, kind, duration_ms,
+  GREATEST(1, duration_ms // 500)::BIGINT AS n_frames,
+  (n_bytes // GREATEST(1, duration_ms // 500))::BIGINT AS stride
+FROM fpu"""

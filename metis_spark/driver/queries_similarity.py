@@ -512,3 +512,32 @@ def _q_embedding_norm_profile(spark, sf_dir):
         ).cast("long").alias("cv2_micro"),
         F.expr("(1000000 * n_unit) div n_vectors").cast("long").alias("frac_unit_micro"),
     )
+
+def _q_media_frame_plan(spark, sf_dir):
+    """Multimodal: the frame/window sampling PLAN sample_frames
+    executes — per audio/video item (media_id, kind, duration_ms,
+    n_frames, stride): n_frames = max(1, duration div 500ms), stride
+    the byte step between slice reads. Computed off the REAL binary
+    decode (durations parsed from WAV/MP4 bytes), so the closed-form
+    oracle round-trips the parser again through different arithmetic;
+    the per-frame digests themselves are pytest-pinned (sha256 not
+    SQL-expressible)."""
+    from metis_spark.operators.multimodal import decode_media, synthesize_media
+
+    dec = decode_media(synthesize_media(spark, N_MEDIA))
+    av = dec.where(F.col("kind").isin("audio", "video")).select(
+        "media_id",
+        "kind",
+        F.coalesce("duration_ms", F.lit(0)).cast("long").alias("duration_ms"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+    nf = F.greatest(F.lit(1).cast("long"), F.expr("duration_ms div 500"))
+    return av.select(
+        "media_id",
+        "kind",
+        "duration_ms",
+        nf.alias("n_frames"),
+        F.expr(
+            "n_bytes div greatest(cast(1 as bigint), duration_ms div 500)"
+        ).cast("long").alias("stride"),
+    )

@@ -56,3 +56,31 @@ def test_edge_hygiene_on_testdata(spark):
     assert 0 <= row["reciprocity_micro"] <= 1_000_000
     assert row["n_sources_only"] >= 0 and row["n_sinks_only"] >= 0
     assert row["n_distinct"] > 0
+
+
+def test_media_frame_plan_matches_sampler(spark):
+    """The plan's n_frames must equal what sample_frames actually
+    emits per item (the digests are pinned in test_multimodal)."""
+    import os
+
+    from metis_spark.driver.queries_similarity import _q_media_frame_plan
+    from metis_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, 30)
+    frames = sample_frames(media, every_ms=500)
+    emitted = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert emitted  # the sampler produced rows
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    plan = {
+        r["media_id"]: r["n_frames"] for r in _q_media_frame_plan(spark, d).collect()
+    }
+    shared = set(emitted) & set(plan)
+    assert shared
+    for mid in shared:
+        assert plan[mid] == emitted[mid], (mid, plan[mid], emitted[mid])
