@@ -294,6 +294,9 @@ def main() -> None:
         "order_priority_semijoin",
         "tpch_q5_lite",
         "brand_return_rates",
+        "stickiness_card",
+        "segment_order_stats",
+        "lang_source_entropy",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6454,3 +6454,42 @@ SELECT media_id, kind, duration_ms,
   GREATEST(1, duration_ms // 500)::BIGINT AS n_frames,
   (n_bytes // GREATEST(1, duration_ms // 500))::BIGINT AS stride
 FROM fpu"""
+
+
+_STICKINESS_SQL = (
+    "WITH ste AS (SELECT DISTINCT user_id, "
+    "floor(epoch(date_trunc('day', ts)))::BIGINT AS d FROM events),\n"
+    "stu AS (SELECT user_id, COUNT(*)::BIGINT AS nd FROM ste GROUP BY user_id),\n"
+    "std_ AS (SELECT COUNT(DISTINCT d)::BIGINT AS n_days FROM ste),\n"
+    "stb AS (SELECT COUNT(*)::BIGINT AS n_users, SUM(nd)::BIGINT AS user_days, "
+    "SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi FROM stu)\n"
+    "SELECT b.n_users, d.n_days, b.user_days, "
+    "((1000000 * b.user_days) // d.n_days)::BIGINT AS avg_dau_micro, "
+    "((1000000 * b.n_multi) // b.n_users)::BIGINT AS multi_day_user_rate_micro "
+    "FROM stb b CROSS JOIN std_ d"
+)
+
+
+_SEGMENT_ORDER_SQL = (
+    "WITH soj AS (SELECT c.c_mktsegment, o.o_totalprice, "
+    "CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey)\n"
+    "SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders, "
+    "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_price, "
+    "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price, "
+    "(SUM(cents) // COUNT(*))::BIGINT AS mean_cents "
+    "FROM soj GROUP BY c_mktsegment"
+)
+
+
+_LANG_SOURCE_ENTROPY_SQL = (
+    "WITH lsc AS (SELECT lang, source, COUNT(*)::BIGINT AS c FROM documents "
+    "GROUP BY 1, 2),\n"
+    "lsa AS (SELECT lang, SUM(c)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_sources, "
+    "SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS so, "
+    "MAX(c)::BIGINT AS cmax FROM lsc GROUP BY lang)\n"
+    "SELECT lang, n_docs, n_sources, "
+    "(CAST(ROUND(ln(n_docs::DOUBLE) * 1000000.0) AS BIGINT) - so // n_docs)::BIGINT "
+    "AS entropy_micro, "
+    "((1000000 * cmax) // n_docs)::BIGINT AS top_source_share_micro FROM lsa"
+)

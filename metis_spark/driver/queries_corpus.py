@@ -959,3 +959,38 @@ def _q_dup_cluster_size_fit(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("deg")
     )
     return powerlaw_profile(sizes)
+
+def _q_lang_source_entropy(spark, sf_dir):
+    """Per-language source-concentration card → (lang, n_docs,
+    n_sources, entropy_micro, top_source_share_micro): the Shannon
+    entropy of each language's document mass across sources plus the
+    single-source maximum share — a language whose corpus comes from
+    one domain (entropy → 0, share → 1) inherits that domain's
+    biases wholesale; the mix-diversity dial behind per-language
+    re-weighting. Integer-exact entropy via the per-class c·ln c
+    micro fold (source_perplexity discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        cnt.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum(
+                F.col("c") * F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+            ).cast("long").alias("so"),
+            F.max("c").cast("long").alias("cmax"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            (
+                F.round(F.log(F.col("n_docs").cast("double")) * F.lit(1e6)).cast("long")
+                - F.expr("so div n_docs")
+            ).cast("long").alias("entropy_micro"),
+            F.expr("(1000000 * cmax) div n_docs").cast("long").alias("top_source_share_micro"),
+        )
+    )

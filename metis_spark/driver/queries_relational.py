@@ -1606,3 +1606,62 @@ def _q_brand_return_rates(spark, sf_dir):
         F.expr("(1000000 * n_returned) div n_items").cast("long").alias("return_rate_micro"),
         "overall_rate_micro",
     )
+
+
+def _q_stickiness_card(spark, sf_dir):
+    """Engagement stickiness card → one row (n_users, n_days,
+    user_days, avg_dau_micro, multi_day_user_rate_micro): average
+    daily active users and the share of users active on ≥ 2 distinct
+    days — the DAU/MAU-style retention pulse (a high event count with
+    a low multi-day share is drive-by traffic; the per-cohort detail
+    lives in retention_cohorts). All integer counts off one
+    (user, day) distinct; two integer divisions."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("long").alias("d"),
+    ).distinct()
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    days = ev.select("d").distinct().agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    base = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("nd").cast("long").alias("user_days"),
+        F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_multi"),
+    )
+    return base.crossJoin(F.broadcast(days)).select(
+        "n_users",
+        "n_days",
+        "user_days",
+        F.expr("(1000000 * user_days) div n_days").cast("long").alias("avg_dau_micro"),
+        F.expr("(1000000 * n_multi) div n_users").cast("long").alias("multi_day_user_rate_micro"),
+    )
+
+
+def _q_segment_order_stats(spark, sf_dir):
+    """Order-value distribution per market segment → (c_mktsegment,
+    n_orders, p50_price, p90_price, mean_cents): the
+    customer-dimension slice of order_stats — broadcast dimension
+    join, shared interpolated percentiles, exact integer mean in
+    cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "p50_price",
+            "p90_price",
+            F.expr("sum_cents div n_orders").cast("long").alias("mean_cents"),
+        )
+    )
