@@ -6493,3 +6493,30 @@ _LANG_SOURCE_ENTROPY_SQL = (
     "AS entropy_micro, "
     "((1000000 * cmax) // n_docs)::BIGINT AS top_source_share_micro FROM lsa"
 )
+
+
+def _coreness_profile_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
+    """Twin of coreness_profile on the unrolled coreness chain: shell
+    histogram + cumulative ≥-k sizes + exact-integer Pearson of
+    (degree, core)."""
+    ctes = _coreness_ctes(rounds)
+    last = f"c{rounds}"
+    ctes += [
+        "cpd AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src)",
+        f"cpj AS (SELECT c.core, d.deg FROM {last} c JOIN cpd d ON c.id = d.id)",
+        "cpm AS (SELECT COUNT(*)::BIGINT AS n, SUM(deg)::HUGEINT AS sx, "
+        "SUM(core)::HUGEINT AS sy, SUM(deg::HUGEINT * deg) AS sxx, "
+        "SUM(core::HUGEINT * core) AS syy, SUM(deg::HUGEINT * core) AS sxy FROM cpj)",
+        "cpc AS (SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 "
+        "THEN CAST(ROUND((n * sxy - sx * sy)::DOUBLE "
+        "/ sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE) "
+        "* 1000000.0) AS BIGINT) END AS deg_core_corr_micro FROM cpm)",
+        f"cph AS (SELECT core, COUNT(*)::BIGINT AS n_vertices FROM {last} GROUP BY core)",
+        "cpp AS (SELECT core, n_vertices, SUM(n_vertices) OVER "
+        "(ORDER BY core DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum_ge FROM cph)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT p.core, p.n_vertices, p.n_cum_ge, c.deg_core_corr_micro "
+        "FROM cpp p CROSS JOIN cpc c"
+    )

@@ -1934,3 +1934,66 @@ def _q_bridging_coefficient(spark, sf_dir):
     from metis_spark.plans.metrics import bridging_coefficient_topk
 
     return bridging_coefficient_topk(derived_edges_sparse(spark, sf_dir), k=50)
+
+def _q_coreness_profile(spark, sf_dir):
+    """Core-decomposition profile → one row per core value (core,
+    n_vertices, n_cum_ge, deg_core_corr_micro): the size of each
+    k-shell, the cumulative ≥-k core sizes (the curve behind "which
+    k keeps X% of the graph" curation cuts), and — broadcast onto
+    every row — the exact Pearson correlation between degree and core
+    number (how safe degree is as a cheap coreness proxy: high corr
+    ⇒ degree-threshold prefiltering approximates the k-core cut).
+
+    Exactness: Pearson moments are exact decimal integers (the
+    event_type_correlation discipline); the cumulative window runs
+    over distinct CORE values only (histogram-bounded, the
+    degree_gini invariant)."""
+    from metis_spark.plans.coreness import coreness
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    cores, info = coreness(
+        edges,
+        checkpoint_dir=_tmpdir("metis_qcprof_"),
+        checkpoint_every=5,
+        retain=2,
+    )
+    assert info["converged"], info
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    joined = cores.join(deg.hint("shuffle_hash"), "id")
+    dec = "decimal(38,0)"
+    mom = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("deg").cast(dec).alias("sx"),
+        F.sum("core").cast(dec).alias("sy"),
+        F.sum(F.col("deg").cast(dec) * F.col("deg")).alias("sxx"),
+        F.sum(F.col("core").cast(dec) * F.col("core")).alias("syy"),
+        F.sum(F.col("deg").cast(dec) * F.col("core")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = mom.select(
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("deg_core_corr_micro")
+    )
+    hist = cores.groupBy("core").agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    w = Window.orderBy(F.desc("core")).rowsBetween(Window.unboundedPreceding, 0)
+    prof = hist.select(
+        "core", "n_vertices", F.sum("n_vertices").over(w).cast("long").alias("n_cum_ge")
+    )
+    return prof.crossJoin(F.broadcast(corr)).select(
+        "core", "n_vertices", "n_cum_ge", "deg_core_corr_micro"
+    )

@@ -40,3 +40,24 @@ def test_cs_at_least_one_invariant(spark):
     pairs = [(a, b) for a, b in pairs if a != b]
     got = _cs(spark, pairs)
     assert got and all(cs >= 1 for _, cs in got.values())
+
+
+def test_coreness_profile_invariants(spark):
+    """Shell sizes, cumulative curve, and the degree proxy corr on a
+    graph with known decomposition: K4 + pendant chain."""
+    import os
+
+    from metis_spark.driver.queries_graph_structure import _q_coreness_profile
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rows = _q_coreness_profile(spark, d).collect()
+    assert rows
+    by_core = sorted(rows, key=lambda r: -r["core"])
+    # cumulative curve is the running sum of shell sizes from the top
+    run = 0
+    for r in by_core:
+        run += r["n_vertices"]
+        assert r["n_cum_ge"] == run
+    # degree and coreness correlate positively on web-shaped graphs
+    corr = rows[0]["deg_core_corr_micro"]
+    assert corr is not None and 0 < corr <= 1_000_000
