@@ -297,6 +297,8 @@ def main() -> None:
         "stickiness_card",
         "segment_order_stats",
         "lang_source_entropy",
+        "caps_profile",
+        "label_balance_card",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6520,3 +6520,32 @@ def _coreness_profile_sql(rounds: int = CORENESS_ORACLE_ROUNDS) -> str:
         + "\nSELECT p.core, p.n_vertices, p.n_cum_ge, c.deg_core_corr_micro "
         "FROM cpp p CROSS JOIN cpc c"
     )
+
+
+_CAPS_PROFILE_SQL = (
+    "WITH cpr AS (SELECT source, "
+    "len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS u, "
+    "len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS a FROM documents),\n"
+    "cps AS (SELECT source, u, a, CASE WHEN u * 10 > a * 3 AND a > 0 "
+    "THEN 1 ELSE 0 END AS shout FROM cpr),\n"
+    "cpa AS (SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(u)::BIGINT AS su, "
+    "SUM(a)::BIGINT AS sa, SUM(shout)::BIGINT AS n_shouting_docs "
+    "FROM cps GROUP BY source)\n"
+    "SELECT source, n_docs, CASE WHEN sa > 0 THEN ((1000000 * su) // sa)::BIGINT "
+    "ELSE 0 END AS caps_ratio_micro, n_shouting_docs FROM cpa"
+)
+
+
+_LABEL_BALANCE_SQL = (
+    "WITH lbc AS (SELECT label, COUNT(*)::BIGINT AS c FROM embeddings "
+    "GROUP BY label),\n"
+    "lba AS (SELECT COUNT(*)::BIGINT AS n_labels, SUM(c)::BIGINT AS n_vectors, "
+    "MAX(c)::BIGINT AS cmax, MIN(c)::BIGINT AS cmin, "
+    "SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS so "
+    "FROM lbc)\n"
+    "SELECT n_labels, n_vectors, "
+    "((1000000 * cmax) // n_vectors)::BIGINT AS max_share_micro, "
+    "(CAST(ROUND(ln(n_vectors::DOUBLE) * 1000000.0) AS BIGINT) - so // n_vectors)::BIGINT "
+    "AS balance_entropy_micro, "
+    "((1000000 * cmax) // cmin)::BIGINT AS imbalance_ratio_micro FROM lba"
+)

@@ -994,3 +994,37 @@ def _q_lang_source_entropy(spark, sf_dir):
             F.expr("(1000000 * cmax) div n_docs").cast("long").alias("top_source_share_micro"),
         )
     )
+
+def _q_caps_profile(spark, sf_dir):
+    """Capitalization profile per source → (source, n_docs,
+    caps_ratio_micro, n_shouting_docs): share of uppercase among
+    alphabetic characters and the count of shouting documents
+    (> 30% caps) — the spam/boilerplate capitalization heuristic the
+    Gopher-style rule set doesn't cover; all integer counts via two
+    regexp_count columns, two integer divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    upper = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Z]"), 0)).cast("long")
+    alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0)).cast("long")
+    per = docs.select(
+        "source", upper.alias("u"), alpha.alias("a")
+    ).select(
+        "source", "u", "a",
+        ((F.col("u") * 10 > F.col("a") * 3) & (F.col("a") > 0)).cast("long").alias("shout"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("u").cast("long").alias("su"),
+            F.sum("a").cast("long").alias("sa"),
+            F.sum("shout").cast("long").alias("n_shouting_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.when(
+                F.col("sa") > 0, F.expr("(1000000 * su) div sa")
+            ).otherwise(F.lit(0)).cast("long").alias("caps_ratio_micro"),
+            "n_shouting_docs",
+        )
+    )

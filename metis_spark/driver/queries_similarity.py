@@ -541,3 +541,32 @@ def _q_media_frame_plan(spark, sf_dir):
             "n_bytes div greatest(cast(1 as bigint), duration_ms div 500)"
         ).cast("long").alias("stride"),
     )
+
+def _q_label_balance_card(spark, sf_dir):
+    """Label-balance card for the embedding table → one row
+    (n_labels, n_vectors, max_share_micro, balance_entropy_micro,
+    imbalance_ratio_micro): majority-class share, label entropy, and
+    max/min class ratio — the check that contextualizes every
+    classifier number downstream (rocchio_confusion's accuracy means
+    nothing against a 90% majority class). Integer-exact entropy via
+    the per-class c·ln c micro fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.max("c").cast("long").alias("cmax"),
+        F.min("c").cast("long").alias("cmin"),
+        F.sum(
+            F.col("c") * F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+        ).cast("long").alias("so"),
+    ).select(
+        "n_labels",
+        "n_vectors",
+        F.expr("(1000000 * cmax) div n_vectors").cast("long").alias("max_share_micro"),
+        (
+            F.round(F.log(F.col("n_vectors").cast("double")) * F.lit(1e6)).cast("long")
+            - F.expr("so div n_vectors")
+        ).cast("long").alias("balance_entropy_micro"),
+        F.expr("(1000000 * cmax) div cmin").cast("long").alias("imbalance_ratio_micro"),
+    )
