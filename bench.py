@@ -299,6 +299,8 @@ def main() -> None:
         "lang_source_entropy",
         "caps_profile",
         "label_balance_card",
+        "revenue_hhi",
+        "digit_token_share",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6549,3 +6549,33 @@ _LABEL_BALANCE_SQL = (
     "AS balance_entropy_micro, "
     "((1000000 * cmax) // cmin)::BIGINT AS imbalance_ratio_micro FROM lba"
 )
+
+
+_REVENUE_HHI_SQL = (
+    "WITH rhl AS (SELECT l_suppkey, CAST(ROUND(l_extendedprice * "
+    "(1.0 - l_discount) * 100) AS BIGINT) AS cents FROM lineitem),\n"
+    "rhp AS (SELECT l_suppkey, SUM(cents)::BIGINT AS rev FROM rhl GROUP BY 1),\n"
+    "rhb AS (SELECT COUNT(*)::BIGINT AS n_suppliers, SUM(rev)::BIGINT AS total_cents, "
+    "SUM(rev::HUGEINT * rev) AS s2, MAX(rev)::BIGINT AS top1 FROM rhp),\n"
+    "rht AS (SELECT SUM(rev)::BIGINT AS t10 FROM "
+    "(SELECT rev FROM rhp ORDER BY rev DESC, l_suppkey ASC LIMIT 10))\n"
+    "SELECT b.n_suppliers, b.total_cents, "
+    "CAST(ROUND(b.s2::DOUBLE / (b.total_cents::DOUBLE * b.total_cents::DOUBLE) "
+    "* 1000000.0) AS BIGINT) AS hhi_micro, "
+    "((1000000 * b.top1) // b.total_cents)::BIGINT AS top1_share_micro, "
+    "((1000000 * t.t10) // b.total_cents)::BIGINT AS top10_share_micro "
+    "FROM rhb b CROSS JOIN rht t"
+)
+
+
+_DIGIT_SHARE_SQL = (
+    "WITH dts AS (SELECT lang, "
+    "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> ''))::BIGINT AS nt, "
+    "len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> ''), x -> regexp_full_match(x, '[0-9]+')))::BIGINT AS ndig "
+    "FROM documents)\n"
+    "SELECT lang, SUM(nt)::BIGINT AS n_tokens, SUM(ndig)::BIGINT AS digit_tokens, "
+    "CASE WHEN SUM(nt) > 0 THEN ((1000000 * SUM(ndig)) // SUM(nt))::BIGINT "
+    "ELSE 0 END AS digit_share_micro FROM dts GROUP BY lang"
+)

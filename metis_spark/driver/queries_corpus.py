@@ -1028,3 +1028,31 @@ def _q_caps_profile(spark, sf_dir):
             "n_shouting_docs",
         )
     )
+
+def _q_digit_token_share(spark, sf_dir):
+    """Digit-token share per language → (lang, n_tokens,
+    digit_tokens, digit_share_micro): the fraction of tokens that are
+    pure numbers — high shares flag tables/logs/serialized data
+    masquerading as prose (a different failure mode than the
+    punctuation and stopword ratios quality_score folds). All
+    integers, one in-array filter per row, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    digits = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).cast("long")
+    return (
+        docs.select("lang", F.size(toks).cast("long").alias("nt"), digits.alias("ndig"))
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("ndig").cast("long").alias("digit_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "digit_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(1000000 * digit_tokens) div n_tokens"),
+            ).otherwise(F.lit(0)).cast("long").alias("digit_share_micro"),
+        )
+    )

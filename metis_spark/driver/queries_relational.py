@@ -1665,3 +1665,46 @@ def _q_segment_order_stats(spark, sf_dir):
             F.expr("sum_cents div n_orders").cast("long").alias("mean_cents"),
         )
     )
+
+
+def _q_revenue_hhi(spark, sf_dir):
+    """Supplier revenue concentration → one row (n_suppliers,
+    total_cents, hhi_micro, top1_share_micro, top10_share_micro): the
+    Herfindahl–Hirschman index Σ shareᵢ² of lineitem revenue across
+    suppliers plus the top-1/top-10 shares — the supply-chain
+    concentration screen (HHI > 0.25 ≡ 2500 points = highly
+    concentrated; losing one supplier breaks the pipeline).
+
+    Exactness: per-row cents quantization, Σrevᵢ² in decimal(38,0) —
+    HHI = Σrev²/total² needs ONE double division; the top-k shares
+    are TakeOrdered sums over k rows, integer divisions."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100)
+        ).cast("long").alias("cents"),
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum("cents").cast("long").alias("rev"))
+    dec = "decimal(38,0)"
+    base = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("long").alias("total_cents"),
+        F.sum(F.col("rev").cast(dec) * F.col("rev")).alias("s2"),
+        F.max("rev").cast("long").alias("top1"),
+    )
+    top10 = (
+        per.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+        .limit(10)
+        .agg(F.sum("rev").cast("long").alias("t10"))
+    )
+    return base.crossJoin(F.broadcast(top10)).select(
+        "n_suppliers",
+        "total_cents",
+        F.round(
+            F.col("s2").cast("double")
+            / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double"))
+            * F.lit(1e6)
+        ).cast("long").alias("hhi_micro"),
+        F.expr("(1000000 * top1) div total_cents").cast("long").alias("top1_share_micro"),
+        F.expr("(1000000 * t10) div total_cents").cast("long").alias("top10_share_micro"),
+    )
