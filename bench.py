@@ -301,6 +301,7 @@ def main() -> None:
         "label_balance_card",
         "revenue_hhi",
         "digit_token_share",
+        "psi_value_drift",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

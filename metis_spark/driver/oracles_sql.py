@@ -6579,3 +6579,34 @@ _DIGIT_SHARE_SQL = (
     "CASE WHEN SUM(nt) > 0 THEN ((1000000 * SUM(ndig)) // SUM(nt))::BIGINT "
     "ELSE 0 END AS digit_share_micro FROM dts GROUP BY lang"
 )
+
+
+_PSI_DRIFT_SQL = (
+    # twin of psi_value_drift: same integer split/bin arithmetic,
+    # Laplace-smoothed 10-bin grid, per-bin micro terms, exact sum
+    "WITH pse AS (SELECT event_type, epoch_us(ts) AS m, "
+    "CAST(ROUND(value * 1000000) AS BIGINT) AS vm FROM events),\n"
+    "psr AS (SELECT event_type, MIN(m) AS m0, MAX(m) AS m1, "
+    "MIN(vm) AS v0, MAX(vm) AS v1 FROM pse GROUP BY event_type),\n"
+    "psb AS (SELECT e.event_type, "
+    "CASE WHEN e.m < (r.m0 + r.m1) / 2 THEN 1 ELSE 0 END AS h, "
+    "LEAST(9, ((e.vm - r.v0) * 10) // (r.v1 - r.v0 + 1)) AS bin "
+    "FROM pse e JOIN psr r USING (event_type)),\n"
+    "psc AS (SELECT event_type, bin, SUM(h)::BIGINT AS c1, "
+    "SUM(1 - h)::BIGINT AS c2 FROM psb GROUP BY 1, 2),\n"
+    "psg AS (SELECT t.event_type, b.bin, COALESCE(c.c1, 0)::BIGINT AS c1, "
+    "COALESCE(c.c2, 0)::BIGINT AS c2 FROM "
+    "(SELECT DISTINCT event_type FROM psc) t CROSS JOIN "
+    "(SELECT unnest(range(0, 10)) AS bin) b "
+    "LEFT JOIN psc c ON c.event_type = t.event_type AND c.bin = b.bin),\n"
+    "pst AS (SELECT event_type, SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 "
+    "FROM psg GROUP BY event_type),\n"
+    "psm AS (SELECT g.event_type, t.n1, t.n2, "
+    "CAST(ROUND(((g.c2 + 1)::DOUBLE / (t.n2 + 10)::DOUBLE "
+    "- (g.c1 + 1)::DOUBLE / (t.n1 + 10)::DOUBLE) "
+    "* ln(((g.c2 + 1)::DOUBLE * (t.n1 + 10)::DOUBLE) "
+    "/ ((g.c1 + 1)::DOUBLE * (t.n2 + 10)::DOUBLE)) * 1000000.0) AS BIGINT) AS tm "
+    "FROM psg g JOIN pst t USING (event_type))\n"
+    "SELECT event_type, MAX(n1)::BIGINT AS n_first, MAX(n2)::BIGINT AS n_second, "
+    "SUM(tm)::BIGINT AS psi_micro FROM psm GROUP BY event_type"
+)

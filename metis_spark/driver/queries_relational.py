@@ -1708,3 +1708,93 @@ def _q_revenue_hhi(spark, sf_dir):
         F.expr("(1000000 * top1) div total_cents").cast("long").alias("top1_share_micro"),
         F.expr("(1000000 * t10) div total_cents").cast("long").alias("top10_share_micro"),
     )
+
+
+def _q_psi_value_drift(spark, sf_dir):
+    """Population-stability-index drift monitor → (event_type,
+    n_first, n_second, psi_micro): the value distribution of each
+    event type in the FIRST half of the time range vs the SECOND,
+    compared by the model-monitoring industry's standard
+    PSI = Σ_bins (p₂−p₁)·ln(p₂/p₁) over 10 equal-width bins
+    (rule of thumb: < 0.1 stable, > 0.25 drifted — the continuous
+    sibling of cusum_changepoints' single-shift estimator, and what
+    a feature-store monitor runs nightly).
+
+    Exactness: the time split point and bin edges are integer
+    microsecond/micro-value arithmetic from per-type min/max (exact,
+    broadcast back); bins get +1 Laplace smoothing so empty cells are
+    defined; each bin term is one double from exact integer ratios,
+    micro-quantized BEFORE the 10-bin sum (exact integer total).
+
+    Scale shape: two passes (min/max then binned counts), both
+    map-side-combined; everything after is (types × 10) rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("m"),
+        F.round(F.col("value") * F.lit(1e6)).cast("long").alias("vm"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("m").alias("m0"),
+        F.max("m").alias("m1"),
+        F.min("vm").alias("v0"),
+        F.max("vm").alias("v1"),
+    )
+    binned = (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            # first half: m < midpoint (integer average, exact)
+            (F.col("m") < (F.col("m0") + F.col("m1")) / F.lit(2)).cast("int").alias("h"),
+            F.least(
+                F.lit(9).cast("long"),
+                F.expr("((vm - v0) * 10) div (v1 - v0 + 1)"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.col("h")).cast("long").alias("c1"),
+            F.sum(F.lit(1) - F.col("h")).cast("long").alias("c2"),
+        )
+    )
+    # complete the 10-bin grid so Laplace smoothing sees empty bins
+    bins = spark.createDataFrame([(b,) for b in range(10)], "bin long")
+    types = binned.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bins))
+        .join(binned, ["event_type", "bin"], "left")
+        .select(
+            "event_type", "bin",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    # p_i = (c_i + 1)/(n_i + 10); term = (p2 − p1)·ln(p2/p1), all from
+    # exact integers: ln(((c2+1)(n1+10)) / ((c1+1)(n2+10)))
+    terms = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(
+            (
+                (F.col("c2") + 1).cast("double") / (F.col("n2") + 10).cast("double")
+                - (F.col("c1") + 1).cast("double") / (F.col("n1") + 10).cast("double")
+            )
+            * F.log(
+                ((F.col("c2") + 1).cast("double") * (F.col("n1") + 10).cast("double"))
+                / ((F.col("c1") + 1).cast("double") * (F.col("n2") + 10).cast("double"))
+            )
+            * F.lit(1e6)
+        ).cast("long").alias("tm"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_first"),
+            F.max("n2").alias("n_second"),
+            F.sum("tm").cast("long").alias("psi_micro"),
+        )
+    )
