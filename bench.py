@@ -302,6 +302,7 @@ def main() -> None:
         "revenue_hhi",
         "digit_token_share",
         "psi_value_drift",
+        "region_revenue_rollup",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6610,3 +6610,15 @@ _PSI_DRIFT_SQL = (
     "SELECT event_type, MAX(n1)::BIGINT AS n_first, MAX(n2)::BIGINT AS n_second, "
     "SUM(tm)::BIGINT AS psi_micro FROM psm GROUP BY event_type"
 )
+
+
+_REGION_ROLLUP_SQL = (
+    "WITH rrl AS (SELECT l_suppkey, CAST(ROUND(l_extendedprice * "
+    "(1.0 - l_discount) * 100) AS BIGINT) AS cents FROM lineitem)\n"
+    "SELECT r.r_name, n.n_name, COUNT(*)::BIGINT AS n_items, "
+    "SUM(l.cents)::BIGINT AS revenue_cents "
+    "FROM rrl l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY ROLLUP (r.r_name, n.n_name)"
+)

@@ -1798,3 +1798,31 @@ def _q_psi_value_drift(spark, sf_dir):
             F.sum("tm").cast("long").alias("psi_micro"),
         )
     )
+
+
+def _q_region_revenue_rollup(spark, sf_dir):
+    """Region → nation revenue rollup (grouping-sets over the 4-way
+    star lineitem ⨝ supplier ⨝ nation ⨝ region): subtotals per
+    nation, per region, and the grand total in one pass — the
+    drill-down cube a revenue dashboard serves, and the query that
+    completes full table coverage (region was the one driver table no
+    other query touched). Both dimension chains broadcast; per-row
+    cent quantization keeps every subtotal an exact integer."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100)
+        ).cast("long").alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

@@ -49,3 +49,18 @@ def test_brand_returns_consistency(spark):
     assert rows[0]["overall_rate_micro"] == (1_000_000 * tot_ret) // tot_items
     for r in rows:
         assert 0 <= r["return_rate_micro"] <= 1_000_000
+
+
+def test_region_rollup_totals_consistent(spark):
+    from metis_spark.driver.queries_relational import _q_region_revenue_rollup
+
+    rows = _q_region_revenue_rollup(spark, TESTDATA).collect()
+    grand = [r for r in rows if r["r_name"] is None and r["n_name"] is None]
+    regions = [r for r in rows if r["r_name"] is not None and r["n_name"] is None]
+    nations = [r for r in rows if r["n_name"] is not None]
+    assert len(grand) == 1
+    # subtotal arithmetic is exact: regions sum to the grand total,
+    # nations sum to the grand total
+    assert sum(r["revenue_cents"] for r in regions) == grand[0]["revenue_cents"]
+    assert sum(r["revenue_cents"] for r in nations) == grand[0]["revenue_cents"]
+    assert sum(r["n_items"] for r in nations) == grand[0]["n_items"]
