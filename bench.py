@@ -303,6 +303,7 @@ def main() -> None:
         "digit_token_share",
         "psi_value_drift",
         "region_revenue_rollup",
+        "seasonal_anomaly_hours",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

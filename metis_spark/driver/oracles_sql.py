@@ -6622,3 +6622,25 @@ _REGION_ROLLUP_SQL = (
     "JOIN region r ON n.n_regionkey = r.r_regionkey "
     "GROUP BY ROLLUP (r.r_name, n.n_name)"
 )
+
+
+_SEASONAL_ANOMALY_SQL = (
+    "WITH sae AS (SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, "
+    "((floor(epoch(ts))::BIGINT // 86400) // 7)::BIGINT AS wk FROM events),\n"
+    "sac AS (SELECT dow, hod, wk, COUNT(*)::BIGINT AS c FROM sae GROUP BY 1, 2, 3),\n"
+    "sal AS (SELECT MAX(wk) AS lw FROM sac),\n"
+    "sag AS (SELECT ce.dow, ce.hod, w.wk, COALESCE(c.c, 0)::BIGINT AS c, l.lw "
+    "FROM (SELECT DISTINCT dow, hod FROM sac) ce "
+    "CROSS JOIN (SELECT DISTINCT wk FROM sac) w "
+    "LEFT JOIN sac c ON c.dow = ce.dow AND c.hod = ce.hod AND c.wk = w.wk "
+    "CROSS JOIN sal l),\n"
+    "sab AS (SELECT dow, hod, COUNT(*)::BIGINT AS w, SUM(c)::HUGEINT AS s, "
+    "SUM(c::HUGEINT * c) AS s2 FROM sag WHERE wk < lw GROUP BY dow, hod),\n"
+    "sat AS (SELECT dow, hod, c AS latest_n FROM sag WHERE wk = lw)\n"
+    "SELECT b.dow, b.hod, (b.w + 1)::BIGINT AS n_weeks, t.latest_n, "
+    "((1000000::HUGEINT * b.s) // b.w)::BIGINT AS baseline_mean_micro, "
+    "CASE WHEN b.w >= 2 AND b.w * b.s2 - b.s * b.s > 0 THEN "
+    "CAST(ROUND((t.latest_n::HUGEINT * b.w - b.s)::DOUBLE "
+    "/ sqrt((b.w * b.s2 - b.s * b.s)::DOUBLE) * 1000000.0) AS BIGINT) END AS z_micro "
+    "FROM sab b JOIN sat t ON b.dow = t.dow AND b.hod = t.hod"
+)

