@@ -304,6 +304,7 @@ def main() -> None:
         "psi_value_drift",
         "region_revenue_rollup",
         "seasonal_anomaly_hours",
+        "order_backlog_card",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6644,3 +6644,17 @@ _SEASONAL_ANOMALY_SQL = (
     "/ sqrt((b.w * b.s2 - b.s * b.s)::DOUBLE) * 1000000.0) AS BIGINT) END AS z_micro "
     "FROM sab b JOIN sat t ON b.dow = t.dow AND b.hod = t.hod"
 )
+
+
+_ORDER_BACKLOG_SQL = (
+    "WITH obo AS (SELECT o_orderstatus, floor(epoch(o_orderdate))::BIGINT AS es, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),\n"
+    "obm AS (SELECT MAX(es) AS tmax FROM obo),\n"
+    "oba AS (SELECT o.o_orderstatus, ((m.tmax - o.es) // 86400)::BIGINT AS age_d, "
+    "o.cents FROM obo o CROSS JOIN obm m)\n"
+    "SELECT o_orderstatus, COUNT(*)::BIGINT AS n, "
+    "ROUND(quantile_cont(age_d, 0.5), 4) AS p50_age_days, "
+    "ROUND(quantile_cont(age_d, 0.9), 4) AS p90_age_days, "
+    "MAX(age_d)::BIGINT AS max_age_days, SUM(cents)::BIGINT AS value_cents "
+    "FROM oba GROUP BY o_orderstatus"
+)

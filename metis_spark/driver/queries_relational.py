@@ -1901,3 +1901,34 @@ def _q_seasonal_anomaly_hours(spark, sf_dir):
             ).alias("z_micro"),
         )
     )
+
+
+def _q_order_backlog_card(spark, sf_dir):
+    """Backlog aging card → one row per o_orderstatus (status, n,
+    p50_age_days, p90_age_days, max_age_days, value_cents): order age
+    (data-horizon minus order date, integer days) and locked-up value
+    per status — the open-orders ('O') row is the working-capital /
+    fulfilment-SLA read, with 'F'/'P' as controls. Horizon = the
+    table's own max o_orderdate (deterministic, like
+    decayed_event_counts' Tmax).
+
+    Exactness: integer day ages off floor-epoch arithmetic; shared
+    interpolated percentiles; exact integer cents sums."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.unix_timestamp("o_orderdate").cast("long").alias("es"),
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("es").alias("tmax"))
+    aged = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        F.expr("(tmax - es) div 86400").cast("long").alias("age_d"),
+        "cents",
+    )
+    return aged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.expr("percentile(age_d, 0.5)"), 4).alias("p50_age_days"),
+        F.round(F.expr("percentile(age_d, 0.9)"), 4).alias("p90_age_days"),
+        F.max("age_d").cast("long").alias("max_age_days"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )

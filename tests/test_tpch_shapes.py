@@ -64,3 +64,29 @@ def test_region_rollup_totals_consistent(spark):
     assert sum(r["revenue_cents"] for r in regions) == grand[0]["revenue_cents"]
     assert sum(r["revenue_cents"] for r in nations) == grand[0]["revenue_cents"]
     assert sum(r["n_items"] for r in nations) == grand[0]["n_items"]
+
+
+def test_order_backlog_hand(spark, tmp_path):
+    import datetime as dt
+
+    from metis_spark.driver.queries_relational import _q_order_backlog_card
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, 1, "O", 100.0, t0, "1-URGENT"),                        # age 0 (horizon)
+        (2, 1, "O", 200.0, t0 - dt.timedelta(days=10), "1-URGENT"),
+        (3, 1, "F", 300.0, t0 - dt.timedelta(days=4), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {r["o_orderstatus"]: r for r in _q_order_backlog_card(spark, d).collect()}
+    o = got["O"]
+    assert o["n"] == 2 and o["max_age_days"] == 10
+    assert o["p50_age_days"] == 5.0  # interpolated over {0, 10}
+    assert o["value_cents"] == 30_000
+    assert got["F"]["max_age_days"] == 4
