@@ -305,6 +305,8 @@ def main() -> None:
         "region_revenue_rollup",
         "seasonal_anomaly_hours",
         "order_backlog_card",
+        "acctbal_health_card",
+        "part_type_revenue_topk",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

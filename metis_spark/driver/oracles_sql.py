@@ -6658,3 +6658,29 @@ _ORDER_BACKLOG_SQL = (
     "MAX(age_d)::BIGINT AS max_age_days, SUM(cents)::BIGINT AS value_cents "
     "FROM oba GROUP BY o_orderstatus"
 )
+
+
+_ACCTBAL_SQL = (
+    "WITH abu AS (SELECT 'customer' AS entity, c_acctbal AS bal FROM customer "
+    "UNION ALL SELECT 'supplier', s_acctbal FROM supplier),\n"
+    "abc AS (SELECT entity, bal, CAST(ROUND(bal * 100) AS BIGINT) AS cents FROM abu)\n"
+    "SELECT entity, COUNT(*)::BIGINT AS n, "
+    "SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative, "
+    "((1000000 * SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT "
+    "AS neg_share_micro, "
+    "ROUND(quantile_cont(bal, 0.5), 4) AS p50_bal, "
+    "ROUND(quantile_cont(bal, 0.9), 4) AS p90_bal, "
+    "SUM(cents)::BIGINT AS total_cents FROM abc GROUP BY entity"
+)
+
+
+_PART_TYPE_TOPK_SQL = (
+    "WITH ptl AS (SELECT l_partkey, CAST(ROUND(l_extendedprice * "
+    "(1.0 - l_discount) * 100) AS BIGINT) AS cents FROM lineitem),\n"
+    "pta AS (SELECT p.p_type, COUNT(*)::BIGINT AS n_items, "
+    "SUM(l.cents)::BIGINT AS revenue_cents FROM ptl l "
+    "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_type)\n"
+    "SELECT p_type, n_items, revenue_cents, rank FROM (SELECT p_type, n_items, "
+    "revenue_cents, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, p_type ASC)"
+    "::BIGINT AS rank FROM pta) WHERE rank <= 10"
+)

@@ -1932,3 +1932,64 @@ def _q_order_backlog_card(spark, sf_dir):
         F.max("age_d").cast("long").alias("max_age_days"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+def _q_acctbal_health_card(spark, sf_dir):
+    """Account-balance credit screen → one row per entity
+    ('customer'/'supplier'): (entity, n, n_negative,
+    neg_share_micro, p50_bal, p90_bal, total_cents) — the
+    counterparty-risk read on both balance columns; negative-balance
+    share is the default-risk dial. Exact cents sums, shared
+    percentiles; the two dimension scans union into one plan."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity"), F.col("c_acctbal").alias("bal")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity"), F.col("s_acctbal").alias("bal")
+    )
+    both = c.unionByName(s).select(
+        "entity", "bal", F.round(F.col("bal") * F.lit(100)).cast("long").alias("cents")
+    )
+    return (
+        both.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("bal") < 0).cast("long")).cast("long").alias("n_negative"),
+            F.round(F.expr("percentile(bal, 0.5)"), 4).alias("p50_bal"),
+            F.round(F.expr("percentile(bal, 0.9)"), 4).alias("p90_bal"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "entity", "n", "n_negative",
+            F.expr("(1000000 * n_negative) div n").cast("long").alias("neg_share_micro"),
+            "p50_bal", "p90_bal", "total_cents",
+        )
+    )
+
+
+def _q_part_type_revenue_topk(spark, sf_dir):
+    """Revenue by part type, top-10 → (p_type, n_items,
+    revenue_cents, rank): the product-mix concentration view on the
+    one part dimension column no other query used; broadcast
+    dimension join, exact cents, TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100)
+        ).cast("long").alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    order = [F.desc("revenue_cents"), F.asc("p_type")]
+    top = agg.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "p_type", "n_items", "revenue_cents", "rank"
+    )

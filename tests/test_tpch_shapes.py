@@ -90,3 +90,23 @@ def test_order_backlog_hand(spark, tmp_path):
     assert o["p50_age_days"] == 5.0  # interpolated over {0, 10}
     assert o["value_cents"] == 30_000
     assert got["F"]["max_age_days"] == 4
+
+
+def test_acctbal_health_on_testdata(spark):
+    from metis_spark.driver.queries_relational import _q_acctbal_health_card
+
+    got = {r["entity"]: r for r in _q_acctbal_health_card(spark, TESTDATA).collect()}
+    assert set(got) == {"customer", "supplier"}
+    for r in got.values():
+        assert 0 <= r["neg_share_micro"] <= 1_000_000
+        assert r["p50_bal"] <= r["p90_bal"]
+        assert r["n"] > 0
+
+
+def test_part_type_topk_ordering(spark):
+    from metis_spark.driver.queries_relational import _q_part_type_revenue_topk
+
+    rows = _q_part_type_revenue_topk(spark, TESTDATA).collect()
+    revs = [r["revenue_cents"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
