@@ -307,6 +307,7 @@ def main() -> None:
         "order_backlog_card",
         "acctbal_health_card",
         "part_type_revenue_topk",
+        "square_surplus",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6684,3 +6684,20 @@ _PART_TYPE_TOPK_SQL = (
     "revenue_cents, ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, p_type ASC)"
     "::BIGINT AS rank FROM pta) WHERE rank <= 10"
 )
+
+
+_SQUARE_SURPLUS_SQL = (
+    f"WITH {_EDGES_SPARSE_SQL.strip()}, "
+    "deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und GROUP BY src), "
+    f"{_WEDGE_SQL}, "
+    "ssc AS (SELECT u, v, COUNT(*)::BIGINT AS c FROM wedge GROUP BY u, v),\n"
+    "ssq AS (SELECT (SUM(c * (c - 1) // 2) // 2)::BIGINT AS squares FROM ssc),\n"
+    "ssm AS (SELECT SUM(deg)::HUGEINT AS s1, SUM(deg::HUGEINT * deg) AS s2 FROM deg)\n"
+    "SELECT q.squares, m.s1::BIGINT AS s1, m.s2::BIGINT AS s2, "
+    "((1000000::HUGEINT * (m.s2 - m.s1) * (m.s2 - m.s1) * (m.s2 - m.s1) * (m.s2 - m.s1)) "
+    "// (8 * m.s1 * m.s1 * m.s1 * m.s1))::BIGINT AS null_micro, "
+    "((8000000::HUGEINT * q.squares * m.s1 * m.s1 * m.s1 * m.s1) "
+    "// ((m.s2 - m.s1) * (m.s2 - m.s1) * (m.s2 - m.s1) * (m.s2 - m.s1)))::BIGINT "
+    "AS surplus_micro "
+    "FROM ssq q CROSS JOIN ssm m"
+)

@@ -1997,3 +1997,41 @@ def _q_coreness_profile(spark, sf_dir):
     return prof.crossJoin(F.broadcast(corr)).select(
         "core", "n_vertices", "n_cum_ge", "deg_core_corr_micro"
     )
+
+def _q_square_surplus(spark, sf_dir):
+    """4-cycle significance → one row (squares, s1, s2, null_micro,
+    surplus_micro): observed C4 (the hub-capped square_count plan)
+    against the configuration-model expectation E[#C4] → λ⁴/8 with
+    λ = (S₂−S₁)/S₁ (Bollobás' cycle-count limit — the same
+    analytic-null discipline as triangle_surplus and
+    rich_club_normalized, two motifs up). surplus ≫ 1 means square
+    structure beyond what the degree sequence forces — bipartite-ish
+    cores and co-citation patterns; the hub cap biases OBSERVED
+    downward and is declared (same cap both engines).
+
+    Exactness: ZERO doubles — both ratios are exact integer divisions
+    of decimal(38,0) products ((S₂−S₁)⁴ and 8·S₁⁴ stay under 38
+    digits at any bench scale)."""
+    from metis_spark.plans.metrics import _und, _und_degrees, square_count
+
+    edges = derived_edges_sparse(spark, sf_dir)
+    sq = square_count(edges, hub_cap=HUB_CAP).select("squares")
+    deg = _und_degrees(_und(edges))
+    dec = "decimal(38,0)"
+    mom = deg.agg(
+        F.sum("deg").cast(dec).alias("s1"),
+        F.sum(F.col("deg").cast(dec) * F.col("deg")).alias("s2"),
+    )
+    return sq.crossJoin(F.broadcast(mom)).select(
+        "squares",
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.expr(
+            "cast((cast(1000000 as decimal(38,0)) * (s2 - s1) * (s2 - s1) "
+            "* (s2 - s1) * (s2 - s1)) div (8 * s1 * s1 * s1 * s1) as long)"
+        ).alias("null_micro"),
+        F.expr(
+            "cast((cast(8000000 as decimal(38,0)) * squares * s1 * s1 * s1 * s1) "
+            "div ((s2 - s1) * (s2 - s1) * (s2 - s1) * (s2 - s1)) as long)"
+        ).alias("surplus_micro"),
+    )

@@ -38,3 +38,22 @@ def test_regular_graph_uniform_bc(spark):
     vals = {r["bc_micro"] for r in rows}
     assert len(vals) == 1
     assert [r["id"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_square_surplus_ring_vs_null(spark):
+    """Invariants + the exact cross-ratio identity between the two
+    integer-division outputs on the driver testdata."""
+    import os
+
+    from metis_spark.driver.queries_graph_structure import _q_square_surplus
+
+    # engine-level check on testdata for invariants
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    row = _q_square_surplus(spark, d).collect()[0]
+    assert row["squares"] >= 0
+    assert row["s2"] > row["s1"] > 0
+    # exact integer-division identity between the two ratios:
+    # surplus ≈ 1e12 · squares / null (both integer-derived)
+    if row["null_micro"] > 0 and row["squares"] > 0:
+        approx = (10**12 * row["squares"]) // row["null_micro"]
+        assert abs(approx - row["surplus_micro"]) <= max(2, approx // 1000)
