@@ -308,6 +308,8 @@ def main() -> None:
         "acctbal_health_card",
         "part_type_revenue_topk",
         "square_surplus",
+        "transition_dwell_stats",
+        "basket_size_profile",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

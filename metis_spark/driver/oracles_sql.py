@@ -6701,3 +6701,37 @@ _SQUARE_SURPLUS_SQL = (
     "AS surplus_micro "
     "FROM ssq q CROSS JOIN ssm m"
 )
+
+
+_TRANSITION_DWELL_SQL = (
+    "WITH tdp AS (SELECT prev_type, next_type, gap_s FROM "
+    "(SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_type, event_type AS next_type, "
+    "(floor(epoch(ts))::BIGINT - LAG(floor(epoch(ts))::BIGINT) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s FROM events) "
+    "WHERE prev_type IS NOT NULL)\n"
+    "SELECT prev_type, next_type, COUNT(*)::BIGINT AS n, "
+    "ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s, "
+    "ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s, "
+    "((1000000 * SUM(gap_s)) // COUNT(*))::BIGINT AS mean_gap_s_micro "
+    "FROM tdp GROUP BY prev_type, next_type"
+)
+
+
+_BASKET_SIZE_SQL = (
+    "WITH pldeg AS (SELECT l_orderkey, COUNT(*)::BIGINT AS deg FROM lineitem "
+    "GROUP BY l_orderkey),\n"
+    "plh AS (SELECT deg, COUNT(*)::BIGINT AS c FROM pldeg GROUP BY deg),\n"
+    "plb AS (SELECT SUM(c)::BIGINT AS n, MIN(deg)::BIGINT AS d_min, "
+    "MAX(deg)::BIGINT AS d_max FROM plh),\n"
+    "plt AS (SELECT b.n, b.d_min, b.d_max, "
+    "SUM(h.c * CAST(ROUND(ln((2.0 * h.deg) / (2.0 * b.d_min - 1.0)) "
+    "* 1000000.0) AS BIGINT))::BIGINT AS sml, "
+    "SUM(h.c * CAST(ROUND(ln(h.c::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT AS shl "
+    "FROM plh h CROSS JOIN plb b GROUP BY b.n, b.d_min, b.d_max)\n"
+    "SELECT n AS n_vertices, d_min, d_max, "
+    "CASE WHEN sml > 0 THEN 1000000 + "
+    "((1000000000000::HUGEINT * n) // sml)::BIGINT END AS alpha_micro, "
+    "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
+    "AS entropy_micro FROM plt"
+)

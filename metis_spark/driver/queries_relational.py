@@ -1993,3 +1993,50 @@ def _q_part_type_revenue_topk(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "p_type", "n_items", "revenue_cents", "rank"
     )
+
+
+def _q_transition_dwell_stats(spark, sf_dir):
+    """Dwell time per event transition → (prev_type, next_type, n,
+    p50_gap_s, p90_gap_s, mean_gap_s_micro): how long users sit
+    between consecutive event types — the TIMING layer over
+    event_transitions' probability matrix (a funnel step with high
+    probability but hour-long dwell is where sessions die). Gaps are
+    exact integer seconds off the same per-user LAG window; shared
+    percentiles; integer-division mean."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        (
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+        ).cast("long").alias("gap_s"),
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+            F.sum("gap_s").cast("long").alias("sg"),
+        )
+        .select(
+            "prev_type", "next_type", "n", "p50_gap_s", "p90_gap_s",
+            F.expr("(1000000 * sg) div n").cast("long").alias("mean_gap_s_micro"),
+        )
+    )
+
+
+def _q_basket_size_profile(spark, sf_dir):
+    """CSN fit + entropy of lines-per-order (plans/metrics.py:
+    powerlaw_profile on lineitem counts per order) — the basket-size
+    distribution behind join fan-out estimates on l_orderkey and the
+    fifth member of the generic profile family."""
+    from metis_spark.plans.metrics import powerlaw_profile
+
+    counts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return powerlaw_profile(counts)

@@ -91,3 +91,33 @@ def test_triangle_delta_equals_common_neighbors(spark):
     ins = spark.createDataFrame([(1, 2)], "src long, dst long")
     rows = triangle_delta_on_insert(base, ins).collect()
     assert rows[0]["delta"] == 2
+
+
+def test_transition_dwell_hand(spark, tmp_path):
+    import datetime as dt
+
+    from metis_spark.driver.queries_relational import _q_transition_dwell_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "a", 0.0, ""),
+        (2, t0 + 10 * s, 1, "b", 0.0, ""),   # a→b gap 10
+        (3, t0 + 40 * s, 1, "a", 0.0, ""),   # b→a gap 30
+        (4, t0 + 60 * s, 1, "b", 0.0, ""),   # a→b gap 20
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        (r["prev_type"], r["next_type"]): r
+        for r in _q_transition_dwell_stats(spark, d).collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["n"] == 2 and ab["p50_gap_s"] == 15.0
+    assert ab["mean_gap_s_micro"] == (1_000_000 * 30) // 2
+    assert got[("b", "a")]["p50_gap_s"] == 30.0
