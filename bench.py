@@ -310,6 +310,8 @@ def main() -> None:
         "square_surplus",
         "transition_dwell_stats",
         "basket_size_profile",
+        "discount_elasticity",
+        "repeat_revenue_share",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6735,3 +6735,32 @@ _BASKET_SIZE_SQL = (
     "(CAST(ROUND(ln(n::DOUBLE) * 1000000.0) AS BIGINT) - shl // n)::BIGINT "
     "AS entropy_micro FROM plt"
 )
+
+
+_DISCOUNT_ELASTICITY_SQL = (
+    "WITH del AS (SELECT l_returnflag, CAST(ROUND(l_discount * 10000) AS BIGINT) AS x, "
+    "CAST(ROUND(l_quantity * 100) AS BIGINT) AS y FROM lineitem),\n"
+    "dem AS (SELECT l_returnflag, COUNT(*)::BIGINT AS n, SUM(x)::HUGEINT AS sx, "
+    "SUM(y)::HUGEINT AS sy, SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy, "
+    "SUM(x::HUGEINT * y) AS sxy FROM del GROUP BY l_returnflag)\n"
+    "SELECT l_returnflag, n, "
+    "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN "
+    "CAST(ROUND((n * sxy - sx * sy)::DOUBLE "
+    "/ sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE) "
+    "* 1000000.0) AS BIGINT) END AS r_micro, "
+    "((100::HUGEINT * sx) // n)::BIGINT AS mean_disc_micro, "
+    "((10000::HUGEINT * sy) // n)::BIGINT AS mean_qty_micro FROM dem"
+)
+
+
+_REPEAT_REVENUE_SQL = (
+    "WITH rro AS (SELECT o_custkey, COUNT(*)::BIGINT AS n_orders, "
+    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY o_custkey)\n"
+    "SELECT COUNT(*)::BIGINT AS n_customers, "
+    "SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat, "
+    "((1000000 * SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT "
+    "AS repeat_share_micro, SUM(rev)::BIGINT AS revenue_cents, "
+    "((1000000 * SUM(CASE WHEN n_orders >= 2 THEN rev ELSE 0 END)) // SUM(rev))::BIGINT "
+    "AS repeat_revenue_micro FROM rro"
+)

@@ -2040,3 +2040,75 @@ def _q_basket_size_profile(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     return powerlaw_profile(counts)
+
+
+def _q_discount_elasticity(spark, sf_dir):
+    """Discount→quantity response per return flag → (l_returnflag, n,
+    r_micro, mean_disc_micro, mean_qty_micro): the Pearson
+    correlation between line discount and quantity — the five-minute
+    elasticity read (r ≈ 0 says discounts aren't moving volume and
+    the margin is being given away; computed per flag so returns
+    can't mask the live population).
+
+    Exactness: discount quantizes to basis points and quantity to
+    centi-units once; all Pearson moments are exact
+    decimal(38,0)/HUGEINT; one double division (the
+    event_type_correlation shape); means are integer divisions."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * F.lit(10_000)).cast("long").alias("x"),
+        F.round(F.col("l_quantity") * F.lit(100)).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "l_returnflag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("r_micro"),
+        F.expr("cast((cast(100 as decimal(38,0)) * sx) div n as long)").alias("mean_disc_micro"),
+        F.expr("cast((cast(10000 as decimal(38,0)) * sy) div n as long)").alias("mean_qty_micro"),
+    )
+
+
+def _q_repeat_revenue_share(spark, sf_dir):
+    """Loyalty concentration → one row (n_customers, n_repeat,
+    repeat_share_micro, revenue_cents, repeat_revenue_micro): how
+    much of total order value comes from customers with ≥ 2 orders —
+    the retention-economics scalar next to stickiness_card's
+    event-level pulse. All integers."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum((F.col("n_orders") >= 2).cast("long")).cast("long").alias("n_repeat"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+        F.sum(F.when(F.col("n_orders") >= 2, F.col("rev")).otherwise(0)).cast("long").alias("rr"),
+    ).select(
+        "n_customers",
+        "n_repeat",
+        F.expr("(1000000 * n_repeat) div n_customers").cast("long").alias("repeat_share_micro"),
+        "revenue_cents",
+        F.expr("(1000000 * rr) div revenue_cents").cast("long").alias("repeat_revenue_micro"),
+    )
