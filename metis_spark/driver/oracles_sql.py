@@ -6764,3 +6764,54 @@ _REPEAT_REVENUE_SQL = (
     "((1000000 * SUM(CASE WHEN n_orders >= 2 THEN rev ELSE 0 END)) // SUM(rev))::BIGINT "
     "AS repeat_revenue_micro FROM rro"
 )
+
+
+def _graph_funnel_sql(k: int = KCORE_K, kc_rounds: int = KCORE_ORACLE_ROUNDS,
+                      cc_rounds: int = CC_ROUNDS) -> str:
+    """Twin of graph_curation_funnel: sparse edge CTEs + the unrolled
+    k-core and min-label CC chains, stage counts unioned."""
+    ctes = [
+        _EDGES_SPARSE_SQL.strip().rstrip(),
+        "fcanon AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)",
+        "fverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        f"fa0 AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM und "
+        f"GROUP BY src HAVING COUNT(*) >= {k})",
+    ]
+    for i in range(1, kc_rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"fa{i} AS (SELECT e.src AS id, COUNT(*)::BIGINT AS deg FROM und e "
+            f"JOIN fa{p} x ON e.src = x.id JOIN fa{p} y ON e.dst = y.id "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    ctes.append(f"fcore AS MATERIALIZED (SELECT id FROM fa{kc_rounds})")
+    ctes.append("fl0 AS (SELECT id, id AS label FROM fverts)")
+    for i in range(1, cc_rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"fl{i} AS (SELECT v.id, LEAST(v.label, COALESCE(m.minl, v.label)) AS label "
+            f"FROM fl{p} v LEFT JOIN (SELECT u.dst AS id, MIN(l.label) AS minl FROM und u "
+            f"JOIN fl{p} l ON u.src = l.id GROUP BY u.dst) m ON v.id = m.id)"
+        )
+    last = f"fl{cc_rounds}"
+    ctes.append(
+        f"fgiant AS (SELECT label FROM (SELECT label, COUNT(*) AS sz FROM {last} "
+        "GROUP BY label ORDER BY sz DESC, label ASC LIMIT 1))"
+    )
+    ctes.append(
+        f"fgv AS MATERIALIZED (SELECT l.id FROM {last} l JOIN fgiant g "
+        "ON l.label = g.label)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT '1_directed' AS stage, (SELECT COUNT(*)::BIGINT FROM fverts) AS n_vertices, "
+        "(SELECT COUNT(*)::BIGINT FROM edges) AS n_edges\n"
+        "UNION ALL SELECT '2_simple_und', (SELECT COUNT(*)::BIGINT FROM fverts), "
+        "(SELECT COUNT(*)::BIGINT FROM fcanon)\n"
+        "UNION ALL SELECT '3_core', (SELECT COUNT(*)::BIGINT FROM fcore), "
+        "(SELECT COUNT(*)::BIGINT FROM fcanon c JOIN fcore a ON c.src = a.id "
+        "JOIN fcore b ON c.dst = b.id)\n"
+        "UNION ALL SELECT '4_giant', (SELECT COUNT(*)::BIGINT FROM fgv), "
+        "(SELECT COUNT(*)::BIGINT FROM fcanon c JOIN fgv a ON c.src = a.id "
+        "JOIN fgv b ON c.dst = b.id)"
+    )

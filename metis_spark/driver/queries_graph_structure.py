@@ -2035,3 +2035,74 @@ def _q_square_surplus(spark, sf_dir):
             "div ((s2 - s1) * (s2 - s1) * (s2 - s1) * (s2 - s1)) as long)"
         ).alias("surplus_micro"),
     )
+
+def _q_graph_curation_funnel(spark, sf_dir):
+    """Link-graph curation funnel → one row per stage (stage,
+    n_vertices, n_edges): directed canonical edges → simple
+    undirected view → KCORE_K-core → giant component — the graph
+    analog of corpus_curation's filter funnel: what each cleaning
+    stage of a crawl graph keeps, on the verified k-core and CC
+    spines. Edges counted canonically (src < dst) from stage 2 on;
+    counts are exact integers."""
+    from metis_spark.plans.components import connected_components
+    from metis_spark.plans.kcore import k_core
+
+    e = derived_edges_sparse(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    canon = und.where(F.col("src") < F.col("dst")).persist()
+    verts = und.select(F.col("src").alias("id")).distinct()
+
+    s1 = e.agg(
+        F.lit("1_directed").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).crossJoin(
+        F.broadcast(verts.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+    ).select("stage", "n_vertices", "n_edges")
+
+    s2 = canon.agg(
+        F.lit("2_simple_und").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).crossJoin(
+        F.broadcast(verts.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+    ).select("stage", "n_vertices", "n_edges")
+
+    core_df, _kinfo = k_core(e, k=KCORE_K)
+    core = core_df.select("id").persist()
+    core_edges = (
+        canon.join(core.select(F.col("id").alias("src")).hint("shuffle_hash"), "src")
+        .join(core.select(F.col("id").alias("dst")).hint("shuffle_hash"), "dst")
+    )
+    s3 = core_edges.agg(
+        F.lit("3_core").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).crossJoin(
+        F.broadcast(core.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+    ).select("stage", "n_vertices", "n_edges")
+
+    labels, info = connected_components(
+        e, max_iter=20, checkpoint_dir=_tmpdir("metis_qfunnel_")
+    )
+    assert info["converged"], info
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    giant = sizes.orderBy(F.desc("sz"), F.asc("component")).limit(1)
+    gverts = labels.join(
+        F.broadcast(giant.select("component")), "component"
+    ).select("id").persist()
+    gedges = (
+        canon.join(gverts.select(F.col("id").alias("src")).hint("shuffle_hash"), "src")
+        .join(gverts.select(F.col("id").alias("dst")).hint("shuffle_hash"), "dst")
+    )
+    s4 = gedges.agg(
+        F.lit("4_giant").alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    ).crossJoin(
+        F.broadcast(gverts.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+    ).select("stage", "n_vertices", "n_edges")
+
+    return s1.unionByName(s2).unionByName(s3).unionByName(s4)

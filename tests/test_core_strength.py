@@ -61,3 +61,23 @@ def test_coreness_profile_invariants(spark):
     # degree and coreness correlate positively on web-shaped graphs
     corr = rows[0]["deg_core_corr_micro"]
     assert corr is not None and 0 < corr <= 1_000_000
+
+
+def test_graph_curation_funnel_monotone(spark):
+    """Funnel stages only ever shrink, and stage arithmetic is
+    consistent (directed ≥ canonical und; core ⊆ simple; giant ⊆
+    simple)."""
+    import os
+
+    from metis_spark.driver.queries_graph_structure import (
+        _q_graph_curation_funnel,
+    )
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    got = {r["stage"]: r for r in _q_graph_curation_funnel(spark, d).collect()}
+    assert set(got) == {"1_directed", "2_simple_und", "3_core", "4_giant"}
+    assert got["1_directed"]["n_edges"] >= got["2_simple_und"]["n_edges"]
+    assert got["2_simple_und"]["n_edges"] >= got["3_core"]["n_edges"]
+    assert got["2_simple_und"]["n_vertices"] >= got["3_core"]["n_vertices"]
+    assert got["2_simple_und"]["n_vertices"] >= got["4_giant"]["n_vertices"]
+    assert got["4_giant"]["n_vertices"] > 0
