@@ -312,6 +312,7 @@ def main() -> None:
         "basket_size_profile",
         "discount_elasticity",
         "repeat_revenue_share",
+        "ivf_nprobe_curve",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

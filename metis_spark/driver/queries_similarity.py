@@ -570,3 +570,39 @@ def _q_label_balance_card(spark, sf_dir):
         ).cast("long").alias("balance_entropy_micro"),
         F.expr("(1000000 * cmax) div cmin").cast("long").alias("imbalance_ratio_micro"),
     )
+
+def _q_ivf_nprobe_curve(spark, sf_dir):
+    """IVF tuning curve → one row per nprobe ∈ {1, 2, 4}: (nprobe,
+    n_queries, sum_exact, sum_overlap, mean_recall_micro) — the
+    recall-vs-probe-cost trade an ANN operator actually reads before
+    picking nprobe (ann_ivf_recall pins the single shipped point;
+    this sweeps the dial on the same verified probe chain). The
+    exact top-k is computed ONCE and reused across the sweep; recall
+    aggregates to an exact integer ratio."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    cent = SIM.ivf_centroids_stride(emb, IVF_STRIDE)
+    out = None
+    for p in (1, 2, 4):
+        approx = SIM.ivf_topk(
+            emb, queries_df, cent, "vec_id", "embedding", k=5, nprobe=p
+        ).select("query_id", "neighbor_id")
+        row = (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.count(F.lit(1)).cast("long").alias("sum_exact"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("sum_overlap"),
+            )
+            .select(
+                "nprobe", "n_queries", "sum_exact", "sum_overlap",
+                F.expr("(1000000 * sum_overlap) div sum_exact").cast("long")
+                .alias("mean_recall_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -52,3 +52,19 @@ def test_doc_length_powerlaw_runs(spark, tmp_path):
     assert row["d_min"] == 2 and row["d_max"] == 32
     assert row["alpha_micro"] > 1_000_000
     assert row["entropy_micro"] > 0
+
+
+def test_ivf_nprobe_curve_monotone(spark):
+    """Recall must be non-decreasing in nprobe (more probed lists can
+    only add candidates)."""
+    import os
+
+    from metis_spark.driver.queries_similarity import _q_ivf_nprobe_curve
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rows = sorted(_q_ivf_nprobe_curve(spark, d).collect(), key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    recalls = [r["mean_recall_micro"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0 <= r <= 1_000_000 for r in recalls)
+    assert all(r["sum_exact"] == rows[0]["sum_exact"] for r in rows)
