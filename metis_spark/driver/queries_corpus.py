@@ -1056,3 +1056,29 @@ def _q_digit_token_share(spark, sf_dir):
             ).otherwise(F.lit(0)).cast("long").alias("digit_share_micro"),
         )
     )
+
+def _q_simhash_threshold_sweep(spark, sf_dir):
+    """SimHash dedup threshold sweep → one row per Hamming threshold
+    h ∈ {0,1,2,3}: (h_threshold, n_pairs_at, n_pairs_cum) — how many
+    near-dup pairs each radius admits on the banded candidate set
+    (exact by pigeonhole for h ≤ 3): the dial between exact-dup-only
+    (h=0) and aggressive near-dup removal (h=3), read next to
+    lsh_parameter_plan's analytic MinHash curve. One banded pass;
+    both the at-h histogram and the cumulative view are exact
+    integers off the 4-row grid."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    hist = pairs.groupBy(F.col("hamming").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_at")
+    )
+    grid = spark.createDataFrame([(h,) for h in range(4)], "h_threshold long")
+    return (
+        grid.join(hist, grid.h_threshold >= hist.h, "left")
+        .groupBy("h_threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("h") == F.col("h_threshold"), F.col("n_at")).otherwise(0)
+            ).cast("long").alias("n_pairs_at"),
+            F.sum(F.coalesce("n_at", F.lit(0))).cast("long").alias("n_pairs_cum"),
+        )
+    )

@@ -42,3 +42,20 @@ def test_label_balance_hand(spark, tmp_path):
     assert row["imbalance_ratio_micro"] == 9_000_000
     exp = round(math.log(10.0) * 1e6) - (9 * round(math.log(9.0) * 1e6)) // 10
     assert row["balance_entropy_micro"] == exp
+
+
+def test_simhash_sweep_cumulative_consistency(spark):
+    import os
+
+    from metis_spark.driver.queries_corpus import _q_simhash_threshold_sweep
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rows = sorted(
+        _q_simhash_threshold_sweep(spark, d).collect(), key=lambda r: r["h_threshold"]
+    )
+    assert [r["h_threshold"] for r in rows] == [0, 1, 2, 3]
+    # cumulative = running sum of at-h counts, non-decreasing
+    run = 0
+    for r in rows:
+        run += r["n_pairs_at"]
+        assert r["n_pairs_cum"] == run
