@@ -314,6 +314,7 @@ def main() -> None:
         "repeat_revenue_share",
         "ivf_nprobe_curve",
         "simhash_threshold_sweep",
+        "pagerank_damping_sensitivity",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

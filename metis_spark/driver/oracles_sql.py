@@ -6859,3 +6859,57 @@ def _simhash_sweep_sql() -> str:
         "COALESCE(SUM(h.n_at), 0)::BIGINT AS n_pairs_cum "
         "FROM shg g LEFT JOIN shh h ON g.h_threshold >= h.h GROUP BY g.h_threshold"
     )
+
+
+def _pr_damping_sql(n_iters: int = PR_ITERS, k: int = SPEAR_K) -> str:
+    """Twin of pagerank_damping_sensitivity: two unrolled PR chains at
+    d = 0.85 / 0.5 with prefixed CTE names, head-restricted exact
+    Spearman."""
+    def chain(prefix: str, d: float) -> list:
+        ctes = [
+            f"{prefix}outdeg AS MATERIALIZED (SELECT src, COUNT(*)::DOUBLE AS deg "
+            "FROM edges GROUP BY src)",
+            f"{prefix}r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+        ]
+        for i in range(1, n_iters + 1):
+            p = i - 1
+            ctes.append(
+                f"{prefix}c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank/o.deg) AS contrib "
+                f"FROM edges e JOIN {prefix}r{p} r ON e.src = r.id "
+                f"JOIN {prefix}outdeg o ON e.src = o.src GROUP BY e.dst)"
+            )
+            ctes.append(
+                f"{prefix}dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank),0) AS dm "
+                f"FROM {prefix}r{p} r WHERE NOT EXISTS "
+                f"(SELECT 1 FROM {prefix}outdeg o WHERE o.src = r.id))"
+            )
+            ctes.append(
+                f"{prefix}r{i} AS MATERIALIZED (SELECT v.id, "
+                f"(1-{d})/(SELECT n FROM nn) + {d}*(COALESCE(c.contrib,0) "
+                f"+ (SELECT dm FROM {prefix}dm{i})/(SELECT n FROM nn)) AS rank "
+                f"FROM verts v LEFT JOIN {prefix}c{i} c ON v.id = c.id)"
+            )
+        return ctes
+
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+    ]
+    ctes += chain("pa_", 0.85)
+    ctes += chain("pb_", 0.5)
+    ctes += [
+        f"pdh AS (SELECT id, ROUND(rank, 6) AS ra FROM pa_r{n_iters} "
+        f"ORDER BY ROUND(rank, 6) DESC, id ASC LIMIT {k})",
+        f"pdj AS (SELECT h.id, h.ra, ROUND(b.rank, 6) AS rb FROM pdh h "
+        f"JOIN pb_r{n_iters} b ON h.id = b.id)",
+        "pdr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY ra DESC, id ASC) AS pa, "
+        "ROW_NUMBER() OVER (ORDER BY rb DESC, id ASC) AS pb FROM pdj)",
+        "pda AS (SELECT COUNT(*)::BIGINT AS k, "
+        "SUM((pa - pb) * (pa - pb))::BIGINT AS sum_d2 FROM pdr)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT k, sum_d2, "
+        "(1000000 - (6000000 * sum_d2) // (k * (k * k - 1)))::BIGINT AS spearman_micro "
+        "FROM pda"
+    )

@@ -1267,3 +1267,56 @@ def _q_betweenness_sample_plan(spark, sf_dir):
             F.lit(N_BETW_SOURCES).cast("long").alias("current_sources"),
         )
     )
+
+def _q_pagerank_damping_sensitivity(spark, sf_dir):
+    """Damping sensitivity → one row (k, sum_d2, spearman_micro): the
+    exact Spearman rank correlation between 5-iteration PageRank at
+    d = 0.5 and d = 0.85 over the d=0.85 top-SPEAR_K head — how much
+    the ranking you ship actually depends on the teleport parameter
+    (ρ near 1: robust; low ρ: the damping choice IS the ranking, tune
+    it deliberately). Same head-restricted discipline as
+    centrality_rank_corr, pointed at parameter robustness instead of
+    measure agreement.
+
+    Exactness: both rankings order by (ROUND(rank,6) DESC, id ASC);
+    ρ = 1 − 6Σδ²/(k(k²−1)) is all-integer up to one micro rounding."""
+    from metis_spark.driver.common import SPEAR_K
+    from metis_spark.plans.pagerank import pagerank
+
+    edges = derived_edges(spark, sf_dir)
+    r85, _ = pagerank(
+        edges, d=0.85, tol=0.0, max_iter=PR_ITERS,
+        checkpoint_dir=_tmpdir("metis_qpds85_"),
+    )
+    r50, _ = pagerank(
+        edges, d=0.5, tol=0.0, max_iter=PR_ITERS,
+        checkpoint_dir=_tmpdir("metis_qpds50_"),
+    )
+    head = (
+        r85.select("id", F.round("rank", 6).alias("ra"))
+        .orderBy(F.desc("ra"), F.asc("id"))
+        .limit(SPEAR_K)
+    )
+    joined = head.join(
+        r50.select("id", F.round("rank", 6).alias("rb")).hint("shuffle_hash"), "id"
+    )
+    wa = Window.orderBy(F.desc("ra"), F.asc("id"))
+    wb = Window.orderBy(F.desc("rb"), F.asc("id"))
+    ranked = joined.select(
+        "id",
+        F.row_number().over(wa).cast("long").alias("pa"),
+        F.row_number().over(wb).cast("long").alias("pb"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
+        ).cast("long").alias("sum_d2"),
+    ).select(
+        "k",
+        "sum_d2",
+        (
+            F.lit(1_000_000)
+            - F.expr("(6000000 * sum_d2) div (k * (k * k - 1))")
+        ).cast("long").alias("spearman_micro"),
+    )

@@ -75,3 +75,19 @@ def test_powerlaw_profile_generic_reuse(spark):
     row = powerlaw_profile(eq).collect()[0]
     assert (row["n_vertices"], row["d_min"], row["d_max"]) == (6, 4, 4)
     assert row["entropy_micro"] == 0
+
+
+def test_damping_sensitivity_bounds(spark):
+    import os
+
+    from metis_spark.driver.queries_graph_iterative import (
+        _q_pagerank_damping_sensitivity,
+    )
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    row = _q_pagerank_damping_sensitivity(spark, d).collect()[0]
+    assert row["k"] > 1
+    # Spearman in [-1, 1] micro; on a real graph the two dampings
+    # agree far better than chance
+    assert -1_000_000 <= row["spearman_micro"] <= 1_000_000
+    assert row["spearman_micro"] > 0
