@@ -315,6 +315,7 @@ def main() -> None:
         "ivf_nprobe_curve",
         "simhash_threshold_sweep",
         "pagerank_damping_sensitivity",
+        "lsh_tables_curve",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -606,3 +606,40 @@ def _q_ivf_nprobe_curve(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+def _q_lsh_tables_curve(spark, sf_dir):
+    """Hyperplane-LSH tuning curve → one row per num_tables ∈
+    {2, 4, 16}: (num_tables, n_queries, sum_exact, sum_overlap,
+    mean_recall_micro) — recall vs candidate-generation cost for the
+    LSH path, the measured companion to lsh_parameter_plan's analytic
+    banding curve and the LSH twin of ivf_nprobe_curve. Exact top-k
+    computed once; recall is an exact integer ratio."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    out = None
+    for t in (2, 4, 16):
+        approx = SIM.lsh_bucket_topk(
+            emb, queries_df, "vec_id", "embedding", k=5, dim=64,
+            num_tables=t, num_planes=ANN_PLANES,
+        ).select("query_id", "neighbor_id")
+        row = (
+            exact.join(
+                approx.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+            )
+            .agg(
+                F.lit(t).cast("long").alias("num_tables"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.count(F.lit(1)).cast("long").alias("sum_exact"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("sum_overlap"),
+            )
+            .select(
+                "num_tables", "n_queries", "sum_exact", "sum_overlap",
+                F.expr("(1000000 * sum_overlap) div sum_exact").cast("long")
+                .alias("mean_recall_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

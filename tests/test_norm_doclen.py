@@ -68,3 +68,18 @@ def test_ivf_nprobe_curve_monotone(spark):
     assert recalls == sorted(recalls)
     assert all(0 <= r <= 1_000_000 for r in recalls)
     assert all(r["sum_exact"] == rows[0]["sum_exact"] for r in rows)
+
+
+def test_lsh_tables_curve_monotone(spark):
+    """More hash tables ⇒ more candidate buckets ⇒ recall can only
+    grow (union of bucket matches)."""
+    import os
+
+    from metis_spark.driver.queries_similarity import _q_lsh_tables_curve
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rows = sorted(_q_lsh_tables_curve(spark, d).collect(), key=lambda r: r["num_tables"])
+    assert [r["num_tables"] for r in rows] == [2, 4, 16]
+    recalls = [r["mean_recall_micro"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0 <= r <= 1_000_000 for r in recalls)
