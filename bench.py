@@ -316,6 +316,7 @@ def main() -> None:
         "simhash_threshold_sweep",
         "pagerank_damping_sensitivity",
         "lsh_tables_curve",
+        "degree_drift_ks",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -6937,3 +6937,37 @@ def _lsh_tables_curve_sql(tables: tuple = (2, 4, 16)) -> str:
             "ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _degree_drift_ks_sql(mod: int) -> str:
+    """Twin of degree_drift_ks on the edge_snapshot_diff slices."""
+    def snap(alias: str, cond: str) -> str:
+        return (
+            f"{alias}e AS (SELECT DISTINCT l_orderkey % {mod} AS src, "
+            f"l_partkey % {mod} AS dst FROM lineitem WHERE {cond} "
+            f"AND l_orderkey % {mod} <> l_partkey % {mod}),\n"
+            f"{alias}u AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM {alias}e "
+            f"UNION ALL SELECT dst, src FROM {alias}e)),\n"
+            f"{alias}d AS (SELECT src, COUNT(*)::BIGINT AS deg FROM {alias}u GROUP BY src)"
+        )
+
+    return (
+        "WITH " + snap("ka", "l_linenumber % 2 = 0") + ",\n"
+        + snap("kb", "l_quantity <= 40") + ",\n"
+        "kh1 AS (SELECT deg, COUNT(*)::BIGINT AS c1 FROM kad GROUP BY deg),\n"
+        "kh2 AS (SELECT deg, COUNT(*)::BIGINT AS c2 FROM kbd GROUP BY deg),\n"
+        "kg AS (SELECT COALESCE(kh1.deg, kh2.deg) AS deg, "
+        "COALESCE(c1, 0)::BIGINT AS c1, COALESCE(c2, 0)::BIGINT AS c2 "
+        "FROM kh1 FULL JOIN kh2 ON kh1.deg = kh2.deg),\n"
+        "kn1 AS (SELECT COUNT(*)::BIGINT AS n1 FROM kad),\n"
+        "kn2 AS (SELECT COUNT(*)::BIGINT AS n2 FROM kbd),\n"
+        "kc AS (SELECT deg, SUM(c1) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS f1, "
+        "SUM(c2) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS f2 FROM kg),\n"
+        "kk AS (SELECT c.deg, a.n1, b.n2, "
+        "ABS(c.f1::HUGEINT * b.n2 - c.f2::HUGEINT * a.n1) AS gap "
+        "FROM kc c CROSS JOIN kn1 a CROSS JOIN kn2 b),\n"
+        "kr AS (SELECT deg, n1, n2, gap, ROW_NUMBER() OVER "
+        "(ORDER BY gap DESC, deg ASC) AS rn FROM kk)\n"
+        "SELECT n1, n2, ((1000000::HUGEINT * gap) // (n1::HUGEINT * n2))::BIGINT "
+        "AS ks_micro, deg::BIGINT AS d_at FROM kr WHERE rn = 1"
+    )

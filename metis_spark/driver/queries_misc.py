@@ -625,3 +625,77 @@ def _q_vi_partitions(spark, sf_dir):
         stop_when_stable=False,
     )
     return partition_vi(lou, lpa)
+
+def _q_degree_drift_ks(spark, sf_dir):
+    """Structural drift between crawl snapshots → one row (n1, n2,
+    ks_micro, d_at): the exact Kolmogorov–Smirnov distance between
+    the undirected DEGREE DISTRIBUTIONS of the two deterministic
+    snapshot slices edge_snapshot_diff audits — edge churn
+    (edge_snapshot_diff) says WHICH edges moved; this says whether
+    the SHAPE of the graph moved (a large KS with small churn means
+    the changes concentrated on hubs — PSI's graph sibling).
+
+    Exactness: CDFs compare on the common denominator n₁·n₂, so
+    max|F₁−F₂| is an exact integer max over the union of distinct
+    degree values (histogram-bounded windows only); one integer
+    division to micro. d_at = the smallest degree attaining the max."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def snap(cond):
+        e = (
+            li.where(cond)
+            .select(
+                (F.col("l_orderkey") % GRAPH_MOD).alias("src"),
+                (F.col("l_partkey") % GRAPH_MOD).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        und = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        return und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+
+    d1 = snap(F.col("l_linenumber") % 2 == 0)
+    d2 = snap(F.col("l_quantity") <= 40)
+    h1 = d1.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    h2 = d2.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    grid = (
+        h1.join(h2, "deg", "full")
+        .select(
+            "deg",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+        )
+    )
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+    n1 = d1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = d2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    cum = (
+        grid.select(
+            "deg",
+            F.sum("c1").over(w).cast("long").alias("f1"),
+            F.sum("c2").over(w).cast("long").alias("f2"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "deg", "n1", "n2",
+            F.abs(
+                F.col("f1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+            ).alias("gap"),
+        )
+    )
+    wr = Window.orderBy(F.desc("gap"), F.asc("deg"))
+    return (
+        cum.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "n1", "n2",
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * gap) div (cast(n1 as decimal(38,0)) * n2) as long)"
+            ).alias("ks_micro"),
+            F.col("deg").cast("long").alias("d_at"),
+        )
+    )

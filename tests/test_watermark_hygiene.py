@@ -84,3 +84,15 @@ def test_media_frame_plan_matches_sampler(spark):
     assert shared
     for mid in shared:
         assert plan[mid] == emitted[mid], (mid, plan[mid], emitted[mid])
+
+
+def test_degree_drift_ks_bounds(spark):
+    import os
+
+    from metis_spark.driver.queries_misc import _q_degree_drift_ks
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    row = _q_degree_drift_ks(spark, d).collect()[0]
+    assert row["n1"] > 0 and row["n2"] > 0
+    assert 0 <= row["ks_micro"] <= 1_000_000
+    assert row["d_at"] >= 1
