@@ -317,6 +317,8 @@ def main() -> None:
         "pagerank_damping_sensitivity",
         "lsh_tables_curve",
         "degree_drift_ks",
+        "lang_source_mi",
+        "value_autocorrelation",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

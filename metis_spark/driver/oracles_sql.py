@@ -6971,3 +6971,35 @@ def _degree_drift_ks_sql(mod: int) -> str:
         "SELECT n1, n2, ((1000000::HUGEINT * gap) // (n1::HUGEINT * n2))::BIGINT "
         "AS ks_micro, deg::BIGINT AS d_at FROM kr WHERE rn = 1"
     )
+
+
+_LANG_SOURCE_MI_SQL = (
+    "WITH mil AS (SELECT lang, COUNT(*)::BIGINT AS c FROM documents GROUP BY lang),\n"
+    "mis AS (SELECT source, COUNT(*)::BIGINT AS c FROM documents GROUP BY source),\n"
+    "mij AS (SELECT lang, source, COUNT(*)::BIGINT AS c FROM documents GROUP BY 1, 2),\n"
+    "mhl AS (SELECT SUM(c)::BIGINT AS n, (CAST(ROUND(ln(SUM(c)::DOUBLE) * 1000000.0) AS BIGINT) "
+    "- SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT)) // SUM(c))::BIGINT AS h FROM mil),\n"
+    "mhs AS (SELECT (CAST(ROUND(ln(SUM(c)::DOUBLE) * 1000000.0) AS BIGINT) "
+    "- SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT)) // SUM(c))::BIGINT AS h FROM mis),\n"
+    "mhj AS (SELECT (CAST(ROUND(ln(SUM(c)::DOUBLE) * 1000000.0) AS BIGINT) "
+    "- SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000.0) AS BIGINT)) // SUM(c))::BIGINT AS h FROM mij)\n"
+    "SELECT l.n AS n_docs, l.h AS h_lang_micro, s.h AS h_source_micro, "
+    "j.h AS h_joint_micro, (l.h + s.h - j.h)::BIGINT AS mi_micro "
+    "FROM mhl l CROSS JOIN mhs s CROSS JOIN mhj j"
+)
+
+
+_VALUE_AUTOCORR_SQL = (
+    "WITH vap AS (SELECT event_type, x, y FROM (SELECT event_type, "
+    "LAG(CAST(ROUND(value * 1000000) AS BIGINT)) OVER "
+    "(PARTITION BY event_type ORDER BY ts, event_id) AS x, "
+    "CAST(ROUND(value * 1000000) AS BIGINT) AS y FROM events) WHERE x IS NOT NULL),\n"
+    "vam AS (SELECT event_type, COUNT(*)::BIGINT AS n_pairs, SUM(x)::HUGEINT AS sx, "
+    "SUM(y)::HUGEINT AS sy, SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy, "
+    "SUM(x::HUGEINT * y) AS sxy FROM vap GROUP BY event_type)\n"
+    "SELECT event_type, n_pairs, "
+    "CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0 THEN "
+    "CAST(ROUND((n_pairs * sxy - sx * sy)::DOUBLE "
+    "/ sqrt((n_pairs * sxx - sx * sx)::DOUBLE * (n_pairs * syy - sy * sy)::DOUBLE) "
+    "* 1000000.0) AS BIGINT) END AS r_micro FROM vam"
+)

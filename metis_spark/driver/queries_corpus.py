@@ -1082,3 +1082,48 @@ def _q_simhash_threshold_sweep(spark, sf_dir):
             F.sum(F.coalesce("n_at", F.lit(0))).cast("long").alias("n_pairs_cum"),
         )
     )
+
+def _q_lang_source_mi(spark, sf_dir):
+    """Language–source dependence → one row (n_docs, h_lang_micro,
+    h_source_micro, h_joint_micro, mi_micro): the mutual information
+    I(lang; source) = H(lang) + H(source) − H(lang, source) — the
+    single-number answer to "does knowing the source tell you the
+    language" (high MI = language mix is source-driven and
+    per-language re-weighting must be source-aware; the scalar roll-up
+    of lang_source_entropy's per-language rows). All three entropies
+    use the same exact c·ln c micro fold."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def ent(cnt):
+        return cnt.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.col("c") * F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+            ).cast("long").alias("so"),
+        ).select(
+            "n",
+            (
+                F.round(F.log(F.col("n").cast("double")) * F.lit(1e6)).cast("long")
+                - F.expr("so div n")
+            ).cast("long").alias("h"),
+        )
+
+    hl = ent(docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))).select(
+        F.col("n").alias("n_docs"), F.col("h").alias("h_lang_micro")
+    )
+    hs = ent(docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))).select(
+        F.col("h").alias("h_source_micro")
+    )
+    hj = ent(
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).select(F.col("h").alias("h_joint_micro"))
+    return (
+        hl.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hj))
+        .select(
+            "n_docs", "h_lang_micro", "h_source_micro", "h_joint_micro",
+            (
+                F.col("h_lang_micro") + F.col("h_source_micro") - F.col("h_joint_micro")
+            ).cast("long").alias("mi_micro"),
+        )
+    )

@@ -2112,3 +2112,46 @@ def _q_repeat_revenue_share(spark, sf_dir):
         "revenue_cents",
         F.expr("(1000000 * rr) div revenue_cents").cast("long").alias("repeat_revenue_micro"),
     )
+
+
+def _q_value_autocorrelation(spark, sf_dir):
+    """Lag-1 serial dependence per event type → (event_type, n_pairs,
+    r_micro): Pearson between consecutive values in each type's
+    (ts, event_id)-ordered stream — the short-memory companion to
+    cusum_changepoints (single shift) and psi_value_drift (slow
+    drift): r near 0 says values are independent draws, high |r| says
+    a stateful process (retries, ramps, feedback) worth modelling.
+    Micro-quantized values, exact integer moments, one double."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * F.lit(1e6)).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type",
+        F.lag("vm").over(w).alias("x"),
+        F.col("vm").alias("y"),
+    ).where(F.col("x").isNotNull())
+    dec = "decimal(38,0)"
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "event_type",
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * F.lit(1e6)
+            ).cast("long"),
+        ).alias("r_micro"),
+    )

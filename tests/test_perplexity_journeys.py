@@ -97,3 +97,55 @@ def test_journey_prefix_truncates_at_length(spark, tmp_path):
     got = _q_top_user_journeys(spark, d).collect()
     assert len(got) == 1
     assert got[0]["journey"] == ">".join(f"t{i}" for i in range(JOURNEY_LEN))
+
+
+def test_lang_source_mi_extremes(spark, tmp_path):
+    from metis_spark.driver.queries_corpus import _q_lang_source_mi
+
+    # perfectly dependent: each lang from exactly one source ⇒
+    # MI = H(lang) (= H(source)); quantization residue ≤ a few micro
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "A", 0) for i in range(4)]
+        + [(10 + i, "t", "de", "B", 0) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = _q_lang_source_mi(spark, d).collect()[0]
+    assert abs(row["mi_micro"] - row["h_lang_micro"]) <= 3
+    assert row["h_lang_micro"] > 600_000  # ≈ ln 2
+
+    # independent: both sources carry both langs equally ⇒ MI ≈ 0
+    docs2 = spark.createDataFrame(
+        [(i, "t", lg, sc, 0) for i, (lg, sc) in enumerate(
+            [(lg, sc) for lg in ("en", "de") for sc in ("A", "B")] * 3
+        )],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d2 = str(tmp_path / "sf2")
+    docs2.write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    row2 = _q_lang_source_mi(spark, d2).collect()[0]
+    assert abs(row2["mi_micro"]) <= 3
+
+
+def test_value_autocorrelation_alternating(spark, tmp_path):
+    import datetime as dt
+
+    from metis_spark.driver.queries_relational import _q_value_autocorrelation
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    # alternating ±1 series: lag-1 r = −1 exactly
+    rows = [
+        (i, t0 + i * m, 1, "alt", float((-1) ** i), "") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = _q_value_autocorrelation(spark, d).collect()[0]
+    assert row["n_pairs"] == 9
+    assert row["r_micro"] == -1_000_000
