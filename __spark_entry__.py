@@ -43,7 +43,7 @@ from metis_spark.plans.triangles import (  # noqa: E402
 
 from metis_spark.driver.common import BETW_PLAN_GRID, BLOCKLIST_TERMS, GRAPH_MOD, DP_PLAN_GRID, N_BETW_SOURCES, TRI_INS_MOD, BURROWS_F, HUBNESS_K, HUBNESS_MOD, SPARSE_MOD, SWEEP_L, AFFINITY_LEVEL, CENTER_K, CI_K, DISPARITY_ALPHA_MICRO, PMI_K, PMI_MIN_COUNT, WINNOW_DF_CAP, WINNOW_K, WINNOW_TOP, WINNOW_W, COOC_CAP, COOC_K, CROSS_N, DEG_PCTS, FUNNEL_MIN_QUALITY, FUNNEL_MIN_TOKENS, HARDNEG_K, HH_MIN_COUNT, LINKPRED_K, LOUVAIN_ROUNDS, N_LANDMARKS, N_MEDIA, OOV_VOCAB_K, PR_CONV_ORACLE_ITERS, PSALSA_SEED_MOD, SCANSTAT_K, SESSION_GAP_MIN, SHARD_BUDGET, SSSP_ROUNDS, _CSR_GAP_SQL_TMPL, _EDGES_SPARSE_SQL, _EDGES_SQL, _LANG_MARKERS, _MINHASH_CTES, _SHINGLES_SQL, _SIMHASH_CTE, _TOKS_SQL, _ann_ivf_ctes, _ann_lsh_ctes, _cos_expr, _landmark_ctes, _louvain_level1_ctes, _tmpdir, derived_edges  # noqa: E501,F401
 
-from metis_spark.driver.oracles_sql import _ATTR_ASSORT_SQL, _bm25_sql, _fiedler_sql, _fiedler_sweep_sql, _edge_percolation_sql, _path_counts_sql, _BIGRAM_SURPRISAL_SQL, _CHUNK_PLAN_SQL, _CORPUS_DIVERGENCE_SQL, _COS_SQL, _DEG_SQL, _EDGE_DIFF_SQL, _EDGE_EMB_SQL, _FORMAN_SQL, _FIVE_CLIQUE_SQL, _FOUR_CLIQUE_SQL, _graphlet4_sql, _LANG_VOCAB_OVERLAP_SQL, _RICH_CLUB_SQL, _SQ8_SQL, _TEMPERATURE_MIX_SQL, _UNIGRAM_SURPRISAL_SQL, _WEDGE_SQL, _WEIGHTED_SAMPLE_SQL, _anf_eff_diam_sql, _anf_exact_sql, _anf_sketch_sql, _betweenness_sql, _bipartite_sql, _boilerplate_sql, _bowtie_sql, _cc_sql, _coloring_sql, _community_pagerank_sql, _component_profile_sql, _contamination_sql, _coreness_dec_sql, _coreness_sql, _dag_levels_sql, _dedup_clusters_sql, _densest_sql, _diameter_sql, _eigen_sql, _embedding_dedup_clusters_sql, _hec_sql, _hits_sql, _katz_sql, _kcenter_sql, _kcore_sql, _kmeans_sql, _semdedup_sql, _dsir_sql, _pca_sql, _truss_communities_sql, _ab_core_sql, _trustrank_sql, _cocitation_sql, _butterfly_sql, _cpm_sql, _refex_sql, _pq_sql, _pq_ann_sql, _kwing_sql, _hitting_time_sql, _tip_sql, _mirror_sql, _harmonic_labels_sql, _core_periphery_sql, _map_equation_sql, _leaderrank_sql, _degree_discount_sql, _k_peak_sql, _bpe_sql, _bpe_fertility_sql, _rank_correlation_sql, _temporal_pagerank_sql, _vocab_cover_sql, _nmi_partitions_sql, _ecc_bounds_sql, _ktruss_sql, _leiden_sql, _linkpred_auc_sql, _linkpred_eval_sql, _louvain2_sql, _louvain_sql, _louvain_trajectory_sql, _lpa_sql, _matching_sql, _media_decode_sql, _mis_sql, _modularity_sql, _msf_sql, _neardup_keep_best_sql, _node2vec_sql, _nucleus_sql, _onion_sql, _pagerank_sql, _partition_sql, _pii_scrub_sql, _ppr_sql, _ppr_sweep_sql, _robustness_sql, _salsa_sql, _scan_sql, _scc_sql, _score_weighted_sql, _seeded_lpa_sql, _simrank_sql, _spec_coloring_sql, _sssp_sql, _structural_holes_sql, _ari_partitions_sql, _temporal_fp_sql, _temporal_ld_sql, _temporal_sql, _trussness_dec_sql, _trussness_sql, _walk_sentences_sql, _walks_sql, _widest_sql, _wl_sql, _LOCAL_BRIDGE_SQL, _EDGE_DISPERSION_SQL, _katz_index_sql, _vi_partitions_sql, _DEGREE_GINI_SQL, _NGRAM_CONTAINMENT_SQL, _EDGE_CLUSTERING_SQL, _BURSTINESS_SQL, _SPECTRAL_RADIUS_SQL, _temporal_triangles_sql, _community_conductance_sql, _kendall_rank_sql, _RICH_CLUB_NORM_SQL, _mean_distance_sql, _MINHASH_ERROR_SQL, _RETENTION_SQL, _FUNNEL_SQL, _embedding_cos_histogram_sql, _scc_condensation_sql, _GOOD_TURING_SQL, _LABEL_SEP_SQL, _dcsbm_sql, _EVENT_TRANSITIONS_SQL, _CLUSTERING_BY_DEGREE_SQL, _kmeans_silhouette_sql, _MAD_OUTLIERS_SQL, _global_efficiency_sql, _pq_ann_recall_sql, _VOCAB_COVERAGE_SQL, _heat_kernel_sql, _pagerank_delta_curve_sql, _mmr_sql, _kneser_ney_sql, _dag_critical_path_sql, _directed_assortativity_sql, _WALK_ENTROPY_SQL, _spectral_moments_sql, _textrank_sql, _kleinberg_sql, _cdc_chunks_sql, _facility_location_sql, _BLOCKING_QUALITY_SQL, _LSH_PLAN_SQL, _SKEW_SALT_SQL, _hk_sweep_sql, _SCRIPT_HISTOGRAM_SQL, _PACKAGE_INSTABILITY_SQL, _TABLE_PROFILE_SQL, _sssp_parents_sql, _cyclomatic_sql, _code_switching_sql, _RRF_FUSION_SQL, _PERSISTENT_HH_SQL, _NEG_SAMPLING_SQL, _KAPLAN_MEIER_SQL, _USER_ENTROPY_SQL, _HASH_UNIFORMITY_SQL, _QUALITY_DUP_CORR_SQL, _zorder_locality_sql, _SPLIT_LEAKAGE_SQL, _bloom_semijoin_sql, _TRANSITIVE_DEPS_SQL, _truncation_recall_sql, _INFLUENCE_SPREAD_SQL, _K_ANONYMITY_SQL, _ris_seeds_sql, _kdegree_anonymity_sql, _small_world_sql, _KNN_CORRELATION_SQL, _TERM_BURSTINESS_SQL, _CUSUM_SQL, _MAX_CONCURRENCY_SQL, _benford_sql, _YULE_K_SQL, _llr_collocations_sql, _core_strength_sql, _dag_width_sql, _ROCCHIO_SQL, _ann_hubness_sql, _burrows_delta_sql, _tpch_q3_sql, _EVENT_CORR_SQL, _SESSION_COLIFT_SQL, _RANDIC_SQL, _POWERLAW_SQL, _betw_plan_sql, _MARKOV_ACC_SQL, _L_DIVERSITY_SQL, _triangle_delta_sql, _intrinsic_dim_sql, _CONVERSION_TIME_SQL, _dp_plan_sql, _SOURCE_PERPLEXITY_SQL, _journeys_sql, _SESSION_STATS_SQL, _GRAPH_H_INDEX_SQL, _blocklist_sql, _USER_GINI_SQL, _HOUR_OF_WEEK_SQL, _community_size_fit_sql, _watermark_sql, _EDGE_HYGIENE_SQL, _bridging_sql, _EMB_NORM_SQL, _DOC_LENGTH_POWERLAW_SQL, _dup_cluster_size_fit_sql, _Q4_SEMIJOIN_SQL, _Q5_LITE_SQL, _BRAND_RETURNS_SQL, _media_frame_plan_sql, _STICKINESS_SQL, _SEGMENT_ORDER_SQL, _LANG_SOURCE_ENTROPY_SQL, _coreness_profile_sql, _CAPS_PROFILE_SQL, _LABEL_BALANCE_SQL, _REVENUE_HHI_SQL, _DIGIT_SHARE_SQL, _PSI_DRIFT_SQL, _REGION_ROLLUP_SQL, _SEASONAL_ANOMALY_SQL, _ORDER_BACKLOG_SQL, _ACCTBAL_SQL, _PART_TYPE_TOPK_SQL, _SQUARE_SURPLUS_SQL, _TRANSITION_DWELL_SQL, _BASKET_SIZE_SQL, _DISCOUNT_ELASTICITY_SQL, _REPEAT_REVENUE_SQL, _graph_funnel_sql, _ivf_nprobe_curve_sql, _simhash_sweep_sql, _pr_damping_sql, _lsh_tables_curve_sql, _degree_drift_ks_sql, _LANG_SOURCE_MI_SQL, _VALUE_AUTOCORR_SQL  # noqa: E501,F401
+from metis_spark.driver.oracles_sql import _ATTR_ASSORT_SQL, _bm25_sql, _fiedler_sql, _fiedler_sweep_sql, _edge_percolation_sql, _path_counts_sql, _BIGRAM_SURPRISAL_SQL, _CHUNK_PLAN_SQL, _CORPUS_DIVERGENCE_SQL, _COS_SQL, _DEG_SQL, _EDGE_DIFF_SQL, _EDGE_EMB_SQL, _FORMAN_SQL, _FIVE_CLIQUE_SQL, _FOUR_CLIQUE_SQL, _graphlet4_sql, _LANG_VOCAB_OVERLAP_SQL, _RICH_CLUB_SQL, _SQ8_SQL, _TEMPERATURE_MIX_SQL, _UNIGRAM_SURPRISAL_SQL, _WEDGE_SQL, _WEIGHTED_SAMPLE_SQL, _anf_eff_diam_sql, _anf_exact_sql, _anf_sketch_sql, _betweenness_sql, _bipartite_sql, _boilerplate_sql, _bowtie_sql, _cc_sql, _coloring_sql, _community_pagerank_sql, _component_profile_sql, _contamination_sql, _coreness_dec_sql, _coreness_sql, _dag_levels_sql, _dedup_clusters_sql, _densest_sql, _diameter_sql, _eigen_sql, _embedding_dedup_clusters_sql, _hec_sql, _hits_sql, _katz_sql, _kcenter_sql, _kcore_sql, _kmeans_sql, _semdedup_sql, _dsir_sql, _pca_sql, _truss_communities_sql, _ab_core_sql, _trustrank_sql, _cocitation_sql, _butterfly_sql, _cpm_sql, _refex_sql, _pq_sql, _pq_ann_sql, _kwing_sql, _hitting_time_sql, _tip_sql, _mirror_sql, _harmonic_labels_sql, _core_periphery_sql, _map_equation_sql, _leaderrank_sql, _degree_discount_sql, _k_peak_sql, _bpe_sql, _bpe_fertility_sql, _rank_correlation_sql, _temporal_pagerank_sql, _vocab_cover_sql, _nmi_partitions_sql, _ecc_bounds_sql, _ktruss_sql, _leiden_sql, _linkpred_auc_sql, _linkpred_eval_sql, _louvain2_sql, _louvain_sql, _louvain_trajectory_sql, _lpa_sql, _matching_sql, _media_decode_sql, _mis_sql, _modularity_sql, _msf_sql, _neardup_keep_best_sql, _node2vec_sql, _nucleus_sql, _onion_sql, _pagerank_sql, _partition_sql, _pii_scrub_sql, _ppr_sql, _ppr_sweep_sql, _robustness_sql, _salsa_sql, _scan_sql, _scc_sql, _score_weighted_sql, _seeded_lpa_sql, _simrank_sql, _spec_coloring_sql, _sssp_sql, _structural_holes_sql, _ari_partitions_sql, _temporal_fp_sql, _temporal_ld_sql, _temporal_sql, _trussness_dec_sql, _trussness_sql, _walk_sentences_sql, _walks_sql, _widest_sql, _wl_sql, _LOCAL_BRIDGE_SQL, _EDGE_DISPERSION_SQL, _katz_index_sql, _vi_partitions_sql, _DEGREE_GINI_SQL, _NGRAM_CONTAINMENT_SQL, _EDGE_CLUSTERING_SQL, _BURSTINESS_SQL, _SPECTRAL_RADIUS_SQL, _temporal_triangles_sql, _community_conductance_sql, _kendall_rank_sql, _RICH_CLUB_NORM_SQL, _mean_distance_sql, _MINHASH_ERROR_SQL, _RETENTION_SQL, _FUNNEL_SQL, _embedding_cos_histogram_sql, _scc_condensation_sql, _GOOD_TURING_SQL, _LABEL_SEP_SQL, _dcsbm_sql, _EVENT_TRANSITIONS_SQL, _CLUSTERING_BY_DEGREE_SQL, _kmeans_silhouette_sql, _MAD_OUTLIERS_SQL, _global_efficiency_sql, _pq_ann_recall_sql, _VOCAB_COVERAGE_SQL, _heat_kernel_sql, _pagerank_delta_curve_sql, _mmr_sql, _kneser_ney_sql, _dag_critical_path_sql, _directed_assortativity_sql, _WALK_ENTROPY_SQL, _spectral_moments_sql, _textrank_sql, _kleinberg_sql, _cdc_chunks_sql, _facility_location_sql, _BLOCKING_QUALITY_SQL, _LSH_PLAN_SQL, _SKEW_SALT_SQL, _hk_sweep_sql, _SCRIPT_HISTOGRAM_SQL, _PACKAGE_INSTABILITY_SQL, _TABLE_PROFILE_SQL, _sssp_parents_sql, _cyclomatic_sql, _code_switching_sql, _RRF_FUSION_SQL, _PERSISTENT_HH_SQL, _NEG_SAMPLING_SQL, _KAPLAN_MEIER_SQL, _USER_ENTROPY_SQL, _HASH_UNIFORMITY_SQL, _QUALITY_DUP_CORR_SQL, _zorder_locality_sql, _SPLIT_LEAKAGE_SQL, _bloom_semijoin_sql, _TRANSITIVE_DEPS_SQL, _truncation_recall_sql, _INFLUENCE_SPREAD_SQL, _K_ANONYMITY_SQL, _ris_seeds_sql, _kdegree_anonymity_sql, _small_world_sql, _KNN_CORRELATION_SQL, _TERM_BURSTINESS_SQL, _CUSUM_SQL, _MAX_CONCURRENCY_SQL, _benford_sql, _YULE_K_SQL, _llr_collocations_sql, _core_strength_sql, _dag_width_sql, _ROCCHIO_SQL, _ann_hubness_sql, _burrows_delta_sql, _tpch_q3_sql, _EVENT_CORR_SQL, _SESSION_COLIFT_SQL, _RANDIC_SQL, _POWERLAW_SQL, _betw_plan_sql, _MARKOV_ACC_SQL, _L_DIVERSITY_SQL, _triangle_delta_sql, _intrinsic_dim_sql, _CONVERSION_TIME_SQL, _dp_plan_sql, _SOURCE_PERPLEXITY_SQL, _journeys_sql, _SESSION_STATS_SQL, _GRAPH_H_INDEX_SQL, _blocklist_sql, _USER_GINI_SQL, _HOUR_OF_WEEK_SQL, _community_size_fit_sql, _watermark_sql, _EDGE_HYGIENE_SQL, _bridging_sql, _EMB_NORM_SQL, _DOC_LENGTH_POWERLAW_SQL, _dup_cluster_size_fit_sql, _Q4_SEMIJOIN_SQL, _Q5_LITE_SQL, _BRAND_RETURNS_SQL, _media_frame_plan_sql, _STICKINESS_SQL, _SEGMENT_ORDER_SQL, _LANG_SOURCE_ENTROPY_SQL, _coreness_profile_sql, _CAPS_PROFILE_SQL, _LABEL_BALANCE_SQL, _REVENUE_HHI_SQL, _DIGIT_SHARE_SQL, _PSI_DRIFT_SQL, _REGION_ROLLUP_SQL, _SEASONAL_ANOMALY_SQL, _ORDER_BACKLOG_SQL, _ACCTBAL_SQL, _PART_TYPE_TOPK_SQL, _SQUARE_SURPLUS_SQL, _TRANSITION_DWELL_SQL, _BASKET_SIZE_SQL, _DISCOUNT_ELASTICITY_SQL, _REPEAT_REVENUE_SQL, _graph_funnel_sql, _ivf_nprobe_curve_sql, _simhash_sweep_sql, _pr_damping_sql, _lsh_tables_curve_sql, _degree_drift_ks_sql, _LANG_SOURCE_MI_SQL, _VALUE_AUTOCORR_SQL, _hh_stability_sql  # noqa: E501,F401
 
 from metis_spark.driver.queries_corpus import _q_dsir, _q_bm25, _q_bigram_surprisal, _q_boilerplate_ngrams, _q_chunk_plan, _q_corpus_curation, _q_corpus_divergence, _q_dedup_clusters, _q_dedup_sha, _q_fingerprint, _q_hash_sample, _q_lang_confusion, _q_lang_vocab_overlap, _q_langid, _q_minhash_jaccard, _q_minhash_lsh, _q_neardup_keep_best, _q_ngram_jaccard, _q_ngram_novelty, _q_oov_rate, _q_pii_scrub, _q_quality, _q_repetition, _q_simhash, _q_simhash_neardup, _q_stratified_sample, _q_temperature_mix, _q_tfidf_top3, _q_token_stats, _q_training_shards, _q_unigram_surprisal, _q_vocab_top100, _q_zipf_fit, _q_dup_span_coverage, _q_char_entropy, _q_readability, _q_gopher_rules, _q_distinct_ngrams, _q_pmi_collocations, _q_bpe_merges, _q_heaps_fit, _q_source_scorecard, _q_bpe_fertility, _q_winnowing, _q_vocab_cover, _q_ngram_containment, _q_minhash_error, _q_good_turing, _q_vocab_coverage, _q_kneser_ney, _q_textrank, _q_cdc_chunks, _q_blocking_quality, _q_lsh_parameter_plan, _q_script_histogram, _q_code_switching, _q_negative_sampling, _q_hash_uniformity, _q_quality_dup_correlation, _q_split_leakage, _q_k_anonymity, _q_term_burstiness, _q_yule_k, _q_llr_collocations, _q_burrows_delta, _q_dp_noise_plan, _q_source_perplexity, _q_blocklist_rate, _q_doc_length_powerlaw, _q_dup_cluster_size_fit, _q_lang_source_entropy, _q_lang_source_mi, _q_caps_profile, _q_digit_token_share, _q_simhash_threshold_sweep  # noqa: E501,F401
 
@@ -53,7 +53,7 @@ from metis_spark.driver.queries_graph_structure import FIEDLER_ITERS, FIEDLER_SC
 
 from metis_spark.driver.queries_misc import _q_label_mixing_matrix, _q_anti_join, _q_asof_fallback, _q_attr_assortativity, _q_benchmark_contamination, _q_center, _q_copart_topk, _q_dataset_splits, _q_edge_diff, _q_edge_embeddedness, _q_filter_funnel, _q_global_hh_sketch, _q_graph_degrees, _q_heavy_edge_coarsen, _q_heavy_hitter_users, _q_local_clustering, _q_maximal_matching, _q_msf, _q_pref_attach, _q_random_walks, _q_running_total, _q_spec_coloring, _q_vertex_jaccard, _q_walk_sentences, _q_weighted_sample, _q_cocitation, _q_refex, _q_mirrors, _q_forman_curvature, _q_structural_holes, _q_ari_partitions, _q_collective_influence, _q_degree_discount, _q_disparity, _q_nmi_partitions, _q_local_bridges, _q_edge_dispersion, _q_vi_partitions, _q_degree_drift_ks  # noqa: E501,F401
 
-from metis_spark.driver.queries_relational import WINDOW_HH_MIN, _q_window_heavy_users, _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct, _q_decayed_counts, _q_burstiness, _q_retention_cohorts, _q_ordered_funnel, _q_event_transitions, _q_mad_outliers, _q_kleinberg_bursts, _q_table_profile, _q_persistent_heavy_hitters, _q_kaplan_meier, _q_user_behavior_entropy, _q_bloom_semijoin, _q_cusum_changepoints, _q_max_concurrency, _q_benford_audit, BENFORD_P_MICRO, _q_tpch_q3_topk, _q_event_type_correlation, _q_session_colift, TPCH_Q3_DATE, TPCH_Q3_K, _q_markov_next_accuracy, _q_l_diversity_audit, _q_conversion_time_stats, _q_top_user_journeys, JOURNEY_K, JOURNEY_LEN, _q_session_stats, _q_user_activity_gini, _q_hour_of_week_profile, _q_watermark_lateness_audit, WATERMARK_DELAYS_S, _q_order_priority_semijoin, _q_tpch_q5_lite, _q_brand_return_rates, _q_stickiness_card, _q_segment_order_stats, _q_revenue_hhi, _q_psi_value_drift, _q_region_revenue_rollup, _q_seasonal_anomaly_hours, _q_order_backlog_card, _q_acctbal_health_card, _q_part_type_revenue_topk, _q_transition_dwell_stats, _q_basket_size_profile, _q_discount_elasticity, _q_repeat_revenue_share, _q_value_autocorrelation  # noqa: E501,F401
+from metis_spark.driver.queries_relational import WINDOW_HH_MIN, _q_window_heavy_users, _q_bit_test, _q_count_by_kind, _q_cube, _q_distinct_kinds, _q_events_in_windows, _q_forward_fill, _q_global_count, _q_impute, _q_json_hour, _q_lag_delta, _q_lookup_join, _q_order_stats, _q_pivot, _q_rollup, _q_session_windows, _q_sessionize, _q_set_intersect, _q_threshold_crossers, _q_topk_per_group, _q_tpch_q1, _q_window_distinct, _q_decayed_counts, _q_burstiness, _q_retention_cohorts, _q_ordered_funnel, _q_event_transitions, _q_mad_outliers, _q_kleinberg_bursts, _q_table_profile, _q_persistent_heavy_hitters, _q_kaplan_meier, _q_user_behavior_entropy, _q_bloom_semijoin, _q_cusum_changepoints, _q_max_concurrency, _q_benford_audit, BENFORD_P_MICRO, _q_tpch_q3_topk, _q_event_type_correlation, _q_session_colift, TPCH_Q3_DATE, TPCH_Q3_K, _q_markov_next_accuracy, _q_l_diversity_audit, _q_conversion_time_stats, _q_top_user_journeys, JOURNEY_K, JOURNEY_LEN, _q_session_stats, _q_user_activity_gini, _q_hour_of_week_profile, _q_watermark_lateness_audit, WATERMARK_DELAYS_S, _q_order_priority_semijoin, _q_tpch_q5_lite, _q_brand_return_rates, _q_stickiness_card, _q_segment_order_stats, _q_revenue_hhi, _q_psi_value_drift, _q_region_revenue_rollup, _q_seasonal_anomaly_hours, _q_order_backlog_card, _q_acctbal_health_card, _q_part_type_revenue_topk, _q_transition_dwell_stats, _q_basket_size_profile, _q_discount_elasticity, _q_repeat_revenue_share, _q_value_autocorrelation, _q_heavy_hitter_stability, HH_STAB_MIN  # noqa: E501,F401
 
 from metis_spark.driver.queries_similarity import _q_ann_ivf, _q_ann_ivf_recall, _q_ann_lsh, _q_ann_lsh_recall, _q_ann_topk, _q_embedding_cluster_sizes, _q_embedding_dedup_clusters, _q_embedding_neardup, _q_hard_negatives, _q_kcenter, _q_kmeans, _q_semdedup, _q_media_decode, _q_media_features, _q_sq8_codes, _q_pca_top, _q_pq_codes, _q_pq_ann, _q_embedding_cos_histogram, _q_label_separation, _q_kmeans_silhouette, _q_pq_ann_recall, _q_mmr, _q_facility_location, _q_truncation_recall, _q_rocchio_confusion, _q_ann_hubness, _q_intrinsic_dimension, _q_embedding_norm_profile, _q_media_frame_plan, _q_label_balance_card, _q_ivf_nprobe_curve, _q_lsh_tables_curve  # noqa: E501,F401
 
@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_drift_ks": _q_degree_drift_ks,       # r5: structural drift KS
         "lang_source_mi": _q_lang_source_mi,         # r5: mix-dependence scalar
         "value_autocorrelation": _q_value_autocorrelation,  # r5: serial memory
+        "heavy_hitter_stability": _q_heavy_hitter_stability,  # r5: HH churn
 
         # heavy iterative decompositions + the rest of the r3/r4 surface
         "coreness": _q_coreness,
@@ -1196,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_drift_ks": _degree_drift_ks_sql(GRAPH_MOD),
         "lang_source_mi": _LANG_SOURCE_MI_SQL,
         "value_autocorrelation": _VALUE_AUTOCORR_SQL,
+        "heavy_hitter_stability": _hh_stability_sql(HH_STAB_MIN),
         "decayed_event_counts": (
             "WITH dev AS MATERIALIZED (SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events), "
             "dmx AS (SELECT MAX(es)::BIGINT AS tmax FROM dev), "

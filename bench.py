@@ -319,6 +319,7 @@ def main() -> None:
         "degree_drift_ks",
         "lang_source_mi",
         "value_autocorrelation",
+        "heavy_hitter_stability",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

@@ -7003,3 +7003,26 @@ _VALUE_AUTOCORR_SQL = (
     "/ sqrt((n_pairs * sxx - sx * sx)::DOUBLE * (n_pairs * syy - sy * sy)::DOUBLE) "
     "* 1000000.0) AS BIGINT) END AS r_micro FROM vam"
 )
+
+
+def _hh_stability_sql(min_count: int) -> str:
+    return (
+        "WITH hse AS (SELECT user_id, epoch_us(ts) AS m FROM events),\n"
+        "hsr AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM hse),\n"
+        "hsh AS (SELECT e.user_id, CASE WHEN e.m < (r.m0 + r.m1) / 2 "
+        "THEN 1 ELSE 0 END AS h FROM hse e CROSS JOIN hsr r),\n"
+        "hsp AS (SELECT user_id, SUM(h)::BIGINT AS c1, SUM(1 - h)::BIGINT AS c2 "
+        "FROM hsh GROUP BY user_id),\n"
+        "hsf AS (SELECT user_id, c1, c2, "
+        f"CASE WHEN c1 >= {min_count} THEN 1 ELSE 0 END AS h1, "
+        f"CASE WHEN c2 >= {min_count} THEN 1 ELSE 0 END AS h2 FROM hsp),\n"
+        "hsa AS (SELECT SUM(h1)::BIGINT AS n_first, SUM(h2)::BIGINT AS n_second, "
+        "SUM(h1 * h2)::BIGINT AS n_both, SUM(h2 * c2)::BIGINT AS mass2, "
+        "SUM(h1 * h2 * c2)::BIGINT AS mass2_stable FROM hsf)\n"
+        "SELECT n_first, n_second, n_both, "
+        "CASE WHEN n_first + n_second - n_both > 0 THEN "
+        "((1000000 * n_both) // (n_first + n_second - n_both))::BIGINT ELSE 0 END "
+        "AS jaccard_micro, "
+        "CASE WHEN mass2 > 0 THEN ((1000000 * mass2_stable) // mass2)::BIGINT "
+        "ELSE 0 END AS mass_overlap_micro FROM hsa"
+    )

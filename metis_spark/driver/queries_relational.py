@@ -2155,3 +2155,52 @@ def _q_value_autocorrelation(spark, sf_dir):
             ).cast("long"),
         ).alias("r_micro"),
     )
+
+
+HH_STAB_MIN = 3
+
+
+def _q_heavy_hitter_stability(spark, sf_dir):
+    """Heavy-hitter churn → one row (n_first, n_second, n_both,
+    jaccard_micro, mass_overlap_micro): the ≥HH_STAB_MIN-event user
+    sets of the first and second halves of the time range, their
+    Jaccard overlap, and the share of second-half heavy traffic that
+    comes from ALREADY-heavy users — stable sets mean rate-limit
+    state and HH sketches stay warm; high churn means every window
+    starts cold (and "heavy" is bursty, not behavioural). All
+    integers off the same midpoint split as psi_value_drift."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("m")
+    )
+    rng = ev.agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    halved = ev.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        (F.col("m") < (F.col("m0") + F.col("m1")) / F.lit(2)).cast("int").alias("h"),
+    )
+    per = halved.groupBy("user_id").agg(
+        F.sum("h").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("h")).cast("long").alias("c2"),
+    )
+    flags = per.select(
+        "user_id", "c1", "c2",
+        (F.col("c1") >= HH_STAB_MIN).cast("long").alias("h1"),
+        (F.col("c2") >= HH_STAB_MIN).cast("long").alias("h2"),
+    )
+    return flags.agg(
+        F.sum("h1").cast("long").alias("n_first"),
+        F.sum("h2").cast("long").alias("n_second"),
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("n_both"),
+        F.sum(F.col("h2") * F.col("c2")).cast("long").alias("mass2"),
+        F.sum(F.col("h1") * F.col("h2") * F.col("c2")).cast("long").alias("mass2_stable"),
+    ).select(
+        "n_first",
+        "n_second",
+        "n_both",
+        F.when(
+            (F.col("n_first") + F.col("n_second") - F.col("n_both")) > 0,
+            F.expr("(1000000 * n_both) div (n_first + n_second - n_both)"),
+        ).otherwise(F.lit(0)).cast("long").alias("jaccard_micro"),
+        F.when(
+            F.col("mass2") > 0, F.expr("(1000000 * mass2_stable) div mass2")
+        ).otherwise(F.lit(0)).cast("long").alias("mass_overlap_micro"),
+    )

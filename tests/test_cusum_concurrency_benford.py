@@ -128,3 +128,30 @@ def test_benford_extreme_and_proportioned(spark, tmp_path):
     tot = out[0]["chi2_total_micro"]
     assert sum(r["n_obs"] for r in out) == sum(counts.values())
     assert tot < 1_000_000  # chi-square below 1 on 8 df ⇒ Benford-consistent
+
+
+def test_heavy_hitter_stability_hand(spark, tmp_path):
+    from metis_spark.driver.queries_relational import (
+        HH_STAB_MIN,
+        _q_heavy_hitter_stability,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows, eid = [], 0
+    # user 1: heavy in BOTH halves; user 2: heavy only early;
+    # user 3: heavy only late
+    for u, (early, late) in ((1, (3, 3)), (2, (3, 0)), (3, (0, 3))):
+        for _ in range(early):
+            eid += 1
+            rows.append((eid, t0, u, "x", 0.0, ""))
+        for _ in range(late):
+            eid += 1
+            rows.append((eid, t0 + 10 * h, u, "x", 0.0, ""))
+    assert HH_STAB_MIN == 3
+    d = _write_events(tmp_path, spark, rows)
+    row = _q_heavy_hitter_stability(spark, d).collect()[0]
+    assert (row["n_first"], row["n_second"], row["n_both"]) == (2, 2, 1)
+    assert row["jaccard_micro"] == (1_000_000 * 1) // 3
+    # second-half heavy mass: u1=3 + u3=3; stable share = 3/6
+    assert row["mass_overlap_micro"] == 500_000
