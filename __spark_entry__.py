@@ -43,11 +43,11 @@ from metis_spark.plans.triangles import (  # noqa: E402
 
 from metis_spark.driver.common import BETW_PLAN_GRID, BLOCKLIST_TERMS, GRAPH_MOD, DP_PLAN_GRID, N_BETW_SOURCES, TRI_INS_MOD, BURROWS_F, HUBNESS_K, HUBNESS_MOD, SPARSE_MOD, SWEEP_L, AFFINITY_LEVEL, CENTER_K, CI_K, DISPARITY_ALPHA_MICRO, PMI_K, PMI_MIN_COUNT, WINNOW_DF_CAP, WINNOW_K, WINNOW_TOP, WINNOW_W, COOC_CAP, COOC_K, CROSS_N, DEG_PCTS, FUNNEL_MIN_QUALITY, FUNNEL_MIN_TOKENS, HARDNEG_K, HH_MIN_COUNT, LINKPRED_K, LOUVAIN_ROUNDS, N_LANDMARKS, N_MEDIA, OOV_VOCAB_K, PR_CONV_ORACLE_ITERS, PSALSA_SEED_MOD, SCANSTAT_K, SESSION_GAP_MIN, SHARD_BUDGET, SSSP_ROUNDS, _CSR_GAP_SQL_TMPL, _EDGES_SPARSE_SQL, _EDGES_SQL, _LANG_MARKERS, _MINHASH_CTES, _SHINGLES_SQL, _SIMHASH_CTE, _TOKS_SQL, _ann_ivf_ctes, _ann_lsh_ctes, _cos_expr, _landmark_ctes, _louvain_level1_ctes, _tmpdir, derived_edges  # noqa: E501,F401
 
-from metis_spark.driver.oracles_sql import _ATTR_ASSORT_SQL, _bm25_sql, _fiedler_sql, _fiedler_sweep_sql, _edge_percolation_sql, _path_counts_sql, _BIGRAM_SURPRISAL_SQL, _CHUNK_PLAN_SQL, _CORPUS_DIVERGENCE_SQL, _COS_SQL, _DEG_SQL, _EDGE_DIFF_SQL, _EDGE_EMB_SQL, _FORMAN_SQL, _FIVE_CLIQUE_SQL, _FOUR_CLIQUE_SQL, _graphlet4_sql, _LANG_VOCAB_OVERLAP_SQL, _RICH_CLUB_SQL, _SQ8_SQL, _TEMPERATURE_MIX_SQL, _UNIGRAM_SURPRISAL_SQL, _WEDGE_SQL, _WEIGHTED_SAMPLE_SQL, _anf_eff_diam_sql, _anf_exact_sql, _anf_sketch_sql, _betweenness_sql, _bipartite_sql, _boilerplate_sql, _bowtie_sql, _cc_sql, _coloring_sql, _community_pagerank_sql, _component_profile_sql, _contamination_sql, _coreness_dec_sql, _coreness_sql, _dag_levels_sql, _dedup_clusters_sql, _densest_sql, _diameter_sql, _eigen_sql, _embedding_dedup_clusters_sql, _hec_sql, _hits_sql, _katz_sql, _kcenter_sql, _kcore_sql, _kmeans_sql, _semdedup_sql, _dsir_sql, _pca_sql, _truss_communities_sql, _ab_core_sql, _trustrank_sql, _cocitation_sql, _butterfly_sql, _cpm_sql, _refex_sql, _pq_sql, _pq_ann_sql, _kwing_sql, _hitting_time_sql, _tip_sql, _mirror_sql, _harmonic_labels_sql, _core_periphery_sql, _map_equation_sql, _leaderrank_sql, _degree_discount_sql, _k_peak_sql, _bpe_sql, _bpe_fertility_sql, _rank_correlation_sql, _temporal_pagerank_sql, _vocab_cover_sql, _nmi_partitions_sql, _ecc_bounds_sql, _ktruss_sql, _leiden_sql, _linkpred_auc_sql, _linkpred_eval_sql, _louvain2_sql, _louvain_sql, _louvain_trajectory_sql, _lpa_sql, _matching_sql, _media_decode_sql, _mis_sql, _modularity_sql, _msf_sql, _neardup_keep_best_sql, _node2vec_sql, _nucleus_sql, _onion_sql, _pagerank_sql, _partition_sql, _pii_scrub_sql, _ppr_sql, _ppr_sweep_sql, _robustness_sql, _salsa_sql, _scan_sql, _scc_sql, _score_weighted_sql, _seeded_lpa_sql, _simrank_sql, _spec_coloring_sql, _sssp_sql, _structural_holes_sql, _ari_partitions_sql, _temporal_fp_sql, _temporal_ld_sql, _temporal_sql, _trussness_dec_sql, _trussness_sql, _walk_sentences_sql, _walks_sql, _widest_sql, _wl_sql, _LOCAL_BRIDGE_SQL, _EDGE_DISPERSION_SQL, _katz_index_sql, _vi_partitions_sql, _DEGREE_GINI_SQL, _NGRAM_CONTAINMENT_SQL, _EDGE_CLUSTERING_SQL, _BURSTINESS_SQL, _SPECTRAL_RADIUS_SQL, _temporal_triangles_sql, _community_conductance_sql, _kendall_rank_sql, _RICH_CLUB_NORM_SQL, _mean_distance_sql, _MINHASH_ERROR_SQL, _RETENTION_SQL, _FUNNEL_SQL, _embedding_cos_histogram_sql, _scc_condensation_sql, _GOOD_TURING_SQL, _LABEL_SEP_SQL, _dcsbm_sql, _EVENT_TRANSITIONS_SQL, _CLUSTERING_BY_DEGREE_SQL, _kmeans_silhouette_sql, _MAD_OUTLIERS_SQL, _global_efficiency_sql, _pq_ann_recall_sql, _VOCAB_COVERAGE_SQL, _heat_kernel_sql, _pagerank_delta_curve_sql, _mmr_sql, _kneser_ney_sql, _dag_critical_path_sql, _directed_assortativity_sql, _WALK_ENTROPY_SQL, _spectral_moments_sql, _textrank_sql, _kleinberg_sql, _cdc_chunks_sql, _facility_location_sql, _BLOCKING_QUALITY_SQL, _LSH_PLAN_SQL, _SKEW_SALT_SQL, _hk_sweep_sql, _SCRIPT_HISTOGRAM_SQL, _PACKAGE_INSTABILITY_SQL, _TABLE_PROFILE_SQL, _sssp_parents_sql, _cyclomatic_sql, _code_switching_sql, _RRF_FUSION_SQL, _PERSISTENT_HH_SQL, _NEG_SAMPLING_SQL, _KAPLAN_MEIER_SQL, _USER_ENTROPY_SQL, _HASH_UNIFORMITY_SQL, _QUALITY_DUP_CORR_SQL, _zorder_locality_sql, _SPLIT_LEAKAGE_SQL, _bloom_semijoin_sql, _TRANSITIVE_DEPS_SQL, _truncation_recall_sql, _INFLUENCE_SPREAD_SQL, _K_ANONYMITY_SQL, _ris_seeds_sql, _kdegree_anonymity_sql, _small_world_sql, _KNN_CORRELATION_SQL, _TERM_BURSTINESS_SQL, _CUSUM_SQL, _MAX_CONCURRENCY_SQL, _benford_sql, _YULE_K_SQL, _llr_collocations_sql, _core_strength_sql, _dag_width_sql, _ROCCHIO_SQL, _ann_hubness_sql, _burrows_delta_sql, _tpch_q3_sql, _EVENT_CORR_SQL, _SESSION_COLIFT_SQL, _RANDIC_SQL, _POWERLAW_SQL, _betw_plan_sql, _MARKOV_ACC_SQL, _L_DIVERSITY_SQL, _triangle_delta_sql, _intrinsic_dim_sql, _CONVERSION_TIME_SQL, _dp_plan_sql, _SOURCE_PERPLEXITY_SQL, _journeys_sql, _SESSION_STATS_SQL, _GRAPH_H_INDEX_SQL, _blocklist_sql, _USER_GINI_SQL, _HOUR_OF_WEEK_SQL, _community_size_fit_sql, _watermark_sql, _EDGE_HYGIENE_SQL, _bridging_sql, _EMB_NORM_SQL, _DOC_LENGTH_POWERLAW_SQL, _dup_cluster_size_fit_sql, _Q4_SEMIJOIN_SQL, _Q5_LITE_SQL, _BRAND_RETURNS_SQL, _media_frame_plan_sql, _STICKINESS_SQL, _SEGMENT_ORDER_SQL, _LANG_SOURCE_ENTROPY_SQL, _coreness_profile_sql, _CAPS_PROFILE_SQL, _LABEL_BALANCE_SQL, _REVENUE_HHI_SQL, _DIGIT_SHARE_SQL, _PSI_DRIFT_SQL, _REGION_ROLLUP_SQL, _SEASONAL_ANOMALY_SQL, _ORDER_BACKLOG_SQL, _ACCTBAL_SQL, _PART_TYPE_TOPK_SQL, _SQUARE_SURPLUS_SQL, _TRANSITION_DWELL_SQL, _BASKET_SIZE_SQL, _DISCOUNT_ELASTICITY_SQL, _REPEAT_REVENUE_SQL, _graph_funnel_sql, _ivf_nprobe_curve_sql, _simhash_sweep_sql, _pr_damping_sql, _lsh_tables_curve_sql, _degree_drift_ks_sql, _LANG_SOURCE_MI_SQL, _VALUE_AUTOCORR_SQL, _hh_stability_sql  # noqa: E501,F401
+from metis_spark.driver.oracles_sql import _ATTR_ASSORT_SQL, _bm25_sql, _fiedler_sql, _fiedler_sweep_sql, _edge_percolation_sql, _path_counts_sql, _BIGRAM_SURPRISAL_SQL, _CHUNK_PLAN_SQL, _CORPUS_DIVERGENCE_SQL, _COS_SQL, _DEG_SQL, _EDGE_DIFF_SQL, _EDGE_EMB_SQL, _FORMAN_SQL, _FIVE_CLIQUE_SQL, _FOUR_CLIQUE_SQL, _graphlet4_sql, _LANG_VOCAB_OVERLAP_SQL, _RICH_CLUB_SQL, _SQ8_SQL, _TEMPERATURE_MIX_SQL, _UNIGRAM_SURPRISAL_SQL, _WEDGE_SQL, _WEIGHTED_SAMPLE_SQL, _anf_eff_diam_sql, _anf_exact_sql, _anf_sketch_sql, _betweenness_sql, _bipartite_sql, _boilerplate_sql, _bowtie_sql, _cc_sql, _coloring_sql, _community_pagerank_sql, _component_profile_sql, _contamination_sql, _coreness_dec_sql, _coreness_sql, _dag_levels_sql, _dedup_clusters_sql, _densest_sql, _diameter_sql, _eigen_sql, _embedding_dedup_clusters_sql, _hec_sql, _hits_sql, _katz_sql, _kcenter_sql, _kcore_sql, _kmeans_sql, _semdedup_sql, _dsir_sql, _pca_sql, _truss_communities_sql, _ab_core_sql, _trustrank_sql, _cocitation_sql, _butterfly_sql, _cpm_sql, _refex_sql, _pq_sql, _pq_ann_sql, _kwing_sql, _hitting_time_sql, _tip_sql, _mirror_sql, _harmonic_labels_sql, _core_periphery_sql, _map_equation_sql, _leaderrank_sql, _degree_discount_sql, _k_peak_sql, _bpe_sql, _bpe_fertility_sql, _rank_correlation_sql, _temporal_pagerank_sql, _vocab_cover_sql, _nmi_partitions_sql, _ecc_bounds_sql, _ktruss_sql, _leiden_sql, _linkpred_auc_sql, _linkpred_eval_sql, _louvain2_sql, _louvain_sql, _louvain_trajectory_sql, _lpa_sql, _matching_sql, _media_decode_sql, _mis_sql, _modularity_sql, _msf_sql, _neardup_keep_best_sql, _node2vec_sql, _nucleus_sql, _onion_sql, _pagerank_sql, _partition_sql, _pii_scrub_sql, _ppr_sql, _ppr_sweep_sql, _robustness_sql, _salsa_sql, _scan_sql, _scc_sql, _score_weighted_sql, _seeded_lpa_sql, _simrank_sql, _spec_coloring_sql, _sssp_sql, _structural_holes_sql, _ari_partitions_sql, _temporal_fp_sql, _temporal_ld_sql, _temporal_sql, _trussness_dec_sql, _trussness_sql, _walk_sentences_sql, _walks_sql, _widest_sql, _wl_sql, _LOCAL_BRIDGE_SQL, _EDGE_DISPERSION_SQL, _katz_index_sql, _vi_partitions_sql, _DEGREE_GINI_SQL, _NGRAM_CONTAINMENT_SQL, _EDGE_CLUSTERING_SQL, _BURSTINESS_SQL, _SPECTRAL_RADIUS_SQL, _temporal_triangles_sql, _community_conductance_sql, _kendall_rank_sql, _RICH_CLUB_NORM_SQL, _mean_distance_sql, _MINHASH_ERROR_SQL, _RETENTION_SQL, _FUNNEL_SQL, _embedding_cos_histogram_sql, _scc_condensation_sql, _GOOD_TURING_SQL, _LABEL_SEP_SQL, _dcsbm_sql, _EVENT_TRANSITIONS_SQL, _CLUSTERING_BY_DEGREE_SQL, _kmeans_silhouette_sql, _MAD_OUTLIERS_SQL, _global_efficiency_sql, _pq_ann_recall_sql, _VOCAB_COVERAGE_SQL, _heat_kernel_sql, _pagerank_delta_curve_sql, _mmr_sql, _kneser_ney_sql, _dag_critical_path_sql, _directed_assortativity_sql, _WALK_ENTROPY_SQL, _spectral_moments_sql, _textrank_sql, _kleinberg_sql, _cdc_chunks_sql, _facility_location_sql, _BLOCKING_QUALITY_SQL, _LSH_PLAN_SQL, _SKEW_SALT_SQL, _hk_sweep_sql, _SCRIPT_HISTOGRAM_SQL, _PACKAGE_INSTABILITY_SQL, _TABLE_PROFILE_SQL, _sssp_parents_sql, _cyclomatic_sql, _code_switching_sql, _RRF_FUSION_SQL, _PERSISTENT_HH_SQL, _NEG_SAMPLING_SQL, _KAPLAN_MEIER_SQL, _USER_ENTROPY_SQL, _HASH_UNIFORMITY_SQL, _QUALITY_DUP_CORR_SQL, _zorder_locality_sql, _SPLIT_LEAKAGE_SQL, _bloom_semijoin_sql, _TRANSITIVE_DEPS_SQL, _truncation_recall_sql, _INFLUENCE_SPREAD_SQL, _K_ANONYMITY_SQL, _ris_seeds_sql, _kdegree_anonymity_sql, _small_world_sql, _KNN_CORRELATION_SQL, _TERM_BURSTINESS_SQL, _CUSUM_SQL, _MAX_CONCURRENCY_SQL, _benford_sql, _YULE_K_SQL, _llr_collocations_sql, _core_strength_sql, _dag_width_sql, _ROCCHIO_SQL, _ann_hubness_sql, _burrows_delta_sql, _tpch_q3_sql, _EVENT_CORR_SQL, _SESSION_COLIFT_SQL, _RANDIC_SQL, _POWERLAW_SQL, _betw_plan_sql, _MARKOV_ACC_SQL, _L_DIVERSITY_SQL, _triangle_delta_sql, _intrinsic_dim_sql, _CONVERSION_TIME_SQL, _dp_plan_sql, _SOURCE_PERPLEXITY_SQL, _journeys_sql, _SESSION_STATS_SQL, _GRAPH_H_INDEX_SQL, _blocklist_sql, _USER_GINI_SQL, _HOUR_OF_WEEK_SQL, _community_size_fit_sql, _watermark_sql, _EDGE_HYGIENE_SQL, _bridging_sql, _EMB_NORM_SQL, _DOC_LENGTH_POWERLAW_SQL, _dup_cluster_size_fit_sql, _Q4_SEMIJOIN_SQL, _Q5_LITE_SQL, _BRAND_RETURNS_SQL, _media_frame_plan_sql, _STICKINESS_SQL, _SEGMENT_ORDER_SQL, _LANG_SOURCE_ENTROPY_SQL, _coreness_profile_sql, _CAPS_PROFILE_SQL, _LABEL_BALANCE_SQL, _REVENUE_HHI_SQL, _DIGIT_SHARE_SQL, _PSI_DRIFT_SQL, _REGION_ROLLUP_SQL, _SEASONAL_ANOMALY_SQL, _ORDER_BACKLOG_SQL, _ACCTBAL_SQL, _PART_TYPE_TOPK_SQL, _SQUARE_SURPLUS_SQL, _TRANSITION_DWELL_SQL, _BASKET_SIZE_SQL, _DISCOUNT_ELASTICITY_SQL, _REPEAT_REVENUE_SQL, _graph_funnel_sql, _ivf_nprobe_curve_sql, _simhash_sweep_sql, _pr_damping_sql, _lsh_tables_curve_sql, _degree_drift_ks_sql, _LANG_SOURCE_MI_SQL, _VALUE_AUTOCORR_SQL, _hh_stability_sql, _pr_mass_sql  # noqa: E501,F401
 
 from metis_spark.driver.queries_corpus import _q_dsir, _q_bm25, _q_bigram_surprisal, _q_boilerplate_ngrams, _q_chunk_plan, _q_corpus_curation, _q_corpus_divergence, _q_dedup_clusters, _q_dedup_sha, _q_fingerprint, _q_hash_sample, _q_lang_confusion, _q_lang_vocab_overlap, _q_langid, _q_minhash_jaccard, _q_minhash_lsh, _q_neardup_keep_best, _q_ngram_jaccard, _q_ngram_novelty, _q_oov_rate, _q_pii_scrub, _q_quality, _q_repetition, _q_simhash, _q_simhash_neardup, _q_stratified_sample, _q_temperature_mix, _q_tfidf_top3, _q_token_stats, _q_training_shards, _q_unigram_surprisal, _q_vocab_top100, _q_zipf_fit, _q_dup_span_coverage, _q_char_entropy, _q_readability, _q_gopher_rules, _q_distinct_ngrams, _q_pmi_collocations, _q_bpe_merges, _q_heaps_fit, _q_source_scorecard, _q_bpe_fertility, _q_winnowing, _q_vocab_cover, _q_ngram_containment, _q_minhash_error, _q_good_turing, _q_vocab_coverage, _q_kneser_ney, _q_textrank, _q_cdc_chunks, _q_blocking_quality, _q_lsh_parameter_plan, _q_script_histogram, _q_code_switching, _q_negative_sampling, _q_hash_uniformity, _q_quality_dup_correlation, _q_split_leakage, _q_k_anonymity, _q_term_burstiness, _q_yule_k, _q_llr_collocations, _q_burrows_delta, _q_dp_noise_plan, _q_source_perplexity, _q_blocklist_rate, _q_doc_length_powerlaw, _q_dup_cluster_size_fit, _q_lang_source_entropy, _q_lang_source_mi, _q_caps_profile, _q_digit_token_share, _q_simhash_threshold_sweep  # noqa: E501,F401
 
-from metis_spark.driver.queries_graph_iterative import _q_anf_effective_diameter, _q_edge_percolation, _q_path_counts, _q_anf_sketch, _q_bowtie, _q_cc_incremental, _q_closeness, _q_connected_components, _q_dag_levels, _q_diameter, _q_eigen, _q_harmonic, _q_hits, _q_katz, _q_landmark_distances, _q_lpa, _q_neighborhood_function, _q_pagerank, _q_pagerank_incremental, _q_pagerank_weighted, _q_ppr, _q_ppr_sweep_cut, _q_robustness_curve, _q_robustness_random, _q_salsa, _q_salsa_personalized, _q_scc, _q_seeded_lpa, _q_sssp, _q_sssp_weighted, _q_temporal_fastest, _q_temporal_latest_departure, _q_temporal_reachability, _q_temporal_shortest, _q_widest_path, _q_trustrank, _q_hitting_time, _q_harmonic_labels, _q_leaderrank, _q_rank_correlation, _q_temporal_pagerank, _q_eccentricity_bounds, _q_temporal_triangles, _q_kendall_rank, _q_mean_distance, _q_scc_condensation, _q_global_efficiency, _q_heat_kernel, _q_pagerank_delta_curve, _q_dag_critical_path, _q_sssp_parents, _q_cyclomatic_number, _q_transitive_deps, _q_influence_spread, _q_ris_seeds, _q_dag_width_profile, _q_betweenness_sample_plan, _q_pagerank_damping_sensitivity  # noqa: E501,F401
+from metis_spark.driver.queries_graph_iterative import _q_anf_effective_diameter, _q_edge_percolation, _q_path_counts, _q_anf_sketch, _q_bowtie, _q_cc_incremental, _q_closeness, _q_connected_components, _q_dag_levels, _q_diameter, _q_eigen, _q_harmonic, _q_hits, _q_katz, _q_landmark_distances, _q_lpa, _q_neighborhood_function, _q_pagerank, _q_pagerank_incremental, _q_pagerank_weighted, _q_ppr, _q_ppr_sweep_cut, _q_robustness_curve, _q_robustness_random, _q_salsa, _q_salsa_personalized, _q_scc, _q_seeded_lpa, _q_sssp, _q_sssp_weighted, _q_temporal_fastest, _q_temporal_latest_departure, _q_temporal_reachability, _q_temporal_shortest, _q_widest_path, _q_trustrank, _q_hitting_time, _q_harmonic_labels, _q_leaderrank, _q_rank_correlation, _q_temporal_pagerank, _q_eccentricity_bounds, _q_temporal_triangles, _q_kendall_rank, _q_mean_distance, _q_scc_condensation, _q_global_efficiency, _q_heat_kernel, _q_pagerank_delta_curve, _q_dag_critical_path, _q_sssp_parents, _q_cyclomatic_number, _q_transitive_deps, _q_influence_spread, _q_ris_seeds, _q_dag_width_profile, _q_betweenness_sample_plan, _q_pagerank_damping_sensitivity, _q_pagerank_mass_concentration  # noqa: E501,F401
 
 from metis_spark.driver.queries_graph_structure import FIEDLER_ITERS, FIEDLER_SCALE, _q_fiedler, _q_fiedler_sweep, _q_adamic_adar, _q_affinity_clusters, _q_assortativity, _q_avg_neighbor_degree, _q_betweenness, _q_bipartite, _q_coloring, _q_community_pagerank, _q_community_quotient, _q_component_profile, _q_coreness, _q_coreness_decremental, _q_csr, _q_csr_gap_histogram, _q_degree_histogram, _q_degree_percentiles, _q_densest, _q_directed_triads, _q_edge_betweenness, _q_five_cliques, _q_four_cliques, _q_graphlet4_census, _q_graph_edges, _q_graph_summary, _q_kcore, _q_ktruss, _q_leiden, _q_linkpred_auc, _q_linkpred_eval, _q_louvain, _q_louvain_multilevel, _q_louvain_trajectory, _q_mis, _q_modularity, _q_node2vec, _q_nucleus, _q_onion, _q_partition_assignment, _q_partition_quality, _q_reciprocity, _q_resource_alloc, _q_rich_club, _q_scan, _q_scan_statistic, _q_score_weighted, _q_simrank, _q_square_count, _q_transitivity, _q_triangles, _q_triangles_per_vertex, _q_trussness, _q_trussness_decremental, _q_wl_class_histogram, _q_wl_colors, _q_doulion_triangles, _q_truss_communities, _q_ab_core, _q_butterflies, _q_cpm, _q_kwing, _q_tip, _q_core_periphery, _q_map_equation, _q_kpeak, _q_percolation_threshold, _q_triangle_surplus, _q_katz_index, _q_degree_gini, _q_edge_clustering, _q_spectral_radius, _q_community_conductance, _q_rich_club_normalized, _q_dcsbm, _q_clustering_by_degree, _q_directed_assortativity, _q_walk_entropy, _q_spectral_moments, _q_skew_salt_advisor, _q_hk_sweep_cut, _q_package_instability, _q_rrf_fusion, _q_zorder_locality, _q_kdegree_anonymity, _q_small_world_sigma, _q_knn_degree_correlation, _q_core_strength, _q_randic_index, _q_degree_powerlaw_fit, _q_triangle_delta_insert, _q_graph_h_index, _q_community_size_fit, _q_edge_hygiene_audit, _q_bridging_coefficient, _q_coreness_profile, _q_square_surplus, _q_graph_curation_funnel  # noqa: E501,F401
 
@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_mi": _q_lang_source_mi,         # r5: mix-dependence scalar
         "value_autocorrelation": _q_value_autocorrelation,  # r5: serial memory
         "heavy_hitter_stability": _q_heavy_hitter_stability,  # r5: HH churn
+        "pagerank_mass_concentration": _q_pagerank_mass_concentration,  # r5: head mass
 
         # heavy iterative decompositions + the rest of the r3/r4 surface
         "coreness": _q_coreness,
@@ -1198,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_mi": _LANG_SOURCE_MI_SQL,
         "value_autocorrelation": _VALUE_AUTOCORR_SQL,
         "heavy_hitter_stability": _hh_stability_sql(HH_STAB_MIN),
+        "pagerank_mass_concentration": _pr_mass_sql(),
         "decayed_event_counts": (
             "WITH dev AS MATERIALIZED (SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events), "
             "dmx AS (SELECT MAX(es)::BIGINT AS tmax FROM dev), "

@@ -320,6 +320,7 @@ def main() -> None:
         "lang_source_mi",
         "value_autocorrelation",
         "heavy_hitter_stability",
+        "pagerank_mass_concentration",
     )
     # Heavy tier: correct and oracle-checked, but individually > ~20s at
     # sf0.1 (N(t)-exact members, overlapping-community floods, A^3

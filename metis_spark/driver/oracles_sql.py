@@ -7026,3 +7026,24 @@ def _hh_stability_sql(min_count: int) -> str:
         "CASE WHEN mass2 > 0 THEN ((1000000 * mass2_stable) // mass2)::BIGINT "
         "ELSE 0 END AS mass_overlap_micro FROM hsa"
     )
+
+
+def _pr_mass_sql(n_iters: int = PR_ITERS) -> str:
+    """Twin of pagerank_mass_concentration on the unrolled PR chain."""
+    ctes = _pagerank_ctes(False, n_iters)
+    ctes.append(
+        f"pmq AS MATERIALIZED (SELECT id, CAST(ROUND(rank * 1000000000) AS BIGINT) AS r9 "
+        f"FROM r{n_iters})"
+    )
+    ctes.append(
+        "pmt AS (SELECT SUM(r9)::BIGINT AS total, COUNT(*)::BIGINT AS n_vertices FROM pmq)"
+    )
+    parts = []
+    for k in (10, 100):
+        parts.append(
+            f"SELECT {k}::BIGINT AS k, ((1000000 * m.mass) // t.total)::BIGINT "
+            "AS mass_share_micro, t.n_vertices FROM "
+            f"(SELECT SUM(r9)::BIGINT AS mass FROM (SELECT r9 FROM pmq "
+            f"ORDER BY r9 DESC, id ASC LIMIT {k})) m CROSS JOIN pmt t"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)

@@ -1320,3 +1320,42 @@ def _q_pagerank_damping_sensitivity(spark, sf_dir):
             - F.expr("(6000000 * sum_d2) div (k * (k * k - 1))")
         ).cast("long").alias("spearman_micro"),
     )
+
+def _q_pagerank_mass_concentration(spark, sf_dir):
+    """Attention concentration → one row per k ∈ {10, 100}: (k,
+    mass_share_micro, n_vertices): the share of total PageRank mass
+    the top-k vertices hold — the "how top-heavy is the ranking"
+    scalar behind cache sizing (serve the head from memory) and crawl
+    prioritization; the rank-mass sibling of degree_gini's edge-mass
+    view. Ranks quantize to nano-units per vertex BEFORE the sums, so
+    both shares are exact integer ratios."""
+    from metis_spark.plans.pagerank import pagerank
+
+    r, _ = pagerank(
+        derived_edges(spark, sf_dir), tol=0.0, max_iter=PR_ITERS,
+        checkpoint_dir=_tmpdir("metis_qpmc_"),
+    )
+    q = r.select(
+        "id", F.round(F.col("rank") * F.lit(1e9)).cast("long").alias("r9")
+    ).persist()
+    tot = q.agg(
+        F.sum("r9").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+    )
+    out = None
+    for k in (10, 100):
+        topk = (
+            q.orderBy(F.desc("r9"), F.asc("id"))
+            .limit(k)
+            .agg(F.sum("r9").cast("long").alias("mass"))
+        )
+        row = (
+            topk.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.expr("(1000000 * mass) div total").cast("long").alias("mass_share_micro"),
+                "n_vertices",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -91,3 +91,23 @@ def test_damping_sensitivity_bounds(spark):
     # agree far better than chance
     assert -1_000_000 <= row["spearman_micro"] <= 1_000_000
     assert row["spearman_micro"] > 0
+
+
+def test_pr_mass_concentration_monotone(spark):
+    import os
+
+    from metis_spark.driver.queries_graph_iterative import (
+        _q_pagerank_mass_concentration,
+    )
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    rows = sorted(
+        _q_pagerank_mass_concentration(spark, d).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [10, 100]
+    # k=100 mass strictly contains k=10 mass; both within [0, 1]
+    assert rows[0]["mass_share_micro"] <= rows[1]["mass_share_micro"]
+    assert 0 < rows[0]["mass_share_micro"] <= 1_000_000
+    # the head holds more than a uniform share
+    n = rows[0]["n_vertices"]
+    assert rows[0]["mass_share_micro"] > (1_000_000 * 10) // n
